@@ -1,0 +1,6 @@
+from overseer_spark.operators.scheduling import (  # noqa: F401
+    dead_jobs,
+    direct_dependents,
+    ready_jobs,
+    transitive_dependents,
+)

@@ -1,0 +1,293 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on content (or md5(content) at scale so the
+  shuffle key is 16 bytes, not the document).
+- **n-gram Jaccard**: exact set similarity over word shingles via an
+  inverted-index self-join (only pairs sharing ≥1 shingle are scored).
+- **MinHash + LSH**: signatures from a universal-hash family over crc32
+  (crc32 is stable across JVM/Python/zlib → testable oracle), banded into
+  buckets; candidate pairs come from a bucket equi-join, then are verified
+  with exact Jaccard. This is the 100 TB path: cost ~ O(near-duplicate
+  pairs), never O(n²).
+- **SimHash**: 32-bit signature via per-bit majority vote of token crc32s;
+  near-dups = signatures within small Hamming distance.
+
+Everything is built-in-function Spark (crc32/xxhash64, HOFs, groupBy) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from overseer_spark.functions.textfns import shingles, tokens
+
+# Universal hashing family h_i(x) = (a_i*x + b_i) mod p over crc32 inputs.
+# Coefficients stay < 2^30 so a*crc32 (< 2^62) never overflows a signed
+# 64-bit long under ANSI arithmetic; p = 2^61-1 (Mersenne).
+_MERSENNE_P = (1 << 61) - 1
+_COEFF_MAX = 1 << 30
+
+
+def exact_duplicates(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (canonical id = min id, count).
+
+    At scale, group on ``md5(content)`` so the shuffle moves 16-byte keys
+    instead of full documents.
+    """
+    return (
+        df.groupBy(F.md5(F.encode(F.col(content_col), "UTF-8")).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct content — the standard
+    keep-first exact dedup."""
+    w_ids = exact_duplicates(df, content_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w_ids, id_col, "left_semi")
+
+
+def shingle_sets(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingles array<string> distinct, n_shingles)."""
+    toks = tokens(F.col(content_col))
+    sh = shingles(toks, k=k, distinct=True)
+    return df.select(
+        F.col(id_col), sh.alias("shingles"), F.size(sh).alias("n_shingles")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index pattern: explode shingles, self-equi-join on the shingle
+    (the *only* shuffle key), count intersections per pair, then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Pair generation is bounded by shared
+    shingles, not n². Output: (d1, d2, jaccard) with d1 < d2.
+    """
+    sets_df = shingle_sets(df, content_col, id_col, k).cache()
+    posting = sets_df.select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sets_df.select(F.col(id_col).alias("d1"), F.col("n_shingles").alias("n1"))
+    s2 = sets_df.select(F.col(id_col).alias("d2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _hash_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _COEFF_MAX), rng.randrange(0, _COEFF_MAX))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>[num_perm]).
+
+    ``h_i(shingle) = (a_i * crc32(shingle) + b_i) mod (2^61-1)``, minimum per
+    permutation. Computed as explode → groupBy(id) with ``num_perm`` min
+    aggregates — one shuffle of (id, crc32) pairs, all JVM-side.
+    crc32 is identical in the JVM and zlib → Python-oracle testable.
+    """
+    coeffs = _hash_coeffs(num_perm, seed)
+    base = (
+        shingle_sets(df, content_col, id_col, k)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .select(F.col(id_col), F.crc32(F.encode("shingle", "UTF-8")).alias("h"))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = base.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Slice the signature into ``bands`` bands of ``rows_per_band`` values,
+    hash each band, and equi-join on (band_index, band_hash): only documents
+    colliding in ≥1 band pair up. The join key is a 2-tuple of ints — the
+    shuffle is tiny regardless of corpus size. Output: distinct (d1, d2),
+    d1 < d2.
+    """
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("signature", i * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash → LSH candidates → exact-Jaccard
+    verification of candidates only. Output (d1, d2, jaccard ≥ threshold)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, content_col, id_col, k, num_perm, seed)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    sets_df = shingle_sets(df, content_col, id_col, k)
+    s1 = sets_df.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1"), F.col("n_shingles").alias("n1")
+    )
+    s2 = sets_df.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2"), F.col("n_shingles").alias("n2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash per document: bit b of the signature is the majority
+    vote of bit b over crc32(token) of all tokens.
+
+    Explode → one groupBy with ``bits`` conditional-sum aggregates → bit
+    reassembly; a single shuffle of (id, crc32) longs.
+    """
+    toked = df.select(
+        F.col(id_col), F.explode(tokens(F.col(content_col))).alias("tok")
+    ).select(F.col(id_col), F.crc32(F.encode("tok", "UTF-8")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toked.groupBy(id_col).agg(*aggs)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming, blocked on 16-bit halves:
+    two signatures within distance ≤ 3 must agree exactly on at least one
+    half (pigeonhole), so the self-join key is a half-signature — no n²."""
+    sig = simhash(df, content_col, id_col, bits).cache()
+    half = bits // 2
+    blocked = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                (F.col("simhash") % F.lit(1 << half)).alias("lo"),
+                (F.shiftright(F.col("simhash"), half) + F.lit(1 << 40)),
+            )
+        ).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,103 @@
+"""Scheduling queries over the ``jobs`` / ``dependencies`` tables.
+
+These are the reference's load-bearing relational operations (SURVEY.md §2.A
+R3-R6), re-expressed as declarative DataFrame plans:
+
+- ready-set   = filter + anti-join          (reference overseer/store/jdbc.clj:230-242)
+- dead-set    = conjunctive range filter    (reference overseer/store/jdbc.clj:244-252)
+- dependents  = iterative BFS over edges    (reference overseer/store/jdbc.clj:101-113)
+
+Scale notes: the jobs table partitions naturally by ``status`` (the ready
+query then scans only the ``unstarted`` partition) and the squuid id prefix
+is time-ordered for range pruning. The anti-join's build side (blocked ids)
+is small relative to the job count, so AQE converts it to a broadcast join —
+no full shuffle of the jobs table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from overseer_spark.core import STATUS_FINISHED, STATUS_STARTED, STATUS_UNSTARTED
+
+
+def ready_jobs(jobs: DataFrame, deps: DataFrame, limit: int | None = None) -> DataFrame:
+    """Unstarted jobs whose every dependency is finished (R3/Q31).
+
+    ``blocked = deps ⋉ (jobs where status != finished on dep_id)``;
+    ``ready = unstarted ▷ blocked`` (anti-join). Equivalent to the
+    reference's NOT IN subquery (overseer/store/jdbc.clj:230-242) but with
+    explicit semi/anti joins, which Catalyst plans without a correlated
+    subquery and AQE broadcasts.
+    """
+    unfinished = jobs.filter(F.col("status") != STATUS_FINISHED).select(
+        F.col("id").alias("dep_id")
+    )
+    blocked = (
+        deps.join(unfinished, "dep_id", "left_semi").select("job_id").distinct()
+    )
+    ready = (
+        jobs.filter(F.col("status") == STATUS_UNSTARTED)
+        .join(blocked, jobs["id"] == blocked["job_id"], "left_anti")
+        .select("id")
+    )
+    return ready.limit(limit) if limit else ready
+
+
+def dead_jobs(jobs: DataFrame, threshold: int, limit: int | None = None) -> DataFrame:
+    """Started jobs with a stale heartbeat (R4/Q32; reference
+    overseer/store/jdbc.clj:244-252). NULL heartbeats never match."""
+    dead = jobs.filter(
+        (F.col("status") == STATUS_STARTED) & (F.col("heartbeat") < F.lit(threshold))
+    ).select("id")
+    return dead.limit(limit) if limit else dead
+
+
+def direct_dependents(deps: DataFrame, ids: DataFrame) -> DataFrame:
+    """One BFS step: DISTINCT job_id of edges whose dep_id ∈ ids (R6;
+    reference overseer/store/jdbc.clj:89-99)."""
+    frontier = ids.select(F.col("id").alias("dep_id"))
+    return (
+        deps.join(frontier, "dep_id", "left_semi").select(F.col("job_id").alias("id")).distinct()
+    )
+
+
+def transitive_dependents(
+    deps: DataFrame,
+    seed_ids: Iterable[str] | DataFrame,
+    checkpoint_every: int = 4,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """All direct + transitive dependents of the seed jobs (R5/Q33).
+
+    Iterative semi-join BFS with frontier/visited sets, mirroring the
+    reference's loop (overseer/store/jdbc.clj:101-113) but distributed:
+    each step is one semi-join + anti-join; ``localCheckpoint`` every few
+    iterations truncates lineage so plans don't grow with graph depth.
+    The loop driver only ever materializes per-iteration *counts*, never
+    the id sets, so 100 TB edge tables stay on executors.
+    """
+    spark = deps.sparkSession
+    if isinstance(seed_ids, DataFrame):
+        frontier = seed_ids.select(F.col(seed_ids.columns[0]).alias("id")).distinct()
+    else:
+        frontier = spark.createDataFrame(
+            [(i,) for i in seed_ids], schema="id string"
+        )
+    visited = frontier  # seeds excluded from result at the end
+    result = spark.createDataFrame([], schema="id string")
+    for it in range(max_iterations):
+        nxt = direct_dependents(deps, frontier).join(visited, "id", "left_anti")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+        if nxt.isEmpty():
+            break
+        result = result.union(nxt)
+        visited = visited.union(nxt)
+        frontier = nxt
+    return result.distinct()

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  set against the corpus, score with JVM-side float64 arithmetic, rank with
+  a window. Correctness baseline; cost O(|queries|·n).
+- ``ivf_topk``: IVF-style approximate search — assign corpus vectors to the
+  nearest of ``n_cells`` centroids once (an O(n·c) broadcast pass), then
+  probe only ``n_probe`` cells per query. This is the 100 TB path: the
+  corpus is partitioned (bucketable) by ``cell``, and each query touches a
+  few cells instead of the full corpus.
+- ``embedding_near_duplicates``: pairs with cosine ≥ threshold via the same
+  IVF blocking (both vectors in the same cell), verified exactly.
+
+Centroids are chosen deterministically (lowest ids) — k-means would drift
+across engines and is unnecessary for the operator contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from overseer_spark.functions.vectors import cosine_similarity, l2_norm, vec_dot
+
+
+def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("_norm", l2_norm(vec_col))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, vec_id, sim, rank). Ranking is by *rounded* score
+    with an id tiebreak so results are reproducible across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), round_to).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (deterministic
+    centroids = lowest-id vectors unless given). Adds a ``cell`` column."""
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_cells)
+    cents = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "*", cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.col("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_csim", "_cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` nearest cells per query.
+
+    At scale, ``assigned`` is written bucketed by ``cell`` so the probe join
+    prunes buckets; here it's an equi-join on ``cell``.
+    """
+    centroids = corpus.orderBy(id_col).limit(n_cells).cache()
+    assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
+    cents = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "_qvec", "cell", cosine_similarity("_qvec", F.col("_cvec")).alias("_csim"))
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.col("cell"))),
+        )
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qvec", "cell")
+    )
+    scored = assigned.join(F.broadcast(qcells), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), round_to).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), IVF-blocked:
+    candidates only form within a cell, then exact verification."""
+    assigned = assign_cells(corpus, n_cells, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), "cell"
+    ).cache()
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (character n-gram profiles), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting (md5 + polynomial rolling hash).
+All built-in-function Spark; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from overseer_spark.functions.textfns import char_ngrams, tokens
+
+# Small English stopword list for ratio features (not language-specific
+# correctness — a *deterministic quality feature*).
+STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at this that it".split()
+)
+
+# Polynomial rolling-hash modulus (fits in signed 64-bit with 1e9-scale base).
+_FP_MOD = (1 << 31) - 1
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword-unit estimate
+    (≈ ceil(chars/4) per the common rule of thumb)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.ceil(F.length(text_col) / F.lit(4)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features: mean word length, stopword ratio,
+    alpha ratio, distinct-token ratio; plus a composite score.
+
+    The composite mirrors common LLM-corpus filters (Gopher/C4-style
+    length + repetition heuristics) expressed in closed form.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    mean_wlen = (F.length(text_col) - (n - 1)) / n  # chars minus separators
+    score = (
+        F.when((n >= 5) & (distinct_ratio > 0.2), F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - n_stop / n * F.lit(0.5))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(n_stop / n, 4).alias("stopword_ratio"),
+        F.round(alpha_chars / F.length(text_col), 4).alias("alpha_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    top: int = 50,
+) -> DataFrame:
+    """Per-language character-trigram profile: the ``top`` most frequent
+    n-grams per language with ranks (deterministic tie-break on the gram)."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.col("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("lang", "gram", "rank")
+    )
+
+
+def language_id(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top: int = 50,
+) -> DataFrame:
+    """Rank-based n-gram language ID (Cavnar-Trenkle style): score each
+    (doc, lang) by summed inverse rank of profile n-grams present in the
+    doc; predict the argmax. Profiles broadcast; one shuffle on doc_id."""
+    doc_grams = df.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    scored = (
+        doc_grams.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.lit(top + 1) - F.col("rank")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("lang"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 hex (engine-portable) and a polynomial
+    rolling hash over token crc32s (order-sensitive, Python-oracle-stable)."""
+    toks = tokens(F.col(text_col))
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + F.crc32(F.encode(t, "UTF-8"))) % F.lit(_FP_MOD),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("md5"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,962 @@
+"""Declared query catalog — the t2 contract surface (SURVEY.md §2.B).
+
+Every entry pairs a Spark DataFrame implementation with (where portable) a
+DuckDB oracle SQL string. The driver — and ``tests/test_oracle_parity.py`` —
+runs both over the same parquet tables and hash-compares results, so each
+entry is a verified operator. Aliases in Spark code and oracle SQL are kept
+identical by construction.
+
+Determinism rules (FIXTURES.md §E): unique-key ORDER BY, ROUND on floats,
+COALESCE'd rollup NULLs, no sub-hour raw timestamps, BIGINT-normalized
+counts/ranks (Spark ``cast("long")`` ↔ DuckDB ``CAST(... AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from overseer_spark.functions.vectors import cosine_similarity
+from overseer_spark.operators import dedup as D
+from overseer_spark.operators import scheduling as S
+from overseer_spark.operators import similarity as V
+from overseer_spark.operators import text as TX
+from overseer_spark.queries import fixtures as FX
+from overseer_spark.sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    tier: str  # "sql" (DuckDB-oracle hash-match) | "py" (rows-only / pytest oracle)
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def q(name: str, tier: str = "sql", oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(name, tier, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q01-Q06: scans, filters, projections
+# ---------------------------------------------------------------------------
+
+@q("q01_scan_count", oracle="SELECT COUNT(*) AS n FROM lineitem")
+def q01(spark, sf):
+    """Q01 scan+count (R14)."""
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q02_projection_filter",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+)
+def q02(spark, sf):
+    """Q02 projection + numeric filter (R1/R2) — predicate+pruning reach parquet."""
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "q03_string_filter",
+    oracle="""SELECT c_custkey, c_name FROM customer
+              WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
+)
+def q03(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q04_conjunctive_filter",
+    oracle="""SELECT event_id FROM events
+              WHERE event_type = 'error' AND value > 100 ORDER BY event_id""",
+)
+def q04(spark, sf):
+    """Q04 conjunctive/range predicate — the jobs-dead shape (R4)."""
+    return (
+        _t(spark, sf, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "q05_in_list",
+    oracle="""SELECT o_orderkey FROM orders
+              WHERE o_orderstatus IN ('F','P') AND o_totalprice > 250000
+              ORDER BY o_orderkey""",
+)
+def q05(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "P") & (F.col("o_totalprice") > 250000))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "q06_like",
+    oracle="""SELECT p_partkey, p_name FROM part
+              WHERE p_name LIKE '%green%' ORDER BY p_partkey""",
+)
+def q06(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("%green%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q07-Q12: joins
+# ---------------------------------------------------------------------------
+
+@q(
+    "q07_inner_join",
+    oracle="""SELECT n.n_name, COUNT(*) AS c FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def q07(spark, sf):
+    """Q07 inner equi-join; 25-row nation broadcasts (no shuffle of customer)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "q08_multiway_join",
+    oracle="""SELECT r.r_name, ROUND(SUM(c.c_acctbal), 2) AS bal FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name ORDER BY r.r_name""",
+)
+def q08(spark, sf):
+    """Q08 multi-way join — both dims broadcast; single pass over customer."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("r_name")
+    )
+
+
+@q(
+    "q09_left_join",
+    oracle="""SELECT c.c_custkey, COUNT(o.o_orderkey) AS n FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+)
+def q09(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q10_semi_join",
+    oracle="""SELECT c_custkey FROM customer WHERE c_custkey IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+              ORDER BY c_custkey""",
+)
+def q10(spark, sf):
+    """Q10 left-semi — the handleable-jobs filter shape (R12)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q11_anti_join",
+    oracle="""SELECT c_custkey FROM customer WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+)
+def q11(spark, sf):
+    """Q11 left-anti — the ready-set core (R3)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q12_theta_self_join",
+    oracle="""SELECT a.n_nationkey AS x, b.n_nationkey AS y FROM nation a
+              JOIN nation b ON a.n_regionkey = b.n_regionkey
+              AND a.n_nationkey < b.n_nationkey ORDER BY x, y""",
+)
+def q12(spark, sf):
+    n = _t(spark, sf, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(F.col("a.n_nationkey").alias("x"), F.col("b.n_nationkey").alias("y"))
+        .orderBy("x", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-Q19: aggregation
+# ---------------------------------------------------------------------------
+
+@q(
+    "q13_global_agg",
+    oracle="""SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS s,
+              ROUND(AVG(l_discount), 4) AS a, MIN(l_shipdate) AS mn,
+              MAX(l_shipdate) AS mx FROM lineitem""",
+)
+def q13(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        F.round(F.avg("l_discount"), 4).alias("a"),
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+    )
+
+
+@q(
+    "q14_grouped_agg",
+    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 2) AS sq,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""",
+)
+def q14(spark, sf):
+    """Q14 TPC-H Q1 shape — partial (map-side) + final hash aggregation."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q("q15_count_distinct", oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders")
+def q15(spark, sf):
+    return _t(spark, sf, "orders").agg(F.count_distinct(F.col("o_custkey")).alias("n"))
+
+
+@q(
+    "q16_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def q16(spark, sf):
+    return _t(spark, sf, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@q(
+    "q17_having",
+    oracle="""SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+              HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
+)
+def q17(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "q18_rollup",
+    oracle="""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+              COUNT(*) AS c FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""",
+)
+def q18(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "c",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@q(
+    "q19_case_decode",
+    oracle="""SELECT CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                          WHEN o_orderstatus = 'O' THEN 'open'
+                          ELSE 'partial' END AS st, COUNT(*) AS c
+              FROM orders GROUP BY st ORDER BY st""",
+)
+def q19(spark, sf):
+    """Q19 dictionary decode (R17 status-code shape)."""
+    st = (
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(st.alias("st"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("st")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-Q23: windows, top-k
+# ---------------------------------------------------------------------------
+
+@q(
+    "q20_rank_window",
+    oracle="""SELECT o_custkey, o_orderkey, rk FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+                FROM orders) t
+              WHERE rk <= 3 ORDER BY o_custkey, rk""",
+)
+def q20(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@q(
+    "q21_lag_window",
+    oracle="""SELECT event_id, ROUND(value - LAG(value) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+              FROM events ORDER BY event_id""",
+)
+def q21(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "q22_frame_window",
+    oracle="""SELECT event_id, ROUND(SUM(value) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv
+              FROM events ORDER BY event_id""",
+)
+def q22(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "events")
+        .select("event_id", F.round(F.sum("value").over(w), 2).alias("mv"))
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "q23_topk",
+    oracle="""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q23(spark, sf):
+    """Q23 sort+limit — Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24-Q26: set operations (R16)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q24_union_all",
+    oracle="""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT c_custkey FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+)
+def q24(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .union(c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+@q(
+    "q25_intersect",
+    oracle="""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT SELECT o_custkey FROM orders ORDER BY k""",
+)
+def q25(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .intersect(o.select(F.col("o_custkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+@q(
+    "q26_except",
+    oracle="""SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey FROM orders ORDER BY k""",
+)
+def q26(spark, sf):
+    """Q26 EXCEPT — the missing-handlers set difference (R16)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.select(F.col("c_custkey").alias("k"))
+        .subtract(o.select(F.col("o_custkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27-Q30: scalar functions, tumbling window
+# ---------------------------------------------------------------------------
+
+@q(
+    "q27_string_funcs",
+    oracle="""SELECT c_custkey, UPPER(SUBSTR(c_name, 1, 8)) AS u,
+              CAST(LENGTH(c_name) AS BIGINT) AS l,
+              CONCAT(c_mktsegment, '-', c_name) AS cc
+              FROM customer ORDER BY c_custkey""",
+)
+def q27(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("u"),
+            F.length("c_name").cast("long").alias("l"),
+            F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_name")).alias("cc"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q28_datetime_funcs",
+    oracle="""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+              CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, COUNT(*) AS c
+              FROM orders GROUP BY y, m ORDER BY y, m""",
+)
+def q28(spark, sf):
+    """Q28 date/time scalar funcs — the liveness-threshold arithmetic family (R19)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("y", "m")
+    )
+
+
+@q(
+    "q29_math_funcs",
+    oracle="""SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_extendedprice), 2) AS sq,
+              CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+              ROUND(ABS(l_discount - 0.05), 2) AS ad
+              FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""",
+)
+def q29(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_extendedprice"), 2).alias("sq"),
+            F.floor("l_quantity").cast("long").alias("fq"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 2).alias("ad"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "q30_tumbling_window",
+    oracle="""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+              COUNT(*) AS c, ROUND(SUM(value), 2) AS s FROM events
+              GROUP BY h, event_type ORDER BY h, event_type""",
+)
+def q30(spark, sf):
+    """Q30 tumbling hourly window — batch-checkable form of the streaming
+    windowed agg (F.window(ts, '1 hour') ≡ date_trunc('hour'))."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .orderBy("h", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31-Q33: engine scheduling queries over the overseer state tables
+# ---------------------------------------------------------------------------
+
+@q(
+    "q31_ready_set",
+    oracle=f"""WITH {FX.jobs_values_cte()}, {FX.deps_values_cte()}
+               SELECT id FROM overseer_jobs WHERE status = 0 AND id NOT IN (
+                 SELECT d.job_id FROM overseer_dependencies d
+                 JOIN overseer_jobs j ON j.id = d.dep_id WHERE j.status <> 2)
+               ORDER BY id""",
+)
+def q31(spark, sf):
+    """Q31 ready-set (R3 verbatim) over the 7-case truth-table fixture."""
+    return S.ready_jobs(FX.jobs_df(spark), FX.deps_df(spark)).orderBy("id")
+
+
+@q(
+    "q32_dead_set",
+    oracle=f"""WITH {FX.jobs_values_cte()}
+               SELECT id FROM overseer_jobs
+               WHERE status = 1 AND heartbeat < {FX.DEAD_THRESHOLD} ORDER BY id""",
+)
+def q32(spark, sf):
+    """Q32 dead-set (R4 verbatim)."""
+    return S.dead_jobs(FX.jobs_df(spark), FX.DEAD_THRESHOLD).orderBy("id")
+
+
+@q(
+    "q33_transitive_closure",
+    oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
+               reach(id) AS (
+                 SELECT job_id FROM overseer_dependencies WHERE dep_id = '{FX.CLOSURE_SEED}'
+                 UNION
+                 SELECT d.job_id FROM overseer_dependencies d
+                 JOIN reach r ON d.dep_id = r.id)
+               SELECT id FROM reach ORDER BY id""",
+)
+def q33(spark, sf):
+    """Q33 transitive dependents (R5) — iterative distributed BFS vs the
+    oracle's recursive CTE."""
+    return S.transitive_dependents(FX.deps_df(spark), [FX.CLOSURE_SEED]).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Q34+: LLM-data-pipeline operators (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q34_lang_stats",
+    oracle="""SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 2) AS avg_chars
+              FROM documents GROUP BY lang ORDER BY lang""",
+)
+def q34(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q35_exact_dup_count",
+    oracle="SELECT COUNT(*) - COUNT(DISTINCT text) AS dups FROM documents",
+)
+def q35(spark, sf):
+    return _t(spark, sf, "documents").agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("text"))).alias("dups")
+    )
+
+
+@q(
+    "dedup_exact_groups",
+    oracle="""SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+              FROM documents GROUP BY text HAVING COUNT(*) > 1 ORDER BY canonical_id""",
+)
+def dedup_exact_groups(spark, sf):
+    """Exact-duplicate groups via content-hash groupBy (16-byte shuffle key)."""
+    return (
+        D.exact_duplicates(_t(spark, sf, "documents"))
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+@q(
+    "q36_json_extract",
+    oracle="""SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS s
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q36(spark, sf):
+    """Q36 JSON path extraction (R18 payload-deserialize shape)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("s")
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q37_array_l2norm",
+    oracle="""SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+              FROM embeddings ORDER BY vec_id""",
+)
+def q37(spark, sf):
+    """Q37 array ops — float64 accumulation in element order (JVM HOFs)."""
+    from overseer_spark.functions.vectors import l2_norm
+
+    return (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2"))
+        .orderBy("vec_id")
+    )
+
+
+_COS_ORACLE_BODY = """
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.e0[i] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(t.e0, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings e, t WHERE e.vec_id <> 0
+"""
+
+
+@q(
+    "q38_cosine_top5",
+    oracle=f"""WITH t AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0),
+               s AS ({_COS_ORACLE_BODY})
+               SELECT vec_id, ROUND(dot / (na * nb), 6) AS sim FROM s
+               ORDER BY sim DESC, vec_id LIMIT 5""",
+)
+def q38(spark, sf):
+    """Q38 brute-force cosine top-5 of vec_id 0 (exact baseline for ANN)."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        V.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5)
+        .select("vec_id", "sim")
+        .orderBy(F.desc("sim"), "vec_id")
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    oracle="""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              s AS (
+                SELECT q.query_id, e.vec_id,
+                  ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              r AS (SELECT query_id, vec_id, sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM s)
+              SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 3
+              ORDER BY query_id, rnk""",
+)
+def ann_topk(spark, sf):
+    """Exact top-3 cosine neighbors for 10 query vectors (ANN baseline)."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        V.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@q("ann_ivf_topk", tier="py")
+def ann_ivf(spark, sf):
+    """IVF-bucketed approximate top-3 for 10 queries — the 100 TB scale path
+    (recall vs the exact baseline asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        V.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=16, n_probe=4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_SHINGLE_ORACLE_CTES = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+           generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [] END AS shingles FROM tok),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+
+@q(
+    "ngram_jaccard_pairs",
+    oracle=f"""WITH {_SHINGLE_ORACLE_CTES},
+               pair AS (
+                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+                 FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+               SELECT d1, d2,
+                 ROUND(n_inter / (s1.n + s2.n - n_inter), 6) AS jaccard
+               FROM pair JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+               WHERE n_inter / (s1.n + s2.n - n_inter) >= 0.8
+               ORDER BY d1, d2""",
+)
+def ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard ≥ 0.8 pairs via inverted-index self-join (Q39's
+    exact verifier; pair generation bounded by shared shingles, not n²)."""
+    return D.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8).orderBy("d1", "d2")
+
+
+@q("minhash_near_dup_pairs", tier="py")
+def minhash_pairs(spark, sf):
+    """Q39 MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard verified —
+    the O(near-dup pairs) scale path. Python oracle in tests/test_dedup.py."""
+    return D.minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.8).orderBy(
+        "d1", "d2"
+    )
+
+
+@q("simhash_signatures", tier="py")
+def simhash_sigs(spark, sf):
+    """32-bit SimHash per doc (crc32 bit-majority; zlib-oracle in tests)."""
+    return D.simhash(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@q(
+    "text_token_count",
+    oracle="""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+              FROM documents ORDER BY doc_id""",
+)
+def token_count_q(spark, sf):
+    return TX.token_count(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@q(
+    "text_quality",
+    oracle=f"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+               f AS (SELECT doc_id, len(w) AS n,
+                       len(list_filter(w, x -> list_contains({TX.STOPWORDS!r}, x))) AS n_stop,
+                       len(list_distinct(w)) AS n_distinct,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                       length(text) AS n_chars
+                     FROM tok)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                 ROUND((n_chars - (n - 1)) / n, 4) AS mean_word_len,
+                 ROUND(n_stop / n, 4) AS stopword_ratio,
+                 ROUND(alpha_chars / n_chars, 4) AS alpha_ratio,
+                 ROUND(n_distinct / n, 4) AS distinct_ratio,
+                 ROUND(CASE WHEN n >= 5 AND n_distinct / n > 0.2 THEN 1.0 ELSE 0.0 END
+                       * (1.0 - n_stop / n * 0.5), 4) AS quality
+               FROM f ORDER BY doc_id""",
+)
+def quality_q(spark, sf):
+    """Gopher/C4-style deterministic quality features per document."""
+    return TX.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@q(
+    "text_fingerprint_md5",
+    oracle="SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+)
+def fingerprint_md5(spark, sf):
+    return (
+        TX.fingerprint(_t(spark, sf, "documents"))
+        .select("doc_id", "md5")
+        .orderBy("doc_id")
+    )
+
+
+@q("text_fingerprint_rolling", tier="py")
+def fingerprint_rolling(spark, sf):
+    """Order-sensitive polynomial rolling hash over token crc32s
+    (zlib-oracle in tests/test_text.py)."""
+    return (
+        TX.fingerprint(_t(spark, sf, "documents"))
+        .select("doc_id", "rolling_hash")
+        .orderBy("doc_id")
+    )
+
+
+@q("text_language_id", tier="py")
+def language_id_q(spark, sf):
+    """Cavnar-Trenkle rank-profile language ID (profiles learned from the
+    corpus itself; deterministic)."""
+    docs = _t(spark, sf, "documents")
+    profiles = TX.language_profiles(docs)
+    return TX.language_id(docs, profiles).orderBy("doc_id")
+
+
+@q(
+    "sessionize",
+    oracle="""WITH d AS (
+                SELECT user_id, ts,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events)
+              SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS sessions
+              FROM d GROUP BY user_id ORDER BY user_id""",
+)
+def sessionize(spark, sf):
+    """Session count per user, 5-minute gap — Spark ``session_window`` in
+    batch mode vs a lag/cumsum oracle (Q40's batch-checkable core)."""
+    ev = _t(spark, sf, "events")
+    sess = ev.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sessions"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "zscore_groups",
+    oracle="""SELECT event_id, ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+              FROM events WINDOW w AS (PARTITION BY user_id) ORDER BY event_id""",
+)
+def zscore(spark, sf):
+    """Q41 grouped z-score via applyInPandas (Arrow-batched; the pandas-UDF
+    surface) — verified against a SQL window oracle."""
+    import pandas as pd
+
+    def norm(pdf: "pd.Series") -> "pd.DataFrame":
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = ((pdf["value"] - mean) / std).round(4) if std and std == std else pdf["value"] * float("nan")
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
+
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(norm, schema="event_id long, z double")
+        .orderBy("event_id")
+    )
+
+
+@q("q42_approx_aggs", tier="py")
+def q42(spark, sf):
+    """Q42 sketch aggregates (HLL++ / quantile sketch); ≤5% relative error
+    vs exact asserted in tests/test_queries_extra.py."""
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_custkeys"),
+    )
+
+
+@q(
+    "multimodal_meta",
+    oracle="""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS digest FROM documents ORDER BY doc_id""",
+)
+def multimodal_meta(spark, sf):
+    """Multimodal column plumbing: text→binary payload, metadata extraction
+    through an Arrow-batched mapInPandas (the decode seam where real image /
+    audio codecs plug in; see operators/multimodal.py)."""
+    from overseer_spark.operators.multimodal import extract_metadata, with_binary_payload
+
+    docs = _t(spark, sf, "documents")
+    return extract_metadata(with_binary_payload(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry for the driver smoke check
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (Q14) — partial+final hash agg."""
+    return q14(spark, sf_dir)

@@ -1,0 +1,89 @@
+"""Engine-state fixture rows for the scheduling queries (Q31-Q33).
+
+FIXTURES.md §B: the ready-set truth table mirrors the reference's 7-case
+matrix (overseer/test/overseer/store/datomic_test.clj:14-64); the dead-set
+and closure fixtures mirror overseer/test/overseer/store_test.clj:152-164 and
+overseer/test/overseer/store/datomic_test.clj:66-88.
+
+Both the Spark side (createDataFrame) and the DuckDB oracle (inline VALUES
+CTEs) are generated from the same row literals so they can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from overseer_spark.core import DEPENDENCIES_SCHEMA, JOBS_SCHEMA
+
+# (id, type, args, status, failure, heartbeat, lock_version)
+JOB_ROWS: list[tuple[str, str, str | None, int, str | None, int | None, int]] = [
+    ("j-unstarted-nodeps", "t", None, 0, None, None, 0),
+    ("j-started", "t", None, 1, None, 1699999990, 0),  # dead vs 1700000000
+    ("j-dep-unfinished", "t", None, 0, None, None, 0),
+    ("j-finished", "t", None, 2, None, None, 0),
+    ("j-dep-finished", "t", None, 0, None, None, 0),
+    ("j-dep-mixed", "t", None, 0, None, None, 0),
+    ("j-aborted", "t", None, 4, None, None, 0),
+    ("j-started-live", "t", None, 1, None, 1700000100, 0),
+    # closure fixture: chain + diamond rooted at j-root, plus disconnected
+    ("j-root", "t", None, 0, None, None, 0),
+    ("j-a", "t", None, 0, None, None, 0),
+    ("j-b", "t", None, 0, None, None, 0),
+    ("j-c", "t", None, 0, None, None, 0),
+    ("j-solo", "t", None, 0, None, None, 0),
+]
+
+# (job_id, dep_id): job_id runs only after dep_id finishes
+DEP_ROWS: list[tuple[str, str]] = [
+    ("j-dep-unfinished", "j-unstarted-nodeps"),
+    ("j-dep-finished", "j-finished"),
+    ("j-dep-mixed", "j-unstarted-nodeps"),
+    ("j-dep-mixed", "j-finished"),
+    ("j-a", "j-root"),
+    ("j-b", "j-root"),
+    ("j-c", "j-a"),
+]
+
+DEAD_THRESHOLD = 1700000000
+CLOSURE_SEED = "j-root"
+
+
+def jobs_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {
+            "id": r[0],
+            "type": r[1],
+            "args": r[2],
+            "status": r[3],
+            "failure": r[4],
+            "heartbeat": r[5],
+            "lock_version": r[6],
+            "created_at": None,
+            "updated_at": None,
+        }
+        for r in JOB_ROWS
+    ]
+    return spark.createDataFrame(rows, schema=JOBS_SCHEMA)
+
+
+def deps_df(spark: SparkSession) -> DataFrame:
+    rows = [{"job_id": a, "dep_id": b} for a, b in DEP_ROWS]
+    return spark.createDataFrame(rows, schema=DEPENDENCIES_SCHEMA)
+
+
+def _sql_str(v: str | None) -> str:
+    return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+
+def jobs_values_cte() -> str:
+    """``overseer_jobs(id, status, heartbeat)`` as an inline VALUES CTE body
+    for the DuckDB oracle."""
+    rows = ", ".join(
+        f"({_sql_str(r[0])}, {r[3]}, {r[5] if r[5] is not None else 'CAST(NULL AS BIGINT)'})"
+        for r in JOB_ROWS
+    )
+    return f"overseer_jobs(id, status, heartbeat) AS (VALUES {rows})"
+
+def deps_values_cte() -> str:
+    rows = ", ".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in DEP_ROWS)
+    return f"overseer_dependencies(job_id, dep_id) AS (VALUES {rows})"
