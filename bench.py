@@ -1,0 +1,83 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully (noop sink — no driver-side collect bottleneck);
+a tiny warmup query first so JVM/codegen startup isn't billed to q01.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q01_scan_count",
+    "q02_projection_filter",
+    "q07_inner_join",
+    "q08_multiway_join",
+    "q09_left_join",
+    "q11_anti_join",
+    "q14_grouped_agg",
+    "q15_count_distinct",
+    "q18_rollup",
+    "q20_rank_window",
+    "q21_lag_window",
+    "q30_tumbling_window",
+    "q33_transitive_closure",
+    "q35_exact_dup_count",
+    "q36_json_extract",
+    "q37_array_l2norm",
+    "ann_cosine_topk",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "simhash_signatures",
+    "text_quality",
+    "sessionize",
+    "zscore_groups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.session import get_spark
+
+    spark = get_spark("overseer-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer reads, not billed to queries
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
