@@ -1,0 +1,102 @@
+"""Public facade — the reference's api namespace surface
+(overseer/api.clj), Spark-flavored.
+
+    from overseer_spark import api
+
+    store = api.memory_store()                # or api.spark_store(spark, path)
+    graph = api.job_graph({"extract": [], "transform": ["extract"],
+                           "load": ["transform"]}, args={"run": "2026-08-13"})
+    api.validate_graph_handlers(HANDLERS, graph)
+    api.transact_graph(store, graph)
+    api.run_pipeline(store, HANDLERS)         # single-process drain
+    # or: worker = api.start(store, HANDLERS) ... worker.stop()
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import SparkSession
+
+from overseer_spark.config import Config
+from overseer_spark.core import (
+    JobGraph,
+    job_graph,
+    missing_handlers,
+    simple_graph,
+    validate_graph_handlers,
+)
+from overseer_spark.errors import Abort, AbortSilent, Fault
+from overseer_spark.executor import Executor
+from overseer_spark.harness import Handler, harness
+from overseer_spark.store.base import Store
+from overseer_spark.store.memory import MemoryStore
+from overseer_spark.store.sparklog import SparkLogStore
+from overseer_spark.worker import Worker
+
+__all__ = [
+    "Config",
+    "Abort",
+    "AbortSilent",
+    "Fault",
+    "abort",
+    "abort_silent",
+    "fault",
+    "harness",
+    "job_graph",
+    "simple_graph",
+    "memory_store",
+    "spark_store",
+    "missing_handlers",
+    "validate_graph_handlers",
+    "transact_graph",
+    "run_pipeline",
+    "start",
+]
+
+
+def memory_store() -> MemoryStore:
+    store = MemoryStore()
+    store.install()
+    return store
+
+
+def spark_store(spark: SparkSession, path: str) -> SparkLogStore:
+    store = SparkLogStore(spark, path)
+    store.install()
+    return store
+
+
+def transact_graph(store: Store, graph: JobGraph) -> JobGraph:
+    """Idempotent atomic graph submission (api.clj:93-97)."""
+    return store.transact_graph(graph)
+
+
+def run_pipeline(
+    store: Store, handlers: Mapping[str, Handler], config: Config | None = None
+) -> None:
+    """Drain the queue in-process (tests / notebooks / one-shot runs)."""
+    cfg = config or Config()
+    Executor(store, handlers, cfg.sleep_time, cfg.rand_seed).run_until_complete()
+
+
+def start(
+    store: Store, handlers: dict[str, Handler], config: Config | None = None
+) -> Worker:
+    """Start a worker (detector/executor/heartbeat/monitor loops) —
+    api.clj:44-48 → worker.clj:24-50."""
+    return Worker(store, handlers, config).start()
+
+
+# Control-flow helpers a handler calls mid-flight (api.clj:99-118)
+
+def abort(message: str, data: dict[str, Any] | None = None) -> None:
+    raise Abort(message, data)
+
+
+def abort_silent(message: str = "", data: dict[str, Any] | None = None) -> None:
+    raise AbortSilent(message, data)
+
+
+def fault(message: str, data: dict[str, Any] | None = None) -> None:
+    raise Fault(message, data)

@@ -1,0 +1,234 @@
+"""Spark-native store: state-as-tables with an append-only transition log.
+
+Instead of porting the reference's row-level CAS (overseer/store/jdbc.clj:
+62-87 lock_version machinery), state changes are *appended* as parquet rows
+and the current state of a job is "last transition wins":
+
+    jobs_df = log.withColumn(rn, row_number() over (partition by id order by seq desc))
+                 .filter(rn == 1)
+
+Why this is the right shape for Spark at scale:
+
+- **Writes are appends** — no rewrite of existing files, no transactional
+  table format required. Each transition is one tiny parquet file; a
+  compaction pass (``compact()``) folds the log back to one file per id.
+- **Reads are declarative** — ready/dead/closure run on the derived
+  current-state DataFrame via operators/scheduling.py, so Catalyst plans
+  them (broadcast anti-joins etc.) exactly as at 100 TB.
+- **Heartbeats** are log appends too; "current heartbeat" is just the max
+  seq row — the reference's R10 note in SURVEY.md §2.A.
+- **CAS** remains driver-serialized (single-writer per SURVEY.md §7);
+  ``reserve_job`` checks current status then appends, under a lock. The
+  return-None-on-lost-race *interface* is preserved so a multi-writer
+  backend (Delta MERGE with a status predicate) can swap in.
+
+At sf-test scale the per-append overhead dominates, so the driver keeps a
+write-through cache of current state; the DataFrame path is exercised by
+``jobs_df()``/``deps_df()`` and the protocol tests assert both views agree.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from dataclasses import replace
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overseer_spark.core import (
+    DEPENDENCIES_SCHEMA,
+    JOBS_SCHEMA,
+    STATUS_ABORTED,
+    STATUS_FAILED,
+    STATUS_FINISHED,
+    STATUS_STARTED,
+    STATUS_UNSTARTED,
+    Job,
+    JobGraph,
+)
+from overseer_spark.operators.scheduling import (
+    dead_jobs,
+    ready_jobs,
+    transitive_dependents,
+)
+from overseer_spark.store.base import IllegalTransition, Store
+from overseer_spark.store.memory import MemoryStore
+
+LOG_SCHEMA = T.StructType(
+    list(JOBS_SCHEMA.fields) + [T.StructField("seq", T.LongType(), nullable=False)]
+)
+
+
+class SparkLogStore(Store):
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self._jobs_log = os.path.join(path, "jobs_log")
+        self._deps_dir = os.path.join(path, "dependencies")
+        self._lock = threading.RLock()
+        self._seq = 0
+        # write-through cache of current state; authoritative under the
+        # single-writer contract, rebuildable from the log (see load()).
+        self._cache = MemoryStore()
+
+    # -- plumbing ----------------------------------------------------------
+
+    def install(self) -> None:
+        os.makedirs(self._jobs_log, exist_ok=True)
+        os.makedirs(self._deps_dir, exist_ok=True)
+
+    def _append_jobs(self, jobs: list[Job]) -> None:
+        rows = []
+        for j in jobs:
+            self._seq += 1
+            r = j.to_row()
+            r["seq"] = self._seq
+            rows.append(r)
+        (
+            self.spark.createDataFrame(rows, schema=LOG_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self._jobs_log)
+        )
+
+    def _append_deps(self, edges: list[tuple[str, str]]) -> None:
+        rows = [{"job_id": a, "dep_id": b} for a, b in edges]
+        (
+            self.spark.createDataFrame(rows, schema=DEPENDENCIES_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self._deps_dir)
+        )
+
+    def _log_df(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LOG_SCHEMA).parquet(self._jobs_log)
+        except Exception:
+            return self.spark.createDataFrame([], schema=LOG_SCHEMA)
+
+    def jobs_df(self) -> DataFrame:
+        """Current job state: last log row per id."""
+        w = Window.partitionBy("id").orderBy(F.desc("seq"))
+        return (
+            self._log_df()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "seq")
+        )
+
+    def deps_df(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(DEPENDENCIES_SCHEMA).parquet(self._deps_dir)
+        except Exception:
+            return self.spark.createDataFrame([], schema=DEPENDENCIES_SCHEMA)
+
+    def compact(self) -> None:
+        """Fold the log to one row per id (run periodically at scale)."""
+        with self._lock:
+            current = self.jobs_df().withColumn("seq", F.lit(0).cast("long")).collect()
+            tmp = self._jobs_log + ".compact"
+            self.spark.createDataFrame(current, schema=LOG_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            import shutil
+
+            shutil.rmtree(self._jobs_log)
+            os.rename(tmp, self._jobs_log)
+
+    def load(self) -> None:
+        """Rebuild the driver cache from the log (restart path)."""
+        with self._lock:
+            self._cache = MemoryStore()
+            for r in self.jobs_df().collect():
+                import json
+
+                self._cache._jobs[r["id"]] = Job(
+                    id=r["id"],
+                    type=r["type"],
+                    args=json.loads(r["args"]) if r["args"] else None,
+                    status=r["status"],
+                    failure=json.loads(r["failure"]) if r["failure"] else None,
+                    heartbeat=r["heartbeat"],
+                    lock_version=r["lock_version"],
+                )
+            self._cache._deps = [
+                (r["job_id"], r["dep_id"]) for r in self.deps_df().collect()
+            ]
+            mx = self._log_df().agg(F.max("seq")).collect()[0][0]
+            self._seq = mx or 0
+
+    # -- writes (driver-serialized; appends to the log) --------------------
+
+    def transact_graph(self, graph: JobGraph) -> JobGraph:
+        with self._lock:
+            before = set(self._cache._jobs)
+            self._cache.transact_graph(graph)
+            if set(self._cache._jobs) == before and graph.jobs:
+                return graph  # duplicate id somewhere → all-or-nothing no-op
+            self._append_jobs(graph.jobs)
+            if graph.edges:
+                self._append_deps(graph.edges)
+            return graph
+
+    def _mirror(self, job_id: str) -> None:
+        job = self._cache.job_info(job_id)
+        if job is not None:
+            self._append_jobs([job])
+
+    def reserve_job(self, job_id: str) -> Job | None:
+        with self._lock:
+            out = self._cache.reserve_job(job_id)
+            if out is not None:
+                self._append_jobs([out])
+            return out
+
+    def finish_job(self, job_id: str) -> None:
+        with self._lock:
+            self._cache.finish_job(job_id)  # raises IllegalTransition
+            self._mirror(job_id)
+
+    def fail_job(self, job_id: str, failure: Mapping[str, Any] | None = None) -> None:
+        with self._lock:
+            self._cache.fail_job(job_id, failure)
+            self._mirror(job_id)
+
+    def reset_job(self, job_id: str) -> Job | None:
+        with self._lock:
+            out = self._cache.reset_job(job_id)
+            if out is not None:
+                self._append_jobs([out])
+            return out
+
+    def heartbeat_job(self, job_id: str) -> None:
+        with self._lock:
+            self._cache.heartbeat_job(job_id)
+            self._mirror(job_id)
+
+    def abort_job(self, job_id: str) -> None:
+        with self._lock:
+            targets = sorted({job_id} | self._cache.dependents(job_id))
+            self._cache.abort_job(job_id)
+            self._append_jobs(
+                [j for jid in targets if (j := self._cache.job_info(jid)) is not None]
+            )
+
+    # -- queries (DataFrame plans over the derived state) ------------------
+
+    def job_info(self, job_id: str) -> Job | None:
+        return self._cache.job_info(job_id)
+
+    def jobs_ready(self, limit: int | None = None) -> list[str]:
+        df = ready_jobs(self.jobs_df(), self.deps_df(), limit)
+        return sorted(r["id"] for r in df.collect())
+
+    def jobs_dead(self, threshold: int, limit: int | None = None) -> list[str]:
+        df = dead_jobs(self.jobs_df(), threshold, limit)
+        return sorted(r["id"] for r in df.collect())
+
+    def dependents(self, job_id: str) -> set[str]:
+        df = transitive_dependents(self.deps_df(), [job_id])
+        return {r["id"] for r in df.collect()}

@@ -1,0 +1,206 @@
+"""Backend-agnostic store protocol suite — the reference's key test
+pattern (overseer/test/overseer/store_test.clj:1-174), parameterized over
+both backends exactly as the reference runs it against Datomic and JDBC.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from overseer_spark.core import (
+    STATUS_ABORTED,
+    STATUS_FAILED,
+    STATUS_FINISHED,
+    STATUS_STARTED,
+    STATUS_UNSTARTED,
+    Job,
+    JobGraph,
+    job_graph,
+)
+from overseer_spark.store.base import IllegalTransition
+from overseer_spark.store.memory import MemoryStore
+
+
+@pytest.fixture(params=["memory", "sparklog"])
+def store(request, spark, tmp_path):
+    if request.param == "memory":
+        s = MemoryStore()
+    else:
+        from overseer_spark.store.sparklog import SparkLogStore
+
+        s = SparkLogStore(spark, str(tmp_path / "store"))
+    s.install()
+    return s
+
+
+def graph_of(*pairs, args=None):
+    """pairs: (job_id, [dep_ids]) — explicit-id graph helper."""
+    jobs = [Job(id=i, type=f"t-{i}", args=args) for i, _ in pairs]
+    edges = [(i, d) for i, deps in pairs for d in deps]
+    return JobGraph(jobs=jobs, edges=edges)
+
+
+# -- graph insert (store_test.clj:27-40) -----------------------------------
+
+def test_transact_graph_inserts(store):
+    g = graph_of(("a", []), ("b", ["a"]))
+    store.transact_graph(g)
+    assert store.job_info("a").status == STATUS_UNSTARTED
+    assert store.job_info("b").type == "t-b"
+    assert store.dependents("a") == {"b"}
+
+
+def test_transact_graph_idempotent_no_upsert(store):
+    """Duplicate job ids ⇒ the whole transaction is a no-op; args are never
+    upserted (store_test.clj:27-40)."""
+    store.transact_graph(graph_of(("a", []), args={"v": 1}))
+    store.reserve_job("a")
+    # same id, new args + a brand-new id: NOTHING is inserted
+    store.transact_graph(graph_of(("a", []), ("new", []), args={"v": 2}))
+    assert store.job_info("a").args == {"v": 1}
+    assert store.job_info("a").status == STATUS_STARTED
+    assert store.job_info("new") is None
+
+
+def test_args_roundtrip(store):
+    """Payload serialization roundtrip (store_test.clj:42-52)."""
+    args = {"email": "x@example.com", "age": 30, "nested": {"k": [1, 2]}}
+    store.transact_graph(graph_of(("a", []), args=args))
+    assert store.job_info("a").args == args
+
+
+# -- FSM transitions (store_test.clj:54-124) -------------------------------
+
+def test_reserve_and_finish(store):
+    store.transact_graph(graph_of(("a", [])))
+    reserved = store.reserve_job("a")
+    assert reserved.status == STATUS_STARTED
+    assert reserved.heartbeat is not None
+    store.finish_job("a")
+    assert store.job_info("a").status == STATUS_FINISHED
+
+
+def test_reserve_lost_race_returns_none(store):
+    store.transact_graph(graph_of(("a", [])))
+    assert store.reserve_job("a") is not None
+    assert store.reserve_job("a") is None  # second reservation loses
+    assert store.reserve_job("missing") is None
+
+
+def test_finish_illegal_raises(store):
+    store.transact_graph(graph_of(("a", [])))
+    with pytest.raises(IllegalTransition):
+        store.finish_job("a")  # not started
+
+
+def test_fail_sets_failure_struct(store):
+    store.transact_graph(graph_of(("a", [])))
+    store.reserve_job("a")
+    store.fail_job("a", {"reason": "unhandled-exception", "message": "boom"})
+    job = store.job_info("a")
+    assert job.status == STATUS_FAILED
+    assert job.failure["message"] == "boom"
+
+
+def test_reset_returns_none_on_race_never_raises(store):
+    store.transact_graph(graph_of(("a", [])))
+    assert store.reset_job("a") is None  # not started: silent None
+    store.reserve_job("a")
+    assert store.reset_job("a").status == STATUS_UNSTARTED
+    assert store.job_info("a").status == STATUS_UNSTARTED
+
+
+def test_heartbeat_updates(store):
+    store.transact_graph(graph_of(("a", [])))
+    job = store.reserve_job("a")
+    store.heartbeat_job("a")
+    assert store.job_info("a").heartbeat >= job.heartbeat
+
+
+# -- ready set truth table (datomic_test.clj:14-64 / FIXTURES.md §B) -------
+
+def test_ready_set_truth_table(store):
+    g = graph_of(
+        ("j-unstarted-nodeps", []),
+        ("j-started", []),
+        ("j-dep-unfinished", ["j-unstarted-nodeps"]),
+        ("j-finished", []),
+        ("j-dep-finished", ["j-finished"]),
+        ("j-dep-mixed", ["j-unstarted-nodeps", "j-finished"]),
+        ("j-aborted", []),
+    )
+    store.transact_graph(g)
+    store.reserve_job("j-started")
+    store.reserve_job("j-finished")
+    store.finish_job("j-finished")
+    store.abort_job("j-aborted")
+    assert store.jobs_ready() == ["j-dep-finished", "j-unstarted-nodeps"]
+
+
+def test_ready_set_limit(store):
+    store.transact_graph(graph_of(("a", []), ("b", []), ("c", [])))
+    assert len(store.jobs_ready(limit=2)) == 2
+
+
+# -- dead set (store_test.clj:152-164) -------------------------------------
+
+def test_jobs_dead_threshold(store):
+    store.transact_graph(graph_of(("dead", []), ("live", []), ("idle", [])))
+    store.reserve_job("dead")
+    store.reserve_job("live")
+    # backdate the dead job's heartbeat through the public interface:
+    # reserve stamped now; monitor thresholds are unix-seconds ints.
+    now = store.job_info("live").heartbeat
+    assert store.jobs_dead(threshold=now - 100) == []
+    assert "dead" in store.jobs_dead(threshold=now + 10_000)
+    assert "idle" not in store.jobs_dead(threshold=now + 10_000)  # unstarted
+
+
+# -- closure + abort cascade (datomic_test.clj:66-88, store_test.clj:106-124)
+
+def test_transitive_dependents(store):
+    g = graph_of(
+        ("j-root", []),
+        ("j-a", ["j-root"]),
+        ("j-b", ["j-root"]),
+        ("j-c", ["j-a"]),
+        ("j-solo", []),
+    )
+    store.transact_graph(g)
+    assert store.dependents("j-root") == {"j-a", "j-b", "j-c"}
+    assert store.dependents("j-c") == set()
+    assert store.dependents("j-solo") == set()
+
+
+def test_abort_cascades(store):
+    g = graph_of(("root", []), ("mid", ["root"]), ("leaf", ["mid"]), ("other", []))
+    store.transact_graph(g)
+    store.abort_job("root")
+    for jid in ("root", "mid", "leaf"):
+        assert store.job_info(jid).status == STATUS_ABORTED
+    assert store.job_info("other").status == STATUS_UNSTARTED
+    assert store.jobs_ready() == ["other"]
+
+
+# -- sparklog-specific: the DataFrame view agrees with the cache -----------
+
+def test_sparklog_dataframe_view_consistent(spark, tmp_path):
+    from overseer_spark.store.sparklog import SparkLogStore
+
+    s = SparkLogStore(spark, str(tmp_path / "store2"))
+    s.install()
+    s.transact_graph(graph_of(("a", []), ("b", ["a"])))
+    s.reserve_job("a")
+    s.finish_job("a")
+    rows = {r["id"]: r["status"] for r in s.jobs_df().collect()}
+    assert rows == {"a": STATUS_FINISHED, "b": STATUS_UNSTARTED}
+    # restart path: rebuild cache from the log
+    s2 = SparkLogStore(spark, str(tmp_path / "store2"))
+    s2.load()
+    assert s2.job_info("a").status == STATUS_FINISHED
+    assert s2.jobs_ready() == ["b"]
+    # compaction folds the log without changing state
+    s.compact()
+    assert {r["id"]: r["status"] for r in s.jobs_df().collect()} == rows
