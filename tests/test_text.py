@@ -1,0 +1,62 @@
+"""Python oracles for the text operators (rolling-hash fingerprint,
+language-ID determinism, token counts) and the approx-aggregate tolerance
+check (Q42)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from overseer_spark.operators import text as TX
+from overseer_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_rolling_hash_matches_python_oracle(spark, docs):
+    rows = TX.fingerprint(docs).orderBy("doc_id").limit(25).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(25).collect()}
+    mod = TX._FP_MOD
+    for r in rows:
+        acc = 0
+        for tok in texts[r["doc_id"]].split(" "):
+            acc = (acc * 31 + zlib.crc32(tok.encode())) % mod
+        assert r["rolling_hash"] == acc, f"doc {r['doc_id']}"
+
+
+def test_language_id_deterministic_and_valid(spark, docs):
+    profiles = TX.language_profiles(docs)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    out1 = TX.language_id(docs, profiles).orderBy("doc_id").collect()
+    out2 = TX.language_id(docs, profiles).orderBy("doc_id").collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2], "non-deterministic"
+    assert {r["pred_lang"] for r in out1} <= langs
+    assert len(out1) == docs.count()
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = TX.quality_score(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["distinct_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_approx_aggregates_tolerance(spark):
+    """Q42: sketches within 5% relative error of exact (FIXTURES.md §E.3)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.count_distinct(F.col("o_custkey")).alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5).alias("p50_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.05
+    assert abs(row["p50_approx"] - row["p50_exact"]) / row["p50_exact"] <= 0.05
