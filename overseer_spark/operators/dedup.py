@@ -22,10 +22,11 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.textfns import shingles, tokens
+from overseer_spark.operators.util import spread
 
 # Universal hashing family h_i(x) = (a_i*x + b_i) mod p over crc32 inputs.
 # Coefficients stay < 2^30 so a*crc32 (< 2^62) never overflows a signed
@@ -64,6 +65,7 @@ def shingle_sets(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingles array<string> distinct, n_shingles)."""
+    df = spread(df, id_col)
     toks = tokens(F.col(content_col))
     sh = shingles(toks, k=k, distinct=True)
     return df.select(
@@ -78,28 +80,54 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ threshold pairs via PPJoin-style prefix
+    filtering. Output: (d1, d2, jaccard) with d1 < d2.
 
-    Inverted-index pattern: explode shingles, self-equi-join on the shingle
-    (the *only* shuffle key), count intersections per pair, then
-    ``|A∩B| / (|A|+|B|-|A∩B|)``. Pair generation is bounded by shared
-    shingles, not n². Output: (d1, d2, jaccard) with d1 < d2.
+    A naive inverted-index self-join explodes on hot shingles (every pair
+    sharing ANY shingle is generated). Prefix filter (Chaudhuri et al.,
+    SIGMOD'06 / Xiao et al. PPJoin): order each doc's shingles rarest-first
+    globally; if J(A,B) ≥ t the docs must share a shingle within their
+    first ``|A| - ⌈t·|A|⌉ + 1`` shingles. Only those prefix postings
+    (≈ (1-t) of all postings, and the *rarest* ones) drive pair
+    generation; candidates are then verified exactly with
+    ``array_intersect`` on the full shingle sets. Same result set, shuffle
+    bounded by rare-shingle collisions — this is the property that
+    survives a 100× corpus scale-up.
     """
     sets_df = shingle_sets(df, content_col, id_col, k).cache()
     posting = sets_df.select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+        F.col(id_col).alias("doc"),
+        F.col("n_shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
     )
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = (
+        posting.join(doc_freq, "shingle")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= prefix_len)
+        .select("doc", "shingle")
     )
-    s1 = sets_df.select(F.col(id_col).alias("d1"), F.col("n_shingles").alias("n1"))
-    s2 = sets_df.select(F.col(id_col).alias("d2"), F.col("n_shingles").alias("n2"))
-    jac = F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    s1 = sets_df.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1"), F.col("n_shingles").alias("n1")
+    )
+    s2 = sets_df.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2"), F.col("n_shingles").alias("n2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
     return (
-        inter.join(s1, "d1")
+        cand.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -125,6 +153,7 @@ def minhash_signatures(
     k: int = 3,
     num_perm: int = 64,
     seed: int = 42,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>[num_perm]).
 
@@ -134,9 +163,10 @@ def minhash_signatures(
     crc32 is identical in the JVM and zlib → Python-oracle testable.
     """
     coeffs = _hash_coeffs(num_perm, seed)
+    if sets_df is None:
+        sets_df = shingle_sets(df, content_col, id_col, k)
     base = (
-        shingle_sets(df, content_col, id_col, k)
-        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        sets_df.select(F.col(id_col), F.explode("shingles").alias("shingle"))
         .select(F.col(id_col), F.crc32(F.encode("shingle", "UTF-8")).alias("h"))
     )
     aggs = [
@@ -206,9 +236,9 @@ def minhash_near_duplicates(
     """End-to-end near-dedup: MinHash → LSH candidates → exact-Jaccard
     verification of candidates only. Output (d1, d2, jaccard ≥ threshold)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, content_col, id_col, k, num_perm, seed)
+    sets_df = shingle_sets(df, content_col, id_col, k).cache()
+    sigs = minhash_signatures(df, content_col, id_col, k, num_perm, seed, sets_df=sets_df)
     cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
-    sets_df = shingle_sets(df, content_col, id_col, k)
     s1 = sets_df.select(
         F.col(id_col).alias("d1"), F.col("shingles").alias("sh1"), F.col("n_shingles").alias("n1")
     )
@@ -235,7 +265,7 @@ def simhash(
     Explode → one groupBy with ``bits`` conditional-sum aggregates → bit
     reassembly; a single shuffle of (id, crc32) longs.
     """
-    toked = df.select(
+    toked = spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(content_col))).alias("tok")
     ).select(F.col(id_col), F.crc32(F.encode("tok", "UTF-8")).alias("h"))
     aggs = [

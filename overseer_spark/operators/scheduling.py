@@ -92,10 +92,13 @@ def transitive_dependents(
     for it in range(max_iterations):
         nxt = direct_dependents(deps, frontier).join(visited, "id", "left_anti")
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # truncate lineage so the plan doesn't grow with graph depth
             nxt = nxt.localCheckpoint(eager=True)
+            n = nxt.count()
         else:
-            nxt = nxt.cache()
-        if nxt.isEmpty():
+            nxt = nxt.persist()
+            n = nxt.count()  # single action per iteration: populates cache
+        if n == 0:
             break
         result = result.union(nxt)
         visited = visited.union(nxt)

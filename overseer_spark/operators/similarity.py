@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.vectors import cosine_similarity, l2_norm, vec_dot
+from overseer_spark.operators.util import spread
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
@@ -43,7 +44,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+    scored = spread(corpus, id_col).join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    ).select(
         "query_id",
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), round_to).alias("sim"),
@@ -69,7 +72,7 @@ def assign_cells(
     cents = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
     )
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
+    scored = spread(corpus, id_col).crossJoin(F.broadcast(cents)).select(
         "*", cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.col("cell"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.textfns import char_ngrams, tokens
+from overseer_spark.operators.util import spread
 
 # Small English stopword list for ratio features (not language-specific
 # correctness — a *deterministic quality feature*).
@@ -26,6 +27,7 @@ _FP_MOD = (1 << 31) - 1
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish subword-unit estimate
     (≈ ceil(chars/4) per the common rule of thumb)."""
+    df = spread(df, id_col)
     toks = tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -41,6 +43,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     The composite mirrors common LLM-corpus filters (Gopher/C4-style
     length + repetition heuristics) expressed in closed form.
     """
+    df = spread(df, id_col)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -71,7 +74,7 @@ def language_profiles(
 ) -> DataFrame:
     """Per-language character-trigram profile: the ``top`` most frequent
     n-grams per language with ranks (deterministic tie-break on the gram)."""
-    grams = df.select(
+    grams = spread(df).select(
         F.col(lang_col).alias("lang"),
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -95,7 +98,7 @@ def language_id(
     """Rank-based n-gram language ID (Cavnar-Trenkle style): score each
     (doc, lang) by summed inverse rank of profile n-grams present in the
     doc; predict the argmax. Profiles broadcast; one shuffle on doc_id."""
-    doc_grams = df.select(
+    doc_grams = spread(df, id_col).select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
     )
     scored = (
@@ -114,6 +117,7 @@ def language_id(
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 hex (engine-portable) and a polynomial
     rolling hash over token crc32s (order-sensitive, Python-oracle-stable)."""
+    df = spread(df, id_col)
     toks = tokens(F.col(text_col))
     rolling = F.aggregate(
         toks,
