@@ -1,0 +1,77 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting handles most runtime skew, but two patterns still
+need explicit salting at 100 TB:
+
+- ``salted_aggregate``: a groupBy where one key holds a large share of all
+  rows bottlenecks its single reducer. Two-phase: aggregate on
+  (key, salt) — fan-out ``salt_buckets`` reducers per key — then merge the
+  partials. Works for any decomposable aggregate (count/sum/min/max here).
+- ``salted_join``: joining a large skewed fact against a medium dim that is
+  too big to broadcast: explode the dim ``salt_buckets``× with a salt
+  column, give each fact row a random salt, join on (key, salt) — the hot
+  key's rows spread over ``salt_buckets`` reducers.
+
+Both are semantics-preserving (asserted in tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# decomposable aggregates: name -> (partial_agg, merge_agg)
+_MERGEABLE = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy.
+
+    ``aggs``: output_name -> (agg_fn, input_col), e.g.
+    ``{"n": ("count", "*"), "total": ("sum", "value")}``.
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(f"{name}: {fn!r} is not a decomposable aggregate")
+    salted = df.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[
+            _MERGEABLE[fn][0](col if col != "*" else None).alias(f"_p_{name}")
+            if fn != "count"
+            else _MERGEABLE[fn][0](None).alias(f"_p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(key).agg(
+        *[
+            _MERGEABLE[fn][1](f"_p_{name}").alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: dim replicated ``salt_buckets``×, fact rows
+    randomly salted, join on (key, salt)."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
+    dim_rep = dim.select("*", salts)
+    fact_s = fact.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    return fact_s.join(dim_rep, on=[key, "_salt"], how=how).drop("_salt")

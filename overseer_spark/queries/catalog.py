@@ -623,6 +623,165 @@ def q33(spark, sf):
     return S.transitive_dependents(FX.deps_df(spark), [FX.CLOSURE_SEED]).orderBy("id")
 
 
+@q(
+    "q33b_closure_recursive_cte",
+    oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
+               reach(id) AS (
+                 SELECT job_id FROM overseer_dependencies WHERE dep_id = '{FX.CLOSURE_SEED}'
+                 UNION
+                 SELECT d.job_id FROM overseer_dependencies d
+                 JOIN reach r ON d.dep_id = r.id)
+               SELECT id FROM reach ORDER BY id""",
+)
+def q33b(spark, sf):
+    """Q33 variant: Spark 4 native recursive CTE (vs the BFS loop in q33) —
+    same oracle, alternative physical strategy."""
+    FX.deps_df(spark).createOrReplaceTempView("_deps_cte_fixture")
+    # Spark 4 recursive CTEs accept only UNION ALL; dedup in the outer select
+    # (safe on a DAG: finitely many paths)
+    return spark.sql(
+        f"""WITH RECURSIVE reach(id) AS (
+              SELECT job_id FROM _deps_cte_fixture WHERE dep_id = '{FX.CLOSURE_SEED}'
+              UNION ALL
+              SELECT d.job_id FROM _deps_cte_fixture d JOIN reach r ON d.dep_id = r.id)
+            SELECT DISTINCT id FROM reach ORDER BY id"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-type + grouping-set completeness
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_full_outer_join",
+    oracle="""WITH co AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+              cs AS (SELECT c_custkey AS k, c_acctbal FROM customer)
+              SELECT COALESCE(cs.k, co.k) AS k, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+                     ROUND(COALESCE(c_acctbal, 0), 2) AS bal
+              FROM cs FULL JOIN co ON cs.k = co.k ORDER BY k""",
+)
+def q_full_outer(spark, sf):
+    co = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cs = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal")
+    )
+    return (
+        cs.join(co, "k", "full")
+        .select(
+            F.col("k"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.col("c_acctbal"), F.lit(0)), 2).alias("bal"),
+        )
+        .orderBy("k")
+    )
+
+
+@q(
+    "q_right_outer_join",
+    oracle="""SELECT c.c_custkey AS k, COUNT(o.o_orderkey) AS n FROM orders o
+              RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey ORDER BY k""",
+)
+def q_right_outer(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy("k")
+    )
+
+
+@q(
+    "q_cube",
+    oracle="""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY rf, ls""",
+)
+def q_cube(spark, sf):
+    """CUBE grouping sets (completes rollup from q18)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@q(
+    "asof_join_events",
+    oracle="""SELECT l.event_id, r.event_id AS prior_purchase_id,
+              r.value AS purchase_value
+              FROM (SELECT * FROM events WHERE event_type = 'error') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+              ORDER BY l.event_id""",
+)
+def asof_q(spark, sf):
+    """As-of join: each error event picks up the latest prior-or-equal
+    purchase of the same user. Spark impl: union+last-value window (linear
+    cost); oracle: DuckDB native ASOF JOIN."""
+    from overseer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        asof_join(left, right, on="ts", by=["user_id"], right_cols=["event_id", "value"])
+        .select(
+            "event_id",
+            F.col("event_id_right").alias("prior_purchase_id"),
+            F.col("value_right").alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q("r13_seeded_sample", tier="py")
+def seeded_sample(spark, sf):
+    """R13 random pick with explicit seed — deterministic within Spark,
+    excluded from cross-engine hashing (FIXTURES.md §E.6)."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.rand(42), "o_orderkey")
+        .select("o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "pandas_udf_scalar",
+    oracle="""SELECT event_id, ROUND((value - 100.0) / 7.0, 4) AS zval
+              FROM events ORDER BY event_id""",
+)
+def pandas_scalar(spark, sf):
+    """Vectorized scalar pandas_udf (Arrow batches) vs a plain SQL oracle —
+    exact float ops, so values hash-match."""
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's hint inspection rejects
+    zval = pandas_udf(lambda v: ((v - 100.0) / 7.0).round(4), "double")
+
+    return (
+        _t(spark, sf, "events")
+        .select("event_id", zval(F.col("value")).alias("zval"))
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q34+: LLM-data-pipeline operators (documents / embeddings / events)
 # ---------------------------------------------------------------------------
