@@ -107,13 +107,20 @@ def jaccard_pairs(
         posting.join(doc_freq, "shingle")
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= prefix_len)
-        .select("doc", "shingle")
+        .select("doc", "n", "shingle")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter: J(A,B) ≥ t requires t·|B| ≤ |A| (and symmetrically) —
+    # prunes size-incompatible pairs inside the join itself
+    size_ok = (F.col("a.n") >= F.lit(threshold) * F.col("b.n")) & (
+        F.col("b.n") >= F.lit(threshold) * F.col("a.n")
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & size_ok,
         )
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()

@@ -15,6 +15,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    tolerance_us: int,
+    by: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Pairs with ``|left.ts − right.ts| ≤ tolerance`` within ``by`` keys.
+
+    A raw theta join degenerates to a per-key cross product. Instead both
+    sides bucket on ``floor(epoch_us / tolerance)``; any qualifying pair is
+    at most one bucket apart, so the right side replicates into its three
+    adjacent buckets and the join becomes an equi-join on (by, bucket) with
+    an exact residual filter — linear shuffle, no nested loop.
+    """
+    by = by or []
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    bucket = (us(on) / F.lit(tolerance_us)).cast("long")
+    l = left.withColumn("_bkt", bucket)
+    r = right.select(
+        *[F.col(c).alias(c + suffix if c not in by else c) for c in right.columns]
+    ).withColumn(
+        "_bkt",
+        F.explode(
+            F.array(
+                (us(on + suffix) / tolerance_us).cast("long") - 1,
+                (us(on + suffix) / tolerance_us).cast("long"),
+                (us(on + suffix) / tolerance_us).cast("long") + 1,
+            )
+        ),
+    )
+    residual = (
+        F.abs(us(on) - us(on + suffix)) <= tolerance_us
+    )
+    return l.join(r, on=by + ["_bkt"], how="inner").filter(residual).drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -70,15 +70,23 @@ def transitive_dependents(
     seed_ids: Iterable[str] | DataFrame,
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All direct + transitive dependents of the seed jobs (R5/Q33).
 
-    Iterative semi-join BFS with frontier/visited sets, mirroring the
-    reference's loop (overseer/store/jdbc.clj:101-113) but distributed:
-    each step is one semi-join + anti-join; ``localCheckpoint`` every few
-    iterations truncates lineage so plans don't grow with graph depth.
-    The loop driver only ever materializes per-iteration *counts*, never
-    the id sets, so 100 TB edge tables stay on executors.
+    Two physical strategies, same semantics (cross-checked in
+    tests/test_closure_strategies.py):
+
+    - ``recursive_cte`` (default where supported, Spark ≥ 4): a single
+      ``WITH RECURSIVE`` plan — one job, no Python-driven loop.
+    - ``bfs``: iterative semi-join BFS with frontier/visited sets,
+      mirroring the reference's loop (overseer/store/jdbc.clj:101-113) but
+      distributed; ``localCheckpoint`` every few iterations truncates
+      lineage so plans don't grow with graph depth. The driver only ever
+      materializes per-iteration *counts* — id sets stay on executors.
+      Use for very deep graphs or engines without recursive CTEs.
+
+    ``auto`` tries the CTE and falls back to BFS.
     """
     spark = deps.sparkSession
     if isinstance(seed_ids, DataFrame):
@@ -87,6 +95,12 @@ def transitive_dependents(
         frontier = spark.createDataFrame(
             [(i,) for i in seed_ids], schema="id string"
         )
+    if strategy in ("auto", "recursive_cte"):
+        try:
+            return _dependents_recursive_cte(deps, frontier)
+        except Exception:
+            if strategy == "recursive_cte":
+                raise
     visited = frontier  # seeds excluded from result at the end
     result = spark.createDataFrame([], schema="id string")
     for it in range(max_iterations):
@@ -104,3 +118,27 @@ def transitive_dependents(
         visited = visited.union(nxt)
         frontier = nxt
     return result.distinct()
+
+
+def _dependents_recursive_cte(deps: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Single-plan reachability via Spark 4 ``WITH RECURSIVE`` (UNION ALL
+    recursion + outer DISTINCT — safe on validated acyclic graphs)."""
+    import uuid
+
+    dview = f"_deps_{uuid.uuid4().hex[:12]}"
+    sview = f"_seeds_{uuid.uuid4().hex[:12]}"
+    deps.createOrReplaceTempView(dview)
+    seeds.createOrReplaceTempView(sview)
+    spark = deps.sparkSession
+    out = spark.sql(
+        f"""WITH RECURSIVE reach(id) AS (
+              SELECT d.job_id FROM {dview} d
+              WHERE d.dep_id IN (SELECT id FROM {sview})
+              UNION ALL
+              SELECT d.job_id FROM {dview} d JOIN reach r ON d.dep_id = r.id)
+            SELECT DISTINCT id FROM reach"""
+    )
+    # spark.sql analyzes eagerly — the plan no longer needs the views
+    spark.catalog.dropTempView(dview)
+    spark.catalog.dropTempView(sview)
+    return out

@@ -749,6 +749,46 @@ def asof_q(spark, sf):
     )
 
 
+@q(
+    "interval_join_events",
+    oracle="""SELECT a.event_id AS e1, b.event_id AS e2 FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+              ORDER BY e1, e2""",
+)
+def interval_q(spark, sf):
+    """Interval join: same-user event pairs within 60 s — bucketed equi-join
+    (operators/joins.py) vs the oracle's theta join."""
+    from overseer_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    out = interval_join(ev, ev, on="ts", tolerance_us=60_000_000, by=["user_id"])
+    return (
+        out.filter(F.col("event_id") < F.col("event_id_right"))
+        .select(
+            F.col("event_id").alias("e1"), F.col("event_id_right").alias("e2")
+        )
+        .distinct()
+        .orderBy("e1", "e2")
+    )
+
+
+@q(
+    "q_status_counts",
+    oracle=f"""WITH {FX.jobs_values_cte()}
+               SELECT status, COUNT(*) AS n FROM overseer_jobs
+               GROUP BY status ORDER BY status""",
+)
+def status_counts(spark, sf):
+    """R24 status monitoring query over the engine state table."""
+    return (
+        FX.jobs_df(spark)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
 @q("r13_seeded_sample", tier="py")
 def seeded_sample(spark, sf):
     """R13 random pick with explicit seed — deterministic within Spark,

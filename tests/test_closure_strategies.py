@@ -1,0 +1,72 @@
+"""Both closure strategies (recursive CTE / BFS loop) agree with a Python
+reference on a randomized DAG."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from overseer_spark.operators.scheduling import transitive_dependents
+
+
+@pytest.fixture(scope="module")
+def dag(spark):
+    rng = random.Random(7)
+    n = 200
+    # random DAG: edges only from higher to lower ids (acyclic by construction)
+    edges = []
+    for child in range(1, n):
+        for _ in range(rng.randint(0, 3)):
+            parent = rng.randrange(0, child)
+            edges.append((f"j{child}", f"j{parent}"))  # child depends on parent
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, schema="job_id string, dep_id string").cache()
+    return df, edges
+
+
+def py_dependents(edges, seed):
+    out, frontier = set(), {seed}
+    while frontier:
+        nxt = {j for j, d in edges if d in frontier} - out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+@pytest.mark.parametrize(
+    "strategy,seed",
+    [
+        ("recursive_cte", "j0"),  # deepest closure
+        ("recursive_cte", "j5"),
+        ("recursive_cte", "j150"),
+        ("recursive_cte", "j199"),  # empty closure
+        ("bfs", "j150"),  # shallow: keeps the per-level driver loop cheap
+        ("bfs", "j199"),
+    ],
+)
+def test_strategies_match_python(spark, dag, strategy, seed):
+    df, edges = dag
+    got = {
+        r["id"]
+        for r in transitive_dependents(df, [seed], strategy=strategy).collect()
+    }
+    assert got == py_dependents(edges, seed), f"{strategy} wrong for {seed}"
+
+
+def test_bfs_deep_closure_with_checkpointing(spark, dag):
+    """One deep-seed BFS run exercising the localCheckpoint path."""
+    df, edges = dag
+    got = {
+        r["id"]
+        for r in transitive_dependents(
+            df, ["j0"], strategy="bfs", checkpoint_every=3
+        ).collect()
+    }
+    assert got == py_dependents(edges, "j0")
+
+
+def test_auto_falls_back(spark, dag):
+    df, edges = dag
+    got = {r["id"] for r in transitive_dependents(df, ["j3"], strategy="auto").collect()}
+    assert got == py_dependents(edges, "j3")
