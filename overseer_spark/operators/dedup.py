@@ -103,11 +103,14 @@ def jaccard_pairs(
     doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "shingle")
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # cached: the self-join below references this subtree twice, and the
+    # doc-frequency join + per-doc sort is the expensive part of the plan
     prefix = (
         posting.join(doc_freq, "shingle")
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= prefix_len)
         .select("doc", "n", "shingle")
+        .cache()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # length filter: J(A,B) ≥ t requires t·|B| ≤ |A| (and symmetrically) —
@@ -165,25 +168,37 @@ def minhash_signatures(
     """(id, signature array<long>[num_perm]).
 
     ``h_i(shingle) = (a_i * crc32(shingle) + b_i) mod (2^61-1)``, minimum per
-    permutation. Computed as explode → groupBy(id) with ``num_perm`` min
-    aggregates — one shuffle of (id, crc32) pairs, all JVM-side.
+    permutation. Computed *per row* with nested array HOFs (crc32 each
+    shingle once, then ``transform(coeffs, c -> array_min(transform(hs,
+    …)))``) — a pure projection: zero shuffles, nothing leaves its
+    partition, so the stage scales linearly with corpus bytes. (An
+    explode → groupBy formulation would shuffle the entire posting list —
+    |docs|·|shingles| rows — just to compute a per-doc reduction.)
     crc32 is identical in the JVM and zlib → Python-oracle testable.
+    Documents with no shingles (shorter than ``k`` tokens) are dropped,
+    as an empty set has no defined MinHash.
     """
     coeffs = _hash_coeffs(num_perm, seed)
     if sets_df is None:
         sets_df = shingle_sets(df, content_col, id_col, k)
-    base = (
-        sets_df.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        .select(F.col(id_col), F.crc32(F.encode("shingle", "UTF-8")).alias("h"))
+    coeff_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
     )
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = base.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature"),
+    hs = F.transform("shingles", lambda s: F.crc32(F.encode(s, "UTF-8")))
+    return (
+        sets_df.filter(F.col("n_shingles") > 0)
+        .withColumn("_hs", hs)
+        .select(
+            F.col(id_col),
+            F.transform(
+                coeff_arr,
+                lambda c: F.array_min(
+                    F.transform(
+                        "_hs", lambda h: (h * c["a"] + c["b"]) % F.lit(_MERSENNE_P)
+                    )
+                ),
+            ).alias("signature"),
+        )
     )
 
 
@@ -201,6 +216,9 @@ def minhash_lsh_candidates(
     shuffle is tiny regardless of corpus size. Output: distinct (d1, d2),
     d1 < d2.
     """
+    # cached: both sides of the self-join read this subtree, and upstream
+    # sits the num_perm-aggregate signature shuffle — recomputing it twice
+    # doubles the dominant stage
     banded = signatures.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
@@ -216,7 +234,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_hash"),
-    )
+    ).cache()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -267,28 +285,30 @@ def simhash(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash per document: bit b of the signature is the majority
-    vote of bit b over crc32(token) of all tokens.
+    vote of bit b over crc32(token) of all tokens (duplicates count —
+    SimHash is frequency-weighted).
 
-    Explode → one groupBy with ``bits`` conditional-sum aggregates → bit
-    reassembly; a single shuffle of (id, crc32) longs.
+    Computed per row with array HOFs — crc32 each token once, majority-vote
+    each bit with ``aggregate``, reassemble the signature — a pure
+    projection: zero shuffles vs the explode → groupBy(id) formulation,
+    which would shuffle every (id, token-hash) pair.
     """
-    toked = spread(df, id_col).select(
-        F.col(id_col), F.explode(tokens(F.col(content_col))).alias("tok")
-    ).select(F.col(id_col), F.crc32(F.encode("tok", "UTF-8")).alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    votes = toked.groupBy(id_col).agg(*aggs)
+    hs = F.transform(tokens(F.col(content_col)), lambda t: F.crc32(F.encode(t, "UTF-8")))
+    vote = lambda b: F.aggregate(  # noqa: E731
+        "_hs",
+        F.lit(0).cast("long"),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
     sig = reduce(
         lambda acc, b: acc
-        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
+        + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
         range(bits),
         F.lit(0).cast("long"),
     )
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    return spread(df, id_col).withColumn("_hs", hs).select(
+        F.col(id_col), sig.alias("simhash")
+    )
 
 
 def simhash_near_duplicates(

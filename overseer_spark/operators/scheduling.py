@@ -71,14 +71,20 @@ def transitive_dependents(
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
     strategy: str = "auto",
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """All direct + transitive dependents of the seed jobs (R5/Q33).
 
-    Two physical strategies, same semantics (cross-checked in
+    Three physical strategies, same semantics (cross-checked in
     tests/test_closure_strategies.py):
 
-    - ``recursive_cte`` (default where supported, Spark ≥ 4): a single
-      ``WITH RECURSIVE`` plan — one job, no Python-driven loop.
+    - ``local``: collect the edge list to the driver and run the BFS in
+      Python. Job graphs are usually tiny relative to the data they move
+      (thousands of edges), and a distributed fixed-point on a small graph
+      pays one full job-scheduling round trip *per level* — driver compute
+      is orders of magnitude cheaper. Bounded by ``local_edge_cap``.
+    - ``recursive_cte`` (Spark ≥ 4): a single ``WITH RECURSIVE`` plan —
+      one job, no Python-driven loop.
     - ``bfs``: iterative semi-join BFS with frontier/visited sets,
       mirroring the reference's loop (overseer/store/jdbc.clj:101-113) but
       distributed; ``localCheckpoint`` every few iterations truncates
@@ -86,15 +92,48 @@ def transitive_dependents(
       materializes per-iteration *counts* — id sets stay on executors.
       Use for very deep graphs or engines without recursive CTEs.
 
-    ``auto`` tries the CTE and falls back to BFS.
+    ``auto`` probes the edge-table size (one ``take`` of at most
+    ``local_edge_cap + 1`` rows — a few MB even over a huge table) and
+    picks local for small graphs, else the CTE, else BFS — the same
+    stats-driven strategy switch Spark itself applies for broadcast joins.
     """
     spark = deps.sparkSession
     if isinstance(seed_ids, DataFrame):
         frontier = seed_ids.select(F.col(seed_ids.columns[0]).alias("id")).distinct()
     else:
+        seed_ids = list(seed_ids)
         frontier = spark.createDataFrame(
             [(i,) for i in seed_ids], schema="id string"
         )
+    if strategy in ("auto", "local"):
+        # size probe: one job, and LocalLimit caps every task at reading
+        # cap+1 rows, so this stays cheap over an arbitrarily large edge
+        # table (df.take would escalate through several ever-larger scans)
+        edge_df = deps.select("job_id", "dep_id")
+        small = edge_df.limit(local_edge_cap + 1).count() <= local_edge_cap
+        if small:
+            edges = edge_df.collect()
+            if isinstance(seed_ids, DataFrame):
+                seeds = {r[0] for r in frontier.collect()}
+            else:
+                seeds = set(seed_ids)
+            adj: dict[str, list[str]] = {}
+            for e in edges:
+                adj.setdefault(e.dep_id, []).append(e.job_id)
+            out: set[str] = set()
+            fr = seeds
+            while fr:
+                nxt = {j for d in fr for j in adj.get(d, ())} - out - seeds
+                out |= nxt
+                fr = nxt
+            return spark.createDataFrame(
+                [(i,) for i in sorted(out)], schema="id string"
+            )
+        if strategy == "local":
+            raise ValueError(
+                f"edge table exceeds local_edge_cap={local_edge_cap}; "
+                "use strategy='recursive_cte' or 'bfs'"
+            )
     if strategy in ("auto", "recursive_cte"):
         try:
             return _dependents_recursive_cte(deps, frontier)

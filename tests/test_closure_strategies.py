@@ -43,6 +43,8 @@ def py_dependents(edges, seed):
         ("recursive_cte", "j199"),  # empty closure
         ("bfs", "j150"),  # shallow: keeps the per-level driver loop cheap
         ("bfs", "j199"),
+        ("local", "j0"),
+        ("local", "j199"),
     ],
 )
 def test_strategies_match_python(spark, dag, strategy, seed):
@@ -70,3 +72,32 @@ def test_auto_falls_back(spark, dag):
     df, edges = dag
     got = {r["id"] for r in transitive_dependents(df, ["j3"], strategy="auto").collect()}
     assert got == py_dependents(edges, "j3")
+
+
+def test_auto_uses_distributed_above_cap(spark, dag):
+    """With the cap below the edge count, auto must route to a distributed
+    strategy and still agree with the reference."""
+    df, edges = dag
+    got = {
+        r["id"]
+        for r in transitive_dependents(
+            df, ["j5"], strategy="auto", local_edge_cap=10
+        ).collect()
+    }
+    assert got == py_dependents(edges, "j5")
+
+
+def test_local_raises_above_cap(spark, dag):
+    df, _ = dag
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        transitive_dependents(df, ["j5"], strategy="local", local_edge_cap=10)
+
+
+def test_dataframe_seeds(spark, dag):
+    df, edges = dag
+    seeds = spark.createDataFrame([("j0",), ("j150",)], schema="id string")
+    got = {r["id"] for r in transitive_dependents(df, seeds).collect()}
+    want = (py_dependents(edges, "j0") | py_dependents(edges, "j150")) - {"j0", "j150"}
+    assert got == want
