@@ -311,34 +311,45 @@ def simhash(
     )
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    content_col: str = "text",
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = 32,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming, blocked on 16-bit halves:
-    two signatures within distance ≤ 3 must agree exactly on at least one
-    half (pigeonhole), so the self-join key is a half-signature — no n²."""
-    sig = simhash(df, content_col, id_col, bits).cache()
-    half = bits // 2
-    blocked = sig.select(
-        F.col(id_col).alias("doc"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                (F.col("simhash") % F.lit(1 << half)).alias("lo"),
-                (F.shiftright(F.col("simhash"), half) + F.lit(1 << 40)),
+    """Pairs with Hamming(simhash) ≤ max_hamming from a ``(id, simhash)``
+    DataFrame, pigeonhole-blocked: the signature splits into
+    ``max_hamming + 1`` contiguous bit blocks — ``d ≤ max_hamming``
+    differing bits cannot touch all ``d+1`` blocks, so any qualifying pair
+    agrees *exactly* on at least one block. The self-join key is
+    (block_index, block_value): recall 1.0, no n². (Two half-blocks would
+    NOT suffice for d=3: a (1,2) split across the halves leaves neither
+    half identical.)"""
+    n_blocks = max_hamming + 1
+    widths = [
+        bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("bv"),
             )
-        ).alias("block"),
+            for i in range(n_blocks)
+        ]
     )
+    blocked = sig.select(
+        F.col(id_col).alias("doc"), F.col("simhash"), F.explode(blocks).alias("blk")
+    ).cache()
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("d1"),
@@ -348,3 +359,16 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming (see
+    :func:`simhash_pairs_from_signatures` for the blocking guarantee)."""
+    sig = simhash(df, content_col, id_col, bits)
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming, bits)

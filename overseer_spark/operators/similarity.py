@@ -64,9 +64,11 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (deterministic
-    centroids = lowest-id vectors unless given). Adds a ``cell`` column."""
+    """IVF cell assignment: nearest centroid(s) by cosine (deterministic
+    centroids = lowest-id vectors unless given). Adds a ``cell`` column;
+    with ``n_probe > 1`` each vector appears once per probed cell."""
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_cells)
     cents = centroids.select(
@@ -76,11 +78,12 @@ def assign_cells(
         "*", cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.col("cell"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", "_csim", "_cvec")
-    )
+    assigned = scored.withColumn("_r", F.row_number().over(w))
+    if n_probe == 1:
+        return assigned.filter(F.col("_r") == 1).drop("_r", "_csim", "_cvec")
+    # multi-probe: replicate each vector into its n_probe nearest cells —
+    # raises blocked-pair recall at the cost of n_probe× index size
+    return assigned.filter(F.col("_r") <= n_probe).drop("_r", "_csim", "_cvec")
 
 
 def ivf_topk(
@@ -132,25 +135,45 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    strategy: str = "ivf",
+    n_probe: int = 2,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold), IVF-blocked:
-    candidates only form within a cell, then exact verification."""
-    assigned = assign_cells(corpus, n_cells, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col), "cell"
-    ).cache()
-    a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
-    )
-    b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
-    )
+    """Vector pairs with cosine ≥ threshold. Output (d1, d2, sim), d1 < d2.
+
+    - ``exact``: score the full upper triangle (one balanced self-join) —
+      O(n²) comparisons, the correctness baseline and the right choice for
+      corpora that fit a cross join.
+    - ``ivf`` (default): block candidates by multi-probe IVF cell — each
+      vector lands in its ``n_probe`` nearest cells and only same-cell
+      pairs are scored. Approximate: meant for high thresholds (true
+      near-duplicates, which share a nearest centroid with overwhelming
+      probability — recall asserted in tests/test_similarity.py on
+      perturbed copies); at 100 TB this is the only viable shape, cost
+      ~ Σ cell² instead of n².
+    """
+    if strategy == "exact":
+        a = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+        b = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+        pairs = spread(a, "d1").join(b, F.col("d1") < F.col("d2"))
+    elif strategy == "ivf":
+        assigned = assign_cells(
+            corpus, n_cells, id_col, vec_col, n_probe=n_probe
+        ).select(F.col(id_col), F.col(vec_col), "cell").cache()
+        a = assigned.select(
+            F.col("cell"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
+        )
+        b = assigned.select(
+            F.col("cell"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
+        )
+        pairs = a.join(b, "cell").filter(F.col("d1") < F.col("d2"))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     return (
-        a.join(b, "cell")
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
+        pairs.select(
             "d1",
             "d2",
             F.round(cosine_similarity(F.col("v1"), F.col("v2")), round_to).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+        .distinct()
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 
@@ -19,3 +21,49 @@ def spread(df: DataFrame, *key_cols: str, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def grouped_apply_batched(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable,
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``groupBy(keys).applyInPandas(fn, schema)`` semantics, batched.
+
+    ``applyInPandas`` ships one Arrow batch per *group*; with many small
+    groups (the common shape for per-user / per-doc normalization) the
+    per-group round trip dominates — milliseconds of overhead for
+    microseconds of work. Here rows are hash-partitioned and sorted by the
+    keys, then a single ``mapInPandas`` runs a pandas ``groupby`` inside
+    each Arrow batch, carrying the possibly-incomplete trailing group over
+    to the next batch. One Python round trip per batch (~10k rows), not per
+    group; memory stays bounded by batch size + one group.
+    """
+    import pandas as pd
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if not len(b):
+                continue
+            # rows are sorted by keys, so the last group is a contiguous tail;
+            # hold it back — its remaining rows may arrive in the next batch
+            last = b[keys].iloc[-1]
+            tail_mask = (b[keys] == last).all(axis=1)
+            carry = b[tail_mask]
+            head = b[~tail_mask]
+            if len(head):
+                out = [fn(g) for _, g in head.groupby(keys, sort=False)]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            out = [fn(g) for _, g in carry.groupby(keys, sort=False)]
+            yield pd.concat(out, ignore_index=True)
+
+    parted = df.repartition(
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism, *keys
+    ).sortWithinPartitions(*keys)
+    return parted.mapInPandas(run, schema=schema)

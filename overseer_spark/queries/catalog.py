@@ -967,6 +967,34 @@ def ann_ivf(spark, sf):
     )
 
 
+@q(
+    "embedding_near_dup_exact",
+    oracle="""WITH p AS (
+                SELECT a.vec_id AS d1, b.vec_id AS d2,
+                  ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+              SELECT d1, d2, sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""",
+)
+def embedding_near_dup_exact(spark, sf):
+    """Embedding-cosine near-dup pairs, exact strategy (upper-triangle
+    self-join) — the oracle-checked baseline; the IVF-blocked scale path of
+    the same operator is recall-tested in tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    return V.embedding_near_duplicates(
+        emb, threshold=0.4, strategy="exact", round_to=4
+    ).orderBy("d1", "d2")
+
+
+@q("simhash_near_dup_pairs", tier="py")
+def simhash_near_dup(spark, sf):
+    """SimHash Hamming ≤ 3 pairs, pigeonhole-blocked into max_hamming+1
+    bit blocks (recall 1.0 by construction — proven exhaustively in
+    tests/test_dedup.py)."""
+    return D.simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=3).orderBy(
+        "d1", "d2"
+    )
+
+
 _SHINGLE_ORACLE_CTES = """
 tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id,
@@ -1107,22 +1135,29 @@ def sessionize(spark, sf):
               FROM events WINDOW w AS (PARTITION BY user_id) ORDER BY event_id""",
 )
 def zscore(spark, sf):
-    """Q41 grouped z-score via applyInPandas (Arrow-batched; the pandas-UDF
-    surface) — verified against a SQL window oracle."""
+    """Q41 grouped z-score — the pandas-UDF surface, verified against a SQL
+    window oracle. Uses ``grouped_apply_batched`` (mapInPandas with an
+    in-batch pandas groupby) rather than raw ``applyInPandas``: with ~67-row
+    groups the per-group Arrow round trip of applyInPandas dominates; the
+    batched form does one Python round trip per ~10k-row batch, same
+    ``fn(group) -> DataFrame`` contract."""
     import pandas as pd
 
-    def norm(pdf: "pd.Series") -> "pd.DataFrame":
+    from overseer_spark.operators.util import grouped_apply_batched
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
         std = pdf["value"].std(ddof=1)
         mean = pdf["value"].mean()
         z = ((pdf["value"] - mean) / std).round(4) if std and std == std else pdf["value"] * float("nan")
         return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
 
     ev = _t(spark, sf, "events")
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(norm, schema="event_id long, z double")
-        .orderBy("event_id")
-    )
+    return grouped_apply_batched(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"],
+        norm,
+        schema="event_id long, z double",
+    ).orderBy("event_id")
 
 
 @q("q42_approx_aggs", tier="py")

@@ -96,3 +96,33 @@ def test_dedup_exact_keeps_min_id(spark, docs):
         .filter(F.col("k.doc_id") != F.col("mn"))
     )
     assert joined.count() == 0
+
+
+def test_simhash_blocking_recall_exhaustive(spark):
+    """Crafted signatures whose differing bits straddle block boundaries —
+    including a (1,2) split across 16-bit halves that half-blocking would
+    miss — must all be found; verified against an exhaustive O(n²) oracle."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.dedup import simhash_pairs_from_signatures
+
+    sigs = [
+        ("a", 0),
+        ("b", (1 << 5) | (1 << 20) | (1 << 30)),  # d(a,b)=3, split 1+2 across halves
+        ("c", 1 << 5),                            # d(a,c)=1, d(b,c)=2
+        ("d", 0b1111),                            # d(a,d)=4 -> excluded
+        ("e", (1 << 8) | (1 << 16) | (1 << 24)),  # touches 3 of 4 blocks
+    ]
+    df = spark.createDataFrame(sigs, schema="doc_id string, simhash long")
+    got = {
+        (r["d1"], r["d2"])
+        for r in simhash_pairs_from_signatures(df, max_hamming=3).collect()
+    }
+    want = {
+        (i1, i2)
+        for (i1, s1), (i2, s2) in combinations(sigs, 2)
+        if bin(s1 ^ s2).count("1") <= 3
+    }
+    assert got == want

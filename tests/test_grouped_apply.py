@@ -1,0 +1,73 @@
+"""grouped_apply_batched must be row-for-row equivalent to
+groupBy().applyInPandas() — including groups that span Arrow batch
+boundaries (forced via tiny maxRecordsPerBatch)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from overseer_spark.operators.util import grouped_apply_batched
+
+
+def make_fn():
+    # defined per call-site closure so cloudpickle serializes it by value
+    # (module-level test functions aren't importable on executors)
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "k": pdf["k"].iloc[:1],
+                "n": [len(pdf)],
+                "s": [float(pdf["v"].sum())],
+            }
+        )
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rows = [(f"k{i % 37:02d}", i, float(i) / 7) for i in range(5000)]
+    return spark.createDataFrame(rows, schema="k string, i long, v double")
+
+
+def _norm(rows):
+    return sorted(tuple(str(x) for x in r) for r in rows)
+
+
+def test_matches_apply_in_pandas(spark, data):
+    df = data.select("k", "v")
+    fn = make_fn()
+    want = df.groupBy("k").applyInPandas(fn, schema="k string, n long, s double")
+    got = grouped_apply_batched(df, ["k"], fn, schema="k string, n long, s double")
+    assert _norm(got.collect()) == _norm(want.collect())
+
+
+def test_group_spanning_batches(spark, data):
+    """With 100-row Arrow batches every group (135 rows) straddles a batch
+    boundary, exercising the carry-over path."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = data.select("k", "v")
+        got = grouped_apply_batched(
+            df, ["k"], make_fn(), schema="k string, n long, s double", num_partitions=3
+        )
+        out = {r["k"]: (r["n"], round(r["s"], 6)) for r in got.collect()}
+        pdf = df.toPandas()
+        want = {
+            k: (len(g), round(float(g["v"].sum()), 6))
+            for k, g in pdf.groupby("k")
+        }
+        assert out == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], schema="k string, v double")
+    got = grouped_apply_batched(df, ["k"], make_fn(), schema="k string, n long, s double")
+    assert got.count() == 0

@@ -82,3 +82,52 @@ def test_embedding_near_duplicates_self_consistency(spark, emb):
     pairs = V.embedding_near_duplicates(emb, threshold=0.9, n_cells=8).collect()
     for r in pairs:
         assert r["sim"] >= 0.9
+
+
+def test_embedding_near_dup_exact_strategy(spark, emb, emb_np):
+    """Exact strategy must equal the numpy full upper triangle."""
+    import numpy as np
+
+    ids, mat = emb_np
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {
+        (ids[i], ids[j], round(float(sims[i, j]), 4))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and round(float(sims[i, j]), 4) >= 0.4
+    }
+    got = {
+        (r["d1"], r["d2"], r["sim"])
+        for r in V.embedding_near_duplicates(
+            emb, threshold=0.4, strategy="exact", round_to=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_embedding_near_dup_ivf_recall_on_true_near_dups(spark, emb):
+    """True near-duplicates (tiny perturbations of real vectors) must be
+    found by the IVF-blocked path: a near-identical pair lands in the same
+    nearest cell(s) essentially always."""
+    from pyspark.sql import functions as F
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 50)
+    # clone each with +1e-3 on the first component, ids offset by 10_000
+    pert = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(1e-3)),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(pert)
+    found = {
+        (r["d1"], r["d2"])
+        for r in V.embedding_near_duplicates(
+            corpus, threshold=0.999, strategy="ivf", n_cells=16, n_probe=2
+        ).collect()
+    }
+    expected = {(i, i + 10_000) for i in range(50)}
+    missed = expected - found
+    assert len(missed) <= 1, f"IVF missed near-identical pairs: {sorted(missed)[:5]}"
