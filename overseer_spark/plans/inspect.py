@@ -65,3 +65,19 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider is better (fewer breaks
     out of generated code)."""
     return len(set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple"))))
+
+
+def has_cartesian_or_bnlj(df: DataFrame) -> bool:
+    """True if the plan contains an O(n·m) join (CartesianProduct /
+    BroadcastNestedLoopJoin) — the shapes bucketed/blocked operators
+    exist to avoid."""
+    text = explain_str(df)
+    return "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (excludes broadcast
+    exchanges, which move only the small side)."""
+    import re as _re
+
+    return len(_re.findall(r"Exchange (?:hash|range|rangepartitioning|SinglePartition)", explain_str(df, "simple"), _re.IGNORECASE))

@@ -1163,7 +1163,7 @@ def zscore(spark, sf):
 @q("q42_approx_aggs", tier="py")
 def q42(spark, sf):
     """Q42 sketch aggregates (HLL++ / quantile sketch); ≤5% relative error
-    vs exact asserted in tests/test_queries_extra.py."""
+    vs exact asserted in tests/test_text.py."""
     o = _t(spark, sf, "orders")
     return o.agg(
         F.approx_count_distinct("o_custkey").alias("approx_custkeys"),

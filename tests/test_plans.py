@@ -64,3 +64,43 @@ def test_q31_ready_set_is_anti_join(spark):
 def test_scan_count_prunes_all_columns(spark):
     cols = read_schema_columns(q("q01_scan_count", spark))
     assert cols == [], f"COUNT(*) should read no columns, reads {cols}"
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed interval join must plan as a hash/sort-merge equi-join
+    on (user_id, bucket) — never a per-key cross product."""
+    from overseer_spark.plans import has_cartesian_or_bnlj
+    from overseer_spark.plans.inspect import explain_str
+
+    df = q("interval_join_events", spark)
+    assert not has_cartesian_or_bnlj(df), "interval join degenerated to O(n*m)"
+    assert "Join" in explain_str(df)
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    from overseer_spark.plans import has_cartesian_or_bnlj
+
+    assert not has_cartesian_or_bnlj(q("asof_join_events", spark))
+
+
+def test_minhash_signatures_have_no_shuffle(spark):
+    """Per-row HOF signatures: the plan from parquet scan to signature
+    column may repartition the input once (parallelism spread) but must not
+    shuffle per-shingle rows — no aggregation exchange."""
+    from overseer_spark.operators.dedup import minhash_signatures
+    from overseer_spark.plans.inspect import explain_str
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    text = explain_str(minhash_signatures(docs), "simple")
+    assert "HashAggregate" not in text, "signature stage should not aggregate"
+
+
+def test_jaccard_candidates_join_on_shingle_key(spark):
+    """PPJoin candidate generation must be an equi-join on the shingle."""
+    from overseer_spark.operators.dedup import jaccard_pairs
+    from overseer_spark.plans import has_cartesian_or_bnlj
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert not has_cartesian_or_bnlj(jaccard_pairs(docs))
