@@ -129,3 +129,49 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+def normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Canonical text normalization (the pass run before hashing/dedup so
+    near-identical documents actually collide): lowercase, whitespace
+    collapse + trim, optional punctuation strip. Pure projection — built-in
+    string functions only, no shuffle, safe at any scale."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^\w\s]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.9,
+    min_alpha_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents passing Gopher/C4-style quality gates. Computes the
+    feature columns once and filters — a single projection+filter over the
+    corpus; thresholds are plan literals so Catalyst folds them."""
+    feats = quality_score(df, text_col, id_col).select(
+        id_col, "n_tokens", "distinct_ratio", "stopword_ratio", "alpha_ratio"
+    )
+    keep = feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -1025,6 +1025,75 @@ def ngram_jaccard(spark, sf):
     return D.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8).orderBy("d1", "d2")
 
 
+@q(
+    "near_dup_components",
+    oracle=f"""WITH RECURSIVE {_SHINGLE_ORACLE_CTES},
+               pr AS (
+                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+                 FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+               pair AS (
+                 SELECT d1, d2 FROM pr
+                 JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+                 WHERE n_inter / (s1.n + s2.n - n_inter) >= 0.8),
+               ed AS (SELECT d1 AS a, d2 AS b FROM pair
+                      UNION SELECT d2, d1 FROM pair),
+               reach(a, b) AS (
+                 SELECT a, b FROM ed
+                 UNION
+                 SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+               nodes AS (SELECT DISTINCT a AS node FROM ed)
+               SELECT n.node, LEAST(n.node, MIN(r.b)) AS component
+               FROM nodes n JOIN reach r ON r.a = n.node
+               GROUP BY n.node ORDER BY n.node""",
+)
+def near_dup_components_q(spark, sf):
+    """Near-dup clusters: connected components (min-label canonical id)
+    over the exact-Jaccard ≥ 0.8 pair graph — pairs become dedup groups.
+    Spark: adaptive union-find / min-label propagation
+    (operators/components.py) vs the oracle's recursive reachability."""
+    from overseer_spark.operators.components import connected_components
+
+    pairs = D.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+    return connected_components(pairs).orderBy("node")
+
+
+@q(
+    "near_dup_dedup_count",
+    oracle=f"""WITH RECURSIVE {_SHINGLE_ORACLE_CTES},
+               pr AS (
+                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+                 FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+               pair AS (
+                 SELECT d1, d2 FROM pr
+                 JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+                 WHERE n_inter / (s1.n + s2.n - n_inter) >= 0.8),
+               ed AS (SELECT d1 AS a, d2 AS b FROM pair
+                      UNION SELECT d2, d1 FROM pair),
+               reach(a, b) AS (
+                 SELECT a, b FROM ed
+                 UNION
+                 SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+               nodes AS (SELECT DISTINCT a AS node FROM ed),
+               comp AS (SELECT n.node, LEAST(n.node, MIN(r.b)) AS component
+                        FROM nodes n JOIN reach r ON r.a = n.node GROUP BY n.node)
+               SELECT (SELECT COUNT(*) FROM documents)
+                    - (SELECT COUNT(*) FROM comp WHERE node <> component)
+                    AS n_kept""",
+)
+def near_dup_dedup_count_q(spark, sf):
+    """End-to-end near-dedup: corpus size after keeping one canonical doc
+    per near-dup cluster (anti-join against the tiny loser set)."""
+    from overseer_spark.operators.components import dedup_keep_canonical
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    return dedup_keep_canonical(docs, pairs).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
 @q("minhash_near_dup_pairs", tier="py")
 def minhash_pairs(spark, sf):
     """Q39 MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard verified —
@@ -1082,6 +1151,42 @@ def fingerprint_md5(spark, sf):
         TX.fingerprint(_t(spark, sf, "documents"))
         .select("doc_id", "md5")
         .orderBy("doc_id")
+    )
+
+
+@q(
+    "text_normalize",
+    oracle=r"""SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+               FROM documents ORDER BY doc_id""",
+)
+def normalize_q(spark, sf):
+    """Canonical normalization pass (lowercase + whitespace collapse) run
+    before hashing/dedup — pure projection, no shuffle."""
+    return TX.normalize(_t(spark, sf, "documents")).select(
+        "doc_id", "text_norm"
+    ).orderBy("doc_id")
+
+
+@q(
+    "text_quality_filter_count",
+    oracle=f"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+               f AS (SELECT doc_id, len(w) AS n,
+                       len(list_filter(w, x -> list_contains({TX.STOPWORDS!r}, x))) AS n_stop,
+                       len(list_distinct(w)) AS n_distinct,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                       length(text) AS n_chars
+                     FROM tok)
+               SELECT COUNT(*) AS n_kept FROM f
+               WHERE n >= 5 AND ROUND(n_distinct / n, 4) >= 0.2
+                 AND ROUND(n_stop / n, 4) <= 0.9
+                 AND ROUND(alpha_chars / n_chars, 4) >= 0.5""",
+)
+def quality_filter_q(spark, sf):
+    """Gopher/C4-style quality gates: corpus size after filtering on
+    token count, repetition, stopword and alpha ratios."""
+    return TX.quality_filter(_t(spark, sf, "documents")).agg(
+        F.count(F.lit(1)).alias("n_kept")
     )
 
 

@@ -1,0 +1,74 @@
+"""Connected components: both strategies vs a Python union-find oracle on a
+randomized graph; keep-canonical dedup semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from overseer_spark.operators.components import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def uf_oracle(edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for e in edges for n in e}
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rng = random.Random(11)
+    # several chains/cliques + isolated pairs; includes a long chain to
+    # exercise multi-round label propagation
+    edges = set()
+    for base in range(0, 200, 20):
+        chain = list(range(base, base + rng.randint(2, 12)))
+        edges |= {(chain[i], chain[i + 1]) for i in range(len(chain) - 1)}
+    edges |= {(1000 + i, 2000 + i) for i in range(10)}
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, schema="d1 long, d2 long")
+    return df, edges
+
+
+@pytest.mark.parametrize("strategy", ["local", "label_prop"])
+def test_components_match_union_find(spark, graph, strategy):
+    df, edges = graph
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df, strategy=strategy).collect()
+    }
+    assert got == set(uf_oracle(edges).items())
+
+
+def test_auto_routes_distributed_above_cap(spark, graph):
+    df, edges = graph
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df, strategy="auto", local_edge_cap=5).collect()
+    }
+    assert got == set(uf_oracle(edges).items())
+
+
+def test_dedup_keep_canonical(spark, graph):
+    df, edges = graph
+    oracle = uf_oracle(edges)
+    all_nodes = sorted({n for e in edges for n in e} | {9999})  # 9999 isolated
+    corpus = spark.createDataFrame([(n,) for n in all_nodes], schema="doc_id long")
+    kept = {
+        r["doc_id"] for r in dedup_keep_canonical(corpus, df, id_col="doc_id").collect()
+    }
+    want = {n for n in all_nodes if oracle.get(n, n) == n}
+    assert kept == want
