@@ -36,7 +36,12 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
     "simhash_signatures",
+    "near_dup_dedup_count",
     "text_quality",
+    "text_normalize",
+    "text_quality_filter_count",
+    "asof_join_events",
+    "interval_join_events",
     "sessionize",
     "zscore_groups",
 ]

@@ -204,3 +204,53 @@ def test_sparklog_dataframe_view_consistent(spark, tmp_path):
     # compaction folds the log without changing state
     s.compact()
     assert {r["id"]: r["status"] for r in s.jobs_df().collect()} == rows
+
+
+# -- concurrency: exactly one of two racing reservations wins
+# (overseer/test/overseer/store/jdbc_test.clj:42-60) ------------------------
+
+def test_concurrent_reserve_exactly_one_wins(store):
+    import threading
+
+    store.transact_graph(graph_of(("race-1", [])))
+    results = []
+    barrier = threading.Barrier(2)
+
+    def contend():
+        barrier.wait()
+        results.append(store.reserve_job("race-1"))
+
+    threads = [threading.Thread(target=contend) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1, f"expected exactly 1 winner, got {results}"
+    assert store.job_info("race-1").status == STATUS_STARTED
+
+
+def test_concurrent_transact_same_graph_idempotent(store):
+    """Two threads submitting the same graph: net effect of one insert
+    (the reference's duplicate-id no-op semantics under contention)."""
+    import threading
+
+    g = graph_of(("cc-a", []), ("cc-b", ["cc-a"]))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def submit():
+        barrier.wait()
+        try:
+            store.transact_graph(g)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=submit) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert store.job_info("cc-a").status == STATUS_UNSTARTED
+    assert sorted(j for j in ("cc-a", "cc-b")) == ["cc-a", "cc-b"]
