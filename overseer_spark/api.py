@@ -88,6 +88,20 @@ def start(
     return Worker(store, handlers, config).start()
 
 
+def start_streaming(
+    spark: SparkSession,
+    store: Store,
+    handlers: dict[str, Handler],
+    config: Config | None = None,
+    **kwargs: Any,
+):
+    """Start the scheduler as a Structured Streaming query (the Spark-native
+    deployment shape; see streaming/scheduler.py)."""
+    from overseer_spark.streaming.scheduler import StreamingWorker
+
+    return StreamingWorker(spark, store, handlers, config, **kwargs).start()
+
+
 # Control-flow helpers a handler calls mid-flight (api.clj:99-118)
 
 def abort(message: str, data: dict[str, Any] | None = None) -> None:

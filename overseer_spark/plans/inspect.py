@@ -80,4 +80,9 @@ def exchange_count(df: DataFrame) -> int:
     exchanges, which move only the small side)."""
     import re as _re
 
-    return len(_re.findall(r"Exchange (?:hash|range|rangepartitioning|SinglePartition)", explain_str(df, "simple"), _re.IGNORECASE))
+    return len(
+        _re.findall(
+            r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)",
+            explain_str(df, "simple"),
+        )
+    )

@@ -789,6 +789,42 @@ def status_counts(spark, sf):
     )
 
 
+@q(
+    "time_rollup_hierarchy",
+    oracle="""WITH b AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value FROM events)
+              SELECT COALESCE(CAST(m AS VARCHAR), 'ALL') AS mth,
+                     COALESCE(CAST(d AS VARCHAR), 'ALL') AS day,
+                     COALESCE(CAST(h AS VARCHAR), 'ALL') AS hr,
+                     COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+              FROM b GROUP BY ROLLUP(m, d, h) ORDER BY mth, day, hr""",
+)
+def time_rollup_q(spark, sf):
+    """Hypertable-style time-hierarchy rollup: one pass produces hour, day,
+    month and grand-total aggregates via ROLLUP over truncated buckets —
+    the batch shape of a continuous aggregate (Spark computes the finest
+    level and merges upward in the same partial-agg pipeline)."""
+    ev = _t(spark, sf, "events").select(
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    return (
+        ev.rollup("m", "d", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(
+            F.coalesce(F.col("m").cast("string"), F.lit("ALL")).alias("mth"),
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("h").cast("string"), F.lit("ALL")).alias("hr"),
+            "n",
+            "s",
+        )
+        .orderBy("mth", "day", "hr")
+    )
+
+
 @q("r13_seeded_sample", tier="py")
 def seeded_sample(spark, sf):
     """R13 random pick with explicit seed — deterministic within Spark,

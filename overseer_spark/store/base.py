@@ -73,5 +73,10 @@ class Store(abc.ABC):
         """Started jobs with heartbeat < threshold (R4)."""
 
     @abc.abstractmethod
+    def jobs_with_status(self, status: int) -> list[str]:
+        """Generic status filter (R24, the reference's 0.8-era
+        jobs-with-status / jobs-unstarted monitoring API)."""
+
+    @abc.abstractmethod
     def dependents(self, job_id: str) -> set[str]:
         """Direct + transitive dependents (R5)."""

@@ -134,6 +134,10 @@ class MemoryStore(Store):
             )
             return dead[:limit] if limit else dead
 
+    def jobs_with_status(self, status: int) -> list[str]:
+        with self._lock:
+            return sorted(jid for jid, j in self._jobs.items() if j.status == status)
+
     def dependents(self, job_id: str) -> set[str]:
         with self._lock:
             out: set[str] = set()

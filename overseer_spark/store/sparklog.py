@@ -229,6 +229,9 @@ class SparkLogStore(Store):
         df = dead_jobs(self.jobs_df(), threshold, limit)
         return sorted(r["id"] for r in df.collect())
 
+    def jobs_with_status(self, status: int) -> list[str]:
+        return self._cache.jobs_with_status(status)
+
     def dependents(self, job_id: str) -> set[str]:
         df = transitive_dependents(self.deps_df(), [job_id])
         return {r["id"] for r in df.collect()}
