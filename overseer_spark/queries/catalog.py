@@ -790,6 +790,80 @@ def status_counts(spark, sf):
 
 
 @q(
+    "tpch_q3_shape",
+    oracle="""SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                CAST(o.o_orderdate AS VARCHAR) AS odate, o.o_orderpriority
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-03-15'
+                AND l.l_shipdate > TIMESTAMP '1998-03-15'
+              GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+              ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+)
+def tpch_q3(spark, sf):
+    """TPC-H Q3 shape (shipping priority): selective dimension filter →
+    fact-fact join → grouped revenue agg → top-k. The canonical multi-join
+    analytics pattern; customer broadcast, lineitem never shuffled wider
+    than the date filter allows."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("odate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "funnel_view_click_purchase",
+    oracle="""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                          WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                     JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                     WHERE e.event_type = 'click' GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                     JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                     WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+              d AS (SELECT u.user_id,
+                      CASE WHEN s3.user_id IS NOT NULL THEN 3
+                           WHEN s2.user_id IS NOT NULL THEN 2
+                           WHEN s1.user_id IS NOT NULL THEN 1
+                           ELSE 0 END AS depth
+                    FROM (SELECT DISTINCT user_id FROM events) u
+                    LEFT JOIN s1 ON u.user_id = s1.user_id
+                    LEFT JOIN s2 ON u.user_id = s2.user_id
+                    LEFT JOIN s3 ON u.user_id = s3.user_id)
+              SELECT depth, COUNT(*) AS n_users FROM d
+              GROUP BY depth ORDER BY depth""",
+)
+def funnel_q(spark, sf):
+    """view → click → purchase funnel: users per reached depth, each step
+    strictly after the previous. Spark: ONE shuffle (per-user sorted fold,
+    operators/funnel.py) vs the oracle's k-join chain."""
+    from overseer_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+
+
+@q(
     "time_rollup_hierarchy",
     oracle="""WITH b AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
@@ -1326,6 +1400,31 @@ def multimodal_meta(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return extract_metadata(with_binary_payload(docs)).orderBy("doc_id")
+
+
+@q(
+    "multimodal_frame_sample",
+    oracle="""WITH f AS (SELECT doc_id, text,
+                unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1, 10)) AS j
+              FROM documents)
+              SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+                     md5(substring(text, j * 64 + 1, 64)) AS frame_digest
+              FROM f ORDER BY doc_id, frame_idx""",
+)
+def frame_sample_q(spark, sf):
+    """Multimodal 1→N expansion: 64-byte 'frames' of the binary payload,
+    every 10th kept, via Arrow-batched mapInPandas (the plumbing real video
+    frame extraction plugs into; documents are ASCII so the oracle frames
+    on characters). Digests compared, not raw bytes — binary stringification
+    differs across engines."""
+    from overseer_spark.operators.multimodal import frame_sample, with_binary_payload
+
+    docs = _t(spark, sf, "documents")
+    return (
+        frame_sample(with_binary_payload(docs), every_n=10)
+        .select("doc_id", "frame_idx", F.md5("frame").alias("frame_digest"))
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
