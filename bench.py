@@ -44,6 +44,10 @@ HEADLINE = [
     "interval_join_events",
     "sessionize",
     "zscore_groups",
+    "tpch_q3_shape",
+    "funnel_view_click_purchase",
+    "text_doc_freq_idf",
+    "train_test_split_counts",
 ]
 
 

@@ -1428,6 +1428,265 @@ def frame_sample_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# statistics, reshaping, and dataset-curation extras
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_median_percentiles",
+    oracle="""SELECT l_returnflag,
+                ROUND(median(l_quantity), 2) AS med_qty,
+                ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price,
+                ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def median_percentiles(spark, sf):
+    """Exact median / quartiles per group (`percentile`, linear
+    interpolation — matches DuckDB quantile_cont). The exact counterpart of
+    q42's sketch quantiles; at 100 TB prefer the sketch, but the exact op
+    must exist for small-dim audits."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("med_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q_stats_aggs",
+    oracle="""SELECT l_returnflag,
+                ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+                ROUND(var_samp(l_quantity), 2) AS var_qty,
+                ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def stats_aggs(spark, sf):
+    """Second-moment aggregates: stddev/variance/correlation/covariance —
+    single-pass partial+final (Welford-style merge JVM-side), one shuffle."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q_pivot_status",
+    oracle="""SELECT c.c_mktsegment,
+                CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+                CAST(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+                CAST(COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+)
+def pivot_status(spark, sf):
+    """PIVOT (long→wide): order counts per market-segment × status. Explicit
+    value list so Spark skips the extra distinct-values job — at scale an
+    unlisted pivot is two passes over the fact table."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    piv = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s.lower()}") for s in "FOP"],
+    ).orderBy("c_mktsegment")
+
+
+@q(
+    "q_unpivot_melt",
+    oracle="""SELECT c_nationkey, 'avg_bal' AS metric,
+                ROUND(AVG(c_acctbal), 2) AS val
+              FROM customer GROUP BY c_nationkey
+              UNION ALL
+              SELECT c_nationkey, 'n_customers', CAST(COUNT(*) AS DOUBLE)
+              FROM customer GROUP BY c_nationkey
+              ORDER BY c_nationkey, metric""",
+)
+def unpivot_melt(spark, sf):
+    """UNPIVOT/melt (wide→long): per-nation metric columns to (key, metric,
+    value) rows — `DataFrame.unpivot`, one generate, no join (the oracle's
+    UNION ALL form rescans per metric)."""
+    c = _t(spark, sf, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+    )
+    return (
+        wide.unpivot(["c_nationkey"], ["avg_bal", "n_customers"], "metric", "val")
+        .orderBy("c_nationkey", "metric")
+    )
+
+
+@q(
+    "q_window_extras",
+    oracle="""SELECT o_orderkey, o_custkey,
+                CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+                FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+                LAST_VALUE(o_orderkey) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+              FROM orders WHERE o_custkey <= 200
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+              ORDER BY o_orderkey""",
+)
+def window_extras(spark, sf):
+    """Remaining analytic-window surface: NTILE quartiles, FIRST_VALUE /
+    LAST_VALUE (explicit full frame — the default frame silently stops at
+    CURRENT ROW, the classic last_value trap)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("tile"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "q_date_arith",
+    oracle="""SELECT o_orderkey,
+                CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS age_days,
+                CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS due,
+                CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy
+              FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+)
+def date_arith(spark, sf):
+    """Date arithmetic beyond Q28 extraction: day differences, month
+    offsets, day-of-year — all codegen'd column expressions."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("age_days"),
+        F.add_months("o_orderdate", 3).cast("string").alias("due"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "text_top_terms",
+    oracle="""SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+                    FROM documents)
+              WHERE t <> '' GROUP BY t ORDER BY n DESC, term LIMIT 20""",
+)
+def top_terms(spark, sf):
+    """Corpus term frequencies (explode + count + top-k): the tokenize →
+    lateral-view pattern every text pipeline starts from. Partial aggregation
+    absorbs the explode fan-out before the shuffle."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+@q(
+    "text_doc_freq_idf",
+    oracle="""WITH toks AS (SELECT DISTINCT doc_id,
+                  unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                FROM documents),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents)
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                     ROUND(ln(n.c / COUNT(*)), 4) AS idf
+              FROM toks, n WHERE term <> ''
+              GROUP BY term, n.c HAVING COUNT(*) >= 20
+              ORDER BY term""",
+)
+def doc_freq_idf(spark, sf):
+    """Document frequency + IDF per term — the TF-IDF building block.
+    Distinct (doc, term) before the count so multiplicity inside one doc
+    doesn't inflate df; corpus size N joins in as a 1-row broadcast."""
+    d = _t(spark, sf, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    toks = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), "[^a-z]+"))).alias("term"))
+        .filter(F.col("term") != "")
+    )  # (doc, term) already distinct via array_distinct — no shuffle needed here
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 20)
+        .crossJoin(F.broadcast(n))
+        .select("term", "df", F.round(F.log(F.col("c") / F.col("df")), 4).alias("idf"))
+        .orderBy("term")
+    )
+
+
+@q(
+    "train_test_split_counts",
+    oracle="""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+                     THEN 'test' ELSE 'train' END AS split,
+                lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY split, lang ORDER BY split, lang""",
+)
+def train_test_split_q(spark, sf):
+    """Deterministic 1/8 test split by key hash (operators/sampling.py):
+    reproducible across runs, engines, and partitionings — unlike
+    F.rand(seed), which is seeded per partition. Pure projection, no
+    shuffle before the counting agg."""
+    from overseer_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        hash_split(d, "doc_id", test_fraction=0.125)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+@q(
+    "stratified_sample_counts",
+    oracle="""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+              WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3'))
+                 OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7'))
+              GROUP BY lang ORDER BY lang""",
+)
+def stratified_sample_q(spark, sf):
+    """Deterministic stratified downsample (rebalance a skewed corpus:
+    keep 25% of dominant 'en', 50% elsewhere) — a filter, not a shuffle;
+    membership is a pure function of the key so re-runs agree exactly."""
+    from overseer_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    fracs = {lang: 0.25 if lang == "en" else 0.5 for lang in ("en", "de", "es", "fr", "zh")}
+    return (
+        stratified_sample(d, "lang", fracs, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,67 @@
+"""Deterministic sampling/splitting: reproducibility across partitionings
+(the property F.rand(seed) lacks), leakage-safety for equal keys, and
+fraction accuracy."""
+
+from __future__ import annotations
+
+from overseer_spark.operators.sampling import hash_bucket, hash_split, stratified_sample
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=2000, parts=4):
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_split_stable_under_repartitioning(spark):
+    df = _docs(spark)
+    a = hash_split(df, "doc_id").select("doc_id", "split").collect()
+    b = hash_split(df.repartition(13), "doc_id").select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_split_fraction_and_leakage(spark):
+    df = _docs(spark)
+    out = hash_split(df, "doc_id", test_fraction=0.25)
+    frac = out.filter(F.col("split") == "test").count() / out.count()
+    assert 0.2 < frac < 0.3
+    # equal keys → same split, always (duplicated docs can't straddle)
+    dup = df.union(df)
+    sides = (
+        hash_split(dup, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert sides == 1
+
+
+def test_salt_redeal(spark):
+    df = _docs(spark)
+    a = {r[0] for r in hash_split(df, "doc_id").filter("split='test'").select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in hash_split(df, "doc_id", salt="v2").filter("split='test'").select("doc_id").collect()
+    }
+    assert a != b  # different deal ...
+    assert abs(len(a) - len(b)) < len(a)  # ... similar size
+
+
+def test_stratified_fractions(spark):
+    df = _docs(spark)
+    out = stratified_sample(df, "lang", {"en": 1.0, "de": 0.5}, "doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["en"] == 500  # fraction 1.0 keeps every row
+    assert 650 < got["de"] < 850  # ~half of 1500
+    # stratum not in the dict → dropped
+    none = stratified_sample(df, "lang", {"en": 0.5}, "doc_id").filter("lang = 'de'").count()
+    assert none == 0
+
+
+def test_bucket_uniformity(spark):
+    df = _docs(spark, n=4000)
+    m = df.select(F.avg(hash_bucket("doc_id")).alias("m")).first()["m"]
+    assert 0.45 < m < 0.55
