@@ -1686,6 +1686,144 @@ def stratified_sample_q(spark, sf):
     )
 
 
+@q(
+    "q_grouping_sets",
+    oracle="""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sq
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              ORDER BY rf, ls""",
+)
+def grouping_sets(spark, sf):
+    """Arbitrary GROUPING SETS (beyond Q18 ROLLUP / q_cube) via the SQL
+    entry point over a registered view — one Expand + one hash agg, not
+    three scans."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                  COALESCE(l_linestatus, 'ALL') AS ls,
+                  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sq
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY rf, ls"""
+    )
+
+
+@q(
+    "embedding_centroids",
+    oracle="""WITH x AS (SELECT label,
+                  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                  unnest(embedding) AS v
+                FROM embeddings)
+              SELECT label, i, ROUND(AVG(v), 3) + 0.0 AS c
+              FROM x GROUP BY label, i ORDER BY label, i""",
+)
+def embedding_centroids(spark, sf):
+    """Per-label centroid of the embedding column (posexplode → avg per
+    dimension): the building block for IVF coarse quantizers and k-means
+    steps. Dimension index is 1-based to match SQL subscripts."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("i"))
+        # + 0.0 normalizes IEEE -0.0 (round of a tiny negative mean) to 0.0
+        .agg((F.round(F.avg("v"), 3) + F.lit(0.0)).alias("c"))
+        .orderBy("label", "i")
+    )
+
+
+@q(
+    "q_value_histogram",
+    oracle="""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY bucket ORDER BY bucket""",
+)
+def value_histogram(spark, sf):
+    """Fixed-width histogram by arithmetic bucketing — the portable
+    width_bucket; map-side partial agg means the shuffle carries only
+    #buckets rows per partition."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "q_string_agg",
+    oracle="""SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name ORDER BY r.r_name""",
+)
+def string_agg(spark, sf):
+    """Ordered string aggregation (LISTAGG): collect_list is
+    order-nondeterministic under parallel merge, so sort the array before
+    joining — the only way the concatenation is stable at any scale."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@q(
+    "q_json_props_sum",
+    oracle="""SELECT event_type,
+                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def json_props_sum(spark, sf):
+    """JSON property extraction in aggregate (R18 at scale): JSON-path
+    evaluation stays JVM-side (`get_json_object`), integer-summed per type.
+    Dialects differ only in function name — the semantics hash-match."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q_cohort_retention",
+    oracle="""WITH f AS (SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) AS cm
+                         FROM events GROUP BY user_id),
+              a AS (SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS am
+                    FROM events)
+              SELECT f.cm AS cohort,
+                CAST((EXTRACT(YEAR FROM a.am) - EXTRACT(YEAR FROM f.cm)) * 12
+                   + (EXTRACT(MONTH FROM a.am) - EXTRACT(MONTH FROM f.cm)) AS BIGINT) AS month_n,
+                CAST(COUNT(*) AS BIGINT) AS users
+              FROM a JOIN f ON a.user_id = f.user_id
+              GROUP BY cohort, month_n ORDER BY cohort, month_n""",
+)
+def cohort_retention(spark, sf):
+    """Cohort retention matrix: users bucketed by first-seen month, counted
+    in each subsequent active month. Two aggs + one join, all keyed on
+    user_id — a single shuffle partitioning serves every stage."""
+    ev = _t(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(F.date_trunc("month", F.min("ts")).alias("cm"))
+    a = ev.select("user_id", F.date_trunc("month", "ts").alias("am")).distinct()
+    month_n = (
+        (F.year("am") - F.year("cm")) * 12 + (F.month("am") - F.month("cm"))
+    ).cast("long")
+    return (
+        a.join(f, "user_id")
+        .groupBy(F.col("cm").alias("cohort"), month_n.alias("month_n"))
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort", "month_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
