@@ -62,13 +62,27 @@ def main() -> None:
     spark = get_spark("overseer-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer reads + Python/Arrow worker
-    # spawn (pandas-UDF queries shouldn't be billed for worker startup)
-    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    nation.count()
-    nation.groupBy("n_regionkey").applyInPandas(
-        lambda pdf: pdf, schema=nation.schema
-    ).count()
+    # Warmup: JVM JIT, whole-stage-codegen compilation per plan shape,
+    # parquet footer reads, and the Python/Arrow worker pool (32 workers +
+    # pandas import each — ~10 s once, billed to nobody). Each headline
+    # query runs once at the smallest SF so the timed sf run measures
+    # steady-state execution, not first-compile of its generated code —
+    # standard JMH-style methodology. clearCache() below still makes every
+    # timed query pay its full data compute.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    spark.range(0, 32 * 100, 1, 32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE:
+        try:
+            CATALOG[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # a warmup failure shouldn't kill the bench
+            print(f"  warmup {name} failed: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -175,3 +175,61 @@ def quality_filter(
         & (F.col("alpha_ratio") >= min_alpha_ratio)
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def redact(
+    df: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Scrub sensitive spans (PII pass): replace each regex with its tag,
+    and count the replacements per pattern in ``n_redactions``.
+
+    Pure projection — regexp_replace / regexp_extract_all are codegen'd,
+    so a 100 TB scrub is a single scan. Patterns stay in the RE2-portable
+    subset (no lookbehind) so the same pass is expressible on any engine.
+    """
+    if patterns is None:
+        patterns = {
+            "<EMAIL>": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<NUM>": r"[0-9][0-9 .-]{6,}[0-9]",  # phone/account-shaped digit runs
+        }
+    c = F.col(text_col)
+    n = F.lit(0)
+    for tag, pat in sorted(patterns.items()):
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, tag)
+    return df.withColumn(out_col, c).withColumn("n_redactions", n.cast("long"))
+
+
+def chunk(
+    df: DataFrame,
+    size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the training-data chunking pass (context-window packing). Output:
+    (id, chunk_id, chunk), chunk_id 0-based; stride = size - overlap.
+
+    1→N expansion via sequence+transform+explode, all JVM-side; generated
+    rows never leave the executor that scanned the document, so the op is
+    shuffle-free and scales linearly with corpus bytes.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    c = F.col(text_col)
+    # ceil((len - size) / stride) + 1 windows — the last window reaches the
+    # end of the document; no trailing window fully inside the previous one
+    hi = F.when(F.length(c) <= size, F.lit(0)).otherwise(
+        F.ceil((F.length(c) - size) / F.lit(stride))
+    ).cast("int")
+    starts = F.sequence(F.lit(0), hi)
+    chunks = F.transform(starts, lambda i: c.substr(i * stride + 1, F.lit(size)))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .filter(F.length("chunk") > 0)
+    )

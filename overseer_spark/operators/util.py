@@ -29,6 +29,7 @@ def grouped_apply_batched(
     fn: Callable,
     schema: str,
     num_partitions: int | None = None,
+    per_group: bool = True,
 ) -> DataFrame:
     """``groupBy(keys).applyInPandas(fn, schema)`` semantics, batched.
 
@@ -40,8 +41,22 @@ def grouped_apply_batched(
     each Arrow batch, carrying the possibly-incomplete trailing group over
     to the next batch. One Python round trip per batch (~10k rows), not per
     group; memory stays bounded by batch size + one group.
+
+    ``per_group=False`` goes one step further for vectorizable kernels:
+    ``fn`` receives the whole batch (complete groups only, sorted by keys)
+    and handles grouping itself — e.g. pandas ``groupby().transform``,
+    which stays in Cython instead of a Python loop over thousands of tiny
+    group frames. Use it whenever the kernel is expressible as
+    transform/agg; keep ``per_group=True`` for genuinely per-group logic.
     """
     import pandas as pd
+
+    def apply_complete(head: pd.DataFrame) -> pd.DataFrame:
+        if per_group:
+            return pd.concat(
+                [fn(g) for _, g in head.groupby(keys, sort=False)], ignore_index=True
+            )
+        return fn(head)
 
     def run(batches):
         carry: pd.DataFrame | None = None
@@ -57,11 +72,9 @@ def grouped_apply_batched(
             carry = b[tail_mask]
             head = b[~tail_mask]
             if len(head):
-                out = [fn(g) for _, g in head.groupby(keys, sort=False)]
-                yield pd.concat(out, ignore_index=True)
+                yield apply_complete(head)
         if carry is not None and len(carry):
-            out = [fn(g) for _, g in carry.groupby(keys, sort=False)]
-            yield pd.concat(out, ignore_index=True)
+            yield apply_complete(carry)
 
     parted = df.repartition(
         num_partitions or df.sparkSession.sparkContext.defaultParallelism, *keys

@@ -1351,19 +1351,18 @@ def sessionize(spark, sf):
 )
 def zscore(spark, sf):
     """Q41 grouped z-score — the pandas-UDF surface, verified against a SQL
-    window oracle. Uses ``grouped_apply_batched`` (mapInPandas with an
-    in-batch pandas groupby) rather than raw ``applyInPandas``: with ~67-row
-    groups the per-group Arrow round trip of applyInPandas dominates; the
-    batched form does one Python round trip per ~10k-row batch, same
-    ``fn(group) -> DataFrame`` contract."""
+    window oracle. Uses ``grouped_apply_batched(per_group=False)``: one
+    Python round trip per ~10k-row Arrow batch AND a vectorized
+    ``groupby().transform`` kernel (Cython) instead of a Python loop over
+    ~67-row user groups — the loop itself was the bottleneck once the Arrow
+    round trips were batched."""
     import pandas as pd
 
     from overseer_spark.operators.util import grouped_apply_batched
 
     def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        std = pdf["value"].std(ddof=1)
-        mean = pdf["value"].mean()
-        z = ((pdf["value"] - mean) / std).round(4) if std and std == std else pdf["value"] * float("nan")
+        g = pdf.groupby("user_id")["value"]
+        z = ((pdf["value"] - g.transform("mean")) / g.transform("std")).round(4)
         return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
 
     ev = _t(spark, sf, "events")
@@ -1372,6 +1371,7 @@ def zscore(spark, sf):
         ["user_id"],
         norm,
         schema="event_id long, z double",
+        per_group=False,
     ).orderBy("event_id")
 
 
@@ -1822,6 +1822,53 @@ def cohort_retention(spark, sf):
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy("cohort", "month_n")
     )
+
+
+@q(
+    "text_redact_pii",
+    oracle="""SELECT doc_id,
+                md5(regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '[0-9][0-9 .-]{6,}[0-9]', '<NUM>', 'g')) AS digest,
+                CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '[0-9][0-9 .-]{6,}[0-9]'))
+                   AS BIGINT) AS n_redactions
+              FROM documents ORDER BY doc_id""",
+)
+def redact_q(spark, sf):
+    """PII scrub (emails, long digit runs) with per-doc replacement counts
+    — operators/text.py redact(). Digest compared (full redacted text would
+    bloat the diff); patterns are RE2-portable so both engines agree."""
+    from overseer_spark.operators.text import redact
+
+    d = _t(spark, sf, "documents")
+    return redact(d).select(
+        "doc_id", F.md5("text_redacted").alias("digest"), "n_redactions"
+    ).orderBy("doc_id")
+
+
+@q(
+    "text_chunk_overlap",
+    oracle="""WITH c AS (SELECT doc_id,
+                unnest(generate_series(0,
+                  CASE WHEN length(text) <= 200 THEN 0
+                       ELSE CAST(ceil((length(text) - 200) / 150.0) AS INT) END)) AS i,
+                text FROM documents)
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                     substring(text, i * 150 + 1, 200) AS chunk
+              FROM c WHERE length(substring(text, i * 150 + 1, 200)) > 0
+              ORDER BY doc_id, chunk_id""",
+)
+def chunk_q(spark, sf):
+    """Fixed-window document chunking, 200 chars / 50 overlap (stride 150)
+    — context-window packing for training data. Shuffle-free 1→N expansion
+    (sequence → transform → posexplode), linear in corpus bytes."""
+    from overseer_spark.operators.text import chunk
+
+    d = _t(spark, sf, "documents")
+    return chunk(d, size=200, overlap=50).orderBy("doc_id", "chunk_id")
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,32 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], schema="k string, v double")
     got = grouped_apply_batched(df, ["k"], make_fn(), schema="k string, n long, s double")
     assert got.count() == 0
+
+
+def test_per_group_false_matches_per_group_true(spark, data):
+    """Vectorized whole-batch mode must produce the same rows as the
+    per-group loop — groups still arrive complete and key-sorted."""
+
+    def loop_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"k": pdf["k"].iloc[:1], "s": [float(pdf["v"].sum())]}
+        )
+
+    def vec_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("k", sort=False)["v"].sum().reset_index()
+        return out.rename(columns={"v": "s"})
+
+    schema = "k string, s double"
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        a = grouped_apply_batched(data, ["k"], loop_fn, schema).collect()
+        b = grouped_apply_batched(data, ["k"], vec_fn, schema, per_group=False).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    # pairwise vs cython summation differ in the last ulp — compare rounded
+    na = sorted((r["k"], round(r["s"], 6)) for r in a)
+    nb = sorted((r["k"], round(r["s"], 6)) for r in b)
+    assert na == nb
+    assert len(b) == 37

@@ -60,3 +60,41 @@ def test_approx_aggregates_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.05
     assert abs(row["p50_approx"] - row["p50_exact"]) / row["p50_exact"] <= 0.05
+
+
+def test_redact_counts_and_tags(spark):
+    from overseer_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk or call 555-123-4567 ok"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and digits 1234567890"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text_redacted"], r["n_redactions"]) for r in redact(df).collect()}
+    assert got[1] == ("mail me at <EMAIL> or call <NUM> ok", 2)
+    assert got[2] == ("no pii here", 0)
+    assert got[3][1] == 3 and "<EMAIL>" in got[3][0] and "<NUM>" in got[3][0]
+
+
+def test_chunk_overlap_and_edges(spark):
+    from overseer_spark.operators.text import chunk
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, "")],
+        schema="doc_id long, text string",
+    )
+    rows = chunk(df, size=4, overlap=2).collect()
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk"]) for r in rows)
+    # doc 1: stride 2, ceil((10-4)/2)+1 = 4 windows; last reaches the end
+    assert [c for d, _, c in got if d == 1] == ["abcd", "cdef", "efgh", "ghij"]
+    # doc 2 shorter than size → single chunk, no padding
+    assert [c for d, _, c in got if d == 2] == ["abc"]
+    # empty doc → no chunks
+    assert not [c for d, _, c in got if d == 3]
+    # reconstruction property: stripping the overlap re-concatenates the doc
+    parts = [c for d, _, c in got if d == 1]
+    rebuilt = parts[0] + "".join(p[2:] for p in parts[1:])
+    assert rebuilt == "abcdefghij"
