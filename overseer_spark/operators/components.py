@@ -44,7 +44,10 @@ def connected_components(
     component implicitly).
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # cached: the size probe, the collect (local) / iteration base
+    # (label_prop), and any caller reuse would otherwise re-run the whole
+    # upstream pair-mining pipeline per materialization
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
     if strategy in ("auto", "local"):
         small = e.limit(local_edge_cap + 1).count() <= local_edge_cap
         if small:
@@ -99,6 +102,9 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # free the superseded round's checkpoint blocks — otherwise every
+        # round (and every caller) leaks executor storage
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -168,37 +168,51 @@ def minhash_signatures(
     """(id, signature array<long>[num_perm]).
 
     ``h_i(shingle) = (a_i * crc32(shingle) + b_i) mod (2^61-1)``, minimum per
-    permutation. Computed *per row* with nested array HOFs (crc32 each
-    shingle once, then ``transform(coeffs, c -> array_min(transform(hs,
-    …)))``) — a pure projection: zero shuffles, nothing leaves its
-    partition, so the stage scales linearly with corpus bytes. (An
-    explode → groupBy formulation would shuffle the entire posting list —
-    |docs|·|shingles| rows — just to compute a per-doc reduction.)
+    permutation. Computed as an exploded posting list with ``num_perm``
+    primitive ``min`` aggregates: crc32 once per (doc, shingle), then every
+    permutation is a flat long expression inside ONE whole-stage-codegen
+    hash-agg — no intermediate arrays. (The tempting nested-HOF form —
+    ``transform(coeffs, c -> array_min(transform(hs, …)))`` — materializes
+    ``num_perm`` arrays per document and was ~10× slower from allocation
+    churn alone.) ``shingle_sets`` already hash-partitions by id, so the
+    groupBy reuses that partitioning: partial aggregation collapses the
+    posting list map-side and nothing wide crosses the network.
     crc32 is identical in the JVM and zlib → Python-oracle testable.
     Documents with no shingles (shorter than ``k`` tokens) are dropped,
     as an empty set has no defined MinHash.
     """
     coeffs = _hash_coeffs(num_perm, seed)
-    if sets_df is None:
-        sets_df = shingle_sets(df, content_col, id_col, k)
-    coeff_arr = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+    if sets_df is not None:
+        # caller-provided (usually cached/materialized) distinct shingle sets
+        posting = sets_df.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    else:
+        # Two measured traps here, each worth ~10× on this stage:
+        # (1) min() is duplicate-insensitive, so skip array_distinct — fused
+        #     under Generate it re-evaluates per exploded output row;
+        # (2) explode the EXPRESSION, not a named intermediate column — an
+        #     aliased array in the child Project is likewise re-evaluated /
+        #     copied per output row instead of once per document.
+        base = spread(df, id_col)
+        sh = shingles(tokens(F.col(content_col)), k=k, distinct=False)
+        posting = base.select(F.col(id_col), F.explode(sh).alias("_s"))
+    posting = posting.select(
+        F.col(id_col), F.crc32(F.encode("_s", "UTF-8")).alias("_h")
     )
-    hs = F.transform("shingles", lambda s: F.crc32(F.encode(s, "UTF-8")))
+    # permutation arithmetic in a Project, aggregation as PLAIN min columns:
+    # with (a*h+b)%p inside the agg expressions, the generated update method
+    # blows past the JIT threshold and the whole agg runs interpreted
+    # (~8× slower, measured); split this way both stages stay compiled
+    hashed = posting.select(
+        F.col(id_col),
+        *[
+            ((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"_h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
     return (
-        sets_df.filter(F.col("n_shingles") > 0)
-        .withColumn("_hs", hs)
-        .select(
-            F.col(id_col),
-            F.transform(
-                coeff_arr,
-                lambda c: F.array_min(
-                    F.transform(
-                        "_hs", lambda h: (h * c["a"] + c["b"]) % F.lit(_MERSENNE_P)
-                    )
-                ),
-            ).alias("signature"),
-        )
+        hashed.groupBy(id_col)
+        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_perm)])
+        .select(F.col(id_col), F.array(*[f"_m{i}" for i in range(num_perm)]).alias("signature"))
     )
 
 

@@ -83,17 +83,20 @@ def test_asof_join_is_not_nested_loop(spark):
     assert not has_cartesian_or_bnlj(q("asof_join_events", spark))
 
 
-def test_minhash_signatures_have_no_shuffle(spark):
-    """Per-row HOF signatures: the plan from parquet scan to signature
-    column may repartition the input once (parallelism spread) but must not
-    shuffle per-shingle rows — no aggregation exchange."""
+def test_minhash_signatures_single_exchange(spark):
+    """Signatures are a posting-list min-aggregation whose groupBy must
+    REUSE the spread repartition's hash-partitioning on the id: exactly one
+    Exchange in the whole plan (the spread), none inserted for the agg —
+    per-shingle rows never cross the network."""
     from overseer_spark.operators.dedup import minhash_signatures
     from overseer_spark.plans.inspect import explain_str
     from tests.conftest import SF_SMOKE
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     text = explain_str(minhash_signatures(docs), "simple")
-    assert "HashAggregate" not in text, "signature stage should not aggregate"
+    assert "HashAggregate" in text, "expected the min-agg signature plan"
+    n_exchanges = text.count("Exchange")
+    assert n_exchanges <= 1, f"agg added a shuffle:\n{text}"
 
 
 def test_jaccard_candidates_join_on_shingle_key(spark):
