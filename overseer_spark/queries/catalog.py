@@ -1871,6 +1871,106 @@ def chunk_q(spark, sf):
     return chunk(d, size=200, overlap=50).orderBy("doc_id", "chunk_id")
 
 
+@q(
+    "q_scalar_subquery",
+    oracle="""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+              FROM orders
+              WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+              ORDER BY o_orderkey""",
+)
+def scalar_subquery(spark, sf):
+    """Scalar subquery in a predicate (rows above 2× the mean) through the
+    SQL entry point — Catalyst plans the subquery as a one-row broadcast,
+    so the fact table is scanned once, filtered map-side."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+           FROM orders
+           WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+           ORDER BY o_orderkey"""
+    )
+
+
+@q(
+    "q_exists_correlated",
+    oracle="""SELECT c_custkey FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+              ORDER BY c_custkey""",
+)
+def exists_correlated(spark, sf):
+    """Correlated EXISTS / NOT EXISTS — Catalyst rewrites them to one semi
+    and one anti hash join; no per-row subquery execution at any scale."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT c_custkey FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           ORDER BY c_custkey"""
+    )
+
+
+@q(
+    "q_regexp_extract",
+    oracle="""SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+              FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+)
+def regexp_extract_q(spark, sf):
+    """Regex capture-group extraction + match counting — codegen'd scalar
+    functions, RE2-portable patterns."""
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), F.lit(0)))
+        .cast("long")
+        .alias("n_vowels"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "q_drop_duplicates_keyed",
+    oracle="""SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+              FROM (SELECT *, ROW_NUMBER() OVER
+                      (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                    FROM orders)
+              WHERE rn = 1 ORDER BY o_custkey""",
+)
+def drop_duplicates_keyed(spark, sf):
+    """Keyed de-duplication keeping a DETERMINISTIC representative (min
+    orderkey per customer) — what `dropDuplicates` should have been: that
+    API keeps an arbitrary row, which silently varies across runs and
+    partitionings; the window form pins the survivor."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_custkey")
+    )
+
+
+@q("pack_sequences", tier="py")
+def pack_sequences_q(spark, sf):
+    """Greedy sequence packing of documents into 512-token context windows
+    (first-fit-decreasing per hash partition, zero coordination) — summary
+    stats row. Invariants (fill ≤ 1, every doc packed once) asserted in
+    tests/test_packing.py."""
+    from overseer_spark.operators.packing import pack_greedy, packing_stats
+    from overseer_spark.operators.text import token_count
+
+    d = token_count(_t(spark, sf, "documents"))
+    return packing_stats(pack_greedy(d, capacity=512), capacity=512)
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
