@@ -107,3 +107,52 @@ def test_jaccard_candidates_join_on_shingle_key(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     assert not has_cartesian_or_bnlj(jaccard_pairs(docs))
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    """The selective dimension side (filtered customer) must broadcast —
+    the lineitem fact never shuffles for the join."""
+    from overseer_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(q("tpch_q3_shape", spark))
+
+
+def test_funnel_single_shuffle(spark):
+    """Funnel = one groupBy(user) shuffle for the fold, then the tiny
+    depth-count agg + presentation sort; the k-step logic must NOT add
+    per-step joins (the naive form is k joins over the event table)."""
+    from overseer_spark.plans.inspect import exchange_count, explain_str
+
+    df = q("funnel_view_click_purchase", spark)
+    assert exchange_count(df) <= 3  # user fold, depth agg, order-by range
+    assert "Join" not in explain_str(df, "simple")
+
+
+def test_hash_split_is_scan_only(spark):
+    """Deterministic split: no shuffle before the counting aggregate, and
+    no Python — md5/conv stay in codegen."""
+    from overseer_spark.plans.inspect import explain_str
+
+    text = explain_str(q("train_test_split_counts", spark), "simple")
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_pivot_no_distinct_values_job(spark):
+    """Explicit pivot value list: exactly one agg pass over the fact table
+    (an unlisted pivot triggers a prior distinct-values job)."""
+    from overseer_spark.plans.inspect import explain_str
+
+    text = explain_str(q("q_pivot_status", spark), "simple")
+    # count agg + pivotfirst agg, each partial+final — and no extra
+    # distinct-values aggregation pass (it would be a 5th/6th)
+    assert "pivotfirst" in text
+    assert text.count("HashAggregate") <= 4
+
+
+def test_exists_correlated_becomes_semi_and_anti(spark):
+    """Catalyst must rewrite EXISTS/NOT EXISTS to hash semi/anti joins —
+    no per-row subquery execution."""
+    from overseer_spark.plans.inspect import explain_str
+
+    text = explain_str(q("q_exists_correlated", spark), "simple")
+    assert "LeftSemi" in text and "LeftAnti" in text
