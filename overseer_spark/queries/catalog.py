@@ -1971,6 +1971,49 @@ def pack_sequences_q(spark, sf):
     return packing_stats(pack_greedy(d, capacity=512), capacity=512)
 
 
+@q(
+    "q_map_ops",
+    oracle="""SELECT event_id,
+                'k=' || json_extract_string(props, '$.k') AS kv
+              FROM events WHERE event_id <= 300 ORDER BY event_id""",
+)
+def map_ops(spark, sf):
+    """Map-column pipeline (R18): JSON payload → map<string,string> →
+    null-entry filter → canonical sorted-string form. All JVM built-ins
+    (from_json / map_filter / map_entries); the canonical string is the
+    only sane cross-engine representation since maps are unordered."""
+    from overseer_spark.functions.maps import filter_entries, json_to_map, map_to_sorted_string
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") <= 300)
+    m = filter_entries(json_to_map("props"), lambda k, v: v.isNotNull())
+    return e.select("event_id", map_to_sorted_string(m).alias("kv")).orderBy("event_id")
+
+
+@q(
+    "q_rank_variants",
+    oracle="""SELECT o_orderkey,
+                CAST(RANK() OVER w AS BIGINT) AS rk,
+                CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+                ROUND(PERCENT_RANK() OVER w, 4) AS prk,
+                ROUND(CUME_DIST() OVER w, 4) AS cd
+              FROM orders WHERE o_custkey <= 100
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""",
+)
+def rank_variants(spark, sf):
+    """Remaining rank-family windows: RANK / DENSE_RANK / PERCENT_RANK /
+    CUME_DIST (beyond Q20's ROW_NUMBER)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.round(F.percent_rank().over(w), 4).alias("prk"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------

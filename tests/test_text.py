@@ -98,3 +98,29 @@ def test_chunk_overlap_and_edges(spark):
     parts = [c for d, _, c in got if d == 1]
     rebuilt = parts[0] + "".join(p[2:] for p in parts[1:])
     assert rebuilt == "abcdefghij"
+
+
+def test_map_functions_roundtrip(spark):
+    from overseer_spark.functions.maps import (
+        filter_entries,
+        json_to_map,
+        map_to_sorted_string,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"b": "2", "a": "1"}'),
+            (2, '{"x": null, "y": "3"}'),
+            (3, "not json"),
+        ],
+        schema="id long, js string",
+    )
+    m = filter_entries(json_to_map("js"), lambda k, v: v.isNotNull())
+    got = {
+        r["id"]: r["kv"]
+        for r in df.select("id", map_to_sorted_string(m).alias("kv")).collect()
+    }
+    assert got[1] == "a=1,b=2"  # sorted by key, null entries kept out
+    assert got[2] == "y=3"
+    assert got[3] is None  # unparseable → null map → null string
