@@ -48,6 +48,9 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "text_doc_freq_idf",
     "train_test_split_counts",
+    "tpch_q5_shape",
+    "skew_salted_agg",
+    "sliding_window_counts",
 ]
 
 

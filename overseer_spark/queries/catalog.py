@@ -2014,6 +2014,344 @@ def rank_variants(spark, sf):
     ).orderBy("o_orderkey")
 
 
+@q(
+    "q_min_max_by",
+    oracle="""SELECT n.n_name,
+                max_by(c.c_name, c.c_custkey) AS newest_customer,
+                min_by(c.c_name, c.c_custkey) AS oldest_customer
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def min_max_by(spark, sf):
+    """Argmax/argmin aggregation (MAX_BY / MIN_BY) — one hash aggregate
+    instead of the agg-then-self-join idiom; keyed on the unique custkey so
+    the winner is deterministic. At scale this halves the shuffles of the
+    classic 'row with the max per group' pattern."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("newest_customer"),
+            F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "q_conditional_agg",
+    oracle="""SELECT o_custkey,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+                ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice ELSE 0 END), 2) AS urgent_total,
+                ROUND(MAX(CASE WHEN o_totalprice > 150000 THEN o_totalprice END), 2) AS max_big
+              FROM orders GROUP BY o_custkey
+              HAVING COUNT(*) >= 10 ORDER BY o_custkey""",
+)
+def conditional_agg(spark, sf):
+    """Conditional aggregation (pivot-style SUM(CASE WHEN …)) — N filtered
+    metrics in ONE pass / one shuffle instead of N filtered subqueries
+    unioned back together; the CASE arms stay inside whole-stage codegen."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_finished"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority").like("1-%"), F.col("o_totalprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("urgent_total"),
+            F.round(
+                F.max(F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice"))), 2
+            ).alias("max_big"),
+        )
+        .filter(F.col("n") >= 10)
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "q_lead_nth_window",
+    oracle="""SELECT event_id,
+                LEAD(event_id) OVER w AS next_id,
+                LEAD(event_id, 2) OVER w AS next2_id,
+                NTH_VALUE(event_id, 3) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_id
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""",
+)
+def lead_nth_window(spark, sf):
+    """Forward-looking analytic windows: LEAD (offset 1 and 2) + NTH_VALUE
+    with an explicit full frame (same default-frame trap as LAST_VALUE).
+    Completes the offset-window family begun by Q21's LAG."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lead("event_id", 2).over(w).alias("next2_id"),
+        F.nth_value("event_id", 3).over(wf).alias("third_id"),
+    ).orderBy("event_id")
+
+
+@q(
+    "q_sequence_islands",
+    oracle="""SELECT o_custkey,
+                CAST(COUNT(*) AS BIGINT) AS n_islands,
+                CAST(MAX(run_len) AS BIGINT) AS longest_run
+              FROM (SELECT o_custkey, COUNT(*) AS run_len
+                    FROM (SELECT o_custkey, o_orderkey,
+                            o_orderkey - ROW_NUMBER() OVER
+                              (PARTITION BY o_custkey ORDER BY o_orderkey) AS grp
+                          FROM orders)
+                    GROUP BY o_custkey, grp)
+              GROUP BY o_custkey ORDER BY o_custkey""",
+)
+def sequence_islands(spark, sf):
+    """Gaps-and-islands: maximal runs of consecutive orderkeys per customer
+    via the rank-difference trick (value − ROW_NUMBER is constant within a
+    run). One window + two aggregations, all on the same partition key, so
+    Spark reuses a single hash-partitioning end to end — no extra shuffle."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    runs = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "sliding_window_counts",
+    oracle="""SELECT CAST(bucket AS TIMESTAMP) AS win_start,
+                CAST(COUNT(*) AS BIGINT) AS c,
+                ROUND(SUM(value), 2) AS s
+              FROM (SELECT time_bucket(INTERVAL '5 minutes', ts)
+                             - off * INTERVAL '5 minutes' AS bucket, value
+                    FROM events, UNNEST([0, 1]) AS u(off))
+              GROUP BY bucket ORDER BY win_start""",
+)
+def sliding_window_counts(spark, sf):
+    """Sliding (hopping) event-time windows — 10-minute windows every
+    5 minutes via F.window(ts, '10 min', '5 min'); each event lands in
+    exactly 2 windows. Same operator Structured Streaming uses with a
+    watermark (streaming/windows.py); batch-checkable here. The oracle
+    expands the window memberships explicitly (bucket, bucket−5min)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.col("w.start").alias("win_start"), "c", "s")
+        .orderBy("win_start")
+    )
+
+
+@q(
+    "q_null_safe_join",
+    oracle="""SELECT c.c_custkey, n.n_name
+              FROM (SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk FROM customer) c
+              JOIN (SELECT NULLIF(n_nationkey, 3) AS nk, n_name FROM nation) n
+                ON c.nk IS NOT DISTINCT FROM n.nk
+              ORDER BY c.c_custkey, n.n_name""",
+)
+def null_safe_join(spark, sf):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — still a hash join in Spark
+    (null-safe equality is a valid hash key), not a nested loop."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    n = _t(spark, sf, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("nk"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), c.nk.eqNullSafe(n.nk))
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey", "n_name")
+    )
+
+
+@q(
+    "tpch_q5_shape",
+    oracle="""SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                             AND c.c_nationkey = s.s_nationkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'
+                AND o.o_orderdate >= DATE '1994-01-01'
+                AND o.o_orderdate < DATE '1996-01-01'
+              GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def tpch_q5_shape(spark, sf):
+    """TPC-H Q5 (local supplier volume): 6-way join — two fact tables plus
+    three broadcast dims, with the region filter pushed through the dim
+    chain so partition pruning cuts the build side before the big joins.
+    The c_nationkey = s_nationkey condition rides the l↔s join. AQE picks
+    broadcast for nation/region/supplier at any SF where they fit."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "skew_salted_agg",
+    oracle="""SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def skew_salted_agg(spark, sf):
+    """Skew-safe two-phase aggregation (operators/skew.py): events has only
+    a handful of event_type values, so a plain groupBy funnels ~100 TB/5
+    through 5 reducers. salted_aggregate fans each key over 16 salt buckets
+    (map-side-combine-friendly partials), then merges — identical result,
+    verified against the plain-GROUP-BY oracle. SUM is re-rounded only at
+    the merge, keeping float order deterministic enough for ROUND(…,2)."""
+    from overseer_spark.operators.skew import salted_aggregate
+
+    e = _t(spark, sf, "events")
+    out = salted_aggregate(
+        e, "event_type", {"n": ("count", "*"), "total": ("sum", "value")}
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+    ).orderBy("event_type")
+
+
+@q(
+    "q_range_frame_window",
+    oracle="""SELECT o_orderkey,
+                CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+              FROM orders WHERE o_custkey <= 200 ORDER BY o_orderkey""",
+)
+def range_frame_window(spark, sf):
+    """Value-RANGE window frame (vs Q22's ROWS): peers within $10k below the
+    current price. RANGE frames are insensitive to tie order — the frame is
+    defined by the ORDER BY *value* — so this is deterministic without a
+    unique-key tiebreaker."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).cast("long").alias("n_near")
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "q_union_distinct",
+    oracle="""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+              ORDER BY k""",
+)
+def union_distinct(spark, sf):
+    """UNION (distinct) — completes the set-op family (Q24-Q26 cover UNION
+    ALL / INTERSECT / EXCEPT): union + hash-dedup in one exchange."""
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return c.union(o).distinct().orderBy("k")
+
+
+@q(
+    "dedup_rate_by_source",
+    oracle="""SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS docs,
+                CAST(COUNT(DISTINCT text) AS BIGINT) AS uniq,
+                CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dups,
+                ROUND(1.0 - COUNT(DISTINCT text) * 1.0 / COUNT(*), 4) AS dup_rate
+              FROM documents GROUP BY source ORDER BY source""",
+)
+def dedup_rate_by_source(spark, sf):
+    """Per-source exact-duplication profile — the first report a training-
+    data pipeline runs on a new crawl source. COUNT(DISTINCT text) over long
+    strings is shuffle-heavy at 100 TB; production would pre-hash to a
+    64-bit fingerprint (text_fingerprint_md5) and count distinct hashes —
+    same number, fixed-width shuffle keys."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.count_distinct(F.col("text")).cast("long").alias("uniq"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("text")))
+            .cast("long")
+            .alias("dups"),
+            F.round(
+                1.0 - F.count_distinct(F.col("text")) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
