@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overseer_spark.operators.util import eager_cache
+
 
 def connected_components(
     edges: DataFrame,
@@ -47,7 +49,7 @@ def connected_components(
     # cached: the size probe, the collect (local) / iteration base
     # (label_prop), and any caller reuse would otherwise re-run the whole
     # upstream pair-mining pipeline per materialization
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
+    e = eager_cache(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     if strategy in ("auto", "local"):
         small = e.limit(local_edge_cap + 1).count() <= local_edge_cap
         if small:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.textfns import shingles, tokens
-from overseer_spark.operators.util import spread
+from overseer_spark.operators.util import eager_cache, spread
 
 # Universal hashing family h_i(x) = (a_i*x + b_i) mod p over crc32 inputs.
 # Coefficients stay < 2^30 so a*crc32 (< 2^62) never overflows a signed
@@ -110,8 +110,8 @@ def jaccard_pairs(
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= prefix_len)
         .select("doc", "n", "shingle")
-        .cache()
     )
+    prefix = prefix.cache()
     a, b = prefix.alias("a"), prefix.alias("b")
     # length filter: J(A,B) ≥ t requires t·|B| ≤ |A| (and symmetrically) —
     # prunes size-incompatible pairs inside the join itself
@@ -248,7 +248,8 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_hash"),
-    ).cache()
+    )
+    banded = eager_cache(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -275,7 +276,7 @@ def minhash_near_duplicates(
     """End-to-end near-dedup: MinHash → LSH candidates → exact-Jaccard
     verification of candidates only. Output (d1, d2, jaccard ≥ threshold)."""
     rows_per_band = num_perm // bands
-    sets_df = shingle_sets(df, content_col, id_col, k).cache()
+    sets_df = eager_cache(shingle_sets(df, content_col, id_col, k))
     sigs = minhash_signatures(df, content_col, id_col, k, num_perm, seed, sets_df=sets_df)
     cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     s1 = sets_df.select(
@@ -357,7 +358,8 @@ def simhash_pairs_from_signatures(
     )
     blocked = sig.select(
         F.col(id_col).alias("doc"), F.col("simhash"), F.explode(blocks).alias("blk")
-    ).cache()
+    )
+    blocked = eager_cache(blocked)
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

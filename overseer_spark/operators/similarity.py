@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.vectors import cosine_similarity, l2_norm, vec_dot
-from overseer_spark.operators.util import spread
+from overseer_spark.operators.util import eager_cache, spread
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
@@ -101,7 +101,7 @@ def ivf_topk(
     At scale, ``assigned`` is written bucketed by ``cell`` so the probe join
     prunes buckets; here it's an equi-join on ``cell``.
     """
-    centroids = corpus.orderBy(id_col).limit(n_cells).cache()
+    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
     assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
     cents = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
@@ -158,7 +158,8 @@ def embedding_near_duplicates(
     elif strategy == "ivf":
         assigned = assign_cells(
             corpus, n_cells, id_col, vec_col, n_probe=n_probe
-        ).select(F.col(id_col), F.col(vec_col), "cell").cache()
+        ).select(F.col(id_col), F.col(vec_col), "cell")
+        assigned = eager_cache(assigned)
         a = assigned.select(
             F.col("cell"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
         )

@@ -648,6 +648,63 @@ def q33b(spark, sf):
     )
 
 
+@q(
+    "dag_degree_stats",
+    oracle=f"""WITH {FX.jobs_values_cte()}, {FX.deps_values_cte()},
+               outd AS (SELECT job_id, COUNT(*) AS n FROM overseer_dependencies GROUP BY job_id),
+               ind AS (SELECT dep_id, COUNT(*) AS n FROM overseer_dependencies GROUP BY dep_id)
+               SELECT j.id,
+                 CAST(COALESCE(outd.n, 0) AS BIGINT) AS n_deps,
+                 CAST(COALESCE(ind.n, 0) AS BIGINT) AS n_dependents
+               FROM overseer_jobs j
+               LEFT JOIN outd ON outd.job_id = j.id
+               LEFT JOIN ind ON ind.dep_id = j.id
+               ORDER BY j.id""",
+)
+def dag_degree_stats(spark, sf):
+    """DAG degree profile per job: dependency fan-in (n_deps — edges this
+    job waits on) and dependent fan-out (n_dependents — jobs an abort
+    cascade from here would reach, one hop). Two aggregations on the edge
+    table + broadcast-friendly left joins back to jobs — the shape survives
+    an edge table of any size because the per-job aggregates shrink it
+    before the join."""
+    jobs, deps = FX.jobs_df(spark), FX.deps_df(spark)
+    outd = deps.groupBy("job_id").agg(F.count(F.lit(1)).alias("_o"))
+    ind = deps.groupBy("dep_id").agg(F.count(F.lit(1)).alias("_i"))
+    return (
+        jobs.select("id")
+        .join(outd, jobs.id == outd.job_id, "left")
+        .join(ind, jobs.id == ind.dep_id, "left")
+        .select(
+            "id",
+            F.coalesce("_o", F.lit(0)).cast("long").alias("n_deps"),
+            F.coalesce("_i", F.lit(0)).cast("long").alias("n_dependents"),
+        )
+        .orderBy("id")
+    )
+
+
+@q(
+    "dag_topo_levels",
+    oracle=f"""WITH RECURSIVE {FX.jobs_values_cte()}, {FX.deps_values_cte()},
+               lv(id, l) AS (
+                 SELECT id, 0 FROM overseer_jobs
+                 WHERE id NOT IN (SELECT job_id FROM overseer_dependencies)
+                 UNION ALL
+                 SELECT d.job_id, lv.l + 1
+                 FROM overseer_dependencies d JOIN lv ON d.dep_id = lv.id)
+               SELECT id, CAST(MAX(l) AS BIGINT) AS level
+               FROM lv GROUP BY id ORDER BY id""",
+)
+def dag_topo_levels(spark, sf):
+    """Execution waves (operators/scheduling.py topo_levels): level 0 =
+    dependency-free jobs, level k = longest path from any root — every job
+    in wave k can start once wave k−1 completes. Iterative level-synchronous
+    joins (one per wave, lineage checkpointed) vs the oracle's recursive
+    CTE + MAX."""
+    return S.topo_levels(FX.jobs_df(spark), FX.deps_df(spark)).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # join-type + grouping-set completeness
 # ---------------------------------------------------------------------------

@@ -101,3 +101,28 @@ def test_dataframe_seeds(spark, dag):
     got = {r["id"] for r in transitive_dependents(df, seeds).collect()}
     want = (py_dependents(edges, "j0") | py_dependents(edges, "j150")) - {"j0", "j150"}
     assert got == want
+
+
+def test_topo_levels_matches_python(spark, dag):
+    """topo_levels agrees with a Python longest-path-from-roots on the
+    randomized DAG (includes diamonds — max, not first-visit, semantics)."""
+    from overseer_spark.operators.scheduling import topo_levels
+
+    df, edges = dag
+    nodes = sorted({x for e in edges for x in e})
+    jobs = spark.createDataFrame([(n,) for n in nodes], schema="id string")
+
+    deps_of: dict[str, list[str]] = {}
+    for j, d in edges:
+        deps_of.setdefault(j, []).append(d)
+    levels: dict[str, int] = {}
+
+    def level(n: str) -> int:
+        if n not in levels:
+            ds = deps_of.get(n, [])
+            levels[n] = 0 if not ds else 1 + max(level(d) for d in ds)
+        return levels[n]
+
+    expected = {n: level(n) for n in nodes}
+    got = {r.id: r.level for r in topo_levels(jobs, df).collect()}
+    assert got == expected
