@@ -87,13 +87,20 @@ def main() -> None:
             print(f"  warmup {name} failed: {e}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # min of 2 timed runs per query: single-JVM timings at this scale are
+    # dominated by GC / task-scheduling jitter (±2× observed run-to-run on
+    # identical plans); the min is the standard low-noise point estimate of
+    # plan cost. clearCache() before every run — each run pays full compute.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
-        spark.catalog.clearCache()  # each query pays its own compute
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()  # each query pays its own compute
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

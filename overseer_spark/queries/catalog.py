@@ -1122,6 +1122,93 @@ def ann_topk(spark, sf):
     )
 
 
+@q(
+    "knn_label_predict",
+    oracle="""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              s AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                  list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              nn AS (SELECT query_id, label FROM (
+                       SELECT query_id, label,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rnk FROM s)
+                     WHERE rnk <= 5),
+              votes AS (SELECT query_id, label, COUNT(*) AS n
+                        FROM nn GROUP BY query_id, label)
+              SELECT query_id,
+                CAST(label AS BIGINT) AS predicted_label,
+                CAST(n AS BIGINT) AS votes
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY n DESC, label) AS pick FROM votes)
+              WHERE pick = 1 ORDER BY query_id""",
+)
+def knn_label_predict(spark, sf):
+    """kNN classification over the embedding corpus: majority label of the
+    5 nearest cosine neighbors (tie → smaller label). The similarity join
+    reuses cosine_topk (exact here; the IVF variant is the drop-in scale
+    path — same downstream vote); the vote is a tiny (query, label) agg +
+    one-row-per-query window."""
+    emb = _t(spark, sf, "embeddings")
+    nn = V.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), "label")
+    return (
+        votes.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("n").cast("long").alias("votes"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@q(
+    "embedding_quantize_int8",
+    oracle="""SELECT vec_id,
+                ROUND(127.0 / NULLIF(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))), 0), 6) AS scale,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / NULLIF(list_max(
+                    list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 0)))
+                    AS BIGINT))) AS BIGINT) AS qsum
+              FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""",
+)
+def embedding_quantize_int8(spark, sf):
+    """Per-vector symmetric int8 quantization (scale = 127/max|x|) — the
+    4× storage/bandwidth cut applied before ANN at scale. Pure array HOFs,
+    zero shuffle, zero Python; checked here via the quantized-sum invariant
+    (elementwise roundtrip error bounds are pytest-asserted in
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.nullif(
+        F.array_max(F.transform(dv, F.abs)), F.lit(0.0)
+    )
+    return (
+        emb.withColumn("_scale", scale)
+        .select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale"),
+            F.aggregate(
+                F.transform(dv, lambda x: F.round(x * F.col("_scale"), 0).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qsum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @q("ann_ivf_topk", tier="py")
 def ann_ivf(spark, sf):
     """IVF-bucketed approximate top-3 for 10 queries — the 100 TB scale path
@@ -2406,6 +2493,191 @@ def dedup_rate_by_source(spark, sf):
             ).alias("dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+@q(
+    "tpch_q17_shape",
+    oracle="""SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+              FROM lineitem l
+              WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                    FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)""",
+)
+def tpch_q17_shape(spark, sf):
+    """TPC-H Q17 shape: correlated aggregate subquery (rows below 20% of
+    their part's mean quantity), written DECORRELATED — one per-partkey
+    pre-aggregate joined back to the fact table. At 100 TB the pre-agg is
+    |parts| rows (map-side partials collapse it), the join shuffles on
+    l_partkey once, and the correlated form would be identical after
+    Catalyst's decorrelation — this pins the plan explicitly."""
+    li = _t(spark, sf, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thr")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q_global_sort",
+    oracle="""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey""",
+)
+def global_sort(spark, sf):
+    """Total-order distributed sort (not top-k): Spark range-partitions on
+    a sampled key distribution, sorts partitions independently, and the
+    partition index concatenation IS the global order — no single-node
+    merge. The unique-key tiebreak (o_orderkey) makes the order total and
+    hash-stable across engines."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "price")
+    )
+
+
+@q(
+    "q_event_transitions",
+    oracle="""WITH s AS (SELECT event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+              FROM events)
+              SELECT event_type AS src, next_type AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM s WHERE next_type IS NOT NULL
+              GROUP BY src, dst ORDER BY src, dst""",
+)
+def event_transitions(spark, sf):
+    """Event-to-event transition matrix (Markov counts): LEAD within each
+    user's time-ordered stream, then a tiny (src, dst) aggregate. One
+    shuffle keyed on user_id for the window; the transition agg's input is
+    already partial-aggregated map-side, so the second exchange carries at
+    most |event_types|² rows per task."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("src", "dst")
+    )
+
+
+@q(
+    "q_cumulative_distinct_users",
+    oracle="""WITH f AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+              firsts AS (SELECT d, COUNT(*) AS new_users FROM f WHERE rn = 1 GROUP BY d)
+              SELECT d, CAST(new_users AS BIGINT) AS new_users,
+                     CAST(SUM(new_users) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_users
+              FROM firsts ORDER BY d""",
+)
+def cumulative_distinct_users(spark, sf):
+    """Cumulative distinct users per day. COUNT(DISTINCT) OVER a running
+    frame is unsupported in Spark (and quadratic anywhere); the scalable
+    rewrite marks each user's FIRST event (row_number = 1), aggregates
+    first-appearances per day, and running-sums that — the global window
+    runs over |days| rows, not |events|."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return firsts.select(
+        "d",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(wcum).cast("long").alias("cum_users"),
+    ).orderBy("d")
+
+
+@q(
+    "q_percent_of_total",
+    oracle="""WITH a AS (SELECT n_name, SUM(o_totalprice) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name)
+              SELECT n_name, ROUND(rev, 2) AS rev,
+                     ROUND(rev / SUM(rev) OVER (), 4) AS share
+              FROM a ORDER BY n_name""",
+)
+def percent_of_total(spark, sf):
+    """Ratio-to-report: each nation's share of total revenue. The unbounded
+    window runs AFTER aggregation over |nations| rows — the single-partition
+    window is safe because its input is already dimension-sized; computing
+    the share against raw orders would instead broadcast one global-sum
+    scalar (q_scalar_subquery pattern)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wall = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("rev", 2).alias("rev"),
+        F.round(F.col("rev") / F.sum("rev").over(wall), 4).alias("share"),
+    ).orderBy("n_name")
+
+
+@q(
+    "text_repetition_ratio",
+    oracle="""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+              c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+              t AS (SELECT doc_id, SUM(cnt) AS total, MAX(cnt) AS mx,
+                           COUNT(*) AS uniq FROM c GROUP BY doc_id)
+              SELECT doc_id, CAST(total AS BIGINT) AS n_words,
+                     ROUND(1.0 - uniq / CAST(total AS DOUBLE), 4) AS rep_ratio,
+                     ROUND(mx / CAST(total AS DOUBLE), 4) AS top_word_frac
+              FROM t ORDER BY doc_id""",
+)
+def text_repetition_ratio(spark, sf):
+    """Within-document word repetition (Gopher-style quality signal):
+    duplicate-word ratio and most-frequent-word fraction. Explode → two
+    chained aggregations, both keyed by doc_id (the second reuses the
+    first's hash-partitioning modulo the word column — Catalyst plans one
+    exchange per grouping with map-side partials; nothing is quadratic in
+    document length, unlike per-row HOF counting)."""
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.max("cnt").alias("mx"),
+            F.count(F.lit(1)).alias("uniq"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("uniq") / F.col("n_words").cast("double"), 4)
+            .alias("rep_ratio"),
+            F.round(F.col("mx") / F.col("n_words").cast("double"), 4)
+            .alias("top_word_frac"),
+        )
+        .orderBy("doc_id")
     )
 
 

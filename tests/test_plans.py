@@ -156,3 +156,46 @@ def test_exists_correlated_becomes_semi_and_anti(spark):
 
     text = explain_str(q("q_exists_correlated", spark), "simple")
     assert "LeftSemi" in text and "LeftAnti" in text
+
+
+def test_tpch_q5_single_fact_pass_all_broadcast(spark):
+    """Q5's plan must be ONE pass over lineitem with every other table
+    broadcast (date/region filters pushed), plus exactly the final agg
+    exchange — no sort-merge join, no fact re-shuffle."""
+    from overseer_spark.plans import explain_str
+
+    text = explain_str(q("tpch_q5_shape", spark), "simple")
+    assert "SortMergeJoin" not in text, "fact table must not shuffle for a join"
+    assert text.count("BroadcastHashJoin") == 5, text.count("BroadcastHashJoin")
+    assert any("o_orderdate" in f for f in pushed_filters(q("tpch_q5_shape", spark)))
+
+
+def test_skew_salted_agg_two_phase(spark):
+    """The salted aggregate must contain BOTH groupings — (key, salt) then
+    (key) — each with map-side partial aggregation."""
+    from overseer_spark.plans import explain_str
+
+    text = explain_str(q("skew_salted_agg", spark))
+    assert "_salt" in text
+    assert has_partial_aggregation(q("skew_salted_agg", spark))
+
+
+def test_sequence_islands_single_partitioning(spark):
+    """Window + both aggregations share the o_custkey hash-partitioning:
+    exactly one exchange on o_custkey before the final sort."""
+    from overseer_spark.plans import explain_str
+
+    text = explain_str(q("q_sequence_islands", spark))
+    n_hash_exchanges = text.count("hashpartitioning(o_custkey")
+    assert n_hash_exchanges == 1, f"expected 1 o_custkey exchange, saw {n_hash_exchanges}"
+
+
+def test_min_max_by_single_aggregation(spark):
+    """MAX_BY/MIN_BY plan: broadcast dim join + one partial/final agg —
+    no self-join back for the argmax row."""
+    df = q("q_min_max_by", spark)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+    from overseer_spark.plans import explain_str
+
+    assert explain_str(df, "simple").count("Join") <= 1  # just the one dim join

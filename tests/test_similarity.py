@@ -131,3 +131,36 @@ def test_embedding_near_dup_ivf_recall_on_true_near_dups(spark, emb):
     expected = {(i, i + 10_000) for i in range(50)}
     missed = expected - found
     assert len(missed) <= 1, f"IVF missed near-identical pairs: {sorted(missed)[:5]}"
+
+
+def test_embedding_quantize_int8_roundtrip(spark):
+    """Quantize-dequantize error is bounded by 0.5/scale per element, and
+    qsum matches a numpy oracle."""
+    import numpy as np
+
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    out = {
+        r.vec_id: r
+        for r in CATALOG["embedding_quantize_int8"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_CORRECTNESS, "embeddings")
+        .filter("vec_id < 500")
+        .collect()
+    }
+    assert set(out) == set(emb)
+    for vid, v in emb.items():
+        m = np.abs(v).max()
+        if m == 0:
+            assert out[vid].scale is None
+            continue
+        scale = 127.0 / m
+        q = np.round(v * scale)
+        assert out[vid].qsum == int(q.sum())
+        assert abs(out[vid].scale - scale) < 5e-7
+        # dequantization error bound: half a quantization step
+        assert np.abs(q / scale - v).max() <= 0.5 / scale + 1e-12
