@@ -2681,6 +2681,47 @@ def text_repetition_ratio(spark, sf):
     )
 
 
+@q("hll_distinct_merge", tier="py")
+def hll_distinct_merge(spark, sf):
+    """Mergeable distinct-count sketches — the actual 100 TB distinct path:
+    one Apache-DataSketches HLL per order status (`hll_sketch_agg`), union
+    of the sketches (`hll_union_agg`) = the global estimate, WITHOUT
+    re-touching the data. That algebra is what lets a 1000-executor job
+    pre-sketch per partition/day and answer any rollup from kilobytes.
+    Output: per-status estimates + the merged ALL row; ≤5% relative error
+    and merge-consistency are asserted in tests/test_text.py."""
+    o = _t(spark, sf, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("_sk")
+    )
+    merged = per.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.hll_union_agg("_sk").alias("_sk"),
+    )
+    return (
+        per.union(merged)
+        .select(
+            "o_orderstatus",
+            F.hll_sketch_estimate("_sk").cast("long").alias("est_custkeys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q("dag_pagerank", tier="py")
+def dag_pagerank(spark, sf):
+    """Job criticality via PageRank over the dependency DAG (rank flows to
+    what a job depends on — the most-depended-on upstream jobs score
+    highest). 10 damped iterations, each one edge-join + one id-keyed agg
+    on a shared partitioning (operators/scheduling.py pagerank); verified
+    against a pure-pandas power iteration in tests/test_closure_strategies.py."""
+    return (
+        S.pagerank(FX.jobs_df(spark), FX.deps_df(spark), iterations=10)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------

@@ -126,3 +126,32 @@ def test_topo_levels_matches_python(spark, dag):
     expected = {n: level(n) for n in nodes}
     got = {r.id: r.level for r in topo_levels(jobs, df).collect()}
     assert got == expected
+
+
+def test_pagerank_matches_power_iteration(spark, dag):
+    """Spark pagerank == pure-Python power iteration on the random DAG
+    (same simplified formulation: dangling mass dropped)."""
+    from overseer_spark.operators.scheduling import pagerank
+
+    df, edges = dag
+    nodes = sorted({x for e in edges for x in e})
+    jobs = spark.createDataFrame([(n,) for n in nodes], schema="id string")
+
+    n = len(nodes)
+    d = 0.85
+    outd: dict[str, int] = {}
+    for j, _ in edges:
+        outd[j] = outd.get(j, 0) + 1
+    ranks = {x: 1.0 / n for x in nodes}
+    for _ in range(10):
+        incoming = {x: 0.0 for x in nodes}
+        for j, dep in edges:
+            incoming[dep] += ranks[j] / outd[j]
+        ranks = {x: (1.0 - d) / n + d * incoming[x] for x in nodes}
+
+    got = {r.id: r.rank for r in pagerank(jobs, df, iterations=10).collect()}
+    assert set(got) == set(ranks)
+    for x in nodes:
+        assert abs(got[x] - ranks[x]) < 1e-9, (x, got[x], ranks[x])
+    # ranks form a probability-mass-like vector (<=1 with dangling loss)
+    assert 0 < sum(got.values()) <= 1.0 + 1e-9

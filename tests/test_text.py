@@ -124,3 +124,30 @@ def test_map_functions_roundtrip(spark):
     assert got[1] == "a=1,b=2"  # sorted by key, null entries kept out
     assert got[2] == "y=3"
     assert got[3] is None  # unparseable → null map → null string
+
+
+def test_hll_merge_consistency_and_tolerance(spark):
+    """hll_distinct_merge: per-status estimates ≤5% off exact, and the
+    union-of-sketches ALL row equals sketching the whole column directly
+    (register-wise max makes HLL union lossless)."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.queries.catalog import CATALOG
+
+    out = {
+        r.o_orderstatus: r.est_custkeys
+        for r in CATALOG["hll_distinct_merge"].fn(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for st, n in exact.items():
+        assert abs(out[st] - n) / n <= 0.05, (st, out[st], n)
+    direct_all = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).cast("long")
+    ).collect()[0][0]
+    assert out["ALL"] == direct_all
