@@ -2681,6 +2681,48 @@ def text_repetition_ratio(spark, sf):
     )
 
 
+@q(
+    "text_contamination_check",
+    oracle="""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 4),
+                         i -> list_aggregate(w[i:i+4], 'string_agg', ' ')))
+                       ELSE [] END AS shingles FROM tok),
+              e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+              bench AS (SELECT DISTINCT s FROM e WHERE doc_id < 50)
+              SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM e JOIN bench USING (s) WHERE e.doc_id >= 50
+              GROUP BY e.doc_id ORDER BY doc_id""",
+)
+def text_contamination_check(spark, sf):
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct 5-word
+    shingle with the benchmark set (here docs 0-49), with the shared-shingle
+    count per hit. The benchmark shingle set is tiny relative to the corpus
+    — it BROADCASTS, so the corpus side is one explode + map-side hash
+    probe + per-doc agg: no corpus shuffle on shingle strings. At 100 TB
+    you'd hash shingles to int64 first (fixed-width probe keys), same plan."""
+    from overseer_spark.functions.textfns import shingles, tokens
+
+    base = _t(spark, sf, "documents").select(
+        "doc_id", shingles(tokens("text"), k=5).alias("sh")
+    )
+    bench = (
+        base.filter(F.col("doc_id") < 50)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = base.filter(F.col("doc_id") >= 50).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
