@@ -2723,6 +2723,70 @@ def text_contamination_check(spark, sf):
     )
 
 
+@q(
+    "q_variant_json",
+    oracle="""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS s
+              FROM events WHERE CAST(props->>'$.k' AS BIGINT) > 50
+              GROUP BY event_type ORDER BY event_type""",
+)
+def variant_json(spark, sf):
+    """Semi-structured props through Spark 4's VARIANT type: ``parse_json``
+    once into the binary-shredded form, then typed ``variant_get`` paths
+    for both the predicate and the aggregate — repeated path access never
+    re-parses the JSON string (vs ``get_json_object``, which parses per
+    call). At 100 TB, props would be ingested as a VARIANT column so the
+    parse cost is paid once at write time."""
+    e = _t(spark, sf, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.withColumn("_k", k)
+        .filter(F.col("_k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_k").cast("long").alias("s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "udtf_tokenize_positions",
+    oracle="""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 50)
+              SELECT doc_id,
+                     CAST(unnest(generate_series(1, len(w))) AS INT) AS pos,
+                     unnest(w) AS word
+              FROM tok ORDER BY doc_id, pos""",
+)
+def udtf_tokenize_positions(spark, sf):
+    """Python UDTF surface (Spark 4 table function, LATERAL-joined per
+    row): tokenize each document into (pos, word) rows. This is the
+    row-at-a-time Python path — kept for API completeness and for logic a
+    HOF can't express; the declarative twin is posexplode(split(...)),
+    which stays in codegen and is what the other text entries use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" "), 1):
+                yield (i, w)
+
+    spark.udtf.register("overseer_tokenize", Tokenize)
+    _t(spark, sf, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    out = spark.sql(
+        """SELECT doc_id, t.pos, t.word
+           FROM _udtf_docs, LATERAL overseer_tokenize(text) t
+           ORDER BY doc_id, pos"""
+    )
+    spark.catalog.dropTempView("_udtf_docs")
+    return out
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
