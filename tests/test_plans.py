@@ -199,3 +199,36 @@ def test_min_max_by_single_aggregation(spark):
     from overseer_spark.plans import explain_str
 
     assert explain_str(df, "simple").count("Join") <= 1  # just the one dim join
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set must broadcast — the corpus side stays a
+    map-side probe, never a shuffle keyed on shingle strings."""
+    from overseer_spark.plans import explain_str
+
+    df = q("text_contamination_check", spark)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in explain_str(df, "simple")
+
+
+def test_variant_extraction_stays_jvm(spark):
+    """parse_json/variant_get are JVM expressions: no Python-eval operator
+    may appear in the plan (that would mean a per-row Python round trip)."""
+    from overseer_spark.plans import explain_str
+
+    text = explain_str(q("q_variant_json", spark), "simple")
+    assert "EvalPython" not in text, "variant path fell back to Python"
+    assert has_partial_aggregation(q("q_variant_json", spark))
+
+
+def test_pagerank_plan_is_bounded(spark):
+    """PageRank's returned plan must not grow with iteration count beyond
+    the checkpoint horizon: after 10 iterations with checkpoint_every=4,
+    the final lineage holds at most ~2 join rounds, not 10."""
+    from overseer_spark.operators.scheduling import pagerank
+    from overseer_spark.plans import explain_str
+    from overseer_spark.queries import fixtures as FX
+
+    df = pagerank(FX.jobs_df(spark), FX.deps_df(spark), iterations=10)
+    text = explain_str(df, "simple")
+    assert text.count("Join") <= 6, "lineage not truncated by localCheckpoint"
