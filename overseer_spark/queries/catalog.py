@@ -2787,6 +2787,100 @@ def udtf_tokenize_positions(spark, sf):
     return out
 
 
+@q(
+    "q_forward_fill",
+    oracle="""WITH b AS (SELECT event_id, user_id, ts,
+                CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+              FROM events)
+              SELECT event_id,
+                ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+              FROM b ORDER BY event_id""",
+)
+def forward_fill(spark, sf):
+    """Forward fill (gap-filling): nulls take the last non-null value in
+    each user's time-ordered stream (`last(..., ignorenulls=True)` ↔
+    LAST_VALUE IGNORE NULLS; leading nulls stay null). One window shuffle
+    keyed on user_id — the standard sensor/feature-repair op; at scale the
+    running frame is streamed per partition, state = one value."""
+    e = _t(spark, sf, "events")
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("_v", v)
+        .select(
+            "event_id",
+            F.round(F.last("_v", ignorenulls=True).over(w), 2).alias("filled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "kmeans_assign_step",
+    oracle="""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+              c AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+                    FROM embeddings CROSS JOIN dims GROUP BY label, i),
+              cent AS (SELECT label, list(m ORDER BY i) AS cv FROM c GROUP BY label),
+              d AS (SELECT e.vec_id, cent.label AS clabel,
+                      list_sum(list_transform(generate_series(1, 64),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - cv[i]))) AS d2
+                    FROM embeddings e CROSS JOIN cent),
+              a AS (SELECT vec_id, clabel, d2, ROW_NUMBER() OVER
+                      (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM d)
+              SELECT clabel AS centroid, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(AVG(d2), 6) AS avg_dist2
+              FROM a WHERE rk = 1 GROUP BY clabel ORDER BY centroid""",
+)
+def kmeans_assign_step(spark, sf):
+    """One k-means E-step at Spark scale: centroids seeded from per-label
+    means (k = 10 rows — BROADCAST), every vector assigned to its nearest
+    centroid by squared L2 (argmin window per vec_id), then cluster sizes +
+    mean distortion. The vector table is scanned ONCE with a broadcast
+    nested-loop against k rows and never shuffled on vector data — the
+    exact shape each Lloyd iteration keeps at 100 TB (only the k×dim
+    centroid table moves between iterations)."""
+    emb = _t(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cent = (
+        emb.select("label", F.posexplode(dv).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    d2 = F.aggregate(
+        F.zip_with(dv, F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("clabel").alias("centroid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("d2"), 6).alias("avg_dist2"),
+        )
+        .orderBy("centroid")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
