@@ -2881,6 +2881,39 @@ def kmeans_assign_step(spark, sf):
     )
 
 
+@q(
+    "pandas_udaf_weighted_mean",
+    oracle="""SELECT event_type,
+                ROUND(SUM(value * CAST(props->>'$.k' AS BIGINT))
+                    / SUM(CAST(props->>'$.k' AS BIGINT)), 4) AS wmean
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def pandas_udaf_weighted_mean(spark, sf):
+    """GROUPED_AGG pandas UDAF (k-weighted mean of value per event type) —
+    completes the Python UDF matrix: scalar pandas_udf, grouped-map
+    applyInPandas, mapInPandas, UDTF, and this vectorized aggregate.
+    Arrow-batched, but NOTE: unlike built-in aggregates a pandas UDAF has
+    no map-side partial aggregation — all group rows shuffle. Hot paths
+    use the built-in SUM(v*w)/SUM(w) (the oracle) instead; this entry
+    exists for aggregation logic SQL can't express."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: postponed-evaluation annotations (this
+    # module's __future__ import) defeat the type-hint inference path
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        return float((v * w).sum() / w.sum())
+
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("_w", k)
+        .groupBy("event_type")
+        .agg(F.round(wmean(F.col("value"), F.col("_w")), 4).alias("wmean"))
+        .orderBy("event_type")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
