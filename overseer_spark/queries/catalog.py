@@ -2914,6 +2914,32 @@ def pandas_udaf_weighted_mean(spark, sf):
     )
 
 
+@q(
+    "q_multi_distinct_agg",
+    oracle="""SELECT o_orderstatus,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs,
+                CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS days,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def multi_distinct_agg(spark, sf):
+    """Several COUNT(DISTINCT) over different columns in one statement —
+    Catalyst plans it with Expand (each input row replicated once per
+    distinct column before the shuffle, ×k input amplification). Correct
+    and single-pass, but at 100 TB the amplification is why the sketch
+    path (hll_distinct_merge) or separate rollup tables win for k > 2."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("custs"),
+            F.count_distinct(F.to_date("o_orderdate")).cast("long").alias("days"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
