@@ -62,3 +62,23 @@ def session_counts(
     return df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup: emit the FIRST row per key, suppress
+    re-arrivals within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming twin of exact dedup (Q35) for a crawl/ingest
+    pipeline: state holds one entry per key only until the watermark passes
+    its event time + ``delay``, so state is bounded by arrival skew, not by
+    corpus size — the property that makes it runnable forever. A duplicate
+    arriving later than ``delay`` after the original is NOT suppressed
+    (documented at-least-once seam; downstream batch dedup_exact_groups is
+    the idempotent backstop).
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))

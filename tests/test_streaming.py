@@ -139,3 +139,41 @@ def test_stream_batch_parity_sessions(spark, tmp_path):
     for r in got:
         got_per_user[r["user_id"]] = got_per_user.get(r["user_id"], 0) + 1
     assert got_per_user == sessions_per_user
+
+
+def test_stream_dedup_within_watermark_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside one micro-batch AND
+    across micro-batches (within the watermark horizon) are suppressed;
+    every key surfaces exactly once. maxFilesPerTrigger=1 forces the
+    cross-batch path through the dedup state store."""
+    from overseer_spark.streaming.windows import dedup_within_watermark
+
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out = str(tmp_path / "dedup_out")
+    os.makedirs(src, exist_ok=True)
+
+    # file 1: ids 1,2,2 (in-batch dup); file 2: ids 1 (cross-batch dup), 3
+    _write_batch(spark, src, [(1, _ts(0), 1, "a", 1.0), (2, _ts(1), 1, "a", 1.0),
+                              (2, _ts(1, 30), 1, "a", 1.0)], 0)
+    _write_batch(spark, src, [(1, _ts(5), 1, "a", 1.0), (3, _ts(6), 1, "a", 1.0)], 1)
+
+    stream_df = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_within_watermark(stream_df, keys=("event_id",), delay="10 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], ids
