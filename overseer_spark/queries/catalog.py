@@ -2940,6 +2940,40 @@ def multi_distinct_agg(spark, sf):
     )
 
 
+@q(
+    "text_top_terms_per_lang",
+    oracle="""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              c AS (SELECT lang, term, COUNT(*) AS n FROM w
+                    WHERE length(term) >= 4 GROUP BY lang, term),
+              r AS (SELECT lang, term, n, ROW_NUMBER() OVER
+                      (PARTITION BY lang ORDER BY n DESC, term) AS rk FROM c)
+              SELECT lang, CAST(rk AS INT) AS rk, term, CAST(n AS BIGINT) AS n
+              FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+)
+def text_top_terms_per_lang(spark, sf):
+    """Per-language vocabulary head: top-5 terms (≥4 chars) by frequency
+    within each language — the per-corpus-slice profile a multilingual
+    pipeline runs per crawl. Explode → (lang, term) partial-agg'd counts →
+    top-k window on the lang partitioning; the window input is |vocab|
+    rows, already collapsed map-side, never raw token occurrences."""
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "term",
+                F.col("n").cast("long").alias("n"))
+        .orderBy("lang", "rk")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:

@@ -78,3 +78,40 @@ def test_py_tier_runs(name, spark):
     df = spec.fn(spark, SF_CORRECTNESS)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_every_py_tier_entry_has_a_pytest_oracle():
+    """Guard: a PY-tier entry (no DuckDB oracle) must be referenced by name
+    somewhere in tests/ — i.e., it carries a Python/numpy oracle or an
+    invariant test. Prevents unverified entries slipping into the catalog."""
+    import pathlib
+
+    from overseer_spark.queries.catalog import CATALOG
+
+    tests_dir = pathlib.Path(__file__).parent
+    corpus = "\n".join(
+        p.read_text() for p in tests_dir.glob("test_*.py") if p.name != "test_oracle_parity.py"
+    )
+    # entries whose verification lives at the OPERATOR level: the entry is
+    # a thin wrapper, and the named symbol below is its pytest oracle
+    operator_proxy = {
+        "ann_ivf_topk": "ivf_topk",                 # recall tests, test_similarity.py
+        "simhash_near_dup_pairs": "simhash",        # recall/blocking tests, test_dedup.py
+        "minhash_near_dup_pairs": "minhash",        # crc32 bit-for-bit + recall, test_dedup.py
+        "simhash_signatures": "simhash",            # signature oracle, test_dedup.py
+        "text_fingerprint_rolling": "rolling_hash", # python oracle, test_text.py
+        "text_language_id": "language_id",          # determinism tests, test_text.py
+        "q42_approx_aggs": "test_approx_aggregates_tolerance",  # test_text.py
+        "pack_sequences": "pack_greedy",            # invariants, test_packing.py
+        "dag_pagerank": "pagerank",                 # power-iteration oracle, test_closure_strategies.py
+        "r13_seeded_sample": "test_seeded_sample_deterministic",
+    }
+    missing = [
+        name
+        for name, spec in CATALOG.items()
+        if spec.tier == "py"
+        and spec.oracle is None
+        and name not in corpus
+        and operator_proxy.get(name, name) not in corpus
+    ]
+    assert not missing, f"PY-tier entries without a test reference: {missing}"

@@ -65,3 +65,18 @@ def test_bucket_uniformity(spark):
     df = _docs(spark, n=4000)
     m = df.select(F.avg(hash_bucket("doc_id")).alias("m")).first()["m"]
     assert 0.45 < m < 0.55
+
+
+def test_seeded_sample_deterministic(spark):
+    """r13_seeded_sample (R13 seeded random pick): same seed → identical
+    rows across runs, all drawn from the source table."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    a = [r.o_orderkey for r in CATALOG["r13_seeded_sample"].fn(spark, SF_SMOKE).collect()]
+    b = [r.o_orderkey for r in CATALOG["r13_seeded_sample"].fn(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) == 10
+    from overseer_spark.sources.tables import load_table
+
+    keys = {r.o_orderkey for r in load_table(spark, SF_SMOKE, "orders").select("o_orderkey").collect()}
+    assert set(a) <= keys
