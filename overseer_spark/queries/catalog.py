@@ -2974,6 +2974,86 @@ def text_top_terms_per_lang(spark, sf):
     )
 
 
+@q(
+    "q_data_profile",
+    oracle="""SELECT 'event_type' AS col,
+                CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS nulls,
+                CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distincts
+              FROM events
+              UNION ALL
+              SELECT 'user_id', CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+              UNION ALL
+              SELECT 'value', CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                     CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+              ORDER BY col""",
+)
+def data_profile(spark, sf):
+    """Column-quality profile (null count + distinct count per column) —
+    the first validation gate of any ingest pipeline. ONE scan computes all
+    columns' stats simultaneously (agg of COUNT/COUNT(col)/approx-free
+    distincts), then a tiny unpivot to rows — vs the naive per-column scan
+    loop, which is k full passes at 100 TB."""
+    e = _t(spark, sf, "events")
+    agg = e.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"_nn_{c}") for c in ("event_type", "user_id", "value")],
+        *[
+            F.count_distinct(F.col(c)).alias(f"_d_{c}")
+            for c in ("event_type", "user_id", "value")
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(c).alias("col"),
+            (F.col("_n") - F.col(f"_nn_{c}")).cast("long").alias("nulls"),
+            F.col(f"_d_{c}").cast("long").alias("distincts"),
+        )
+        for c in ("event_type", "user_id", "value")
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("col")
+
+
+@q(
+    "q_explode_outer_semantics",
+    oracle="""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 40 THEN list_transform(
+                         generate_series(1, len(w) - 39),
+                         i -> list_aggregate(w[i:i+39], 'string_agg', ' '))
+                       ELSE [] END AS gr FROM tok),
+              x AS (SELECT doc_id, unnest(CASE WHEN len(gr) = 0
+                            THEN [NULL] ELSE gr END) AS g FROM sh)
+              SELECT doc_id, CAST(COUNT(g) AS BIGINT) AS n_grams,
+                     CAST(COUNT(*) - COUNT(g) AS BIGINT) AS is_empty
+              FROM x GROUP BY doc_id ORDER BY doc_id""",
+)
+def explode_outer_semantics(spark, sf):
+    """explode_outer vs explode: 40-gram shingling leaves short documents
+    with an EMPTY array, and a plain explode silently drops those rows —
+    a classic pipeline bug (short docs vanish from downstream counts).
+    explode_outer keeps them as one null row; the aggregate separates real
+    grams (COUNT(col) skips nulls) from empty-doc markers."""
+    from overseer_spark.functions.textfns import shingles, tokens
+
+    d = _t(spark, sf, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode_outer(shingles(tokens("text"), k=40, distinct=False)).alias("g"),
+    )
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.count("g").cast("long").alias("n_grams"),
+            (F.count(F.lit(1)) - F.count("g")).cast("long").alias("is_empty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
