@@ -3054,6 +3054,57 @@ def explode_outer_semantics(spark, sf):
     )
 
 
+@q("train_prep_pipeline", tier="py")
+def train_prep_pipeline(spark, sf):
+    """End-to-end training-data prep, composed purely from this engine's
+    operators: quality gates (Gopher/C4 thresholds) → exact dedup (keep
+    min-id) → near-dup cluster dedup (3-gram Jaccard ≥ 0.8, connected-
+    component canonical) → token counting → FFD packing into 512-token
+    context windows. Output: one (stage, n) funnel row per stage — the
+    whole report is ONE lazy plan (no driver-side collects between
+    stages); intermediate corpora are eager-cached because two consumers
+    (the stats row and the next stage) would otherwise recompute the full
+    upstream pipeline. Monotonicity + packing invariants are asserted in
+    tests/test_pipeline_composite.py."""
+    from overseer_spark.operators.components import dedup_keep_canonical
+    from overseer_spark.operators.dedup import dedup_exact, jaccard_pairs
+    from overseer_spark.operators.packing import pack_greedy
+    from overseer_spark.operators.text import quality_filter, token_count
+    from overseer_spark.operators.util import eager_cache
+
+    docs = _t(spark, sf, "documents")
+    kept = eager_cache(quality_filter(docs))
+    exact = eager_cache(dedup_exact(kept))
+    near = eager_cache(
+        dedup_keep_canonical(exact, jaccard_pairs(exact, threshold=0.8))
+    )
+    toks = eager_cache(token_count(near))
+    packed = pack_greedy(toks, capacity=512)
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("0_input", docs)
+        .union(stage("1_quality", kept))
+        .union(stage("2_exact_dedup", exact))
+        .union(stage("3_near_dedup", near))
+        .union(
+            toks.agg(F.sum("n_tokens").cast("long").alias("n")).select(
+                F.lit("4_total_tokens").alias("stage"), "n"
+            )
+        )
+        .union(
+            packed.agg(F.count_distinct("pack_id").cast("long").alias("n")).select(
+                F.lit("5_packs").alias("stage"), "n"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
