@@ -51,6 +51,9 @@ HEADLINE = [
     "tpch_q5_shape",
     "skew_salted_agg",
     "sliding_window_counts",
+    "text_contamination_check",
+    "kmeans_assign_step",
+    "hll_distinct_merge",
 ]
 
 
