@@ -233,3 +233,50 @@ def chunk(
         df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
         .filter(F.length("chunk") > 0)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document containing ≥1 query term.
+
+    The inverted-index shape at scale: tokens are exploded ONCE and
+    immediately semi-filtered to the query terms (a broadcast of |query|
+    strings), so the per-term postings aggregation touches only matching
+    occurrences — never the full token stream's shuffle. Corpus constants
+    (N, avg doc length) and per-term document frequencies are
+    dimension-sized aggregates joined back via broadcast. Scoring is then
+    a single projection: idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_w"))
+    lens = base.select(id_col, F.size("_w").alias("_dl"))
+    consts = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    q = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        base.select(F.col(id_col), F.explode("_w").alias("_term"))
+        .filter(F.array_contains(q, F.col("_term")))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+    idf = F.log(
+        (F.col("_n") - F.col("_nd") + 0.5) / (F.col("_nd") + 0.5) + 1.0
+    )
+    denom = F.col("_f") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    return (
+        tf.join(F.broadcast(dfreq), "_term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(consts))
+        .withColumn("_s", idf * F.col("_f") * (k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("bm25"))
+    )

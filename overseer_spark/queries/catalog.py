@@ -3105,6 +3105,42 @@ def train_prep_pipeline(spark, sf):
     )
 
 
+@q(
+    "text_bm25_search",
+    oracle="""WITH p AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              l AS (SELECT doc_id, len(w) AS dl FROM p),
+              g AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM l),
+              t AS (SELECT doc_id, unnest(w) AS term FROM p),
+              q AS (SELECT unnest(['data','table','spark']) AS term),
+              tf AS (SELECT doc_id, term, COUNT(*) AS f
+                     FROM t JOIN q USING (term) GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(DISTINCT doc_id) AS nd FROM tf GROUP BY term),
+              s AS (SELECT tf.doc_id,
+                      SUM(ln((g.n - df.nd + 0.5) / (df.nd + 0.5) + 1)
+                          * tf.f * (1.2 + 1)
+                          / (tf.f + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl))) AS score
+                    FROM tf JOIN df USING (term)
+                    JOIN l ON l.doc_id = tf.doc_id CROSS JOIN g
+                    GROUP BY tf.doc_id)
+              SELECT doc_id, ROUND(score, 4) AS bm25 FROM s ORDER BY doc_id""",
+)
+def text_bm25_search(spark, sf):
+    """BM25 keyword search over the corpus (query: data, table, spark;
+    k1=1.2, b=0.75) — the classic retrieval scorer, built as an inverted-
+    index plan: exploded tokens are broadcast-filtered to the 3 query terms
+    before any shuffle, document frequencies and corpus constants are
+    dimension-sized broadcasts, and scoring is one projection
+    (operators/text.py bm25_scores)."""
+    from overseer_spark.operators.text import bm25_scores
+
+    d = _t(spark, sf, "documents")
+    return (
+        bm25_scores(d, ["data", "table", "spark"])
+        .select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
