@@ -3141,6 +3141,49 @@ def text_bm25_search(spark, sf):
     )
 
 
+@q(
+    "q_mixture_plan",
+    oracle="""WITH c AS (SELECT source, COUNT(*) AS n,
+                CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 2.0 ELSE 1.0 END AS w
+              FROM documents GROUP BY source),
+              g AS (SELECT SUM(w) AS wsum FROM c)
+              SELECT source, CAST(n AS BIGINT) AS n_docs,
+                ROUND(w / g.wsum, 4) AS target_share,
+                ROUND(LEAST(1.0, (w / g.wsum) * 300.0 / n), 4) AS sample_frac,
+                CAST(FLOOR(LEAST(1.0, (w / g.wsum) * 300.0 / n) * n) AS BIGINT)
+                  AS expected_docs
+              FROM c CROSS JOIN g ORDER BY source""",
+)
+def mixture_plan(spark, sf):
+    """Data-mixture planning: per-source sampling fractions that hit target
+    mixture weights (sources 0-4 upweighted 2×) under a 300-doc budget —
+    the arithmetic step before deterministic weighted sampling
+    (train_test_split's hash-bucket machinery consumes these fractions).
+    Per-source counts are one partial-agg'd pass; the weight table and the
+    weight-sum scalar are broadcast — the plan is corpus-scan + dimension
+    math at any scale."""
+    d = _t(spark, sf, "documents")
+    w = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn("w", w)
+    g = c.agg(F.sum("w").alias("wsum"))
+    share = F.col("w") / F.col("wsum")
+    frac = F.least(F.lit(1.0), share * 300.0 / F.col("n"))
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(share, 4).alias("target_share"),
+            F.round(frac, 4).alias("sample_frac"),
+            F.floor(frac * F.col("n")).cast("long").alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
