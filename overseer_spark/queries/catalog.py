@@ -3225,6 +3225,170 @@ def dag_pagerank(spark, sf):
     )
 
 
+@q(
+    "tpch_q18_shape",
+    oracle="""WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+              SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS price,
+                     ROUND(b.sum_qty, 2) AS sum_qty
+              FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+              ORDER BY o_orderkey""",
+)
+def tpch_q18_shape(spark, sf):
+    """TPC-H Q18 (large-volume customer): HAVING over a fact pre-agg, then
+    join back to orders + customer. Scale shape: the lineitem agg is the only
+    big shuffle (map-side partial absorbs ~4 lines/order before exchange);
+    the HAVING survivors are a tiny set, so both subsequent joins run as
+    broadcasts of the survivor side — orders and customer are never
+    shuffled. Ref analogue: aggregate-then-filter-then-hydrate, the same
+    plan jobs-ready hydration wants at scale (SURVEY §3.1)."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "q_date_spine",
+    oracle="""WITH days AS (SELECT CAST(unnest(generate_series(
+                  DATE '1995-03-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+              c AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+                    FROM orders GROUP BY 1)
+              SELECT CAST(d.day AS VARCHAR) AS day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM days d LEFT JOIN c USING (day) ORDER BY day""",
+)
+def date_spine(spark, sf):
+    """Calendar spine + zero-fill: daily order counts over a fixed range
+    INCLUDING empty days — the gap-filling pattern every time-series rollup
+    needs (a plain GROUP BY silently drops absent days). The spine is
+    `sequence()` exploded driver-free (31 rows, broadcast side); the fact
+    side pre-aggregates to dimension size before the join, so the left join
+    is dimension × dimension regardless of fact scale."""
+    o = _t(spark, sf, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-03-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.select(F.col("o_orderdate").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "text_ngram_counts",
+    oracle="""WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+              bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok)
+              SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+              FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+)
+def text_ngram_counts(spark, sf):
+    """Corpus bigram frequencies (top-20): positional n-gram construction as
+    a pure array expression — `transform(sequence(...))` pairs adjacent
+    tokens with zero Python and zero extra shuffle; partial aggregation
+    collapses the ~n_tokens fan-out before the exchange. The building block
+    for n-gram LMs, collocation mining, and Zipf diagnostics."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@q(
+    "text_dup_span_stats",
+    oracle="""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                           FROM documents),
+              sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 8 THEN
+                       list_distinct(list_transform(generate_series(1, len(w) - 7),
+                         i -> list_aggregate(w[i:i+7], 'string_agg', ' ')))
+                       ELSE [] END) AS s FROM tok),
+              cnt AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s)
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                     CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+                     ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                       AS dup_rate
+              FROM sh JOIN cnt USING (s) GROUP BY source ORDER BY source""",
+)
+def text_dup_span_stats(spark, sf):
+    """Repeated-span profile per source: fraction of each source's 8-token
+    spans that occur in ≥2 documents corpus-wide — the corpus-health stat
+    behind span-level dedup ("Deduplicating Training Data Makes LMs
+    Better"-style), distinct from pairwise near-dup (which scores document
+    pairs). Spans are distinct per doc (array_distinct pre-explode), so the
+    span→count self-join shuffles each span string once per containing doc.
+    At 100 TB: join on xxhash64(span) instead of the raw string (8-token
+    strings dominate shuffle bytes; 64-bit collisions are negligible at
+    corpus scale) and pre-filter singleton spans with a bloom filter."""
+    d = _t(spark, sf, "documents")
+    spans = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(F.split(F.lower("text"), " ")) >= 8,
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 7),"
+                    " i -> array_join(slice(split(text, ' '), i, 8), ' ')))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    )
+    cnt = spans.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    dup = (F.col("nd") >= 2).cast("int")
+    return (
+        spans.join(cnt, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("dup_spans"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
