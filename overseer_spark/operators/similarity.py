@@ -178,3 +178,66 @@ def embedding_near_duplicates(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal component of a vector column, one data pass.
+
+    Scale shape (the tree-aggregate pattern): an Arrow-batched
+    ``mapInPandas`` computes *partial moments* per batch — count, Σx, and
+    the flattened Σxxᵀ (d² doubles) — so each input row is touched exactly
+    once and the shuffle carries only ``n_batches × (d² + d + 1)`` doubles,
+    independent of corpus size. Partials reduce element-wise (posexplode +
+    groupBy(pos)), the d×d covariance is assembled driver-side (cov =
+    Σxxᵀ/n − μμᵀ) and eigensolved locally — a d×d problem, so the *data*
+    pass is the only distributed stage (power iteration would need O(100s)
+    of passes at this spectrum's eigengap; moments need one). This is
+    exactly how MLlib's RowMatrix computes its Gramian; re-derived
+    per-batch in numpy.
+
+    Output: one row per dimension ``(i, loading, eigval)``, sign-fixed so
+    the largest-|loading| entry is positive; verified against a full numpy
+    eigendecomposition in tests/test_similarity.py.
+    """
+    import numpy as np
+
+    width = 1 + dim + dim * dim
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.size == 0:
+                continue
+            flat = np.concatenate(
+                ([float(mat.shape[0])], mat.sum(axis=0), (mat.T @ mat).ravel())
+            )
+            yield pd.DataFrame({"p": [flat.tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(_partials, schema="p array<double>")
+    reduced = (
+        parts.select(F.posexplode("p").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    tot = np.zeros(width)
+    for r in reduced:
+        tot[r["pos"]] = r["v"]
+    n, s, o = tot[0], tot[1 : 1 + dim], tot[1 + dim :].reshape(dim, dim)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)
+    v, eigval = vecs[:, -1], float(w[-1])
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    spark = df.sparkSession
+    rows = [(i, round(float(v[i]), 6), round(eigval, 4)) for i in range(dim)]
+    return spark.createDataFrame(rows, "i int, loading double, eigval double")

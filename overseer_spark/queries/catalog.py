@@ -3211,6 +3211,16 @@ def hll_distinct_merge(spark, sf):
     )
 
 
+@q("embedding_pca_power", tier="py")
+def embedding_pca_power(spark, sf):
+    """Leading principal component of the embedding corpus via single-pass
+    partial moments (Arrow-batched mapInPandas tree-aggregate) + driver
+    power iteration — the dataset-diagnostics primitive behind embedding
+    drift checks and whitening. Shuffle cost is O(batches × d²), not O(rows);
+    verified against numpy eigh in tests/test_similarity.py."""
+    return V.pca_top_component(_t(spark, sf, "embeddings"), dim=64)
+
+
 @q("dag_pagerank", tier="py")
 def dag_pagerank(spark, sf):
     """Job criticality via PageRank over the dependency DAG (rank flows to

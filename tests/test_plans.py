@@ -232,3 +232,16 @@ def test_pagerank_plan_is_bounded(spark):
     df = pagerank(FX.jobs_df(spark), FX.deps_df(spark), iterations=10)
     text = explain_str(df, "simple")
     assert text.count("Join") <= 6, "lineage not truncated by localCheckpoint"
+
+
+def test_tpch_q18_survivors_broadcast(spark):
+    """The HAVING survivors (tiny after the lineitem pre-agg) must reach
+    orders and customer as broadcast joins — neither big table shuffles
+    for a join; the lineitem agg is the only fact-sized exchange."""
+    from overseer_spark.plans.inspect import explain_str
+
+    df = q("tpch_q18_shape", spark)
+    s = explain_str(df, "simple")
+    assert "SortMergeJoin" not in s
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)

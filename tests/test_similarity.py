@@ -164,3 +164,35 @@ def test_embedding_quantize_int8_roundtrip(spark):
         assert abs(out[vid].scale - scale) < 5e-7
         # dequantization error bound: half a quantization step
         assert np.abs(q / scale - v).max() <= 0.5 / scale + 1e-12
+
+
+def test_pca_power_matches_numpy_eigh(spark):
+    """Top component from the distributed one-pass moments matches a full
+    in-memory eigendecomposition: |cos(v_spark, v_numpy)| ≈ 1 and the
+    leading eigenvalue agrees."""
+    import numpy as np
+
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = CATALOG["embedding_pca_power"].fn(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r.i] = r.loading
+    eigval = rows[0].eigval
+
+    mat = np.asarray(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, SF_CORRECTNESS, "embeddings").collect()
+        ]
+    )
+    cov = np.cov(mat, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(v, top)) / np.linalg.norm(v)) > 0.999
+    assert abs(eigval - w[-1]) / w[-1] < 1e-3
+    # sign convention: largest-|loading| entry is positive
+    assert v[int(np.argmax(np.abs(v)))] > 0
