@@ -3211,6 +3211,98 @@ def hll_distinct_merge(spark, sf):
     )
 
 
+@q(
+    "text_zipf_slope",
+    oracle="""WITH tf AS (SELECT t AS term, COUNT(*) AS n
+                FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+                      FROM documents)
+                WHERE t <> '' GROUP BY t),
+              ranked AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk
+                         FROM tf)
+              SELECT ROUND(regr_slope(ln(n), ln(rk)), 4) AS zipf_slope,
+                     ROUND(regr_r2(ln(n), ln(rk)), 4) AS r2,
+                     CAST(COUNT(*) AS BIGINT) AS n_terms
+              FROM ranked WHERE rk <= 100""",
+)
+def text_zipf_slope(spark, sf):
+    """Zipf diagnostic: OLS slope of ln(freq) vs ln(rank) over the top-100
+    vocabulary head (natural corpora ≈ −1; word-soup synthetic data is
+    flat) — a one-number corpus-health check. The term count collapses the
+    corpus map-side; the rank window runs over ≤|vocab-head| rows, and
+    `regr_slope`/`regr_r2` are single-pass built-in aggregates in both
+    engines (no collect, no UDF)."""
+    d = _t(spark, sf, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    ranked = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100)
+    ln_n, ln_rk = F.log("n"), F.log("rk")
+    return ranked.agg(
+        F.round(F.regr_slope(ln_n, ln_rk), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_rk), 4).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+
+
+@q(
+    "text_vocab_overlap",
+    oracle="""WITH v AS (SELECT DISTINCT source,
+                  unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                FROM documents),
+              v2 AS (SELECT * FROM v WHERE term <> ''),
+              sz AS (SELECT source, COUNT(*) AS n FROM v2 GROUP BY source),
+              inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+                        FROM v2 a JOIN v2 b ON a.term = b.term AND a.source < b.source
+                        GROUP BY 1, 2)
+              SELECT s1, s2, CAST(i AS BIGINT) AS inter,
+                     ROUND(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+              FROM inter JOIN sz x ON x.source = inter.s1
+                   JOIN sz y ON y.source = inter.s2
+              ORDER BY s1, s2""",
+)
+def text_vocab_overlap(spark, sf):
+    """Pairwise vocabulary Jaccard between sources — the corpus-comparison
+    matrix behind mixture design (are two crawls near-identical?). Scale
+    shape: the corpus collapses to distinct (source, term) FIRST (map-side
+    distinct on the exploded stream), so the quadratic part — the term
+    self-join — runs over vocab-sized inputs, never documents; |sources|²
+    output is dimension-sized."""
+    d = _t(spark, sf, "documents")
+    v = (
+        d.select("source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("s1"), "term")
+    b = v.select(F.col("source").alias("s2"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x = sz.select(F.col("source").alias("s1"), F.col("n").alias("nx"))
+    y = sz.select(F.col("source").alias("s2"), F.col("n").alias("ny"))
+    return (
+        inter.join(F.broadcast(x), "s1")
+        .join(F.broadcast(y), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("i").cast("long").alias("inter"),
+            F.round(F.col("i") / (F.col("nx") + F.col("ny") - F.col("i")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
