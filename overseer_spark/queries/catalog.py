@@ -3303,6 +3303,69 @@ def text_vocab_overlap(spark, sf):
     )
 
 
+@q(
+    "stream_hourly_counts",
+    oracle="""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS c, ROUND(SUM(value), 2) AS s
+              FROM events GROUP BY h, event_type ORDER BY h, event_type""",
+)
+def stream_hourly_counts(spark, sf):
+    """Q30's hourly rollup executed through the REAL Structured Streaming
+    path — `readStream.parquet` → the same `tumbling_counts` transformation
+    the batch tier uses → `availableNow` trigger → memory sink — and
+    hash-matched against the DuckDB batch oracle. This is the
+    batch/streaming parity contract as a first-class catalog member: one
+    transformation definition serves both engines (windows.py docstring).
+    Production differences (watermark-bounded state, update mode) are
+    exercised in tests/test_streaming.py; here the run is bounded, so
+    complete mode without a watermark is exact."""
+    import os
+    import uuid
+
+    from overseer_spark.streaming.windows import tumbling_counts
+
+    # Schema via a static read under the same session confs (ts arrives as
+    # int64 ns under nanosAsLong — configure_for_oracle must run FIRST or
+    # the scan rejects TIMESTAMP(NANOS); convert exactly like load_table).
+    _t(spark, sf, "events")  # ensures configure_for_oracle ran
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    # FileStreamSource requires a directory: stream the sf dir with a glob
+    # pinned to the events file (at cluster scale this is the normal
+    # landing-directory pattern — new files become new micro-batches).
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    query = (
+        tumbling_counts(sdf, duration="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("win.start").alias("h"),
+            "event_type",
+            F.col("c").cast("long").alias("c"),
+            "s",
+        )
+        .orderBy("h", "event_type")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
