@@ -3366,6 +3366,46 @@ def stream_hourly_counts(spark, sf):
     )
 
 
+@q(
+    "q_user_journeys",
+    oracle="""WITH r AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+                FROM events),
+              j AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS journey
+                    FROM r WHERE rk <= 3 GROUP BY user_id)
+              SELECT journey, CAST(COUNT(*) AS BIGINT) AS n
+              FROM j GROUP BY journey ORDER BY n DESC, journey LIMIT 20""",
+)
+def user_journeys(spark, sf):
+    """Top opening event paths (first-3 journey mining): rank window +
+    ordered path assembly + frequency count. The per-user sort and the
+    path build share ONE user_id partitioning; collect_list is
+    merge-order-nondeterministic, so the path sorts (rk, event_type)
+    structs before joining — stable at any parallelism. Journey space is
+    |event_types|³, so the final count is dimension-sized."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+    journeys = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "journey")
+        .limit(20)
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
