@@ -2703,17 +2703,22 @@ def text_contamination_check(spark, sf):
     probe + per-doc agg: no corpus shuffle on shingle strings. At 100 TB
     you'd hash shingles to int64 first (fixed-width probe keys), same plan."""
     from overseer_spark.functions.textfns import shingles, tokens
+    from overseer_spark.operators.util import spread
 
-    base = _t(spark, sf, "documents").select(
-        "doc_id", shingles(tokens("text"), k=5).alias("sh")
-    )
+    d = _t(spark, sf, "documents")
+    sh_expr = shingles(tokens("text"), k=5)
+    # Explode the shingle EXPRESSION directly — naming the computed array
+    # then exploding re-evaluates it per output row (the SCALING.md trap;
+    # measured 3× on this entry at sf0.1). spread() fixes single-file scan
+    # parallelism for the CPU-heavy corpus side (another ~2× locally;
+    # no-op on a real multi-split lakehouse scan).
     bench = (
-        base.filter(F.col("doc_id") < 50)
-        .select(F.explode("sh").alias("s"))
+        d.filter(F.col("doc_id") < 50)
+        .select(F.explode(sh_expr).alias("s"))
         .distinct()
     )
-    corpus = base.filter(F.col("doc_id") >= 50).select(
-        "doc_id", F.explode("sh").alias("s")
+    corpus = spread(d.filter(F.col("doc_id") >= 50), "doc_id").select(
+        "doc_id", F.explode(sh_expr).alias("s")
     )
     return (
         corpus.join(F.broadcast(bench), "s")
@@ -3404,6 +3409,167 @@ def user_journeys(spark, sf):
         .orderBy(F.desc("n"), "journey")
         .limit(20)
     )
+
+
+@q(
+    "q_integrity_audit",
+    oracle="""WITH ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+                   lk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+              SELECT 'lineitem_rows' AS check_name,
+                     CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n
+              UNION ALL
+              SELECT 'lineitems_dangling_order',
+                     CAST((SELECT COUNT(*) FROM lk
+                           WHERE k NOT IN (SELECT k FROM ok)) AS BIGINT)
+              UNION ALL
+              SELECT 'order_rows', CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+              UNION ALL
+              SELECT 'orders_without_lineitems',
+                     CAST((SELECT COUNT(*) FROM ok
+                           WHERE k NOT IN (SELECT k FROM lk)) AS BIGINT)
+              ORDER BY check_name""",
+)
+def integrity_audit(spark, sf):
+    """Referential-integrity gate between a fact pair: row counts plus
+    orphans in BOTH directions (orders with no lineitems, lineitems whose
+    order is missing) — the ingest health check that runs before any
+    pipeline trusts a drop. Each orphan check is one anti-join over
+    DISTINCT keys (keys dedup map-side first, so the join input is
+    key-cardinality, not row count); the four results union into one
+    dimension-sized report."""
+    o = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    l = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k")).distinct()
+    checks = [
+        _t(spark, sf, "lineitem").agg(
+            F.lit("lineitem_rows").alias("check_name"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        l.join(o, "k", "left_anti").agg(
+            F.lit("lineitems_dangling_order").alias("check_name"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        _t(spark, sf, "orders").agg(
+            F.lit("order_rows").alias("check_name"), F.count(F.lit(1)).alias("n")
+        ),
+        o.join(l, "k", "left_anti").agg(
+            F.lit("orders_without_lineitems").alias("check_name"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.union(c)
+    return out.orderBy("check_name")
+
+
+@q(
+    "q_outlier_counts",
+    oracle="""WITH s AS (SELECT event_type, value,
+                  AVG(value) OVER (PARTITION BY event_type) AS m,
+                  STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd
+                FROM events)
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN ABS(value - m) > 3 * sd THEN 1 ELSE 0 END)
+                          AS BIGINT) AS outliers
+              FROM s GROUP BY event_type ORDER BY event_type""",
+)
+def outlier_counts(spark, sf):
+    """3-sigma outlier counts per event_type — the anomaly-screening
+    primitive. Group stats come from an unbounded window so values and
+    their group moments meet WITHOUT a self-join: one event_type shuffle
+    serves the window AND the final rollup. (Boundary note: the 3σ
+    predicate compares raw doubles; values sitting exactly on the
+    threshold could differ across engines' summation orders — tolerated
+    because event values are continuous; demote to py tier if ever
+    flaky.)"""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    s = e.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_pop("value").over(w).alias("sd"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd")).cast("int")
+            )
+            .cast("long")
+            .alias("outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q_join_key_skew_profile",
+    oracle="""WITH k AS (SELECT l_orderkey AS key, COUNT(*) AS n
+                         FROM lineitem GROUP BY 1),
+              tot AS (SELECT SUM(n) AS t, COUNT(*) AS nk FROM k)
+              SELECT key, CAST(n AS BIGINT) AS n,
+                     ROUND(n * 1.0 / tot.t, 6) AS share,
+                     ROUND(n * tot.nk * 1.0 / tot.t, 4) AS skew_x
+              FROM k, tot ORDER BY n DESC, key LIMIT 10""",
+)
+def join_key_skew_profile(spark, sf):
+    """Join-key skew diagnostic: top keys by row share plus their multiple
+    of the mean key size (`skew_x`) — the measurement that decides between
+    plain shuffle, AQE skew-join, and `operators/skew.py` salting BEFORE a
+    job burns cluster-hours on a straggler. One partial-agg count + a
+    1-row broadcast total + a top-k heap; run it on any prospective join
+    key for pennies."""
+    li = _t(spark, sf, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").cast("double").alias("t"), F.count(F.lit(1)).alias("nk")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            F.round(F.col("n") * F.col("nk") / F.col("t"), 4).alias("skew_x"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(10)
+    )
+
+
+@q(
+    "q_dau_growth",
+    oracle="""WITH m AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     COUNT(DISTINCT user_id) AS dau
+                   FROM events GROUP BY 1)
+              SELECT CAST(day AS VARCHAR) AS day, CAST(dau AS BIGINT) AS dau,
+                     ROUND((dau - LAG(dau) OVER (ORDER BY day)) * 100.0 /
+                           LAG(dau) OVER (ORDER BY day), 2) AS growth_pct
+              FROM m ORDER BY day""",
+)
+def dau_growth(spark, sf):
+    """Daily active users + day-over-day growth %: distinct-count rollup to
+    day grain, then a LAG window over the ~|days| aggregate — the growth
+    window costs nothing because it runs post-agg on dimension-sized data
+    (single partition of ~31 rows, not the event stream). First day's
+    growth is NULL by construction."""
+    e = _t(spark, sf, "events")
+    m = (
+        e.select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("dau").over(w)
+    return m.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.round((F.col("dau") - prev) * 100.0 / prev, 2).alias("growth_pct"),
+    ).orderBy("day")
 
 
 @q("embedding_pca_power", tier="py")
