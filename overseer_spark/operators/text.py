@@ -280,3 +280,44 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum("_s").alias("bm25"))
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-group repeated-span profile: fraction of each group's k-token
+    spans that occur in ≥2 documents corpus-wide (the span-dedup health
+    stat; see catalog ``text_dup_span_stats``).
+
+    ``hashed=True`` is the 100 TB path: spans become ``xxhash64`` int64
+    keys BEFORE the count join, so the two shuffles carry 8-byte keys
+    instead of k-token strings (which otherwise dominate shuffle bytes).
+    64-bit collisions are negligible at corpus scale; the hashed and exact
+    paths are asserted identical in tests/test_text.py.
+    """
+    from overseer_spark.functions.textfns import shingles, tokens
+    from overseer_spark.operators.util import spread
+
+    sh_expr = shingles(tokens(text_col), k=k)
+    spans = spread(df, id_col).select(
+        id_col, group_col, F.explode(sh_expr).alias("s")
+    )
+    if hashed:
+        spans = spans.select(id_col, group_col, F.xxhash64("s").alias("s"))
+    cnt = spans.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    dup = (F.col("nd") >= 2).cast("int")
+    return (
+        spans.join(cnt, "s")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("dup_spans"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy(group_col)
+    )

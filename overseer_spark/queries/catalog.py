@@ -3572,6 +3572,69 @@ def dau_growth(spark, sf):
     ).orderBy("day")
 
 
+@q(
+    "text_dsir_scores",
+    oracle="""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                           FROM documents),
+              tgt AS (SELECT t, COUNT(*) AS n FROM tok WHERE doc_id < 50 GROUP BY t),
+              corp AS (SELECT t, COUNT(*) AS n FROM tok WHERE doc_id >= 50 GROUP BY t),
+              tt AS (SELECT SUM(n) AS s FROM tgt),
+              tc AS (SELECT SUM(n) AS s FROM corp),
+              v AS (SELECT COUNT(*) AS nv FROM (SELECT DISTINCT t FROM tok)),
+              sc AS (SELECT k.doc_id,
+                       SUM(ln((COALESCE(g.n, 0) + 1.0) / (tt.s + v.nv))
+                         - ln((COALESCE(c.n, 0) + 1.0) / (tc.s + v.nv))) AS llr,
+                       COUNT(*) AS len
+                     FROM tok k LEFT JOIN tgt g USING (t)
+                          LEFT JOIN corp c USING (t), tt, tc, v
+                     WHERE k.doc_id >= 50 GROUP BY k.doc_id)
+              SELECT doc_id, ROUND(llr / len, 4) AS dsir_score
+              FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50""",
+)
+def text_dsir_scores(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023): score each corpus doc
+    by its per-token log-likelihood ratio under add-1-smoothed unigram LMs
+    of a target set (docs 0-49) vs the corpus — the importance-resampling
+    signal used to pick pretraining data that "looks like" a target
+    domain. Scale shape: both LMs and the smoothing scalars are
+    vocab-/1-row-sized dims that BROADCAST onto the exploded token stream,
+    so the corpus is scanned once and shuffles only on doc_id for the
+    final per-doc sum; ordering is on the ROUNDED score + doc_id, so the
+    top-50 cutoff is engine-stable."""
+    from overseer_spark.operators.util import spread
+
+    d = _t(spark, sf, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tgt = tok.filter(F.col("doc_id") < 50).groupBy("t").agg(
+        F.count(F.lit(1)).alias("gn")
+    )
+    corp = tok.filter(F.col("doc_id") >= 50).groupBy("t").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    scalars = (
+        tgt.agg(F.sum("gn").cast("double").alias("ts"))
+        .crossJoin(corp.agg(F.sum("cn").cast("double").alias("cs")))
+        .crossJoin(tok.select("t").distinct().agg(F.count(F.lit(1)).alias("nv")))
+    )
+    llr = (
+        F.log((F.coalesce("gn", F.lit(0)) + 1.0) / (F.col("ts") + F.col("nv")))
+        - F.log((F.coalesce("cn", F.lit(0)) + 1.0) / (F.col("cs") + F.col("nv")))
+    )
+    return (
+        tok.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(tgt), "t", "left")
+        .join(F.broadcast(corp), "t", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(F.sum(llr).alias("llr"), F.count(F.lit(1)).alias("len"))
+        .select("doc_id", F.round(F.col("llr") / F.col("len"), 4).alias("dsir_score"))
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(50)
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
@@ -3731,33 +3794,10 @@ def text_dup_span_stats(spark, sf):
     span→count self-join shuffles each span string once per containing doc.
     At 100 TB: join on xxhash64(span) instead of the raw string (8-token
     strings dominate shuffle bytes; 64-bit collisions are negligible at
-    corpus scale) and pre-filter singleton spans with a bloom filter."""
-    d = _t(spark, sf, "documents")
-    spans = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.when(
-                F.size(F.split(F.lower("text"), " ")) >= 8,
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 7),"
-                    " i -> array_join(slice(split(text, ' '), i, 8), ' ')))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("s"),
-    )
-    cnt = spans.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
-    dup = (F.col("nd") >= 2).cast("int")
-    return (
-        spans.join(cnt, "s")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(dup).cast("long").alias("dup_spans"),
-            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_rate"),
-        )
-        .orderBy("source")
-    )
+    corpus scale — operators/text.py dup_span_stats(hashed=True), asserted
+    output-identical in tests/test_text.py) and pre-filter singleton spans
+    with a bloom filter."""
+    return TX.dup_span_stats(_t(spark, sf, "documents"), k=8)
 
 
 # ---------------------------------------------------------------------------

@@ -151,3 +151,18 @@ def test_hll_merge_consistency_and_tolerance(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).cast("long")
     ).collect()[0][0]
     assert out["ALL"] == direct_all
+
+
+def test_dup_span_stats_hashed_path_matches_exact(spark):
+    """The 100 TB shuffle shape (xxhash64 span keys) produces byte-identical
+    stats to the exact string-keyed join at this scale — collisions would
+    show up as inflated dup counts."""
+    from overseer_spark.operators.text import dup_span_stats
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    exact = [tuple(r) for r in dup_span_stats(d, k=8).collect()]
+    hashed = [tuple(r) for r in dup_span_stats(d, k=8, hashed=True).collect()]
+    assert exact == hashed
+    assert len(exact) > 0
