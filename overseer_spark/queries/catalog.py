@@ -3635,6 +3635,97 @@ def text_dsir_scores(spark, sf):
     )
 
 
+@q(
+    "stream_sessionize",
+    oracle="""WITH d AS (
+                SELECT user_id, ts,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events)
+              SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS sessions
+              FROM d GROUP BY user_id ORDER BY user_id""",
+)
+def stream_sessionize(spark, sf):
+    """Q40's session windows through the REAL streaming path:
+    `session_window` state-merging aggregation over a file stream
+    (availableNow), memory sink, then a batch rollup of windows → session
+    counts per user (streaming allows one stateful op per query, so the
+    second agg is batch over the sink — the standard two-tier pattern).
+    Hash-matched against the same LAG-gap DuckDB oracle as the batch
+    `sessionize` entry: stream and batch tiers provably agree."""
+    import os
+    import uuid
+
+    from overseer_spark.streaming.windows import session_counts
+
+    _t(spark, sf, "events")  # configure_for_oracle before any scan
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        session_counts(sdf, gap="5 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sessions"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "dag_components",
+    oracle=f"""WITH RECURSIVE {FX.jobs_values_cte()}, {FX.deps_values_cte()},
+               edges AS (SELECT job_id AS a, dep_id AS b FROM overseer_dependencies
+                         UNION SELECT dep_id, job_id FROM overseer_dependencies),
+               reach(src, node) AS (
+                 SELECT id, id FROM overseer_jobs
+                 UNION
+                 SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+               comp AS (SELECT src AS id, MIN(node) AS component FROM reach
+                        GROUP BY src)
+               SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+               FROM comp GROUP BY component ORDER BY component""",
+)
+def dag_components(spark, sf):
+    """Weakly-connected components of the job DAG — the pipeline-isolation
+    question ("which jobs share any ancestry/descendants?") that decides
+    what can be drained, migrated, or aborted together. Reuses the adaptive
+    union-find / min-label propagation operator from the dedup family
+    (operators/components.py) on the dependency edges; isolated jobs join
+    back as their own singleton components. Oracle: recursive undirected
+    reachability + MIN label."""
+    from overseer_spark.operators.components import connected_components
+
+    jobs = FX.jobs_df(spark).select("id")
+    comp = connected_components(FX.deps_df(spark), src="job_id", dst="dep_id")
+    labeled = jobs.join(comp, jobs["id"] == comp["node"], "left").select(
+        jobs["id"], F.coalesce("component", jobs["id"]).alias("component")
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy("component")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
