@@ -3726,6 +3726,61 @@ def dag_components(spark, sf):
     )
 
 
+@q(
+    "text_chi2_terms",
+    oracle="""WITH pres AS (SELECT DISTINCT doc_id, source,
+                  unnest(string_split(lower(text), ' ')) AS t FROM documents),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+              src_docs AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS sd
+                           FROM documents GROUP BY source),
+              term_docs AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS td
+                            FROM pres GROUP BY t),
+              a AS (SELECT source, t, CAST(COUNT(*) AS DOUBLE) AS a
+                    FROM pres GROUP BY source, t)
+              SELECT a.source, a.t AS term,
+                     ROUND(n.total * POWER(a.a * (n.total - sd - td + a.a)
+                             - (sd - a.a) * (td - a.a), 2)
+                           / (sd * (n.total - sd) * td * (n.total - td)), 4) AS chi2
+              FROM a JOIN src_docs USING (source) JOIN term_docs USING (t), n
+              ORDER BY chi2 DESC, source, term LIMIT 20""",
+)
+def text_chi2_terms(spark, sf):
+    """χ² term-source association (top 20): which terms are
+    over/under-represented in which source — the classic supervised
+    feature-selection / corpus-drift statistic. All four contingency cells
+    derive from three grouped counts (doc-term presence, docs per source,
+    docs per term); the per-source and per-term tables are dimension-sized
+    broadcasts onto the (source, term) count, so the corpus is read once.
+    Arithmetic in doubles: ANSI mode makes the n⁴ denominator overflow
+    int64 at large corpus sizes."""
+    from overseer_spark.operators.util import spread
+
+    d = _t(spark, sf, "documents")
+    pres = spread(d, "doc_id").select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("t"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    src_docs = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("sd"))
+    term_docs = pres.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("td"))
+    a = pres.groupBy("source", "t").agg(F.count(F.lit(1)).cast("double").alias("a"))
+    tot, sd, td, aa = F.col("total"), F.col("sd"), F.col("td"), F.col("a")
+    chi2 = (
+        tot
+        * F.pow(aa * (tot - sd - td + aa) - (sd - aa) * (td - aa), 2)
+        / (sd * (tot - sd) * td * (tot - td))
+    )
+    return (
+        a.join(F.broadcast(src_docs), "source")
+        .join(F.broadcast(term_docs), "t")
+        .crossJoin(F.broadcast(n))
+        .select("source", F.col("t").alias("term"), F.round(chi2, 4).alias("chi2"))
+        .orderBy(F.desc("chi2"), "source", "term")
+        .limit(20)
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
