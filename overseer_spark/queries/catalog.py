@@ -3781,6 +3781,55 @@ def text_chi2_terms(spark, sf):
     )
 
 
+@q(
+    "tpch_q9_shape",
+    oracle="""SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              GROUP BY nation, yr ORDER BY nation, yr""",
+)
+def tpch_q9_shape(spark, sf):
+    """TPC-H Q9 shape (product-type profit by nation/year): the hardest
+    join topology in the suite — lineitem joins a SECOND fact (orders) on
+    orderkey plus three dimensions on independent keys. Scale plan: the
+    selective part filter broadcasts and prunes lineitem FIRST (~1/6
+    survivors), supplier+nation fold into one broadcast chain, and the
+    only big exchange left is lineitem⋈orders on orderkey; the final agg
+    is dimension-sized (nation × year). Order the joins so every broadcast
+    reduction happens before the fact-fact shuffle."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+        .orderBy("nation", "yr")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
