@@ -245,3 +245,14 @@ def test_tpch_q18_survivors_broadcast(spark):
     assert "SortMergeJoin" not in s
     assert has_broadcast_join(df)
     assert has_partial_aggregation(df)
+
+
+def test_tpch_q9_only_fact_fact_may_shuffle(spark):
+    """Q9's three dimension joins must all broadcast; at most the
+    lineitem-orders fact-fact join may appear as a shuffle join."""
+    from overseer_spark.plans.inspect import explain_str
+
+    df = q("tpch_q9_shape", spark)
+    s = explain_str(df, "simple")
+    assert s.count("SortMergeJoin") <= 1
+    assert has_broadcast_join(df)
