@@ -49,6 +49,9 @@ HEADLINE = [
     "text_doc_freq_idf",
     "train_test_split_counts",
     "tpch_q5_shape",
+    "tpch_q9_shape",
+    "tpch_q18_shape",
+    "text_dsir_scores",
     "skew_salted_agg",
     "sliding_window_counts",
     "text_contamination_check",
