@@ -3830,6 +3830,35 @@ def tpch_q9_shape(spark, sf):
     )
 
 
+@q(
+    "q_loo_mean",
+    oracle="""SELECT event_id,
+                     ROUND((SUM(value) OVER (PARTITION BY event_type) - value)
+                           / (COUNT(*) OVER (PARTITION BY event_type) - 1), 4)
+                       AS loo_mean
+              FROM events ORDER BY event_id""",
+)
+def loo_mean(spark, sf):
+    """Leave-one-out group mean per row — the cross-validation/target-
+    encoding primitive ((Σ−x)/(n−1)). One unbounded window over the group
+    key delivers both moments to every row: NO aggregate-then-self-join
+    (which would scan and shuffle the fact twice). Same single-shuffle
+    trick as q_outlier_counts."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    return (
+        e.select(
+            "event_id",
+            F.round(
+                (F.sum("value").over(w) - F.col("value"))
+                / (F.count(F.lit(1)).over(w) - 1),
+                4,
+            ).alias("loo_mean"),
+        )
+        .orderBy("event_id")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
