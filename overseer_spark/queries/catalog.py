@@ -3859,6 +3859,49 @@ def loo_mean(spark, sf):
     )
 
 
+@q(
+    "q_abc_analysis",
+    oracle="""WITH r AS (SELECT o_custkey, SUM(o_totalprice) AS rev
+                         FROM orders GROUP BY 1),
+              c AS (SELECT o_custkey, rev,
+                      SUM(rev) OVER (ORDER BY rev DESC, o_custkey)
+                        / SUM(rev) OVER () AS cum
+                    FROM r)
+              SELECT CASE WHEN cum <= 0.5 THEN 'A' WHEN cum <= 0.8 THEN 'B'
+                          ELSE 'C' END AS klass,
+                     CAST(COUNT(*) AS BIGINT) AS customers,
+                     ROUND(SUM(rev), 2) AS revenue
+              FROM c GROUP BY klass ORDER BY klass""",
+)
+def abc_analysis(spark, sf):
+    """ABC / Pareto classification: customers bucketed by their cumulative
+    share of total revenue (top-50% = A, next-30% = B, tail = C). The
+    running share is an ordered window over the PER-CUSTOMER aggregate —
+    dimension-sized input, so the single-partition global-order window is
+    fine here; for a billion-key space, swap in a range-partitioned prefix
+    sum (q_global_sort's machinery) with per-partition offsets."""
+    o = _t(spark, sf, "orders")
+    r = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w_run = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = r.select(
+        "rev", (F.sum("rev").over(w_run) / F.sum("rev").over(w_all)).alias("cum")
+    )
+    klass = (
+        F.when(F.col("cum") <= 0.5, "A").when(F.col("cum") <= 0.8, "B").otherwise("C")
+    )
+    return (
+        c.groupBy(klass.alias("klass"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("klass")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
