@@ -3902,6 +3902,93 @@ def abc_analysis(spark, sf):
     )
 
 
+@q(
+    "q_mad_outliers",
+    oracle="""WITH med AS (SELECT event_type, MEDIAN(value) AS med
+                           FROM events GROUP BY 1),
+              dev AS (SELECT e.event_type, ABS(e.value - m.med) AS d
+                      FROM events e JOIN med m USING (event_type)),
+              mad AS (SELECT event_type, MEDIAN(d) AS mad FROM dev GROUP BY 1)
+              SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * mad.mad
+                              THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+                     ROUND(MAX(mad.mad), 4) AS mad
+              FROM dev d JOIN mad USING (event_type)
+              GROUP BY d.event_type ORDER BY d.event_type""",
+)
+def mad_outliers(spark, sf):
+    """Robust outlier screening via Median Absolute Deviation (3 × 1.4826σ̂
+    rule) — unlike q_outlier_counts' 3σ, MAD doesn't let the outliers
+    inflate their own threshold. Two grouped exact-percentile passes
+    (medians aren't algebraic — they can't ride a window like mean/std),
+    each reduced to a |event_types|-sized broadcast joined back; at 100 TB
+    substitute the KLL/t-digest sketch for `percentile`."""
+    e = _t(spark, sf, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("d") > 3 * 1.4826 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("outliers"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "stream_dedup_counts",
+    oracle="""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def stream_dedup_counts(spark, sf):
+    """Streaming exact dedup: `dropDuplicates` on (user_id, event_type)
+    keyed state over the file stream (append mode — each key emitted once),
+    then a batch rollup of the sink = distinct users per type, matched
+    against the batch COUNT(DISTINCT) oracle. Third member of the
+    stream/batch parity set; the production variant bounds the dedup state
+    with `dropDuplicatesWithinWatermark` (tests/test_streaming.py)."""
+    import os
+    import uuid
+
+    _t(spark, sf, "events")  # configure_for_oracle before any scan
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        sdf.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 @q("embedding_pca_power", tier="py")
 def embedding_pca_power(spark, sf):
     """Leading principal component of the embedding corpus via single-pass
