@@ -3189,6 +3189,41 @@ def mixture_plan(spark, sf):
     )
 
 
+@q("cms_term_counts", tier="py")
+def cms_term_counts(spark, sf):
+    """Count-min-sketch heavy hitters: one `count_min_sketch` aggregate
+    (eps=0.001, conf=0.99, fixed seed) over the exploded term stream —
+    kilobytes of state vs a full term dictionary — then point estimates
+    for the exact top-10 terms read back through the JVM sketch API.
+    Completes the mergeable-sketch trio (HLL distincts, KLL/approx
+    quantiles, CMS frequencies): at 100 TB each partition sketches
+    locally and the merge is lossless, so frequency queries never re-scan.
+    Guarantee (one-sided): est ≥ exact and est ≤ exact + eps·N w.p. conf —
+    asserted in tests/test_text.py."""
+    d = _t(spark, sf, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    sk = terms.agg(
+        F.expr("count_min_sketch(term, 0.001d, 0.99d, 42)").alias("s")
+    ).collect()[0]["s"]
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(10)
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    rows = [(r["term"], int(r["n"]), int(cms.estimateCount(r["term"]))) for r in top]
+    return spark.createDataFrame(rows, "term string, n long, est long").orderBy(
+        F.desc("n"), "term"
+    )
+
+
 @q("hll_distinct_merge", tier="py")
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:

@@ -166,3 +166,25 @@ def test_dup_span_stats_hashed_path_matches_exact(spark):
     hashed = [tuple(r) for r in dup_span_stats(d, k=8, hashed=True).collect()]
     assert exact == hashed
     assert len(exact) > 0
+
+
+def test_cms_term_counts_bounds(spark):
+    """CMS guarantee: estimates never undercount, and overcount is bounded
+    by eps * stream length (eps=0.001 at 0.99 confidence)."""
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    import pyspark.sql.functions as F
+
+    rows = CATALOG["cms_term_counts"].fn(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == 10
+    total = (
+        load_table(spark, SF_CORRECTNESS, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    for r in rows:
+        assert r.est >= r.n, r
+        assert r.est <= r.n + 0.001 * total, r
