@@ -256,3 +256,26 @@ def test_tpch_q9_only_fact_fact_may_shuffle(spark):
     s = explain_str(df, "simple")
     assert s.count("SortMergeJoin") <= 1
     assert has_broadcast_join(df)
+
+
+def test_dsir_lm_dims_broadcast(spark):
+    """DSIR's unigram LM tables and smoothing scalars must broadcast onto
+    the token stream — a shuffle join on terms would move the corpus."""
+    df = q("text_dsir_scores", spark)
+    from overseer_spark.plans.inspect import explain_str
+
+    s = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in s
+
+
+def test_mad_outliers_percentile_dims_broadcast(spark):
+    """Both MAD percentile tables are |event_types|-sized and must join
+    back as broadcasts; the event stream shuffles only for the grouped
+    percentiles themselves."""
+    df = q("q_mad_outliers", spark)
+    from overseer_spark.plans.inspect import explain_str
+
+    s = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in s
