@@ -4189,6 +4189,106 @@ def text_dup_span_stats(spark, sf):
     return TX.dup_span_stats(_t(spark, sf, "documents"), k=8)
 
 
+@q(
+    "tpch_q21_shape",
+    oracle="""WITH cand AS (
+                SELECT l1.l_suppkey, l1.l_orderkey
+                FROM lineitem l1
+                WHERE l1.l_returnflag = 'R'
+                  AND EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                  WHERE l3.l_orderkey = l1.l_orderkey
+                                    AND l3.l_suppkey <> l1.l_suppkey
+                                    AND l3.l_returnflag = 'R')
+              )
+              SELECT s.s_name, CAST(COUNT(DISTINCT c.l_orderkey) AS BIGINT) AS numwait
+              FROM cand c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+              GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+)
+def tpch_q21_shape(spark, sf):
+    """TPC-H Q21 topology (sole-blame supplier), adapted to the fixture
+    columns: suppliers who are the ONLY supplier with a returned line
+    ('R') in a multi-supplier order. Declared semantics are the classic
+    EXISTS + NOT EXISTS pair against the same fact (the oracle runs that
+    correlated form verbatim); the Spark plan is the decorrelated rewrite
+    that survives 100 TB — ONE pass over lineitem collecting per-order
+    supplier sets (collect_set twice in a single hash agg), then a filter
+    on set sizes replaces BOTH self-joins. lineitem is shuffled once on
+    l_orderkey instead of three times; the supplier-name join broadcasts
+    the dim. Ref analogue: R3's blocked/unblocked set semantics, scaled to
+    per-group set algebra (SURVEY §2.A R16)."""
+    li = _t(spark, sf, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_set(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("r_supps"),
+    )
+    sole = per_order.filter(
+        (F.size("r_supps") == 1) & (F.size("supps") > 1)
+    ).select(F.element_at("r_supps", 1).alias("l_suppkey"))
+    s = _t(spark, sf, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q22_shape",
+    oracle="""WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer
+                               WHERE c_acctbal > 0)
+              SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS numcust,
+                     ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+              FROM customer c, avg_bal
+              WHERE c.c_acctbal > avg_bal.a
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_totalprice > 350000)
+              GROUP BY seg ORDER BY seg""",
+)
+def tpch_q22_shape(spark, sf):
+    """TPC-H Q22 topology (global-sales-opportunity): rich customers
+    (acctbal above the positive-balance average — an uncorrelated scalar
+    subquery) with no high-value order (anti-join; every fixture customer
+    has SOME order, so the classic never-ordered predicate is vacuous —
+    the filtered form keeps the anti-join load-bearing), rolled up per
+    segment. Scale shape: the scalar average is a 1-row broadcast
+    (crossJoin of a tiny agg, never a driver collect); the anti-join
+    build side is filtered THEN pre-distincted, shrinking it well below
+    one row per order before the exchange. Ref analogue: R16 set
+    difference (missing-handlers validation, core.clj:73-79) as a
+    fact-scale anti-join."""
+    c = _t(spark, sf, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    buyers = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        rich.join(buyers, "c_custkey", "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("seg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
