@@ -4289,6 +4289,92 @@ def tpch_q22_shape(spark, sf):
     )
 
 
+@q(
+    "text_perplexity_unigram",
+    oracle="""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                           FROM documents),
+              cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+              tot AS (SELECT SUM(c) AS t FROM cnt),
+              lm AS (SELECT term, ln(c * 1.0 / t) AS logp FROM cnt, tot)
+              SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     ROUND(AVG(-lm.logp), 4) AS nll
+              FROM tok JOIN lm USING (term)
+              GROUP BY tok.doc_id ORDER BY tok.doc_id""",
+)
+def text_perplexity_unigram(spark, sf):
+    """CCNet-style perplexity quality signal: per-document mean negative
+    log-likelihood under the corpus's own unigram LM (documents full of
+    rare tokens score high = surprising; boilerplate scores low). The real
+    pipeline swaps in a pretrained KenLM — the unigram LM keeps the exact
+    same plan shape with zero external deps. Scale shape: two passes over
+    the token stream — pass 1 aggregates the LM (vocab-sized result),
+    which then broadcasts back for pass 2's per-doc scoring, so the big
+    join is map-side; the corpus total is a 1-row crossJoin, never a
+    driver collect. Cousin of text_dsir_scores (same broadcast-LM seam,
+    different statistic: cross-entropy vs target/corpus LLR)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(F.avg(-F.col("logp")), 4).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q_scd2_intervals",
+    oracle="""WITH e AS (SELECT user_id, event_id, event_type, ts,
+                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev
+                     FROM events),
+              starts AS (SELECT * FROM e WHERE prev IS NULL OR prev <> event_type)
+              SELECT user_id, event_id, event_type AS status,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS valid_from,
+                     CAST(LEAD(date_trunc('hour', ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)
+                       AS valid_to
+              FROM starts ORDER BY user_id, event_id""",
+)
+def scd2_intervals(spark, sf):
+    """SCD Type-2 interval construction from an event stream: collapse
+    consecutive same-status runs per user (LAG change detection), then
+    turn each run start into a validity row with valid_from/valid_to
+    (NULL = current) via LEAD — the snapshot→dimension-history pattern
+    every warehouse needs. Scale shape: both windows and the final state
+    share ONE partitioning (user_id) and sort (ts, event_id), so the
+    whole op is a single exchange + sort reused end-to-end; no self-join,
+    no driver state. Output hours are date_trunc'd per the determinism
+    contract (FIXTURES.md §E); run boundaries still use full-precision
+    ordering."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    return (
+        starts.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("status"),
+            F.date_trunc("hour", "ts").alias("valid_from"),
+            F.lead(F.date_trunc("hour", "ts")).over(w).alias("valid_to"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
