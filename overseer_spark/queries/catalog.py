@@ -4375,6 +4375,101 @@ def scd2_intervals(spark, sf):
     )
 
 
+@q(
+    "semantic_dedup_clustered",
+    oracle="""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+              c AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+                    FROM embeddings CROSS JOIN dims GROUP BY label, i),
+              cent AS (SELECT label, list(m ORDER BY i) AS cv FROM c GROUP BY label),
+              d AS (SELECT e.vec_id, e.embedding, cent.label AS clabel,
+                      list_sum(list_transform(generate_series(1, 64),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - cv[i]))) AS d2
+                    FROM embeddings e CROSS JOIN cent),
+              a AS (SELECT vec_id, embedding, clabel, ROW_NUMBER() OVER
+                      (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM d),
+              asg AS (SELECT vec_id, embedding, clabel AS cluster FROM a WHERE rk = 1),
+              pairs AS (SELECT x.cluster, y.vec_id AS d2
+                        FROM asg x JOIN asg y
+                          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                        WHERE ROUND(CAST(list_cosine_similarity(x.embedding, y.embedding)
+                                         AS DOUBLE), 4) >= 0.4),
+              dr AS (SELECT cluster, COUNT(DISTINCT d2) AS dropped
+                     FROM pairs GROUP BY cluster),
+              sz AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY cluster)
+              SELECT sz.cluster, CAST(sz.n AS BIGINT) AS n,
+                     CAST(COALESCE(dr.dropped, 0) AS BIGINT) AS dropped,
+                     CAST(sz.n - COALESCE(dr.dropped, 0) AS BIGINT) AS kept
+              FROM sz LEFT JOIN dr USING (cluster) ORDER BY cluster""",
+)
+def semantic_dedup_clustered(spark, sf):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering first,
+    then near-dup search ONLY within each cluster — the composition that
+    turns the O(n²) cosine self-join into O(n²/k). Stage 1 reuses the
+    k-means E-step shape (kmeans_assign_step): k=10 centroids broadcast,
+    one scan assigns every vector. Stage 2 equi-joins the assignment to
+    itself ON cluster (a real hash join, not a crossJoin), keeps
+    upper-triangle pairs with cosine ≥ 0.4, and drops the higher vec_id of
+    each pair (min-id canonical, matching dedup_exact_groups). Output:
+    per-cluster total / dropped / kept. At 100 TB, k grows with the corpus
+    (SemDeDup uses ~100k clusters) so per-cluster work stays bounded; with
+    only k=10 keys the join would skew — the production path re-partitions
+    by (cluster, salt) and the recall loss vs the exact join is exactly the
+    cross-cluster pairs (measured against embedding_near_dup_exact in
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cent = (
+        emb.select("label", F.posexplode(dv).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    d2 = F.aggregate(
+        F.zip_with(dv, F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "clabel", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("clabel").alias("cluster"))
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).cast("double"), 4
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(sim >= 0.4)
+    dropped = (
+        pairs.groupBy(F.col("a.cluster").alias("cluster"))
+        .agg(F.countDistinct(F.col("b.vec_id")).alias("dropped"))
+    )
+    sz = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sz.join(dropped, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n").cast("long").alias("n"),
+            F.coalesce("dropped", F.lit(0)).cast("long").alias("dropped"),
+            (F.col("n") - F.coalesce("dropped", F.lit(0))).cast("long").alias("kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
