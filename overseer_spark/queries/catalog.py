@@ -2305,14 +2305,16 @@ def sliding_window_counts(spark, sf):
     exactly 2 windows. Same operator Structured Streaming uses with a
     watermark (streaming/windows.py); batch-checkable here. The oracle
     expands the window memberships explicitly (bucket, bucket−5min)."""
+    from overseer_spark.streaming.windows import sliding_counts
+
     e = _t(spark, sf, "events")
     return (
-        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c"),
-            F.round(F.sum("value"), 2).alias("s"),
+        sliding_counts(e, value_col="value")
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("c").cast("long").alias("c"),
+            "s",
         )
-        .select(F.col("w.start").alias("win_start"), "c", "s")
         .orderBy("win_start")
     )
 
@@ -3403,6 +3405,66 @@ def stream_hourly_counts(spark, sf):
             "s",
         )
         .orderBy("h", "event_type")
+    )
+
+
+@q(
+    "stream_sliding_counts",
+    oracle="""SELECT CAST(bucket AS TIMESTAMP) AS win_start,
+                CAST(COUNT(*) AS BIGINT) AS c,
+                ROUND(SUM(value), 2) AS s
+              FROM (SELECT time_bucket(INTERVAL '5 minutes', ts)
+                             - off * INTERVAL '5 minutes' AS bucket, value
+                    FROM events, UNNEST([0, 1]) AS u(off))
+              GROUP BY bucket ORDER BY win_start""",
+)
+def stream_sliding_counts(spark, sf):
+    """sliding_window_counts through the REAL streaming path: readStream →
+    the SAME sliding_counts transformation the batch entry uses
+    (streaming/windows.py) → availableNow → memory sink, hash-matched
+    against the DuckDB expanded-bucket oracle. Completes the streaming
+    parity family (tumbling: stream_hourly_counts; session:
+    stream_sessionize; dedup state: stream_dedup_counts; hopping: this).
+    Hopping windows double per-event state writes (each event lands in
+    duration/slide windows) — watermarking, exercised in
+    tests/test_streaming.py, is what keeps that state bounded unbounded-ly."""
+    import os
+    import uuid
+
+    from overseer_spark.streaming.windows import sliding_counts
+
+    _t(spark, sf, "events")  # ensures configure_for_oracle ran
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    query = (
+        sliding_counts(sdf, value_col="value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("c").cast("long").alias("c"),
+            "s",
+        )
+        .orderBy("win_start")
     )
 
 

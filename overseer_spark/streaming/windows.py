@@ -37,14 +37,19 @@ def sliding_counts(
     ts_col: str = "ts",
     duration: str = "10 minutes",
     slide: str = "5 minutes",
-    keys: tuple[str, ...] = ("event_type",),
+    keys: tuple[str, ...] = (),
+    value_col: str | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
+    """Hopping windows (each event lands in duration/slide windows). One
+    definition serves the batch oracle (sliding_window_counts) and the
+    streaming path (stream_sliding_counts)."""
     if watermark:
         df = df.withWatermark(ts_col, watermark)
-    return df.groupBy(F.window(ts_col, duration, slide).alias("win"), *keys).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("s"))
+    return df.groupBy(F.window(ts_col, duration, slide).alias("win"), *keys).agg(*aggs)
 
 
 def session_counts(
