@@ -44,10 +44,12 @@ FAMILIES: dict[str, list[str]] = {
         "q_cumulative_distinct_users",
         "q_global_sort",
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
+        "q_scd2_intervals",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize",
         "stream_hourly_counts", "stream_sessionize", "stream_dedup_counts",
+        "stream_sliding_counts",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
@@ -69,6 +71,7 @@ FAMILIES: dict[str, list[str]] = {
         "minhash_near_dup_pairs", "simhash_signatures", "simhash_near_dup_pairs",
         "ngram_jaccard_pairs", "near_dup_components", "near_dup_dedup_count",
         "embedding_near_dup_exact", "text_dup_span_stats",
+        "semantic_dedup_clustered",
     ],
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "knn_label_predict",
@@ -83,6 +86,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_redact_pii", "text_chunk_overlap", "text_contamination_check",
         "text_bm25_search", "text_ngram_counts", "text_zipf_slope",
         "text_vocab_overlap", "text_dsir_scores", "text_chi2_terms",
+        "text_perplexity_unigram",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample",
@@ -96,7 +100,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "TPC-H shapes": [
         "tpch_q3_shape", "tpch_q5_shape", "tpch_q9_shape", "tpch_q17_shape",
-        "tpch_q18_shape",
+        "tpch_q18_shape", "tpch_q21_shape", "tpch_q22_shape",
     ],
 }
 
