@@ -57,6 +57,9 @@ HEADLINE = [
     "text_contamination_check",
     "kmeans_assign_step",
     "hll_distinct_merge",
+    "tpch_q21_shape",
+    "text_perplexity_unigram",
+    "semantic_dedup_clustered",
 ]
 
 

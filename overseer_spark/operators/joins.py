@@ -112,3 +112,76 @@ def asof_join(
             *[F.col(n + "_c").alias(n) for n in out_names],
         )
     )
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    fpp: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join with a Bloom-filter pre-prune on the probe side.
+
+    The runtime-filter pattern (Spark's own AQE injects the same shape via
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``): hash the build
+    side's keys into a bit-packed Bloom bitmap, inline the bitmap into the
+    probe's filter expression as an array<long> LITERAL, and let whole-stage
+    codegen evaluate k getbit probes per row AT THE SCAN — rows that cannot
+    match never reach the exchange. With ``exact=True`` a real left-semi
+    join runs after the prune, so the result is exactly the semi-join (the
+    bloom only removes shuffle traffic, FPs are re-checked); with
+    ``exact=False`` you get the raw pruned stream (superset, no shuffle at
+    all) for cases downstream tolerates FPs.
+
+    All hashing is JVM-side ``xxhash64`` double-hashing (Kirsch-
+    Mitzenmacher: pos_i = h1 + i·h2 mod m); pmod keeps every product far
+    below 2^63 so ANSI mode cannot overflow. The build side's DISTINCT bit
+    positions are collected once — k·n ints for n build keys, the same
+    driver footprint as Spark's own BloomFilterAggregate result — then
+    bit-packed to m/64 longs. Designed for build sides too big to broadcast
+    as an IN-list but small enough for a few-hundred-KB bitmap (the classic
+    selective-dimension case); at 100 TB the bitmap rides into every task
+    as part of the serialized plan, replacing a full shuffle of the probe
+    fact.
+    """
+    import math
+
+    n = max(build.select(build_key).distinct().count(), 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole words
+    k = max(1, round(m / n * math.log(2)))
+
+    def positions(col):
+        h1 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m))
+        h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m))
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+    pos_rows = (
+        build.select(F.explode(F.array(*positions(F.col(build_key)))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+
+    def bit_set(p):
+        word = F.element_at(bitmap, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+        return F.getbit(word, F.pmod(p, F.lit(64))) == 1
+
+    keep = None
+    for p in positions(F.col(probe_key)):
+        c = bit_set(p)
+        keep = c if keep is None else (keep & c)
+    pruned = probe.filter(keep)
+    if not exact:
+        return pruned
+    return pruned.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        probe_key,
+        "left_semi",
+    )

@@ -4532,6 +4532,36 @@ def semantic_dedup_clustered(spark, sf):
     )
 
 
+@q(
+    "bloom_semi_join_prune",
+    oracle="""SELECT c_custkey FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                  WHERE o_totalprice > 400000)
+              ORDER BY c_custkey""",
+)
+def bloom_semi_join_prune(spark, sf):
+    """Semi-join accelerated by a Bloom runtime filter
+    (operators/joins.py bloom_semi_join): the selective build side's keys
+    become a bit-packed bitmap LITERAL in the probe scan's filter — k
+    xxhash64 getbit probes per row inside whole-stage codegen, so probe
+    rows that cannot match die at the scan, before the exchange. False
+    positives are re-checked by a real left-semi join, so the result is
+    EXACTLY the semi-join (the declared oracle); the bloom only removes
+    shuffle traffic. This is the manual twin of Spark's AQE runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.*), kept explicit so the
+    pruning survives plans AQE won't rewrite. FP-rate and plan-shape
+    invariants: tests/test_plans.py."""
+    from overseer_spark.operators.joins import bloom_semi_join
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    hi = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return bloom_semi_join(c, hi, "c_custkey", "o_custkey").orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------

@@ -279,3 +279,34 @@ def test_mad_outliers_percentile_dims_broadcast(spark):
     s = explain_str(df, "simple")
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in s
+
+
+def test_bloom_prune_filters_at_scan_with_codegen(spark):
+    """The bloom probe must be a literal-bitmap getbit filter ON THE PROBE
+    SCAN (no extra exchange, no Python), and exact=True must re-verify."""
+    from overseer_spark.operators.joins import bloom_semi_join
+    from overseer_spark.sources.tables import load_table
+
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
+    hi = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter("o_totalprice > 400000")
+        .select("o_custkey")
+    )
+    pruned = bloom_semi_join(c, hi, "c_custkey", "o_custkey", exact=False)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan, "bloom probe not in the plan"
+    assert "Exchange" not in plan, "exact=False prune must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # no false negatives + FP bound: pruned ⊇ exact, |FP| ≤ 5·fpp·|probe|
+    exact = {
+        r.c_custkey
+        for r in bloom_semi_join(c, hi, "c_custkey", "o_custkey", exact=True).collect()
+    }
+    got = {r.c_custkey for r in pruned.collect()}
+    assert exact <= got, "bloom dropped a true match (false negative)"
+    n_probe = c.count()
+    assert len(got) - len(exact) <= max(2, 5 * 0.01 * n_probe), (
+        f"FP count {len(got) - len(exact)} exceeds bound for {n_probe} probe rows"
+    )
