@@ -4562,6 +4562,52 @@ def bloom_semi_join_prune(spark, sf):
     return bloom_semi_join(c, hi, "c_custkey", "o_custkey").orderBy("c_custkey")
 
 
+@q(
+    "q_incremental_merge",
+    oracle="""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 2) AS s, ROUND(AVG(value), 4) AS a,
+                     CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS mn,
+                     CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS mx
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def incremental_merge(spark, sf):
+    """Mergeable partial aggregates — the incremental-refresh contract: the
+    event stream is split into two disjoint time ranges, each aggregated
+    INDEPENDENTLY (count/sum/min/max are commutative monoids; avg is
+    derived sum/count at merge time, never averaged-of-averages), then the
+    dimension-sized partials are unioned and merged. The declared oracle is
+    the direct one-shot aggregation — equality IS the algebraic-correctness
+    proof. At 100 TB this is how daily rollups actually run: each day's
+    partial computed once as data lands, a backfill merges partials instead
+    of rescanning history; same mergeability the sketch entries
+    (hll_distinct_merge, cms_term_counts) give approximate aggregates."""
+    e = _t(spark, sf, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")  # fixtures span 2024-01; mid-month split
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sv"),
+            F.min("ts").alias("mn_ts"),
+            F.max("ts").alias("mx_ts"),
+        )
+
+    parts = partial(e.filter(F.col("ts") < cut)).unionAll(
+        partial(e.filter(F.col("ts") >= cut))
+    )
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.round(F.sum("sv"), 2).alias("s"),
+            F.round(F.sum("sv") / F.sum("cnt"), 4).alias("a"),
+            F.date_trunc("hour", F.min("mn_ts")).alias("mn"),
+            F.date_trunc("hour", F.max("mx_ts")).alias("mx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
