@@ -4608,6 +4608,56 @@ def incremental_merge(spark, sf):
     )
 
 
+@q(
+    "text_ccnet_buckets",
+    oracle="""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                           FROM documents),
+              cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+              tot AS (SELECT SUM(c) AS t FROM cnt),
+              lm AS (SELECT term, ln(c * 1.0 / t) AS logp FROM cnt, tot),
+              nll AS (SELECT tok.doc_id, AVG(-lm.logp) AS nll
+                      FROM tok JOIN lm USING (term) GROUP BY tok.doc_id),
+              b AS (SELECT d.lang, NTILE(3) OVER
+                      (PARTITION BY d.lang ORDER BY n.nll, n.doc_id) AS bucket
+                    FROM nll n JOIN documents d USING (doc_id))
+              SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS docs
+              FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
+)
+def text_ccnet_buckets(spark, sf):
+    """CCNet's selection step on top of the perplexity signal: per
+    language, rank documents by unigram NLL and cut into head/middle/tail
+    terciles (bucket 1 = most fluent; CCNet trains on head+middle). Builds
+    on text_perplexity_unigram's broadcast-LM plan, adding one NTILE window
+    per language partition — ties broken by doc_id so the cut is
+    deterministic across engines. Output is the per-(lang, bucket) census a
+    mixture plan consumes (q_mixture_plan). At 100 TB the NTILE sort is
+    per-language (bounded partitions); if one language dominates, swap the
+    exact NTILE for percentile_approx thresholds — same downstream
+    contract."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+    nll = (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.col("logp")).alias("nll"))
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    return (
+        nll.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .orderBy("lang", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
