@@ -4658,6 +4658,81 @@ def text_ccnet_buckets(spark, sf):
     )
 
 
+@q(
+    "q_topk_per_group_agg",
+    oracle="""SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                     CAST(rk AS BIGINT) AS rk
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                    FROM orders)
+              WHERE rk <= 3 ORDER BY o_custkey, rk""",
+)
+def topk_per_group_agg(spark, sf):
+    """Top-3 orders per customer WITHOUT a window: collect_list of structs
+    per key, array_sort, slice, posexplode. Declared semantics = Q20's
+    ROW_NUMBER plan (the oracle); this is the aggregate formulation that
+    wins at scale — a window must SORT every group's full row set inside
+    the exchange, while the aggregate keeps only candidate structs and
+    (with partial aggregation) collapses most rows map-side; no global
+    ordering requirement ever enters the plan. Sort key is a struct of
+    (-price, orderkey) so ascending array_sort yields price-desc,
+    orderkey-asc — the exact window tie-break."""
+    o = _t(spark, sf, "orders")
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("np"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, 3).alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "o_custkey",
+            F.col("t.k").alias("o_orderkey"),
+            F.round(F.col("t.p"), 2).alias("price"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@q(
+    "q_not_in_null_semantics",
+    oracle="""WITH nk AS (SELECT NULLIF(n_nationkey, 3) AS k FROM nation)
+              SELECT
+                CAST((SELECT COUNT(*) FROM customer
+                      WHERE c_nationkey NOT IN (SELECT k FROM nk)) AS BIGINT)
+                  AS not_in_n,
+                CAST((SELECT COUNT(*) FROM customer c
+                      WHERE NOT EXISTS (SELECT 1 FROM nk WHERE nk.k = c.c_nationkey))
+                  AS BIGINT) AS not_exists_n""",
+)
+def not_in_null_semantics(spark, sf):
+    """The NOT IN null trap, pinned as a contract: when the subquery
+    contains a NULL, three-valued logic makes `x NOT IN (...)` never-true —
+    zero rows — while NOT EXISTS returns the intended complement. Both
+    counts are computed in one result so the gap is explicit (not_in_n = 0,
+    not_exists_n > 0 on these fixtures). Plan-wise Spark compiles NOT IN to
+    a null-AWARE anti join (more expensive than a plain anti join — every
+    probe must check the null flag) and NOT EXISTS to a plain left-anti:
+    the reason engine docs tell you to prefer NOT EXISTS, demonstrated as
+    data. Runs through the SQL entry point (subqueries in scalar position)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """WITH nk AS (SELECT NULLIF(n_nationkey, 3) AS k FROM nation)
+           SELECT
+             CAST((SELECT COUNT(*) FROM customer
+                   WHERE c_nationkey NOT IN (SELECT k FROM nk)) AS BIGINT)
+               AS not_in_n,
+             CAST((SELECT COUNT(*) FROM customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM nk WHERE nk.k = c.c_nationkey))
+               AS BIGINT) AS not_exists_n"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
