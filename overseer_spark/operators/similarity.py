@@ -241,3 +241,78 @@ def pca_top_component(
     spark = df.sparkSession
     rows = [(i, round(float(v[i]), 6), round(eigval, 4)) for i in range(dim)]
     return spark.createDataFrame(rows, "i int, loading double, eigval double")
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 10,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Full Lloyd k-means over a distributed vector table.
+
+    The iterative-algorithm contract at 100 TB (same shape as
+    scheduling.pagerank): per iteration the corpus is scanned ONCE against a
+    BROADCAST k×dim centroid table (E-step: crossJoin + argmin window), and
+    the M-step's per-(cluster, dim) means collapse map-side before one small
+    exchange; only the k×dim centroid matrix ever reaches the driver —
+    vector rows are never collected and never shuffled on vector data.
+    Init is deterministic: the k lowest-id vectors (the same convention as
+    assign_cells); an emptied cluster keeps its previous centroid.
+
+    Returns (assignments DataFrame: id, cluster, d2; centroids list).
+    Ref analogue: the reference runs arbitrary per-job compute
+    (doc/guide/Introduction.md:5) — this is the natively-provided
+    equivalent for iterative ML, verified against a numpy oracle in
+    tests/test_similarity.py.
+    """
+    spark = emb.sparkSession
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = emb.select(F.col(id_col).alias("_id"), dv.alias("_v"))
+    centroids = [
+        list(r._v) for r in pts.orderBy("_id").limit(k).collect()
+    ]
+
+    def assign(cent):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent)], "c int, cv array<double>"
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("cv"), lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("_id").orderBy("d2", "c")
+        return (
+            pts.crossJoin(F.broadcast(cent_df))
+            .select("_id", "_v", "c", d2.alias("d2"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("c", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = list(centroids)  # emptied clusters keep their centroid
+        for r in means:
+            new[r.c] = list(r.cv)
+        centroids = new
+    final = assign(centroids).select(
+        F.col("_id").alias(id_col), F.col("c").alias("cluster"), "d2"
+    )
+    return final, centroids

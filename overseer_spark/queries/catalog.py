@@ -4733,6 +4733,27 @@ def not_in_null_semantics(spark, sf):
     )
 
 
+@q("kmeans_lloyd_iters", tier="py")
+def kmeans_lloyd_iters(spark, sf):
+    """Full Lloyd k-means (5 iterations, k=8, lowest-id init) — the
+    iterative extension of kmeans_assign_step's single E-step: each round
+    scans the vector table once against broadcast centroids and ships only
+    the k×dim means back (operators/similarity.py kmeans_lloyd). Verified
+    against a step-for-step numpy oracle in tests/test_similarity.py;
+    PY tier (iterative, not SQL-expressible)."""
+    final, _ = V.kmeans_lloyd(
+        _t(spark, sf, "embeddings"), k=8, iterations=5
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("d2"), 6).alias("avg_dist2"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------

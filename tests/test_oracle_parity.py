@@ -105,6 +105,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "pack_sequences": "pack_greedy",            # invariants, test_packing.py
         "dag_pagerank": "pagerank",                 # power-iteration oracle, test_closure_strategies.py
         "r13_seeded_sample": "test_seeded_sample_deterministic",
+        "kmeans_lloyd_iters": "kmeans_lloyd",  # numpy Lloyd oracle, test_similarity.py
     }
     missing = [
         name

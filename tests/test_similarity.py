@@ -227,3 +227,35 @@ def test_semantic_dedup_subset_and_recall(spark):
     assert dropped >= 1  # the planted near-dups make it non-trivial
     recall_floor = 0.2  # measured 14/59 ≈ 0.237 on seed-42 fixtures
     assert dropped / len(exact_dropped) >= recall_floor
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """kmeans_lloyd = numpy Lloyd step-for-step: same lowest-id init, same
+    argmin tie-break (lowest cluster), empty clusters keep centroids."""
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    k, iters = 8, 5
+    final, cents = V.kmeans_lloyd(emb, k=k, iterations=iters)
+    got = {r.vec_id: (r.cluster, r.d2) for r in final.collect()}
+
+    rows = sorted(
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    mat = np.stack([v for _, v in rows])
+    cent = mat[:k].copy()  # k lowest ids
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        asg = d2.argmin(axis=1)  # ties -> lowest index, same as (d2, c) order
+        for c in range(k):
+            if (asg == c).any():
+                cent[c] = mat[asg == c].mean(axis=0)
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    asg = d2.argmin(axis=1)
+    mism = sum(1 for i, a in zip(ids, asg) if got[int(i)][0] != int(a))
+    assert mism == 0, f"{mism} assignment mismatches vs numpy"
+    for i, a in zip(ids, asg):
+        assert abs(got[int(i)][1] - d2[np.where(ids == i)[0][0], a]) < 1e-6
