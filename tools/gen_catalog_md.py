@@ -21,13 +21,14 @@ FAMILIES: dict[str, list[str]] = {
         "q07_inner_join", "q08_multiway_join", "q09_left_join", "q10_semi_join",
         "q11_anti_join", "q12_theta_self_join", "q_full_outer_join",
         "q_right_outer_join", "asof_join_events", "interval_join_events",
-        "q_null_safe_join",
+        "q_null_safe_join", "bloom_semi_join_prune",
     ],
     "Aggregation & grouping": [
         "q13_global_agg", "q14_grouped_agg", "q15_count_distinct", "q16_distinct",
         "q17_having", "q18_rollup", "q19_case_decode", "q_cube", "q_grouping_sets",
         "q_median_percentiles", "q_stats_aggs", "q_conditional_agg", "q_min_max_by",
         "q_multi_distinct_agg", "q_value_histogram", "q_string_agg",
+        "q_incremental_merge", "q_topk_per_group_agg",
         "q_percent_of_total", "q_abc_analysis", "q_pivot_status", "q_unpivot_melt",
         "q_cohort_retention", "time_rollup_hierarchy", "q_data_profile",
         "q_integrity_audit", "q_outlier_counts", "q_mad_outliers",
@@ -53,7 +54,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
-        "q_scalar_subquery", "q_exists_correlated",
+        "q_scalar_subquery", "q_exists_correlated", "q_not_in_null_semantics",
     ],
     "Scalar functions & types": [
         "q27_string_funcs", "q28_datetime_funcs", "q29_math_funcs", "q_date_arith",
@@ -76,7 +77,7 @@ FAMILIES: dict[str, list[str]] = {
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "knn_label_predict",
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
-        "embedding_pca_power",
+        "embedding_pca_power", "kmeans_lloyd_iters",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
@@ -86,7 +87,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_redact_pii", "text_chunk_overlap", "text_contamination_check",
         "text_bm25_search", "text_ngram_counts", "text_zipf_slope",
         "text_vocab_overlap", "text_dsir_scores", "text_chi2_terms",
-        "text_perplexity_unigram",
+        "text_perplexity_unigram", "text_ccnet_buckets",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample",
