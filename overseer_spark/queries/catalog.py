@@ -4754,6 +4754,106 @@ def kmeans_lloyd_iters(spark, sf):
     )
 
 
+@q(
+    "stratified_fixed_k_sample",
+    oracle="""SELECT lang, doc_id FROM (
+                SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents)
+              WHERE rk <= 3 ORDER BY lang, doc_id""",
+)
+def stratified_fixed_k_sample(spark, sf):
+    """Deterministic fixed-k-per-stratum sample (3 docs per language): rank
+    by md5(doc_id) — a portable, engine- and partitioning-independent
+    pseudo-random order (F.rand(seed) is NOT reproducible across engines or
+    repartitionings; a hash of the key is) — and keep the first k. The
+    eval-set construction primitive: re-running on a grown corpus keeps the
+    selection stable for unchanged ids. Complements
+    stratified_sample_counts (fraction-based) with exact-count-per-group
+    semantics; one window shuffle on the stratum key."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@q(
+    "q_snapshot_diff_cdc",
+    oracle="""WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                          FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+              v2 AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderstatus = 'P'
+                            THEN ROUND(o_totalprice * 1.1, 2)
+                            ELSE o_totalprice END AS o_totalprice
+                     FROM orders
+                     WHERE o_orderdate >= DATE '1996-01-01'
+                       AND o_orderdate < DATE '1998-01-01'),
+              d AS (SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+                      CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                           WHEN v2.o_orderkey IS NULL THEN 'delete'
+                           WHEN v1.o_orderstatus <> v2.o_orderstatus
+                             OR v1.o_totalprice <> v2.o_totalprice THEN 'update'
+                           ELSE 'unchanged' END AS op
+                    FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+              SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY op ORDER BY op""",
+)
+def snapshot_diff_cdc(spark, sf):
+    """Change-data-capture by snapshot diff: two versions of the orders
+    table (cut at different dates — a deterministic stand-in for t1/t2
+    loads) full-outer-joined on the key, each row classified
+    insert/delete/update/unchanged, counts per class. The pattern behind
+    incremental syncs and Delta MERGE preconditions when the upstream has
+    no changelog. Scale shape: ONE co-partitioned full-outer join on the
+    key — both sides shuffle once on o_orderkey; with bucketed storage on
+    the key (sources/bucketing.py) the exchange disappears entirely. The
+    value comparison stays null-safe per column. The two snapshots are
+    deterministic slices with a simulated price correction on 'P' rows so
+    ALL four classes (insert/delete/update/unchanged) are exercised."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    v1 = o.filter(F.col("o_orderdate") < "1997-01-01").drop("o_orderdate")
+    v2 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "P",
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .drop("o_orderdate")
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    op = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(op.alias("op"))
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("op")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
