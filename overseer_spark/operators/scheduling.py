@@ -276,3 +276,48 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def detect_cycles(
+    jobs: DataFrame,
+    deps: DataFrame,
+    checkpoint_every: int = 4,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Jobs trapped in dependency cycles — distributed Kahn's algorithm.
+
+    The reference VALIDATES graph shape before insert (``valid-graph?``,
+    core.clj:34-39, R23) but trusts Loom's digraph to be a DAG; at engine
+    scale a cyclic submission would deadlock the ready-set query (R3: a
+    cycle's members are never ready, never dead — silently stuck forever).
+    This is the audit that finds them: iteratively emit jobs whose
+    dependencies are ALL emitted (two anti-joins per wave — a node with no
+    un-done dep), until fixpoint; whatever remains can never start = the
+    set of jobs on or downstream-locked by a cycle. Iterations = DAG
+    depth, not row count; lineage truncated on the same cadence as
+    :func:`topo_levels`. NOTE vs topo_levels: that op's longest-path
+    frontier never terminates on a cyclic graph — this one always does
+    (the fixpoint is monotone and bounded by |jobs|).
+    """
+    ids = jobs.select("id")
+    done = ids.join(
+        deps.select(F.col("job_id").alias("id")), "id", "left_anti"
+    ).persist()
+    done.count()
+    for it in range(max_iterations):
+        blocked = (
+            deps.join(
+                done.select(F.col("id").alias("dep_id")), "dep_id", "left_anti"
+            )
+            .select(F.col("job_id").alias("id"))
+            .distinct()
+        )
+        newly = ids.join(done, "id", "left_anti").join(blocked, "id", "left_anti")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            newly = newly.localCheckpoint(eager=True)
+        else:
+            newly = newly.persist()
+        if newly.count() == 0:
+            break
+        done = done.union(newly)
+    return ids.join(done, "id", "left_anti")

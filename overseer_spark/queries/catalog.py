@@ -4854,6 +4854,31 @@ def snapshot_diff_cdc(spark, sf):
     )
 
 
+@q("dag_cycle_check", tier="py")
+def dag_cycle_check(spark, sf):
+    """DAG integrity audit: jobs that can NEVER become ready because they
+    sit on (or behind) a dependency cycle — distributed Kahn peeling
+    (operators/scheduling.py detect_cycles). The fixture graph is acyclic
+    so the deadlocked set is empty here (the summary proves it: total =
+    schedulable, deadlocked = 0); the cyclic case — where the ready-set
+    query R3 would silently strand jobs forever — is exercised with
+    crafted cyclic graphs in tests/test_closure_strategies.py. PY tier:
+    fixpoint iteration, not SQL-expressible."""
+    jobs, deps = FX.jobs_df(spark), FX.deps_df(spark)
+    stuck = S.detect_cycles(jobs, deps)
+    return (
+        jobs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+        .crossJoin(
+            stuck.agg(F.count(F.lit(1)).cast("long").alias("deadlocked"))
+        )
+        .select(
+            "total",
+            "deadlocked",
+            (F.col("total") - F.col("deadlocked")).alias("schedulable"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------

@@ -155,3 +155,23 @@ def test_pagerank_matches_power_iteration(spark, dag):
         assert abs(got[x] - ranks[x]) < 1e-9, (x, got[x], ranks[x])
     # ranks form a probability-mass-like vector (<=1 with dangling loss)
     assert 0 < sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_detect_cycles_kahn(spark):
+    """detect_cycles (dag_cycle_check's operator): on a graph with a
+    3-cycle plus a clean chain, exactly the cycle members AND everything
+    dependency-locked behind them are flagged; the clean chain is not."""
+    from overseer_spark.operators.scheduling import detect_cycles
+
+    # chain a->b->c (a depends on b, b on c); cycle x->y->z->x; w depends on x
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("z", "x"), ("w", "x")]
+    nodes = sorted({n for e in edges for n in e})
+    jobs = spark.createDataFrame([(n,) for n in nodes], schema="id string")
+    deps = spark.createDataFrame(edges, schema="job_id string, dep_id string")
+    stuck = {r.id for r in detect_cycles(jobs, deps).collect()}
+    assert stuck == {"x", "y", "z", "w"}
+
+    # acyclic-only graph: nothing flagged
+    deps2 = spark.createDataFrame(edges[:2], schema="job_id string, dep_id string")
+    jobs2 = spark.createDataFrame([("a",), ("b",), ("c",)], schema="id string")
+    assert detect_cycles(jobs2, deps2).count() == 0
