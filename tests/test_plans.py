@@ -310,3 +310,28 @@ def test_bloom_prune_filters_at_scan_with_codegen(spark):
     assert len(got) - len(exact) <= max(2, 5 * 0.01 * n_probe), (
         f"FP count {len(got) - len(exact)} exceeds bound for {n_probe} probe rows"
     )
+
+
+def test_tpch_q21_single_fact_shuffle_no_self_join(spark):
+    """Q21's decorrelation promise: ONE aggregation over lineitem (no
+    lineitem self-join — the classic plan has two), supplier broadcast."""
+    df = q("tpch_q21_shape", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, "lineitem scanned more than once + supplier"
+    assert has_broadcast_join(df), "supplier dim must broadcast"
+
+
+def test_semantic_dedup_pair_join_is_hash_not_nested_loop(spark):
+    """SemDeDup stage 2 must be an equi hash join ON cluster (plus the
+    intentional k-row centroid broadcast nested loop in stage 1) — a full
+    BroadcastNestedLoopJoin over the vector table itself would be the
+    O(n²) plan the operator exists to avoid."""
+    df = q("semantic_dedup_clustered", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pair_joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "vec_id" in ln
+    ]
+    assert any(
+        "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+        for ln in pair_joins
+    ), f"pair join not a hash join:\n{plan}"
