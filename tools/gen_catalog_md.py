@@ -28,7 +28,7 @@ FAMILIES: dict[str, list[str]] = {
         "q17_having", "q18_rollup", "q19_case_decode", "q_cube", "q_grouping_sets",
         "q_median_percentiles", "q_stats_aggs", "q_conditional_agg", "q_min_max_by",
         "q_multi_distinct_agg", "q_value_histogram", "q_string_agg",
-        "q_incremental_merge", "q_topk_per_group_agg",
+        "q_incremental_merge", "q_topk_per_group_agg", "q_snapshot_diff_cdc",
         "q_percent_of_total", "q_abc_analysis", "q_pivot_status", "q_unpivot_melt",
         "q_cohort_retention", "time_rollup_hierarchy", "q_data_profile",
         "q_integrity_audit", "q_outlier_counts", "q_mad_outliers",
@@ -65,7 +65,7 @@ FAMILIES: dict[str, list[str]] = {
     "Engine tables (scheduler queries)": [
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
         "q33b_closure_recursive_cte", "q_status_counts", "dag_degree_stats",
-        "dag_topo_levels", "dag_pagerank", "dag_components",
+        "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
     ],
     "Dedup family": [
         "q35_exact_dup_count", "dedup_exact_groups", "dedup_rate_by_source",
@@ -94,7 +94,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
-        "stratified_sample_counts", "r13_seeded_sample",
+        "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
