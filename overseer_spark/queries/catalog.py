@@ -4879,6 +4879,88 @@ def dag_cycle_check(spark, sf):
     )
 
 
+@q(
+    "q_union_by_name_evolution",
+    oracle="""SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(p_size) AS BIGINT) AS with_size
+              FROM (SELECT 'v1' AS src, p_partkey, NULL AS p_size
+                      FROM part WHERE p_partkey % 2 = 0
+                    UNION ALL
+                    SELECT 'v2' AS src, p_partkey, p_size
+                      FROM part WHERE p_partkey % 2 = 1)
+              GROUP BY src ORDER BY src""",
+)
+def union_by_name_evolution(spark, sf):
+    """Schema-evolution union: an old extract lacking a column unions with
+    the new extract via unionByName(allowMissingColumns=True) — positions
+    don't matter, missing columns null-fill. The silent killer it replaces:
+    positional UNION ALL happily mis-aligns renamed/reordered columns and
+    corrupts every row without an error. The per-source COUNT(col) census
+    (with_size) is the ingest check that the null-fill landed where
+    expected. At scale this is the multi-vintage landing-zone read: every
+    parquet era unions into today's schema with zero rewrite."""
+    p = _t(spark, sf, "part")
+    v1 = (
+        p.filter(F.col("p_partkey") % 2 == 0)
+        .select("p_partkey")
+        .withColumn("src", F.lit("v1"))
+    )
+    v2 = (
+        p.filter(F.col("p_partkey") % 2 == 1)
+        .select("p_partkey", "p_size")
+        .withColumn("src", F.lit("v2"))
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("p_size").cast("long").alias("with_size"),
+        )
+        .orderBy("src")
+    )
+
+
+@q(
+    "q_cumulative_max_drawdown",
+    oracle="""WITH r AS (SELECT user_id, event_id, value,
+                     MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                   FROM events)
+              SELECT user_id,
+                     ROUND(MIN(value / peak - 1.0), 4) AS max_drawdown,
+                     ROUND(MAX(peak), 2) AS peak_value
+              FROM r GROUP BY user_id ORDER BY user_id""",
+)
+def cumulative_max_drawdown(spark, sf):
+    """Running-peak drawdown per user stream: cumulative MAX window
+    (running peak), relative drop vs the peak at every point, then the
+    worst drop per user — the risk/telemetry analytic (max drawdown,
+    high-water-mark regressions). One window partitioning (user_id) feeds
+    directly into the same-keyed groupBy, so Catalyst reuses the exchange:
+    window + final agg, a single shuffle end-to-end. events.value > 0 on
+    these fixtures, so value/peak is well-defined."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = e.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.round(F.min(F.col("value") / F.col("peak") - 1.0), 4).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak"), 2).alias("peak_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
