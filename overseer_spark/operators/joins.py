@@ -32,7 +32,9 @@ def interval_join(
     an exact residual filter — linear shuffle, no nested loop.
     """
     by = by or []
-    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    # cast first: parquet may surface TIMESTAMP_NTZ, which unix_micros rejects;
+    # the tz offset introduced by the cast cancels because only differences matter
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     bucket = (us(on) / F.lit(tolerance_us)).cast("long")
     l = left.withColumn("_bkt", bucket)
     r = right.select(
