@@ -4962,6 +4962,531 @@ def cumulative_max_drawdown(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H topology completion: the remaining canonical query shapes, adapted to
+# the fixture schema (no partsupp/shipmode/commitdate columns — each entry
+# documents its stand-in). With these, all 22 TPC-H join/agg topologies have a
+# declared, oracle-checked representative.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q2_shape",
+    oracle="""WITH unit AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS u
+                FROM lineitem GROUP BY l_partkey, l_suppkey)
+              SELECT p.p_partkey, s.s_name, ROUND(u.u, 4) AS unit_cost
+              FROM unit u
+              JOIN (SELECT l_partkey AS pk, MIN(u) AS mn FROM unit GROUP BY l_partkey) b
+                ON u.l_partkey = b.pk AND u.u = b.mn
+              JOIN part p ON p.p_partkey = u.l_partkey
+              JOIN supplier s ON s.s_suppkey = u.l_suppkey
+              WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+              ORDER BY p.p_partkey, s.s_name""",
+)
+def tpch_q2(spark, sf):
+    """TPC-H Q2 topology (min-cost supplier): correlated MIN subquery per
+    part, decorrelated to a per-(part,supplier) pre-agg + per-part min.
+    partsupp stand-in = DISTINCT observed (l_partkey, l_suppkey) unit costs
+    from lineitem. Spark: the per-part min is a window over the pre-agg
+    (one shuffle keyed on l_partkey; the window input is already
+    |parts|×|supps-per-part|, dimension-sized relative to the fact), then
+    broadcast joins to the filtered part dim and supplier dim."""
+    li = _t(spark, sf, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = unit.withColumn("mn", F.min("u").over(w)).filter(F.col("u") == F.col("mn"))
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select("p_partkey", "s_name", F.round("u", 4).alias("unit_cost"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@q(
+    "tpch_q4_shape",
+    oracle="""SELECT o.o_orderpriority, COUNT(*) AS n
+              FROM orders o
+              WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-04-01'
+                AND EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_returnflag = 'R')
+              GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+)
+def tpch_q4(spark, sf):
+    """TPC-H Q4 topology (order-priority checking): date-range filter +
+    EXISTS semi-join against the fact, then a tiny priority rollup.
+    commitdate<receiptdate stand-in = a returned line ('R'). The semi join
+    shuffles only orderkeys; the filter on orders prunes the probe side
+    before the exchange."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q6_shape",
+    oracle="""SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                     COUNT(*) AS n
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24""",
+)
+def tpch_q6(spark, sf):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    pushdown/pruning microbenchmark — pure conjunctive filter + global agg,
+    no join, no shuffle beyond the single-row partial-agg merge. All three
+    predicates reach the parquet scan (`PushedFilters`); only 4 columns
+    are read."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "tpch_q7_shape",
+    oracle="""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     EXTRACT(YEAR FROM l.l_shipdate) AS yr,
+                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+              JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+              WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                  OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY supp_nation, cust_nation, yr
+              ORDER BY supp_nation, cust_nation, yr""",
+)
+def tpch_q7(spark, sf):
+    """TPC-H Q7 topology (volume shipping): the two-sided nation pair —
+    the SAME dim (nation) joins the fact twice through different paths
+    (supplier side and customer side), with a disjunctive pair predicate.
+    Spark: one fact-fact shuffle join (lineitem⋈orders), customer shuffled,
+    supplier + both nation legs broadcast; the pair filter lands after both
+    names are attached, and the nation-name filter is pushed into each
+    broadcast leg (only 2 of 25 nations survive each side)."""
+    pair = ["NATION_1", "NATION_2"]
+    n = _t(spark, sf, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@q(
+    "tpch_q8_shape",
+    oracle="""SELECT EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                     ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+                           / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = cn.n_regionkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY yr ORDER BY yr""",
+)
+def tpch_q8(spark, sf):
+    """TPC-H Q8 topology (national market share): the deepest dim chain in
+    the suite — lineitem⋈orders plus FIVE dimension legs (part filter,
+    supplier→nation for the share numerator, customer→nation→region for the
+    market scope), finished by a conditional-aggregation ratio. Spark: the
+    region filter prunes the customer leg before its shuffle; part/supplier/
+    nation broadcast; numerator/denominator computed in ONE pass via
+    SUM(CASE) — no second scan, no self-join."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("cnk")
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey")
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@q(
+    "tpch_q10_shape",
+    oracle="""SELECT c.c_custkey, c.c_name,
+                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                     n.n_name
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-04-01'
+                AND l.l_returnflag = 'R'
+              GROUP BY c.c_custkey, c.c_name, n.n_name
+              ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): one-quarter order slice,
+    returned lines only, revenue rolled up per customer, top 20. The
+    grouped agg keys on the customer dim attributes directly (no
+    agg-then-join-back); TakeOrderedAndProject caps the sort at k=20."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q12_shape",
+    oracle="""SELECT l.l_linestatus AS ship_class,
+                     CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY ship_class ORDER BY ship_class""",
+)
+def tpch_q12(spark, sf):
+    """TPC-H Q12 topology (shipping modes / priority): fact-fact join with
+    the classification folded into SUM(CASE) — both priority classes in one
+    pass. shipmode stand-in = l_linestatus. Only orderkey+priority shuffle
+    from orders; the date filter prunes lineitem at the scan."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@q(
+    "tpch_q13_shape",
+    oracle="""WITH pc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                          FROM customer c
+                          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          GROUP BY c.c_custkey)
+              SELECT c_count, COUNT(*) AS custdist FROM pc
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+)
+def tpch_q13(spark, sf):
+    """TPC-H Q13 (customer distribution): two-level aggregation — count
+    orders per customer (left join keeps zero-order customers), then the
+    histogram of those counts. The second agg's input is |customers| rows
+    and its output |distinct counts| — the heavy shuffle happens once, on
+    custkey."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "tpch_q14_shape",
+    oracle="""SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                           / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS promo_share
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l.l_shipdate < TIMESTAMP '1997-10-01'""",
+)
+def tpch_q14(spark, sf):
+    """TPC-H Q14 (promotion effect): single-month fact slice joined to the
+    part dim, promo share as a one-pass conditional-agg ratio. The date
+    filter makes the fact side small; part joins by partkey with only
+    (partkey, type) read thanks to column pruning."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share")
+    )
+
+
+@q(
+    "tpch_q15_shape",
+    oracle="""WITH rev AS (SELECT l_suppkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-04-01'
+                     GROUP BY l_suppkey)
+              SELECT s.s_suppkey, s.s_name, r.total_rev
+              FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+              WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+              ORDER BY s.s_suppkey""",
+)
+def tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): per-supplier revenue view + scalar-MAX
+    subquery selecting the champion(s). Spark: the scalar max is a 1-row
+    aggregate of the (already dimension-sized) per-supplier rollup,
+    broadcast back as a cross join — no window over a single partition, so
+    the pattern survives millions of suppliers."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "tpch_q16_shape",
+    oracle="""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+              SELECT p.p_brand, p.p_type, p.p_size,
+                     COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+              FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+              WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17)
+                AND ps.l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY p.p_brand, p.p_type, p.p_size
+              ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+)
+def tpch_q16(spark, sf):
+    """TPC-H Q16 topology (parts/supplier relationship): DISTINCT
+    part-supplier pairs (partsupp stand-in from lineitem), a NOT IN
+    exclusion list (anti join against a tiny broadcast — 'complaints'
+    stand-in = negative-balance suppliers), then COUNT(DISTINCT supplier)
+    per part attribute bucket. The distinct-pairs pre-agg collapses the
+    fact before any dim join."""
+    ps = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "tpch_q19_shape",
+    oracle="""SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                     COUNT(*) AS n
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+                     AND l.l_quantity BETWEEN 1 AND 11)
+                 OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+                     AND l.l_quantity BETWEEN 10 AND 20)
+                 OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35
+                     AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19(spark, sf):
+    """TPC-H Q19 (discounted revenue): disjunctive predicates that span
+    BOTH join sides — three OR branches mixing part attributes with
+    lineitem attributes. Catalyst cannot push the full disjunction to
+    either scan, but it derives and pushes the per-side unions
+    (brand IN (...), quantity ranges) — the classic constraint-propagation
+    test. The join itself stays a plain equi hash join."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    b = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(b).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "tpch_q20_shape",
+    oracle="""WITH sq AS (SELECT l_suppkey, SUM(l_quantity) AS qty
+                          FROM lineitem
+                          WHERE l_partkey IN (SELECT p_partkey FROM part
+                                              WHERE p_type = 'PROMO')
+                            AND l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate < TIMESTAMP '1998-01-01'
+                          GROUP BY l_suppkey)
+              SELECT s.s_suppkey, s.s_name
+              FROM supplier s
+              WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq WHERE qty > 400)
+              ORDER BY s.s_suppkey""",
+)
+def tpch_q20(spark, sf):
+    """TPC-H Q20 topology (potential part promotion): nested semi-join
+    chain — parts of interest → qualifying shipped volume per supplier →
+    semi join back to the supplier dim. Quantity sums are integral-valued
+    doubles, so the >400 threshold is exact in both engines. Spark: part
+    filter broadcasts into a semi join on the fact; the per-supplier agg
+    output is dimension-sized and broadcasts into the final semi join."""
+    promo = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qual = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        s.join(F.broadcast(qual), s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------
 

@@ -45,7 +45,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_cumulative_distinct_users",
         "q_global_sort",
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
-        "q_scd2_intervals",
+        "q_scd2_intervals", "q_cumulative_max_drawdown",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize",
@@ -54,7 +54,8 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
-        "q_scalar_subquery", "q_exists_correlated", "q_not_in_null_semantics",
+        "q_union_by_name_evolution", "q_scalar_subquery", "q_exists_correlated",
+        "q_not_in_null_semantics",
     ],
     "Scalar functions & types": [
         "q27_string_funcs", "q28_datetime_funcs", "q29_math_funcs", "q_date_arith",
@@ -100,8 +101,11 @@ FAMILIES: dict[str, list[str]] = {
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
     ],
     "TPC-H shapes": [
-        "tpch_q3_shape", "tpch_q5_shape", "tpch_q9_shape", "tpch_q17_shape",
-        "tpch_q18_shape", "tpch_q21_shape", "tpch_q22_shape",
+        "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
+        "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+        "tpch_q10_shape", "tpch_q12_shape", "tpch_q13_shape", "tpch_q14_shape",
+        "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape", "tpch_q18_shape",
+        "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
     ],
 }
 
