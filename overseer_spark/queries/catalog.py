@@ -5486,6 +5486,170 @@ def tpch_q20(spark, sf):
     )
 
 
+@q(
+    "tpch_q11_shape",
+    oracle="""WITH val AS (SELECT l_partkey,
+                                  CAST(SUM(l_quantity) AS BIGINT) AS qty
+                           FROM lineitem GROUP BY l_partkey)
+              SELECT l_partkey, qty FROM val
+              WHERE qty > (SELECT SUM(qty) * 0.0004 FROM val)
+              ORDER BY qty DESC, l_partkey""",
+)
+def tpch_q11(spark, sf):
+    """TPC-H Q11 topology (important stock identification): a per-key
+    aggregate filtered against a FRACTION OF ITS OWN GRAND TOTAL — the
+    uncorrelated scalar-subquery-over-the-same-view shape (partsupp value
+    stand-in: shipped quantity per part). Quantity sums are integral-valued
+    doubles so the threshold compare is exact in both engines. Spark: the
+    grand total is a 1-row re-aggregate of the already part-sized rollup,
+    broadcast back as a cross join — the fact is scanned ONCE and the
+    second pass runs over dimension-sized data, so the plan survives a
+    billion-part catalog."""
+    val = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    tot = val.agg((F.sum("qty") * 0.0004).alias("thr"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("qty") > F.col("thr"))
+        .select("l_partkey", "qty")
+        .orderBy(F.desc("qty"), "l_partkey")
+    )
+
+
+@q(
+    "quality_classifier_score",
+    oracle="""WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+                   FROM documents),
+              feat AS (SELECT doc_id,
+                     SUM((ascii(substr(md5(t), 1, 1)) +
+                          ascii(substr(md5(t), 2, 1)) - 150) / 100.0) AS z,
+                     COUNT(*) AS n_terms
+                   FROM toks WHERE t <> '' GROUP BY doc_id)
+              SELECT doc_id,
+                     ROUND(1.0 / (1.0 + exp(-(z / n_terms))), 4) AS score
+              FROM feat ORDER BY doc_id""",
+)
+def quality_classifier_score(spark, sf):
+    """fastText-style linear quality classifier INFERENCE over the corpus:
+    per-doc score = sigmoid(mean unigram weight). The weight of a term is
+    derived deterministically from its md5 (so both engines agree without
+    shipping a model file); in production the weight vector is a broadcast
+    map / fused scalar expression — the plan shape is identical. Everything
+    is codegen'd column math: one explode absorbed by map-side partial
+    aggregation keyed on doc_id, one shuffle, no Python. This is the
+    quality-filter scoring seam (CCNet/DCLM-style) every training-data
+    pipeline runs corpus-wide."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
+    ).filter(F.col("t") != "")
+    h = F.md5(F.col("t"))
+    w = (
+        F.ascii(F.substring(h, 1, 1)) + F.ascii(F.substring(h, 2, 1)) - F.lit(150)
+    ) / 100.0
+    feat = toks.groupBy("doc_id").agg(
+        F.sum(w).alias("z"), F.count(F.lit(1)).alias("n_terms")
+    )
+    return feat.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") / F.col("n_terms")))), 4
+        ).alias("score"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "deterministic_shuffle_order",
+    oracle="""SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER
+                          (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                          AS BIGINT) AS global_ix,
+                     CAST(FLOOR((ROW_NUMBER() OVER
+                          (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                          / 64) AS BIGINT) AS batch_id
+              FROM documents ORDER BY doc_id""",
+)
+def deterministic_shuffle_order(spark, sf):
+    """Epoch-reproducible global shuffle for training-data ordering: every
+    doc gets a global position (and 64-doc batch id) in md5(doc_id) order —
+    the standard 'deterministic shuffle' a data loader needs so that runs,
+    engines, and partitionings all agree on sample order. The oracle's
+    single ROW_NUMBER would be a one-partition sort of the corpus; the
+    Spark plan instead buckets rows by the first 2 hex chars of the hash
+    (a PREFIX of the sort key, so bucket order ≡ hash order), ranks each
+    bucket independently on its own partition, and adds per-bucket offsets
+    from a 256-row cumulative sum — at 100 TB widen the prefix to 4 hex
+    chars (65k buckets) and the same plan holds."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    d = d.withColumn("bkt", F.substring("h", 1, 2))
+    rn = F.row_number().over(Window.partitionBy("bkt").orderBy("h", "doc_id"))
+    ranked = d.withColumn("rn", rn)
+    sizes = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bkt", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("rn")).cast("long").alias("global_ix"),
+            F.floor((F.col("off") + F.col("rn") - 1) / 64)
+            .cast("long")
+            .alias("batch_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q_winsorized_stats",
+    oracle="""WITH b AS (SELECT event_type,
+                                quantile_cont(value, 0.05) AS lo,
+                                quantile_cont(value, 0.95) AS hi
+                         FROM events GROUP BY event_type)
+              SELECT e.event_type,
+                     ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS wmean,
+                     CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_lo,
+                     CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hi
+              FROM events e JOIN b ON e.event_type = b.event_type
+              GROUP BY e.event_type ORDER BY e.event_type""",
+)
+def q_winsorized_stats(spark, sf):
+    """Winsorized (percentile-clipped) robust mean per group — the outlier
+    treatment that keeps every row (vs MAD/3σ screening which drops them):
+    values clamped to the group's [p5, p95] band, plus how many rows hit
+    each clamp. Two passes over events: an exact-percentile grouped agg
+    whose output is dimension-sized (|event types| rows) and broadcasts
+    back for the clipped re-aggregate — no per-row subquery, no window
+    over the fact. Interpolated `percentile` matches DuckDB's
+    quantile_cont bit-for-bit on the same doubles."""
+    e = _t(spark, sf, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(clipped), 2).alias("wmean"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship entry for the driver smoke check
 # ---------------------------------------------------------------------------

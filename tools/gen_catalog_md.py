@@ -34,7 +34,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_integrity_audit", "q_outlier_counts", "q_mad_outliers",
         "q_join_key_skew_profile",
         "q_json_props_sum", "skew_salted_agg", "pandas_udaf_weighted_mean",
-        "q_mixture_plan", "zscore_groups", "q_date_spine",
+        "q_mixture_plan", "zscore_groups", "q_date_spine", "q_winsorized_stats",
     ],
     "Windows & sequences": [
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
@@ -89,6 +89,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_bm25_search", "text_ngram_counts", "text_zipf_slope",
         "text_vocab_overlap", "text_dsir_scores", "text_chi2_terms",
         "text_perplexity_unigram", "text_ccnet_buckets",
+        "quality_classifier_score",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample",
@@ -96,6 +97,7 @@ FAMILIES: dict[str, list[str]] = {
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
         "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
+        "deterministic_shuffle_order",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
@@ -103,7 +105,8 @@ FAMILIES: dict[str, list[str]] = {
     "TPC-H shapes": [
         "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
         "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
-        "tpch_q10_shape", "tpch_q12_shape", "tpch_q13_shape", "tpch_q14_shape",
+        "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
+        "tpch_q14_shape",
         "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape", "tpch_q18_shape",
         "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
     ],
