@@ -5487,6 +5487,61 @@ def tpch_q20(spark, sf):
 
 
 @q(
+    "stream_running_totals",
+    oracle="""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def stream_running_totals(spark, sf):
+    """The CUSTOM stateful streaming operator as a declared catalog member:
+    per-user running (count, sum) carried across micro-batches by
+    `applyInPandasWithState` (streaming/stateful.py) — the escape hatch for
+    semantics no built-in window expresses. The file stream runs under
+    availableNow; the sink's LAST emission per key (running n is monotonic,
+    so max-n row) must equal the batch GROUP BY oracle — state survival and
+    update-mode emission are exactly what's being checked. State is
+    key-partitioned across executors and checkpointable; at 100 TB the
+    same operator runs with a timeout-based TTL so state stays bounded."""
+    import os
+    import uuid
+
+    from overseer_spark.streaming.stateful import running_totals
+
+    _t(spark, sf, "events")  # configure_for_oracle before any scan
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    name = f"stream_running_{uuid.uuid4().hex[:8]}"
+    query = (
+        running_totals(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round("total", 2).alias("total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
     "tpch_q11_shape",
     oracle="""WITH val AS (SELECT l_partkey,
                                   CAST(SUM(l_quantity) AS BIGINT) AS qty

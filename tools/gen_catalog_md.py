@@ -50,7 +50,7 @@ FAMILIES: dict[str, list[str]] = {
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize",
         "stream_hourly_counts", "stream_sessionize", "stream_dedup_counts",
-        "stream_sliding_counts",
+        "stream_sliding_counts", "stream_running_totals",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
