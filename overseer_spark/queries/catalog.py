@@ -4506,15 +4506,31 @@ def semantic_dedup_clustered(spark, sf):
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", F.col("clabel").alias("cluster"))
     )
+    # Normalize ONCE per row so each candidate pair costs a single dot
+    # product instead of dot + two norms — HOF reductions are interpreted
+    # (outside whole-stage codegen), so at n²/k pairs this is the dominant
+    # cost; cosine(x,y) ≡ dot(x/‖x‖, y/‖y‖) exactly up to the final ULP,
+    # well inside the 4-dp round. persist() stops the assignment plan
+    # (E-step + window) from being recomputed by each of its three readers.
+    from overseer_spark.functions.vectors import l2_norm
+
+    nrm = l2_norm(F.col("embedding"))
+    asg = asg.select(
+        "vec_id",
+        "cluster",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias("u"),
+    ).persist()
     a, b = asg.alias("a"), asg.alias("b")
-    sim = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).cast("double"), 4
+    dot = F.aggregate(
+        F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).filter(sim >= 0.4)
+    ).filter(F.round(dot.cast("double"), 4) >= 0.4)
     dropped = (
         pairs.groupBy(F.col("a.cluster").alias("cluster"))
         .agg(F.countDistinct(F.col("b.vec_id")).alias("dropped"))
