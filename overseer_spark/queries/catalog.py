@@ -5502,6 +5502,33 @@ def tpch_q20(spark, sf):
     )
 
 
+@q("pyds_docs_scan", tier="py")
+def pyds_docs_scan(spark, sf):
+    """Custom Python DataSource (Spark 4 API) as a first-class source:
+    the registered `synthetic_docs` connector plans its own partitions,
+    accepts doc_id filter pushdown INTO the source (pruned rows are never
+    generated), and feeds a normal DataFrame pipeline — per-language doc
+    counts + token sums. Python oracle in tests/test_pydatasource.py
+    recomputes the same rows from the pure generator function. sf_dir is
+    unused: the source IS the data (sources/pydatasource.py)."""
+    from overseer_spark.sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+        .filter(F.col("doc_id") < 1500)  # pushed into the source
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 @q(
     "stream_running_totals",
     oracle="""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
