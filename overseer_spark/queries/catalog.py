@@ -5502,6 +5502,96 @@ def tpch_q20(spark, sf):
     )
 
 
+@q(
+    "stream_static_join_counts",
+    oracle="""SELECT CASE WHEN event_type IN ('click','view') THEN 'browse'
+                          WHEN event_type IN ('purchase','signup') THEN 'convert'
+                          ELSE 'ops' END AS category,
+                     CAST(COUNT(*) AS BIGINT) AS c, ROUND(SUM(value), 2) AS s
+              FROM events GROUP BY category ORDER BY category""",
+)
+def stream_static_join_counts(spark, sf):
+    """Stream-static join — the enrichment pattern every event pipeline
+    needs: the unbounded stream hash-joins a bounded dimension (event_type
+    → category) that Spark BROADCASTS and re-resolves per micro-batch (so
+    a slowly-changing dim picks up updates without restarting the query).
+    Rolled up per category in complete mode and hash-matched against a
+    batch oracle that inlines the same dim as a CASE. No watermark needed:
+    the aggregate keys are dimension-sized."""
+    import os
+    import uuid
+
+    _t(spark, sf, "events")  # configure_for_oracle before any scan
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "browse"),
+            ("view", "browse"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        sdf.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .select("category", F.col("c").cast("long").alias("c"), "s")
+        .orderBy("category")
+    )
+
+
+@q("ewma_user_value", tier="py")
+def ewma_user_value(spark, sf):
+    """Exponentially-weighted moving average per user stream (α=0.3,
+    adjust=False — the recursive y_t = αx_t + (1-α)y_{t-1}): inherently
+    sequential per key, so it runs through the batched pandas seam
+    (operators/util.grouped_apply_batched — one Arrow round trip per ~10k
+    rows, NOT per user; pandas' ewm kernel is Cython). The partitioning is
+    the analysis key, state never crosses keys, so 1000 executors each own
+    their users. Python oracle in tests/test_grouped_apply.py; excluded
+    from SQL tier because no portable SQL expresses the recursion."""
+    import pandas as pd
+
+    from overseer_spark.operators.util import grouped_apply_batched
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        lvl = pdf["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "level": [round(float(lvl), 4)],
+            }
+        )
+
+    return grouped_apply_batched(
+        e, ["user_id"], fn, "user_id bigint, n bigint, level double"
+    ).orderBy("user_id")
+
+
 @q("pyds_docs_scan", tier="py")
 def pyds_docs_scan(spark, sf):
     """Custom Python DataSource (Spark 4 API) as a first-class source:

@@ -1,0 +1,96 @@
+"""Table maintenance: file-level profiling and small-file compaction.
+
+The reference's storage admin surface is `install` (DDL + indexes,
+`src/overseer/store/jdbc.clj:131-154` / protocol `core.clj:108-110`). On a
+parquet/Delta lake the equivalent ongoing concern is FILE LAYOUT: streaming
+appends and per-trigger micro-batches leave thousands of KB-sized files,
+and at 100 TB the scan's task count — and the namenode/liststore load — is
+driven by file count, not bytes. These helpers measure the problem and fold
+small files into target-sized ones (the OPTIMIZE/compaction pattern).
+
+Implementation notes: row counts come from one grouped scan over
+``input_file_name()``; physical sizes from the Hadoop FileSystem API (the
+same public JVM API `spark.read` itself uses for listing). Joined on the
+file NAME (the last path segment — unique within a table directory) to
+dodge URI-normalization drift between the two sources ("file:/" vs
+"file:///").
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs_listing(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(file_name, bytes) for every data file under path (recursive)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append((name, int(f.getLen())))
+    return out
+
+
+def file_profile(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Per-file (file_name, rows, bytes) for a table directory."""
+    df = getattr(spark.read, fmt)(path)
+    rows = (
+        df.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    sizes = spark.createDataFrame(
+        _fs_listing(spark, path), "file_name string, bytes long"
+    )
+    return rows.join(sizes, "file_name", "full")
+
+
+def compaction_plan(
+    spark: SparkSession, path: str, target_file_mb: int = 128, fmt: str = "parquet"
+) -> dict:
+    """Decide whether/how to compact: driver-side stats, no data scan."""
+    listing = _fs_listing(spark, path)
+    total = sum(b for _, b in listing)
+    target_bytes = target_file_mb * 1024 * 1024
+    n_target = max(1, math.ceil(total / target_bytes))
+    small = sum(1 for _, b in listing if b < target_bytes // 2)
+    return {
+        "n_files": len(listing),
+        "total_bytes": total,
+        "n_small_files": small,
+        "target_files": n_target,
+        "worth_compacting": len(listing) > n_target and small > 0,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite the table folded into ~target-sized files.
+
+    Writes to ``out_path`` (swap-on-success keeps readers consistent —
+    rename/repoint is the caller's transactional step, matching the
+    engine's append-only/immutable-file stance; compaction never mutates
+    files a reader may hold open). `coalesce` avoids a shuffle when only
+    folding files together; growing the file count (rare) needs the
+    `repartition` exchange.
+    """
+    plan = compaction_plan(spark, path, target_file_mb, fmt)
+    df = getattr(spark.read, fmt)(path)
+    n = plan["target_files"]
+    df = df.coalesce(n) if n <= df.rdd.getNumPartitions() else df.repartition(n)
+    getattr(df.write.mode("overwrite"), fmt)(out_path)
+    return plan

@@ -100,3 +100,29 @@ def test_per_group_false_matches_per_group_true(spark, data):
     nb = sorted((r["k"], round(r["s"], 6)) for r in b)
     assert na == nb
     assert len(b) == 37
+
+
+def test_ewma_matches_pandas_oracle(spark):
+    """PY-tier oracle for the ewma_user_value catalog entry: the
+    distributed batched-seam result equals a single-process pandas
+    computation over the same rows."""
+    import pandas as pd
+
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    got = {
+        r.user_id: (r.n, r.level)
+        for r in CATALOG["ewma_user_value"].fn(spark, SF_CORRECTNESS).collect()
+    }
+
+    raw = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    expected = {}
+    for uid, g in raw.sort_values(["ts", "event_id"]).groupby("user_id"):
+        lvl = g["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        expected[uid] = (len(g), round(float(lvl), 4))
+    assert got == expected

@@ -41,7 +41,7 @@ FAMILIES: dict[str, list[str]] = {
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
         "q_rank_variants", "q_window_extras", "q_lead_nth_window",
         "q_range_frame_window", "q_sequence_islands", "q_forward_fill",
-        "q_loo_mean",
+        "q_loo_mean", "ewma_user_value",
         "q_event_transitions", "q_user_journeys", "q_dau_growth",
         "q_cumulative_distinct_users",
         "q_global_sort",
@@ -52,6 +52,7 @@ FAMILIES: dict[str, list[str]] = {
         "q30_tumbling_window", "sliding_window_counts", "sessionize",
         "stream_hourly_counts", "stream_sessionize", "stream_dedup_counts",
         "stream_sliding_counts", "stream_running_totals",
+        "stream_static_join_counts",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
