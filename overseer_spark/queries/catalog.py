@@ -5693,10 +5693,16 @@ def tpch_q11(spark, sf):
     broadcast back as a cross join — the fact is scanned ONCE and the
     second pass runs over dimension-sized data, so the plan survives a
     billion-part catalog."""
+    # persist the part-sized rollup: it feeds BOTH the grand-total branch
+    # and the probe side, and Spark does not reuse the exchange across an
+    # AQE broadcast boundary — without this the fact is scanned and
+    # aggregated twice. The broadcast build materializes first, so the
+    # probe side reads a warm cache (no lazy-cache self-join race here).
     val = (
         _t(spark, sf, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .persist()
     )
     tot = val.agg((F.sum("qty") * 0.0004).alias("thr"))
     return (
