@@ -6,7 +6,10 @@ loses parquet pushdown fails HERE, not at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 from overseer_spark.plans import (
+    explain_str,
     has_broadcast_join,
     has_partial_aggregation,
     pushed_filters,
@@ -335,3 +338,37 @@ def test_semantic_dedup_pair_join_is_hash_not_nested_loop(spark):
         "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
         for ln in pair_joins
     ), f"pair join not a hash join:\n{plan}"
+
+
+def test_tpch_q11_rollup_persisted_and_threshold_broadcast(spark):
+    """Q11: the per-part rollup must be read from cache by both branches
+    (one fact scan) and the grand-total threshold must broadcast."""
+    df = q("tpch_q11_shape", spark)
+    s = explain_str(df)
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s, (
+        "per-part rollup should be persisted — otherwise lineitem is "
+        "scanned and aggregated twice"
+    )
+    assert has_broadcast_join(df)
+
+
+def test_quality_classifier_partial_agg_absorbs_explode(spark):
+    """Classifier scoring: the explode fan-out must collapse map-side
+    (partial agg on doc_id) before any exchange."""
+    assert has_partial_aggregation(q("quality_classifier_score", spark))
+
+
+def test_deterministic_shuffle_offsets_broadcast_no_global_sort(spark):
+    """Global order comes from bucket windows + broadcast offsets — there
+    must be no single-partition global window."""
+    df = q("deterministic_shuffle_order", spark)
+    s = explain_str(df)
+    assert has_broadcast_join(df), "bucket offsets must broadcast"
+    # the per-row window must be partitioned by the bucket column —
+    # a global ROW_NUMBER would show an empty partition spec over the docs
+    assert re.search(r"row_number\(\).*partition.*bkt", s, re.S | re.I), s[:2000]
+
+
+def test_winsorized_bands_broadcast(spark):
+    """[p5,p95] bands are dimension-sized and must broadcast back."""
+    assert has_broadcast_join(q("q_winsorized_stats", spark))
