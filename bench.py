@@ -60,6 +60,11 @@ HEADLINE = [
     "tpch_q21_shape",
     "text_perplexity_unigram",
     "semantic_dedup_clustered",
+    "tpch_q11_shape",
+    "quality_classifier_score",
+    "deterministic_shuffle_order",
+    "q_winsorized_stats",
+    "ewma_user_value",
 ]
 
 

@@ -145,6 +145,85 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Shingle-containment ≥ threshold pairs: |A∩B| / min(|A|, |B|).
+
+    Containment catches the duplication Jaccard misses — a document
+    embedded inside a larger one (boilerplate wrapping, quote-and-extend,
+    template inclusion): J(A,B) = |A∩B|/|A∪B| shrinks as B grows, but
+    C = |A∩B|/|A| stays 1.0 for a verbatim inclusion.
+
+    Prefix filtering is ONE-SIDED here: if C ≥ t, at most ``(1-t)·|A|`` of
+    the smaller doc's shingles are unshared, so its rarest
+    ``|A| - ⌈t·|A|⌉ + 1`` shingles must collide with the larger doc
+    (pigeonhole — order-independent, so the rarest-first order is a free
+    choice that minimizes postings). The larger side keeps full postings:
+    pruning it by its own size would be unsound for containment. Exact
+    verification via ``array_intersect`` follows, as in ``jaccard_pairs``.
+    Output: (d1, d2, containment) with d1 < d2.
+    """
+    sets_df = shingle_sets(df, content_col, id_col, k).filter(
+        F.col("n_shingles") > 0
+    ).cache()
+    posting = sets_df.select(
+        F.col(id_col).alias("doc"),
+        F.col("n_shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    small_prefix = (
+        posting.join(doc_freq, "shingle")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= prefix_len)
+        .select(
+            F.col("doc").alias("sdoc"),
+            F.col("n").alias("sn"),
+            F.col("shingle").alias("s_sh"),
+        )
+    )
+    # smaller side = fewer shingles (ties broken by id so each unordered
+    # pair is generated exactly once, from its designated small side)
+    bigger = (F.col("sn") < F.col("n")) | (
+        (F.col("sn") == F.col("n")) & (F.col("sdoc") < F.col("doc"))
+    )
+    cand = (
+        small_prefix.join(posting, (F.col("s_sh") == F.col("shingle")) & bigger)
+        .select(F.col("sdoc"), F.col("doc").alias("odoc"))
+        .distinct()
+    )
+    s1 = sets_df.select(
+        F.col(id_col).alias("sdoc"),
+        F.col("shingles").alias("sh1"),
+        F.col("n_shingles").alias("n1"),
+    )
+    s2 = sets_df.select(
+        F.col(id_col).alias("odoc"),
+        F.col("shingles").alias("sh2"),
+        F.col("n_shingles").alias("n2"),
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    cont = inter / F.least("n1", "n2")
+    return (
+        cand.join(s1, "sdoc")
+        .join(s2, "odoc")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.least("sdoc", "odoc").alias("d1"),
+            F.greatest("sdoc", "odoc").alias("d2"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def _hash_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family."""
     import random

@@ -1280,6 +1280,31 @@ def ngram_jaccard(spark, sf):
 
 
 @q(
+    "ngram_containment_pairs",
+    oracle=f"""WITH {_SHINGLE_ORACLE_CTES},
+               pair AS (
+                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+                 FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+               SELECT d1, d2,
+                 ROUND(n_inter / LEAST(s1.n, s2.n), 6) AS containment
+               FROM pair JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+               WHERE n_inter / LEAST(s1.n, s2.n) >= 0.9
+               ORDER BY d1, d2""",
+)
+def ngram_containment(spark, sf):
+    """Shingle containment ≥ 0.9 pairs (|A∩B| / min size) — the dedup
+    relation Jaccard misses: a doc verbatim-included in a larger one keeps
+    containment 1.0 while its Jaccard shrinks with the wrapper. One-sided
+    prefix filtering (operators/dedup.py containment_pairs): only the
+    SMALLER doc's rarest shingles drive the candidate join; pruning the
+    larger side would be unsound for this measure."""
+    return D.containment_pairs(
+        _t(spark, sf, "documents"), threshold=0.9
+    ).orderBy("d1", "d2")
+
+
+@q(
     "near_dup_components",
     oracle=f"""WITH RECURSIVE {_SHINGLE_ORACLE_CTES},
                pr AS (
@@ -5577,18 +5602,30 @@ def ewma_user_value(spark, sf):
     e = _t(spark, sf, "events").select("user_id", "ts", "event_id", "value")
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        lvl = pdf["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n": [len(pdf)],
-                "level": [round(float(lvl), 4)],
-            }
+        # whole-batch mode: one Cython groupby().ewm over ~10k rows beats a
+        # Python loop over thousands of per-user frames ~5×
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        ew = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=0.3, adjust=False)
+            .mean()
+            .reset_index(drop=True)
         )
+        out = (
+            pdf.assign(_ew=ew.to_numpy())
+            .groupby("user_id", sort=False)
+            .agg(n=("value", "size"), level=("_ew", "last"))
+            .reset_index()
+        )
+        out["level"] = out["level"].astype(float).round(4)
+        return out[["user_id", "n", "level"]]
 
     return grouped_apply_batched(
-        e, ["user_id"], fn, "user_id bigint, n bigint, level double"
+        e,
+        ["user_id"],
+        fn,
+        "user_id bigint, n bigint, level double",
+        per_group=False,
     ).orderBy("user_id")
 
 

@@ -126,3 +126,28 @@ def test_simhash_blocking_recall_exhaustive(spark):
         if bin(s1 ^ s2).count("1") <= 3
     }
     assert got == want
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc verbatim-embedded in a much larger one: containment 1.0
+    (caught at t=0.9) while Jaccard is far below 0.8 (missed). Also pins
+    the one-sided prefix filter against a crafted corpus."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(20))
+    other = "totally different words nothing shared here at all"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    cont = {(r.d1, r.d2): r.containment for r in D.containment_pairs(df).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {(r.d1, r.d2) for r in D.jaccard_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) not in jac  # the wrapper dilutes Jaccard below threshold
+
+
+def test_containment_equal_size_pair_generated_once(spark):
+    """Tie case (equal shingle counts): exactly one (d1, d2) row."""
+    t = "one two three four five six seven"
+    df = spark.createDataFrame([(7, t), (9, t)], "doc_id long, text string")
+    rows = D.containment_pairs(df).collect()
+    assert [(r.d1, r.d2, r.containment) for r in rows] == [(7, 9, 1.0)]
