@@ -5585,6 +5585,21 @@ def stream_static_join_counts(spark, sf):
     )
 
 
+@q("ann_lsh_topk", tier="py")
+def ann_lsh_topk(spark, sf):
+    """Random-hyperplane LSH approximate top-3 for 10 query vectors — the
+    cosine-LSH alternative to ann_ivf_topk (operators/similarity.py
+    rp_lsh_topk): deterministic hyperplane tables broadcast, signatures
+    from one partial-agg shuffle of (id, table) longs, candidates from a
+    bucket equi-join, exact re-score after. Recall tripwire + determinism
+    pinned in tests/test_similarity.py."""
+    from overseer_spark.operators.similarity import rp_lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return rp_lsh_topk(emb, queries, k=3).orderBy("query_id", "rank")
+
+
 @q("ewma_user_value", tier="py")
 def ewma_user_value(spark, sf):
     """Exponentially-weighted moving average per user stream (α=0.3,

@@ -96,6 +96,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
     # a thin wrapper, and the named symbol below is its pytest oracle
     operator_proxy = {
         "ann_ivf_topk": "ivf_topk",                 # recall tests, test_similarity.py
+        "ann_lsh_topk": "rp_lsh_topk",              # recall + determinism, test_similarity.py
         "simhash_near_dup_pairs": "simhash",        # recall/blocking tests, test_dedup.py
         "minhash_near_dup_pairs": "minhash",        # crc32 bit-for-bit + recall, test_dedup.py
         "simhash_signatures": "simhash",            # signature oracle, test_dedup.py

@@ -259,3 +259,32 @@ def test_kmeans_lloyd_matches_numpy(spark):
     assert mism == 0, f"{mism} assignment mismatches vs numpy"
     for i, a in zip(ids, asg):
         assert abs(got[int(i)][1] - d2[np.where(ids == i)[0][0], a]) < 1e-6
+
+
+def test_rp_lsh_topk_recall(spark, emb, emb_np):
+    """Random-hyperplane LSH (ann_lsh_topk's operator): recall@3 vs exact
+    over 10 queries — tripwire bound, same contract as the IVF test."""
+    ids, mat = emb_np
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = V.rp_lsh_topk(emb, queries, k=3).collect()
+    by_q: dict[int, set] = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid in range(10):
+        exact = {i for i, _ in _np_topk(ids, mat, qid, 3)}
+        total += len(exact)
+        hits += len(exact & by_q.get(qid, set()))
+    assert hits / total >= 0.5, f"RP-LSH recall {hits}/{total}"
+
+
+def test_rp_lsh_deterministic(spark, emb):
+    """Same seed → identical candidate sets and ranks across runs."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, V.rp_lsh_topk(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, V.rp_lsh_topk(emb, queries, k=3).collect()))
+    assert a == b

@@ -78,7 +78,8 @@ FAMILIES: dict[str, list[str]] = {
         "semantic_dedup_clustered",
     ],
     "Similarity & embeddings": [
-        "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "knn_label_predict",
+        "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+        "knn_label_predict",
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
     ],
