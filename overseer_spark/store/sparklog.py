@@ -110,15 +110,28 @@ class SparkLogStore(Store):
         except Exception:
             return self.spark.createDataFrame([], schema=LOG_SCHEMA)
 
-    def jobs_df(self) -> DataFrame:
-        """Current job state: last log row per id."""
+    def jobs_df(self, as_of_seq: int | None = None) -> DataFrame:
+        """Current job state: last log row per id.
+
+        ``as_of_seq`` is time travel for free — the append-only log IS the
+        version history, so "state when transition N landed" is the same
+        last-wins window over the ``seq <= N`` prefix (the audit/debug
+        query: what did the DAG look like when the incident started?).
+        Note ``compact()`` folds history away; retention policy decides
+        how far back travel reaches, exactly as in Delta/Iceberg."""
+        log = self._log_df()
+        if as_of_seq is not None:
+            log = log.filter(F.col("seq") <= as_of_seq)
         w = Window.partitionBy("id").orderBy(F.desc("seq"))
         return (
-            self._log_df()
-            .withColumn("_rn", F.row_number().over(w))
+            log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "seq")
         )
+
+    def current_seq(self) -> int:
+        """Latest transition number (the version counter for as-of reads)."""
+        return self._seq
 
     def deps_df(self) -> DataFrame:
         try:

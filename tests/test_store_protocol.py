@@ -254,3 +254,24 @@ def test_concurrent_transact_same_graph_idempotent(store):
     assert not errors
     assert store.job_info("cc-a").status == STATUS_UNSTARTED
     assert sorted(j for j in ("cc-a", "cc-b")) == ["cc-a", "cc-b"]
+
+
+def test_sparklog_as_of_time_travel(spark, tmp_path):
+    """The append-only log doubles as version history: as-of reads
+    reconstruct engine state at any past transition."""
+    from overseer_spark.store.sparklog import SparkLogStore
+
+    s = SparkLogStore(spark, str(tmp_path / "store3"))
+    s.install()
+    s.transact_graph(graph_of(("a", []), ("b", ["a"])))
+    v0 = s.current_seq()
+    s.reserve_job("a")
+    v1 = s.current_seq()
+    s.finish_job("a")
+
+    now = {r["id"]: r["status"] for r in s.jobs_df().collect()}
+    assert now == {"a": STATUS_FINISHED, "b": STATUS_UNSTARTED}
+    at_v0 = {r["id"]: r["status"] for r in s.jobs_df(as_of_seq=v0).collect()}
+    assert at_v0 == {"a": STATUS_UNSTARTED, "b": STATUS_UNSTARTED}
+    at_v1 = {r["id"]: r["status"] for r in s.jobs_df(as_of_seq=v1).collect()}
+    assert at_v1 == {"a": STATUS_STARTED, "b": STATUS_UNSTARTED}
