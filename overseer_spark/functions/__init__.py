@@ -8,3 +8,4 @@ from overseer_spark.functions.textfns import (  # noqa: F401
     shingles,
     tokens,
 )
+from overseer_spark.functions.registry import register_all as register_sql_functions  # noqa: F401

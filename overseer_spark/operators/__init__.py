@@ -4,3 +4,7 @@ from overseer_spark.operators.scheduling import (  # noqa: F401
     ready_jobs,
     transitive_dependents,
 )
+from overseer_spark.operators.observe import (  # noqa: F401
+    gate,
+    with_quality_metrics,
+)
