@@ -5585,6 +5585,91 @@ def stream_static_join_counts(spark, sf):
     )
 
 
+@q(
+    "q_rfm_segments",
+    oracle="""WITH per_cust AS (
+                SELECT o_custkey,
+                       MAX(o_orderdate) AS last_order,
+                       CAST(COUNT(*) AS BIGINT) AS freq,
+                       SUM(o_totalprice) AS monetary
+                FROM orders GROUP BY o_custkey),
+              scored AS (
+                SELECT o_custkey,
+                       NTILE(3) OVER (ORDER BY last_order, o_custkey) AS r,
+                       NTILE(3) OVER (ORDER BY freq, o_custkey) AS f,
+                       NTILE(3) OVER (ORDER BY ROUND(monetary, 2), o_custkey) AS m
+                FROM per_cust)
+              SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS customers
+              FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
+)
+def q_rfm_segments(spark, sf):
+    """RFM segmentation (recency / frequency / monetary terciles) — the
+    classic customer-value matrix. Scale shape: the fact collapses to ONE
+    row per customer first (partial+final agg), so the three NTILE windows
+    run over dimension-sized data; their empty partition spec is the
+    documented single-partition exception (|customers| rows, same class as
+    q_percent_of_total). Ties broken by custkey so bucket edges are
+    engine-stable."""
+    per_cust = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(3).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(3).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(3)
+        .over(Window.orderBy(F.round("monetary", 2), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+@q(
+    "q_basket_pairs",
+    oracle="""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     CAST(COUNT(*) AS BIGINT) AS orders_together
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY p1, p2
+              ORDER BY orders_together DESC, p1, p2 LIMIT 20""",
+)
+def q_basket_pairs(spark, sf):
+    """Market-basket co-occurrence: part pairs appearing in the same order
+    (top 20) — the association-mining primitive. The pair explosion is the
+    hazard: it's quadratic in ORDER SIZE, not corpus size, so the distinct
+    (order, part) projection first (4-byte keys, duplicates gone) and the
+    equi-join ON orderkey keep the blow-up at Σ|order|² — bounded because
+    baskets are small; a hot mega-basket would need the skew treatment
+    (operators/skew.py). Map-side partial agg collapses pair counts before
+    the final shuffle; top-20 is a TakeOrdered heap, no global sort."""
+    op = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_together"))
+        .orderBy(F.desc("orders_together"), "p1", "p2")
+        .limit(20)
+    )
+
+
 @q("ann_lsh_topk", tier="py")
 def ann_lsh_topk(spark, sf):
     """Random-hyperplane LSH approximate top-3 for 10 query vectors — the

@@ -31,6 +31,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_multi_distinct_agg", "q_value_histogram", "q_string_agg",
         "q_incremental_merge", "q_topk_per_group_agg", "q_snapshot_diff_cdc",
         "q_percent_of_total", "q_abc_analysis", "q_pivot_status", "q_unpivot_melt",
+        "q_rfm_segments", "q_basket_pairs",
         "q_cohort_retention", "time_rollup_hierarchy", "q_data_profile",
         "q_integrity_audit", "q_outlier_counts", "q_mad_outliers",
         "q_join_key_skew_profile",
