@@ -5586,6 +5586,60 @@ def stream_static_join_counts(spark, sf):
 
 
 @q(
+    "q_funnel_conversion_latency",
+    oracle="""WITH v AS (SELECT user_id, MIN(ts) AS first_view
+                         FROM events WHERE event_type = 'view' GROUP BY user_id),
+              p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+                    FROM events e JOIN v ON v.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+                    GROUP BY e.user_id)
+              SELECT CAST(COUNT(*) AS BIGINT) AS converted,
+                     CAST(ROUND(quantile_cont(
+                       date_diff('second', v.first_view, p.first_purchase), 0.5))
+                       AS BIGINT) AS median_secs,
+                     CAST(ROUND(quantile_cont(
+                       date_diff('second', v.first_view, p.first_purchase), 0.9))
+                       AS BIGINT) AS p90_secs
+              FROM v JOIN p ON p.user_id = v.user_id""",
+)
+def q_funnel_conversion_latency(spark, sf):
+    """Conversion latency: p50/p90 seconds from a user's FIRST view to
+    their first purchase strictly after it — the time-to-convert metric
+    behind every funnel dashboard (funnel_view_click_purchase counts
+    depths; this measures speed). Two grouped MINs reuse one user_id
+    partitioning; the strictly-after condition makes it sequence-aware,
+    not two independent mins. Latencies are integral seconds (ns
+    timestamps truncated to µs on load, generated at second grain), so
+    the interpolated percentiles are exact in both engines."""
+    e = _t(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = (
+        v.join(p, "user_id")
+        .select(
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+            ).alias("secs")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("converted"),
+        F.round(F.percentile("secs", 0.5)).cast("long").alias("median_secs"),
+        F.round(F.percentile("secs", 0.9)).cast("long").alias("p90_secs"),
+    )
+
+
+@q(
     "q_rfm_segments",
     oracle="""WITH per_cust AS (
                 SELECT o_custkey,

@@ -47,6 +47,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_cumulative_distinct_users",
         "q_global_sort",
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
+        "q_funnel_conversion_latency",
         "q_scd2_intervals", "q_cumulative_max_drawdown",
     ],
     "Streaming (event-time)": [
