@@ -1596,6 +1596,45 @@ def frame_sample_q(spark, sf):
     )
 
 
+@q(
+    "multimodal_dedup_bytes",
+    oracle="""WITH h AS (SELECT doc_id, md5(text) AS digest,
+                                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                         FROM documents)
+              SELECT digest, CAST(COUNT(*) AS BIGINT) AS copies,
+                     CAST(MIN(doc_id) AS BIGINT) AS canonical_id, MIN(n_bytes) AS n_bytes
+              FROM h GROUP BY digest HAVING COUNT(*) > 1
+              ORDER BY copies DESC, canonical_id""",
+)
+def multimodal_dedup_bytes(spark, sf):
+    """Exact dedup over BINARY payloads — the blob-level primitive for
+    image/audio/video corpora: hash the bytes (not a decoded form), group
+    on the 16-byte digest, keep the min-id canonical copy. The shuffle
+    carries (digest, id, length) — never the payloads — which is the whole
+    design at 100 TB where a row can be a 10 MB image: dedup cost is
+    independent of blob size past the one streaming hash at the scan.
+    Same plan family as dedup_exact_groups, lifted to the binary column
+    via with_binary_payload (operators/multimodal.py)."""
+    from overseer_spark.operators.multimodal import with_binary_payload
+
+    b = with_binary_payload(_t(spark, sf, "documents"))
+    h = b.select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    return (
+        h.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("copies"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .filter(F.col("copies") > 1)
+        .orderBy(F.desc("copies"), "canonical_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # statistics, reshaping, and dataset-curation extras
 # ---------------------------------------------------------------------------

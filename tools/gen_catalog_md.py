@@ -97,7 +97,7 @@ FAMILIES: dict[str, list[str]] = {
         "quality_classifier_score",
     ],
     "Multimodal": [
-        "multimodal_meta", "multimodal_frame_sample",
+        "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
