@@ -47,3 +47,18 @@ def test_real_codec_is_explicit_stub():
     with pytest.raises(ValueError):
         MM.decode_media(b"", "tiff9000")
     assert MM.decode_media(b"abc", "raw-utf8") == b"abc"
+
+
+def test_arrow_metadata_matches_pandas_seam(spark):
+    """mapInArrow variant produces exactly the pandas-seam rows."""
+    from overseer_spark.operators.multimodal import (
+        extract_metadata,
+        extract_metadata_arrow,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b = with_binary_payload(docs)
+    a = sorted(map(tuple, extract_metadata(b).collect()))
+    c = sorted(map(tuple, extract_metadata_arrow(b).collect()))
+    assert a == c and len(a) > 0
