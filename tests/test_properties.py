@@ -104,3 +104,56 @@ def test_session_window_count_matches_gap_scan(spark, rows):
         .collect()[0][0]
     )
     assert total == len(data)
+
+
+_docs = st.lists(
+    st.lists(
+        st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _shingles(words, k=3):
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+@given(docs=_docs)
+@settings(**_SETTINGS)
+def test_jaccard_and_containment_prefix_filters_are_exact(spark, docs):
+    """The PPJoin-style prefix filters (two-sided for Jaccard, one-sided
+    for containment) must return EXACTLY the brute-force pair sets — on
+    random tiny corpora with heavy shingle collisions, the worst case for
+    candidate pruning."""
+    from overseer_spark.operators import dedup as D
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = {i: _shingles(ws) for i, ws in rows_to_words(docs)}
+    exp_jac, exp_cont = set(), set()
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh[ids[x]], sh[ids[y]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter and inter / len(a | b) >= 0.8:
+                exp_jac.add((ids[x], ids[y]))
+            if inter and inter / min(len(a), len(b)) >= 0.9:
+                exp_cont.add((ids[x], ids[y]))
+
+    got_jac = {(r.d1, r.d2) for r in D.jaccard_pairs(df, threshold=0.8).collect()}
+    got_cont = {
+        (r.d1, r.d2) for r in D.containment_pairs(df, threshold=0.9).collect()
+    }
+    assert got_jac == exp_jac
+    assert got_cont == exp_cont
+
+
+def rows_to_words(docs):
+    return [(i, ws) for i, ws in enumerate(docs)]
