@@ -5625,6 +5625,37 @@ def stream_static_join_counts(spark, sf):
 
 
 @q(
+    "q_observed_metrics",
+    oracle="""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nulls_value,
+                     CAST(SUM(CASE WHEN value < 0 OR value > 500 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS oob_value
+              FROM events""",
+)
+def q_observed_metrics(spark, sf):
+    """The observed-metrics side channel (operators/observe.py) through the
+    oracle gate: quality metrics (row count, null count, bound violations)
+    attached to an EXISTING action via DataFrame.observe — the driver's
+    write job also produced the metrics, zero extra scans (vs the oracle,
+    which necessarily runs its own aggregate). The returned one-row frame
+    is built from the Observation result; hash-match proves the side
+    channel reports exactly what a dedicated aggregation pass would."""
+    from overseer_spark.operators.observe import with_quality_metrics
+
+    e = _t(spark, sf, "events")
+    observed, obs = with_quality_metrics(
+        e, not_null=["value"], bounds={"value": (0.0, 500.0)}, name=f"q_{id(e)}"
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["nulls_value"]), int(m["oob_value"]))],
+        "n_rows long, nulls_value long, oob_value long",
+    )
+
+
+@q(
     "q_funnel_conversion_latency",
     oracle="""WITH v AS (SELECT user_id, MIN(ts) AS first_view
                          FROM events WHERE event_type = 'view' GROUP BY user_id),

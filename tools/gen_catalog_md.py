@@ -37,6 +37,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_join_key_skew_profile",
         "q_json_props_sum", "skew_salted_agg", "pandas_udaf_weighted_mean",
         "q_mixture_plan", "zscore_groups", "q_date_spine", "q_winsorized_stats",
+        "q_observed_metrics",
     ],
     "Windows & sequences": [
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
