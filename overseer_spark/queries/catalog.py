@@ -5625,6 +5625,33 @@ def stream_static_join_counts(spark, sf):
 
 
 @q(
+    "q_sql_function_surface",
+    oracle="""SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                       AS n_tokens,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents ORDER BY doc_id""",
+)
+def q_sql_function_surface(spark, sf):
+    """The engine's SQL function registry (functions/registry.py) through
+    the oracle gate: a pure-SQL caller uses `os_token_count` /
+    `os_fingerprint` — SQL scalar functions whose bodies substitute into
+    the plan (CREATE FUNCTION … RETURN expr), so the query stays fully
+    codegen'd (pinned: no BatchEvalPython, tests/test_registry.py). The
+    oracle inlines the equivalent expressions — the point IS that the
+    registered surface equals plain column algebra."""
+    from overseer_spark.functions.registry import register_all
+
+    register_all(spark)
+    _t(spark, sf, "documents").createOrReplaceTempView("_docs_fn_surface")
+    return spark.sql(
+        """SELECT doc_id, os_token_count(text) AS n_tokens,
+                  os_fingerprint(text) AS fp
+           FROM _docs_fn_surface ORDER BY doc_id"""
+    )
+
+
+@q(
     "q_observed_metrics",
     oracle="""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)

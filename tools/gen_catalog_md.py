@@ -66,7 +66,7 @@ FAMILIES: dict[str, list[str]] = {
         "q27_string_funcs", "q28_datetime_funcs", "q29_math_funcs", "q_date_arith",
         "q_regexp_extract", "q_map_ops", "q36_json_extract", "q_variant_json",
         "q37_array_l2norm", "q_explode_outer_semantics", "udtf_tokenize_positions",
-        "pandas_udf_scalar",
+        "pandas_udf_scalar", "q_sql_function_surface",
     ],
     "Engine tables (scheduler queries)": [
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
