@@ -5625,6 +5625,40 @@ def stream_static_join_counts(spark, sf):
 
 
 @q(
+    "text_kwic_snippets",
+    oracle="""WITH hits AS (SELECT doc_id, text,
+                                   position('spark' IN text) AS pos
+                            FROM documents WHERE position('spark' IN text) > 0)
+              SELECT doc_id,
+                     substring(text, GREATEST(1, pos - 20), 45) AS snippet,
+                     CAST(pos AS BIGINT) AS pos
+              FROM hits ORDER BY doc_id""",
+)
+def text_kwic_snippets(spark, sf):
+    """Keyword-in-context extraction: a ±20-char window around the first
+    'spark' occurrence per matching doc — the snippet/preview primitive of
+    retrieval UIs and of targeted corpus inspection ('show me how this
+    term is used'). Pure codegen'd string expressions (locate + substring);
+    the filter prunes non-matching docs at the scan, and snippets are
+    45 chars regardless of document size, so result bytes stay bounded
+    however large the corpus rows are."""
+    d = _t(spark, sf, "documents")
+    pos = F.locate("spark", F.col("text"))
+    return (
+        d.select("doc_id", "text", pos.alias("pos"))
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.greatest(F.lit(1), F.col("pos") - 20), 45
+            ).alias("snippet"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "q_sql_function_surface",
     oracle="""SELECT doc_id,
                      CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)

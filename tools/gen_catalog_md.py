@@ -95,7 +95,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_bm25_search", "text_ngram_counts", "text_zipf_slope",
         "text_vocab_overlap", "text_dsir_scores", "text_chi2_terms",
         "text_perplexity_unigram", "text_ccnet_buckets",
-        "quality_classifier_score",
+        "quality_classifier_score", "text_kwic_snippets",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
