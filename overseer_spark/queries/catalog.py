@@ -5625,6 +5625,53 @@ def stream_static_join_counts(spark, sf):
 
 
 @q(
+    "q_equi_depth_histogram",
+    oracle="""WITH cuts AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+                                   quantile_cont(o_totalprice, 0.50) AS c2,
+                                   quantile_cont(o_totalprice, 0.75) AS c3
+                            FROM orders)
+              SELECT CASE WHEN o_totalprice <= c1 THEN 0
+                          WHEN o_totalprice <= c2 THEN 1
+                          WHEN o_totalprice <= c3 THEN 2
+                          ELSE 3 END AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(MIN(o_totalprice), 2) AS lo,
+                     ROUND(MAX(o_totalprice), 2) AS hi
+              FROM orders, cuts
+              GROUP BY bucket ORDER BY bucket""",
+)
+def q_equi_depth_histogram(spark, sf):
+    """Equi-DEPTH histogram (quartile buckets) — the statistics-collection
+    primitive behind optimizer column stats and drift monitors, vs
+    q_value_histogram's fixed-width buckets. Two passes: exact quantile
+    cuts (one grouped agg → a 1-row broadcast), then a CASE bucket assign
+    + count in the second scan. No window over the fact, no sort — this is
+    how ANALYZE computes histograms at table scale."""
+    o = _t(spark, sf, "orders")
+    cuts = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("c1"),
+        F.percentile("o_totalprice", 0.50).alias("c2"),
+        F.percentile("o_totalprice", 0.75).alias("c3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("c1"), 0)
+        .when(F.col("o_totalprice") <= F.col("c2"), 1)
+        .when(F.col("o_totalprice") <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.join(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
     "text_kwic_snippets",
     oracle="""WITH hits AS (SELECT doc_id, text,
                                    position('spark' IN text) AS pos

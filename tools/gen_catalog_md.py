@@ -28,7 +28,8 @@ FAMILIES: dict[str, list[str]] = {
         "q13_global_agg", "q14_grouped_agg", "q15_count_distinct", "q16_distinct",
         "q17_having", "q18_rollup", "q19_case_decode", "q_cube", "q_grouping_sets",
         "q_median_percentiles", "q_stats_aggs", "q_conditional_agg", "q_min_max_by",
-        "q_multi_distinct_agg", "q_value_histogram", "q_string_agg",
+        "q_multi_distinct_agg", "q_value_histogram", "q_equi_depth_histogram",
+        "q_string_agg",
         "q_incremental_merge", "q_topk_per_group_agg", "q_snapshot_diff_cdc",
         "q_percent_of_total", "q_abc_analysis", "q_pivot_status", "q_unpivot_melt",
         "q_rfm_segments", "q_basket_pairs",
