@@ -372,3 +372,48 @@ def test_deterministic_shuffle_offsets_broadcast_no_global_sort(spark):
 def test_winsorized_bands_broadcast(spark):
     """[p5,p95] bands are dimension-sized and must broadcast back."""
     assert has_broadcast_join(q("q_winsorized_stats", spark))
+
+
+# entries whose fn EXECUTES work on call (streams, probes, sketch collects) —
+# too expensive to plan-check in this sweep; their shapes are pinned above
+# and in their module tests
+_EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
+    "q_observed_metrics", "cms_term_counts", "kmeans_lloyd_iters",
+    "embedding_pca_power", "dag_pagerank", "dag_components", "dag_cycle_check",
+    "q33_transitive_closure", "q33b_closure_recursive_cte",
+    "near_dup_components", "near_dup_dedup_count", "train_prep_pipeline",
+    "hll_distinct_merge", "r13_seeded_sample", "q42_approx_aggs",
+]
+
+# deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
+# set, centroid table, scalar aggregate, LM constants) against the corpus —
+# the correct plan when there is no join key. Adding an entry here is a
+# conscious decision; anything else with a nested loop is a scale bug.
+_BNLJ_OK = {
+    "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "knn_label_predict", "embedding_near_dup_exact", "kmeans_assign_step",
+    "semantic_dedup_clustered",
+    "text_doc_freq_idf", "text_bm25_search", "text_dsir_scores",
+    "text_chi2_terms", "text_perplexity_unigram", "text_ccnet_buckets",
+    "q_mixture_plan", "q_join_key_skew_profile", "tpch_q11_shape",
+    "tpch_q22_shape", "q_equi_depth_histogram",
+}
+
+
+def test_no_unexpected_nested_loop_joins(spark):
+    """Catalog-wide scale guard: no entry may plan a Cartesian product or
+    BroadcastNestedLoopJoin unless it is a whitelisted tiny-broadcast
+    pattern. Catches the classic 100 TB killer — a join that silently
+    degenerates to nested loops when a condition stops being an equi-join."""
+    from overseer_spark.plans import has_cartesian_or_bnlj
+
+    offenders = []
+    for name, spec in CATALOG.items():
+        if name in _EAGER or name in _BNLJ_OK:
+            continue
+        if has_cartesian_or_bnlj(spec.fn(spark, SF_SMOKE)):
+            offenders.append(name)
+    assert not offenders, (
+        f"unexpected nested-loop/cartesian plans: {offenders} — fix the join "
+        "or consciously whitelist in _BNLJ_OK"
+    )
