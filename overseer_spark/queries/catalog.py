@@ -1514,6 +1514,55 @@ def sessionize(spark, sf):
 
 
 @q(
+    "q_session_stats",
+    oracle="""WITH d AS (
+                SELECT user_id, ts, event_id,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+              s AS (SELECT user_id, ts,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+                    FROM d),
+              per_sess AS (SELECT user_id, sess, COUNT(*) AS n,
+                             date_diff('second', MIN(ts), MAX(ts)) AS dur
+                           FROM s GROUP BY user_id, sess)
+              SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+                     ROUND(AVG(n), 4) AS avg_events,
+                     CAST(ROUND(quantile_cont(dur, 0.5)) AS BIGINT) AS median_secs,
+                     CAST(MAX(dur) AS BIGINT) AS max_secs
+              FROM per_sess""",
+)
+def q_session_stats(spark, sf):
+    """Per-session statistics — events per session and duration
+    percentiles — the engagement profile on top of sessionize's counts.
+    Spark side uses the REAL ``session_window`` operator (its struct
+    carries start/end, so duration needs no second window); the oracle
+    rebuilds sessions with the portable LAG-gap + running-sum scan. One
+    user_id-keyed session-merge shuffle, then a global rollup over
+    session-grain (corpus-÷-density sized) data. Durations are integral
+    seconds, so the interpolated median is exact cross-engine."""
+    ev = _t(spark, sf, "events")
+    sess = ev.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = sess.select(
+        "n",
+        (
+            F.unix_timestamp(F.col("session_window.end"))
+            - F.unix_timestamp(F.col("session_window.start"))
+            - F.lit(300)  # session_window end = last event + gap; drop the gap
+        ).alias("dur"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("sessions"),
+        F.round(F.avg("n"), 4).alias("avg_events"),
+        F.round(F.percentile("dur", 0.5)).cast("long").alias("median_secs"),
+        F.max("dur").cast("long").alias("max_secs"),
+    )
+
+
+@q(
     "zscore_groups",
     oracle="""SELECT event_id, ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
               FROM events WINDOW w AS (PARTITION BY user_id) ORDER BY event_id""",

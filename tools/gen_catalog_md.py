@@ -53,7 +53,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_scd2_intervals", "q_cumulative_max_drawdown",
     ],
     "Streaming (event-time)": [
-        "q30_tumbling_window", "sliding_window_counts", "sessionize",
+        "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
         "stream_hourly_counts", "stream_sessionize", "stream_dedup_counts",
         "stream_sliding_counts", "stream_running_totals",
         "stream_static_join_counts",
