@@ -321,3 +321,66 @@ def detect_cycles(
             break
         done = done.union(newly)
     return ids.join(done, "id", "left_anti")
+
+
+def job_runtime_stats(log_df: DataFrame) -> DataFrame:
+    """Per-type runtime/outcome profile from the transition log — the
+    Monitoring-guide analytics (reference doc/guide/Monitoring.md) the
+    engine can answer about ITSELF because SparkLogStore keeps every
+    transition: runtime = first started `updated_at` → last terminal
+    `updated_at` per job. One job-keyed aggregate of the (tiny next to any
+    data table) log, then a per-type rollup; no per-job driver loops.
+
+    Output: (type, n_finished, n_failed, n_aborted, avg_secs, max_secs) —
+    runtimes over finished jobs only; NULL when nothing finished.
+    """
+    from overseer_spark.core import (
+        STATUS_ABORTED,
+        STATUS_FAILED,
+        STATUS_FINISHED,
+        STATUS_STARTED,
+    )
+
+    per_job = (
+        log_df.groupBy("id", "type")
+        .agg(
+            F.min(
+                F.when(F.col("status") == STATUS_STARTED, F.col("updated_at"))
+            ).alias("started_at"),
+            F.max(
+                F.when(
+                    F.col("status").isin(
+                        STATUS_FINISHED, STATUS_FAILED, STATUS_ABORTED
+                    ),
+                    F.col("updated_at"),
+                )
+            ).alias("ended_at"),
+            F.max(
+                F.when(F.col("status") == STATUS_FINISHED, 1).otherwise(0)
+            ).alias("finished"),
+            F.max(F.when(F.col("status") == STATUS_FAILED, 1).otherwise(0)).alias(
+                "failed"
+            ),
+            F.max(F.when(F.col("status") == STATUS_ABORTED, 1).otherwise(0)).alias(
+                "aborted"
+            ),
+        )
+        .withColumn(
+            "secs",
+            F.when(
+                (F.col("finished") == 1) & F.col("started_at").isNotNull(),
+                F.unix_timestamp("ended_at") - F.unix_timestamp("started_at"),
+            ),
+        )
+    )
+    return (
+        per_job.groupBy("type")
+        .agg(
+            F.sum("finished").cast("long").alias("n_finished"),
+            F.sum("failed").cast("long").alias("n_failed"),
+            F.sum("aborted").cast("long").alias("n_aborted"),
+            F.round(F.avg("secs"), 3).alias("avg_secs"),
+            F.max("secs").cast("long").alias("max_secs"),
+        )
+        .orderBy("type")
+    )

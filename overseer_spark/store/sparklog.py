@@ -82,11 +82,21 @@ class SparkLogStore(Store):
         os.makedirs(self._deps_dir, exist_ok=True)
 
     def _append_jobs(self, jobs: list[Job]) -> None:
+        # transition timestamps stamped at append (reference sets
+        # created_at on insert / updated_at on every write —
+        # store/jdbc.clj:171-175,76); runtime analytics
+        # (operators/scheduling.py job_runtime_stats) derive from these
+        import datetime as _dt
+
+        now = _dt.datetime.utcnow()
         rows = []
         for j in jobs:
             self._seq += 1
             r = j.to_row()
             r["seq"] = self._seq
+            r["updated_at"] = now
+            if j.status == 0 and j.lock_version == 0:  # insert row
+                r["created_at"] = now
             rows.append(r)
         (
             self.spark.createDataFrame(rows, schema=LOG_SCHEMA)

@@ -275,3 +275,26 @@ def test_sparklog_as_of_time_travel(spark, tmp_path):
     assert at_v0 == {"a": STATUS_UNSTARTED, "b": STATUS_UNSTARTED}
     at_v1 = {r["id"]: r["status"] for r in s.jobs_df(as_of_seq=v1).collect()}
     assert at_v1 == {"a": STATUS_STARTED, "b": STATUS_UNSTARTED}
+
+
+def test_job_runtime_stats_from_log(spark, tmp_path):
+    """The engine reports its own per-type runtimes from the transition
+    log (operators/scheduling.py job_runtime_stats)."""
+    from overseer_spark.operators.scheduling import job_runtime_stats
+    from overseer_spark.store.sparklog import SparkLogStore
+
+    s = SparkLogStore(spark, str(tmp_path / "store4"))
+    s.install()
+    s.transact_graph(graph_of(("ok1", []), ("ok2", []), ("bad", [])))
+    for jid in ("ok1", "ok2"):
+        s.reserve_job(jid)
+        s.finish_job(jid)
+    s.reserve_job("bad")
+    s.fail_job("bad", {"reason": "boom"})
+
+    rows = {r.type: r for r in job_runtime_stats(s._log_df()).collect()}
+    # graph_of assigns type == f"t-{id}" in these fixtures
+    assert rows["t-ok1"].n_finished == 1 and rows["t-ok1"].n_failed == 0
+    assert rows["t-bad"].n_failed == 1 and rows["t-bad"].n_finished == 0
+    assert rows["t-ok1"].max_secs is not None and rows["t-ok1"].max_secs >= 0
+    assert rows["t-bad"].avg_secs is None
