@@ -6093,6 +6093,48 @@ def stream_running_totals(spark, sf):
 
 
 @q(
+    "tpch_q1_full",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     ROUND(SUM(l_quantity), 2) AS sum_qty,
+                     ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                     ROUND(AVG(l_quantity), 4) AS avg_qty,
+                     ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                     ROUND(AVG(l_discount), 4) AS avg_disc,
+                     CAST(COUNT(*) AS BIGINT) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_full(spark, sf):
+    """TPC-H Q1 verbatim (pricing summary report) — q14_grouped_agg covers
+    the partial+final hash-agg SHAPE; this is the complete 10-column
+    statement with the ship-date filter pushed to the scan. All eight
+    aggregates compute in ONE pass (one partial, one exchange of ≤6 group
+    rows, one final) — the canonical proof that adding metrics to a rollup
+    costs expressions, not passes."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
     "tpch_q11_shape",
     oracle="""WITH val AS (SELECT l_partkey,
                                   CAST(SUM(l_quantity) AS BIGINT) AS qty

@@ -110,7 +110,7 @@ FAMILIES: dict[str, list[str]] = {
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
     ],
     "TPC-H shapes": [
-        "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
+        "tpch_q1_full", "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
         "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
         "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
         "tpch_q14_shape",
