@@ -1646,6 +1646,44 @@ def frame_sample_q(spark, sf):
 
 
 @q(
+    "dedup_golden_record",
+    oracle="""WITH h AS (SELECT doc_id, source, lang, n_chars,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                   FROM documents)
+              SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                     CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+                     MIN(source) AS best_source,
+                     CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM h GROUP BY fp HAVING COUNT(*) > 1
+              ORDER BY n_copies DESC, canonical_id""",
+)
+def dedup_golden_record(spark, sf):
+    """Golden-record construction (survivorship): duplicate groups keyed on
+    the NORMALIZED content fingerprint, merged field-by-field — min-id
+    canonical, best (min) source, longest variant, language spread. This is
+    the MDM step after dedup detection: not just 'drop the copies' but
+    'merge what each copy knows'. One hash-keyed aggregate; the merge
+    policy is pure aggregate functions, so adding fields costs expressions,
+    not passes, and the shuffle carries 16-byte fingerprints."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    return (
+        d.select(fp.alias("fp"), "doc_id", "source", "lang", "n_chars")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.min("source").alias("best_source"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), "canonical_id")
+    )
+
+
+@q(
     "multimodal_dedup_bytes",
     oracle="""WITH h AS (SELECT doc_id, md5(text) AS digest,
                                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -75,7 +75,8 @@ FAMILIES: dict[str, list[str]] = {
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
     ],
     "Dedup family": [
-        "q35_exact_dup_count", "dedup_exact_groups", "dedup_rate_by_source",
+        "q35_exact_dup_count", "dedup_exact_groups", "dedup_golden_record",
+        "dedup_rate_by_source",
         "minhash_near_dup_pairs", "simhash_signatures", "simhash_near_dup_pairs",
         "ngram_jaccard_pairs", "ngram_containment_pairs", "near_dup_components", "near_dup_dedup_count",
         "embedding_near_dup_exact", "text_dup_span_stats",
