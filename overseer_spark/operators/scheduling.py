@@ -333,6 +333,13 @@ def job_runtime_stats(log_df: DataFrame) -> DataFrame:
 
     Output: (type, n_finished, n_failed, n_aborted, avg_secs, max_secs) —
     runtimes over finished jobs only; NULL when nothing finished.
+
+    Retention: ``SparkLogStore.compact()`` keeps the insert row, the first
+    ``started`` row, and the last row per id, so start→terminal runtimes
+    survive compaction; intermediate retry/reset transitions do not, so
+    outcome counts after compaction reflect final outcomes only. Run the
+    stats before compacting (or on an ``as_of_seq`` snapshot) when the full
+    retry history matters.
     """
     from overseer_spark.core import (
         STATUS_ABORTED,

@@ -3544,7 +3544,11 @@ def stream_hourly_counts(spark, sf):
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
     finally:
         query.stop()
     return (
@@ -3605,7 +3609,11 @@ def stream_sliding_counts(spark, sf):
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
     finally:
         query.stop()
     return (
@@ -3927,7 +3935,11 @@ def stream_sessionize(spark, sf):
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
     finally:
         query.stop()
     return (
@@ -4226,7 +4238,11 @@ def stream_dedup_counts(spark, sf):
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
     finally:
         query.stop()
     return (
@@ -5701,7 +5717,11 @@ def stream_static_join_counts(spark, sf):
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
     finally:
         query.stop()
     return (
@@ -6113,7 +6133,11 @@ def stream_running_totals(spark, sf):
         .start()
     )
     try:
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
     finally:
         query.stop()
     w = Window.partitionBy("user_id").orderBy(F.desc("n"))

@@ -88,7 +88,9 @@ class SparkLogStore(Store):
         # (operators/scheduling.py job_runtime_stats) derive from these
         import datetime as _dt
 
-        now = _dt.datetime.utcnow()
+        # timezone-aware so the stored instant is unambiguous regardless of
+        # driver timezone (naive utcnow() would be read as driver-local)
+        now = _dt.datetime.now(_dt.timezone.utc)
         rows = []
         for j in jobs:
             self._seq += 1
@@ -133,8 +135,13 @@ class SparkLogStore(Store):
         if as_of_seq is not None:
             log = log.filter(F.col("seq") <= as_of_seq)
         w = Window.partitionBy("id").orderBy(F.desc("seq"))
+        # created_at lives only on the insert row; carry it onto the
+        # current-state row (min over the id partition skips the NULLs on
+        # update rows) so state matches the reference JDBC row, which keeps
+        # created_at through every update (store/jdbc.clj:171-175).
         return (
             log.withColumn("_rn", F.row_number().over(w))
+            .withColumn("created_at", F.min("created_at").over(Window.partitionBy("id")))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "seq")
         )
@@ -150,13 +157,40 @@ class SparkLogStore(Store):
             return self.spark.createDataFrame([], schema=DEPENDENCIES_SCHEMA)
 
     def compact(self) -> None:
-        """Fold the log to one row per id (run periodically at scale)."""
+        """Fold the log down, keeping the rows analytics need (run
+        periodically at scale).
+
+        Retained per id: the insert row (created_at provenance), the first
+        ``started`` row, and the last row (current state) — so
+        ``job_runtime_stats`` keeps real start→terminal runtimes after
+        compaction. Intermediate retries/resets DO fold away: a job that
+        failed, reset, and finished loses the failed row, so historical
+        outcome counts reflect post-compaction state only. The rewrite is
+        fully distributed — no driver materialization; at 10⁸ jobs this is
+        a normal Spark job over job *metadata*.
+        """
         with self._lock:
-            current = self.jobs_df().withColumn("seq", F.lit(0).cast("long")).collect()
+            log = self._log_df()
+            w_desc = Window.partitionBy("id").orderBy(F.desc("seq"))
+            w_asc = Window.partitionBy("id").orderBy("seq")
+            keep = (
+                log.withColumn("_rl", F.row_number().over(w_desc))
+                .withColumn("_rf", F.row_number().over(w_asc))
+                .withColumn(
+                    "_ns",
+                    F.sum(
+                        F.when(F.col("status") == STATUS_STARTED, 1).otherwise(0)
+                    ).over(w_asc),
+                )
+                .filter(
+                    (F.col("_rl") == 1)
+                    | (F.col("_rf") == 1)
+                    | ((F.col("status") == STATUS_STARTED) & (F.col("_ns") == 1))
+                )
+                .drop("_rl", "_rf", "_ns")
+            )
             tmp = self._jobs_log + ".compact"
-            self.spark.createDataFrame(current, schema=LOG_SCHEMA).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            keep.coalesce(1).write.mode("overwrite").parquet(tmp)
             import shutil
 
             shutil.rmtree(self._jobs_log)

@@ -66,13 +66,25 @@ class RunningTotalsProcessor(StatefulProcessor):
 
 
 def running_totals_v2(stream_df: DataFrame, key: str = "user_id") -> DataFrame:
-    # transformWithState is implemented only on the RocksDB state store
-    # (virtual column families) — the HDFS-backed default store crashes the
-    # state server. Runtime-set so any session gets it with the operator.
-    stream_df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    """Running (count, sum) per key via ``transformWithStateInPandas``.
+
+    Session-wide side effect: transformWithState runs only on the RocksDB
+    state store, and Spark has no per-query provider override, so this sets
+    ``spark.sql.streaming.stateStore.providerClass`` for the WHOLE session
+    — any streaming query started afterwards uses RocksDB state (its
+    checkpoint format differs from the HDFS-backed default). The conf is
+    only touched while the session is still on the built-in default; an
+    explicitly configured provider is respected, and the query will then
+    fail fast rather than silently repointing other queries' state backend.
+    """
+    _ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+    conf = stream_df.sparkSession.conf
+    key_name = "spark.sql.streaming.stateStore.providerClass"
+    current = conf.get(key_name, "") or ""
+    if current.rsplit(".", 1)[-1] in ("", "HDFSBackedStateStoreProvider"):
+        conf.set(key_name, _ROCKS)
     return stream_df.groupBy(key).transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

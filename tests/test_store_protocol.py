@@ -298,3 +298,34 @@ def test_job_runtime_stats_from_log(spark, tmp_path):
     assert rows["t-bad"].n_failed == 1 and rows["t-bad"].n_finished == 0
     assert rows["t-ok1"].max_secs is not None and rows["t-ok1"].max_secs >= 0
     assert rows["t-bad"].avg_secs is None
+
+
+def test_created_at_survives_transitions_and_compact(spark, tmp_path):
+    """created_at is stamped on the insert row only, but the current-state
+    view must carry it through every transition (reference keeps it on the
+    JDBC row through updates — store/jdbc.clj:171-175) and compaction."""
+    from overseer_spark.operators.scheduling import job_runtime_stats
+    from overseer_spark.store.sparklog import SparkLogStore
+
+    s = SparkLogStore(spark, str(tmp_path / "store5"))
+    s.install()
+    s.transact_graph(graph_of(("a", []), ("b", [])))
+    created = {r.id: r.created_at for r in s.jobs_df().collect()}
+    assert created["a"] is not None and created["b"] is not None
+
+    s.reserve_job("a")
+    s.heartbeat_job("a")
+    s.finish_job("a")
+    after = {r.id: r for r in s.jobs_df().collect()}
+    assert after["a"].status == STATUS_FINISHED
+    assert after["a"].created_at == created["a"]  # carried through updates
+    assert after["a"].updated_at >= after["a"].created_at
+
+    s.compact()
+    compacted = {r.id: r for r in s.jobs_df().collect()}
+    assert compacted["a"].created_at == created["a"]
+    assert compacted["a"].status == STATUS_FINISHED
+    # runtime analytics survive compaction: first started + terminal rows kept
+    stats = {r.type: r for r in job_runtime_stats(s._log_df()).collect()}
+    assert stats["t-a"].n_finished == 1
+    assert stats["t-a"].max_secs is not None and stats["t-a"].max_secs >= 0
