@@ -47,6 +47,7 @@ __all__ = [
     "simple_graph",
     "memory_store",
     "spark_store",
+    "filecas_store",
     "missing_handlers",
     "validate_graph_handlers",
     "transact_graph",
@@ -63,6 +64,17 @@ def memory_store() -> MemoryStore:
 
 def spark_store(spark: SparkSession, path: str) -> SparkLogStore:
     store = SparkLogStore(spark, path)
+    store.install()
+    return store
+
+
+def filecas_store(spark: SparkSession | None, path: str):
+    """Cross-process CAS store (store/filecas.py): safe for a masterless
+    pool of worker OS processes sharing one state directory — the
+    reference's deployment model (doc/guide/Concepts.md:13-16)."""
+    from overseer_spark.store.filecas import FileCASStore
+
+    store = FileCASStore(spark, path)
     store.install()
     return store
 

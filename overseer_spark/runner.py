@@ -71,7 +71,18 @@ def build_store(spec: str):
         from overseer_spark.session import get_spark
 
         return api.spark_store(get_spark("overseer-runner"), spec.split(":", 1)[1])
-    raise SystemExit(f"unknown store spec {spec!r} (memory | spark:<path>)")
+    if spec.startswith("filecas:"):
+        # cross-process CAS on a shared directory: many `python -m
+        # overseer_spark --store filecas:/shared/state` workers coordinate
+        # with no master, like the reference's worker pool
+        from overseer_spark.session import get_spark
+
+        return api.filecas_store(get_spark("overseer-runner"), spec.split(":", 1)[1])
+    if spec.startswith("filecas-nospark:"):
+        return api.filecas_store(None, spec.split(":", 1)[1])
+    raise SystemExit(
+        f"unknown store spec {spec!r} (memory | spark:<path> | filecas:<path>)"
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,7 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--graph", help="module:attr of a JobGraph or type-graph dict")
     p.add_argument("--type-graph", help="inline JSON adjacency map {type: [dep_types]}")
     p.add_argument("--args", help="inline JSON args for job_graph instantiation")
-    p.add_argument("--store", default="memory", help="memory | spark:<state-path>")
+    p.add_argument(
+        "--store", default="memory", help="memory | spark:<path> | filecas:<path>"
+    )
     p.add_argument("--config", help="JSON/YAML config file")
     p.add_argument("--once", action="store_true", help="drain the queue and exit")
     ns = p.parse_args(argv)

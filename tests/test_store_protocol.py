@@ -23,10 +23,14 @@ from overseer_spark.store.base import IllegalTransition
 from overseer_spark.store.memory import MemoryStore
 
 
-@pytest.fixture(params=["memory", "sparklog"])
+@pytest.fixture(params=["memory", "sparklog", "filecas"])
 def store(request, spark, tmp_path):
     if request.param == "memory":
         s = MemoryStore()
+    elif request.param == "filecas":
+        from overseer_spark.store.filecas import FileCASStore
+
+        s = FileCASStore(spark, str(tmp_path / "store"))
     else:
         from overseer_spark.store.sparklog import SparkLogStore
 
