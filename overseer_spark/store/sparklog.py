@@ -25,6 +25,12 @@ Why this is the right shape for Spark at scale:
 At sf-test scale the per-append overhead dominates, so the driver keeps a
 write-through cache of current state; the DataFrame path is exercised by
 ``jobs_df()``/``deps_df()`` and the protocol tests assert both views agree.
+
+The cache is a *bounded* LRU (``cache_capacity``, default 100k jobs): a
+miss falls back to a predicate-pushed point lookup on the log (id filter
+reaches the parquet scan, then last-seq-wins), so the driver's memory
+ceiling is the cap — not the job count. A 10⁸-job log never materializes
+on the driver; ``load()`` after restart just recovers the seq counter.
 """
 
 from __future__ import annotations
@@ -56,7 +62,6 @@ from overseer_spark.operators.scheduling import (
     transitive_dependents,
 )
 from overseer_spark.store.base import IllegalTransition, Store
-from overseer_spark.store.memory import MemoryStore
 
 LOG_SCHEMA = T.StructType(
     list(JOBS_SCHEMA.fields) + [T.StructField("seq", T.LongType(), nullable=False)]
@@ -64,16 +69,59 @@ LOG_SCHEMA = T.StructType(
 
 
 class SparkLogStore(Store):
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, cache_capacity: int = 100_000
+    ) -> None:
         self.spark = spark
         self.path = path
         self._jobs_log = os.path.join(path, "jobs_log")
         self._deps_dir = os.path.join(path, "dependencies")
         self._lock = threading.RLock()
         self._seq = 0
-        # write-through cache of current state; authoritative under the
-        # single-writer contract, rebuildable from the log (see load()).
-        self._cache = MemoryStore()
+        # bounded write-through LRU of current job state; consistent under
+        # the single-writer contract because every write appends to the log
+        # before returning — a miss re-reads the log (point lookup).
+        self._capacity = cache_capacity
+        from collections import OrderedDict
+
+        self._lru: "OrderedDict[str, Job]" = OrderedDict()
+
+    def _lru_put(self, job: Job) -> None:
+        self._lru[job.id] = job
+        self._lru.move_to_end(job.id)
+        while len(self._lru) > self._capacity:
+            self._lru.popitem(last=False)
+
+    def _current(self, job_id: str) -> Job | None:
+        """Current state of one job: LRU hit, else predicate-pushed log
+        lookup (id filter reaches the parquet scan; last seq wins)."""
+        job = self._lru.get(job_id)
+        if job is not None:
+            self._lru.move_to_end(job_id)
+            return job
+        import json as _json
+
+        rows = (
+            self._log_df()
+            .filter(F.col("id") == job_id)
+            .orderBy(F.desc("seq"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        job = Job(
+            id=r["id"],
+            type=r["type"],
+            args=_json.loads(r["args"]) if r["args"] else None,
+            status=r["status"],
+            failure=_json.loads(r["failure"]) if r["failure"] else None,
+            heartbeat=r["heartbeat"],
+            lock_version=r["lock_version"],
+        )
+        self._lru_put(job)
+        return job
 
     # -- plumbing ----------------------------------------------------------
 
@@ -197,86 +245,113 @@ class SparkLogStore(Store):
             os.rename(tmp, self._jobs_log)
 
     def load(self) -> None:
-        """Rebuild the driver cache from the log (restart path)."""
+        """Recover driver state from the log (restart path): only the seq
+        counter comes to the driver — one scalar, not the jobs table. The
+        LRU warms lazily via point lookups."""
         with self._lock:
-            self._cache = MemoryStore()
-            for r in self.jobs_df().collect():
-                import json
-
-                self._cache._jobs[r["id"]] = Job(
-                    id=r["id"],
-                    type=r["type"],
-                    args=json.loads(r["args"]) if r["args"] else None,
-                    status=r["status"],
-                    failure=json.loads(r["failure"]) if r["failure"] else None,
-                    heartbeat=r["heartbeat"],
-                    lock_version=r["lock_version"],
-                )
-            self._cache._deps = [
-                (r["job_id"], r["dep_id"]) for r in self.deps_df().collect()
-            ]
+            self._lru.clear()
             mx = self._log_df().agg(F.max("seq")).collect()[0][0]
             self._seq = mx or 0
 
     # -- writes (driver-serialized; appends to the log) --------------------
 
     def transact_graph(self, graph: JobGraph) -> JobGraph:
+        graph.validate()
         with self._lock:
-            before = set(self._cache._jobs)
-            self._cache.transact_graph(graph)
-            if set(self._cache._jobs) == before and graph.jobs:
-                return graph  # duplicate id somewhere → all-or-nothing no-op
+            ids = [j.id for j in graph.jobs]
+            misses = [i for i in ids if i not in self._lru]
+            if len(misses) < len(ids):
+                return graph  # cached id exists → all-or-nothing no-op
+            if misses:
+                # one distributed membership probe for the whole graph, not
+                # a per-id loop (id filter pushes to the parquet scan)
+                n = (
+                    self._log_df()
+                    .filter(F.col("id").isin(misses))
+                    .select("id")
+                    .limit(1)
+                    .count()
+                )
+                if n > 0:
+                    return graph
             self._append_jobs(graph.jobs)
+            for j in graph.jobs:
+                self._lru_put(replace(j))
             if graph.edges:
                 self._append_deps(graph.edges)
             return graph
 
-    def _mirror(self, job_id: str) -> None:
-        job = self._cache.job_info(job_id)
-        if job is not None:
-            self._append_jobs([job])
+    def _transition(
+        self, job_id: str, from_status: int | None, **changes: Any
+    ) -> Job | None:
+        """Single-writer CAS: check current state, append the new row,
+        write through the LRU. None when the precondition fails."""
+        job = self._current(job_id)
+        if job is None or (from_status is not None and job.status != from_status):
+            return None
+        updated = replace(job, lock_version=job.lock_version + 1, **changes)
+        self._append_jobs([updated])
+        self._lru_put(updated)
+        return updated
 
     def reserve_job(self, job_id: str) -> Job | None:
         with self._lock:
-            out = self._cache.reserve_job(job_id)
-            if out is not None:
-                self._append_jobs([out])
-            return out
+            return self._transition(
+                job_id,
+                STATUS_UNSTARTED,
+                status=STATUS_STARTED,
+                heartbeat=int(time.time()),
+            )
 
     def finish_job(self, job_id: str) -> None:
         with self._lock:
-            self._cache.finish_job(job_id)  # raises IllegalTransition
-            self._mirror(job_id)
+            if self._transition(job_id, STATUS_STARTED, status=STATUS_FINISHED) is None:
+                raise IllegalTransition(f"finish_job: {job_id} not in started state")
 
     def fail_job(self, job_id: str, failure: Mapping[str, Any] | None = None) -> None:
         with self._lock:
-            self._cache.fail_job(job_id, failure)
-            self._mirror(job_id)
+            if (
+                self._transition(
+                    job_id, STATUS_STARTED, status=STATUS_FAILED, failure=failure
+                )
+                is None
+            ):
+                raise IllegalTransition(f"fail_job: {job_id} not in started state")
 
     def reset_job(self, job_id: str) -> Job | None:
         with self._lock:
-            out = self._cache.reset_job(job_id)
-            if out is not None:
-                self._append_jobs([out])
-            return out
+            return self._transition(
+                job_id,
+                STATUS_STARTED,
+                status=STATUS_UNSTARTED,
+                heartbeat=int(time.time()),
+            )
 
     def heartbeat_job(self, job_id: str) -> None:
         with self._lock:
-            self._cache.heartbeat_job(job_id)
-            self._mirror(job_id)
+            self._transition(job_id, None, heartbeat=int(time.time()))
 
     def abort_job(self, job_id: str) -> None:
         with self._lock:
-            targets = sorted({job_id} | self._cache.dependents(job_id))
-            self._cache.abort_job(job_id)
-            self._append_jobs(
-                [j for jid in targets if (j := self._cache.job_info(jid)) is not None]
-            )
+            targets = sorted({job_id} | self.dependents(job_id))
+            updated = []
+            for jid in targets:
+                job = self._current(jid)
+                if job is not None:
+                    job = replace(
+                        job, status=STATUS_ABORTED, lock_version=job.lock_version + 1
+                    )
+                    updated.append(job)
+                    self._lru_put(job)
+            if updated:
+                self._append_jobs(updated)
 
     # -- queries (DataFrame plans over the derived state) ------------------
 
     def job_info(self, job_id: str) -> Job | None:
-        return self._cache.job_info(job_id)
+        with self._lock:
+            job = self._current(job_id)
+            return replace(job) if job is not None else None
 
     def jobs_ready(self, limit: int | None = None) -> list[str]:
         df = ready_jobs(self.jobs_df(), self.deps_df(), limit)
@@ -287,7 +362,8 @@ class SparkLogStore(Store):
         return sorted(r["id"] for r in df.collect())
 
     def jobs_with_status(self, status: int) -> list[str]:
-        return self._cache.jobs_with_status(status)
+        df = self.jobs_df().filter(F.col("status") == status).select("id")
+        return sorted(r["id"] for r in df.collect())
 
     def dependents(self, job_id: str) -> set[str]:
         df = transitive_dependents(self.deps_df(), [job_id])

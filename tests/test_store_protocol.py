@@ -333,3 +333,36 @@ def test_created_at_survives_transitions_and_compact(spark, tmp_path):
     stats = {r.type: r for r in job_runtime_stats(s._log_df()).collect()}
     assert stats["t-a"].n_finished == 1
     assert stats["t-a"].max_secs is not None and stats["t-a"].max_secs >= 0
+
+
+def test_bounded_cache_with_10k_job_graph(spark, tmp_path):
+    """Driver mirror is a bounded LRU: a 10k-job graph runs correctly with
+    a 100-job cap — misses fall back to predicate-pushed log lookups, so
+    the driver's memory ceiling is the cap, not the job count."""
+    from overseer_spark.store.sparklog import SparkLogStore
+
+    s = SparkLogStore(spark, str(tmp_path / "big"), cache_capacity=100)
+    s.install()
+    jobs = [Job(id=f"j{i:05d}", type="t") for i in range(10_000)]
+    s.transact_graph(JobGraph(jobs=jobs, edges=[]))
+    assert len(s._lru) <= 100
+
+    # jobs far outside the cached tail exercise the point-lookup path
+    for jid in ("j00000", "j04321", "j07777"):
+        assert s.job_info(jid).status == STATUS_UNSTARTED
+        assert s.reserve_job(jid).status == STATUS_STARTED
+        s.finish_job(jid)
+    assert s.job_info("j00000").status == STATUS_FINISHED
+    assert len(s._lru) <= 100
+
+    # duplicate transact stays all-or-nothing with a cold cache
+    s2 = SparkLogStore(spark, str(tmp_path / "big"), cache_capacity=100)
+    s2.load()  # recovers only the seq counter — no full-table collect
+    s2.transact_graph(
+        JobGraph(jobs=[Job(id="j00001", type="t"), Job(id="brand-new", type="t")],
+                 edges=[])
+    )
+    assert s2.job_info("brand-new") is None  # nothing inserted
+    assert s2.job_info("j00000").status == STATUS_FINISHED  # state survived
+    assert s2.reserve_job("j00002") is not None
+    assert len(s2._lru) <= 100
