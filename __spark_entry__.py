@@ -69,6 +69,7 @@ _PRIORITY = [
     "multimodal_meta",
     "multimodal_frame_sample",
     "multimodal_dedup_bytes",
+    "multimodal_decode_features",
     "pack_sequences",
     "train_prep_pipeline",
     "sessionize",

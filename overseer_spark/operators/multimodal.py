@@ -3,11 +3,12 @@
 Design (SURVEY.md Phase 4): media travels as a ``binary`` column with a
 struct of metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so each executor core streams record
-batches without ever materializing the whole partition. The actual codecs
-(PIL/libav/etc.) are NOT available in this container, so the decode step is
-a clearly-marked seam: ``decode_media`` raises ``NotImplementedError`` for
-real codecs and supports the deterministic ``"raw-utf8"`` fake codec used by
-tests — the Spark-side plumbing (schema, batching, partitioning) is real.
+batches without ever materializing the whole partition. Uncompressed
+formats — WAV (RIFF PCM16), BMP, PPM/PGM — decode for REAL via the
+pure-numpy codecs in functions/media_codecs.py (``media_features`` sniffs
+magic bytes, decodes, and extracts rms/luma features). Compressed codecs
+(jpeg/mp3/h264...) need native libraries this container does not ship and
+remain a clearly-marked ``NotImplementedError`` seam in ``decode_media``.
 
 At 100 TB: binary payloads dominate scan width, so metadata lives in its own
 columns (parquet column pruning skips the bytes for metadata-only queries),
@@ -35,7 +36,7 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
-_REAL_CODECS = frozenset({"jpeg", "png", "webp", "wav", "mp3", "flac", "h264", "vp9"})
+_COMPRESSED_CODECS = frozenset({"jpeg", "png", "webp", "mp3", "flac", "h264", "vp9"})
 
 
 def with_binary_payload(
@@ -57,11 +58,20 @@ def with_binary_payload(
 
 
 def decode_media(payload: bytes, codec: str):
-    """Decode one media payload. Real codecs are a deliberate stub — the
-    container ships no image/audio libraries; plug PIL/soundfile/av here."""
+    """Decode one media payload.
+
+    Uncompressed formats decode for real, in pure numpy (functions/
+    media_codecs.py): WAV (RIFF PCM16) -> (meta, int16 samples), BMP /
+    PPM / PGM -> (meta, uint8 pixel array). Compressed codecs remain a
+    deliberate seam — they need native libraries this container does not
+    ship; plug PIL/soundfile/av here."""
+    from overseer_spark.functions import media_codecs as MC
+
     if codec == "raw-utf8":
         return payload  # identity "decode" for the deterministic fake codec
-    if codec in _REAL_CODECS:
+    if codec in MC.DECODERS:
+        return MC.DECODERS[codec](bytes(payload))
+    if codec in _COMPRESSED_CODECS:
         raise NotImplementedError(
             f"codec {codec!r}: media libraries not available in this environment; "
             "install PIL/soundfile/av and implement decode here"
@@ -157,4 +167,128 @@ def frame_sample(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=f"{id_col} long, frame_idx int, frame binary"
+    )
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL media payloads deterministically from an id column:
+    ids are assigned round-robin to wav / bmp / ppm and encoded with the
+    pure-numpy codecs (functions/media_codecs.py). This is the test-data
+    generator for the real decode path — every byte string is a valid
+    file another tool could open. Arrow-batched; only ``id_col`` is read
+    upstream, so the scan prunes to one column."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads, codecs = [], []
+            for i in ids:
+                i = int(i)
+                if i % 3 == 0:  # audio: short sine, id-keyed frequency
+                    sr = 8000
+                    freq = 200.0 + (i % 40) * 20.0
+                    t = np.arange(400, dtype=np.float64) / sr
+                    wave = (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                    payloads.append(MC.encode_wav(wave, sr))
+                    codecs.append("wav")
+                elif i % 3 == 1:  # image: 8x8 RGB id-keyed gradient
+                    r, c = np.mgrid[0:8, 0:8]
+                    px = np.stack(
+                        [
+                            (i * 7 + r * 16 + c) % 256,
+                            (i * 13 + r + c * 16) % 256,
+                            (i * 29 + r * 8 + c * 8) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(MC.encode_bmp(px))
+                    codecs.append("bmp")
+                else:  # image: 6x10 RGB ramp
+                    r, c = np.mgrid[0:6, 0:10]
+                    px = np.stack(
+                        [
+                            (i + r * 25) % 256,
+                            (i * 3 + c * 25) % 256,
+                            np.full((6, 10), (i * 5) % 256),
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(MC.encode_ppm(px))
+                    codecs.append("ppm")
+            yield pd.DataFrame(
+                {id_col: ids, "codec": codecs, "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, codec string, payload binary"
+    )
+
+
+def media_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode real payloads and extract per-item features, Arrow-batched.
+
+    Audio -> (sample_rate, n_samples, rms of normalized amplitude);
+    image -> (width, height, mean_luma via BT.601). The codec is sniffed
+    from magic bytes — the operator never trusts a codec column. This is
+    the real decode/feature stage the round-1 stub stood in for; the
+    Spark seam (mapInPandas, pruned input, fixed output schema) is
+    unchanged, so swapping in native codecs later touches only the
+    per-payload function."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            out = {
+                id_col: [], "codec": [], "kind": [], "width": [], "height": [],
+                "sample_rate": [], "n_samples": [], "rms": [], "mean_luma": [],
+            }
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                codec = MC.sniff_codec(b)
+                if codec is None:
+                    continue  # unrecognized payloads are filtered, not fatal
+                meta, arr = MC.DECODERS[codec](b)
+                out[id_col].append(int(i))
+                out["codec"].append(codec)
+                out["kind"].append(meta["kind"])
+                if meta["kind"] == "audio":
+                    norm = arr.astype(np.float64) / 32768.0
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["sample_rate"].append(meta["sample_rate"])
+                    out["n_samples"].append(meta["n_samples"])
+                    out["rms"].append(float(np.sqrt(np.mean(norm**2))))
+                    out["mean_luma"].append(None)
+                else:
+                    px = arr.astype(np.float64)
+                    luma = (
+                        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                        if px.ndim == 3
+                        else px
+                    )
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["rms"].append(None)
+                    out["mean_luma"].append(float(luma.mean()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, codec string, kind string, width int, height int, "
+            "sample_rate int, n_samples long, rms double, mean_luma double"
+        ),
     )

@@ -1722,6 +1722,33 @@ def multimodal_dedup_bytes(spark, sf):
     )
 
 
+@q("multimodal_decode_features", tier="py")
+def multimodal_decode_features(spark, sf):
+    """REAL media decode: synthesize valid WAV/BMP/PPM payloads from doc
+    ids (every byte string is a spec-correct file), then sniff magic
+    bytes, decode with the pure-numpy codecs (functions/media_codecs.py),
+    and extract rms / luma features — all Arrow-batched mapInPandas, per
+    codec aggregated. Pytest oracle recomputes every feature with
+    independent numpy on the driver (tests/test_multimodal.py)."""
+    from overseer_spark.operators.multimodal import media_features, synthesize_media
+
+    docs = _t(spark, sf, "documents")
+    media = synthesize_media(docs, id_col="doc_id")
+    feats = media_features(media, id_col="doc_id")
+    return (
+        feats.groupBy("codec", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("codec")
+    )
+
+
 # ---------------------------------------------------------------------------
 # statistics, reshaping, and dataset-curation extras
 # ---------------------------------------------------------------------------

@@ -62,3 +62,120 @@ def test_arrow_metadata_matches_pandas_seam(spark):
     a = sorted(map(tuple, extract_metadata(b).collect()))
     c = sorted(map(tuple, extract_metadata_arrow(b).collect()))
     assert a == c and len(a) > 0
+
+
+# -- real codecs (functions/media_codecs.py) --------------------------------
+
+def _synth_expected(i: int):
+    """Independent numpy recomputation of synthesize_media's payload for
+    one id — the oracle for the decode/feature path."""
+    import numpy as np
+
+    if i % 3 == 0:
+        sr, freq = 8000, 200.0 + (i % 40) * 20.0
+        t = np.arange(400, dtype=np.float64) / sr
+        wave = (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        rms = float(np.sqrt(np.mean((wave.astype(np.float64) / 32768.0) ** 2)))
+        return ("wav", "audio", None, None, 8000, 400, rms, None)
+    if i % 3 == 1:
+        r, c = np.mgrid[0:8, 0:8]
+        px = np.stack(
+            [
+                (i * 7 + r * 16 + c) % 256,
+                (i * 13 + r + c * 16) % 256,
+                (i * 29 + r * 8 + c * 8) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        luma = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
+        return ("bmp", "image", 8, 8, None, None, None, float(luma))
+    r, c = np.mgrid[0:6, 0:10]
+    px = np.stack(
+        [(i + r * 25) % 256, (i * 3 + c * 25) % 256, np.full((6, 10), (i * 5) % 256)],
+        axis=-1,
+    ).astype(np.uint8)
+    luma = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
+    return ("ppm", "image", 10, 6, None, None, None, float(luma))
+
+
+def test_wav_round_trip_and_decode_media():
+    import numpy as np
+
+    from overseer_spark.functions import media_codecs as MC
+
+    wave = (9000 * np.sin(2 * np.pi * 330 * np.arange(800) / 16000)).astype(np.int16)
+    payload = MC.encode_wav(wave, 16000)
+    meta, samples = MM.decode_media(payload, "wav")  # decodes for REAL now
+    assert meta == {
+        "kind": "audio", "sample_rate": 16000, "n_channels": 1, "n_samples": 800,
+    }
+    assert np.array_equal(samples[:, 0], wave)
+    stereo = np.stack([wave, -wave], axis=1)
+    meta2, s2 = MC.decode_wav(MC.encode_wav(stereo, 44100))
+    assert meta2["n_channels"] == 2 and np.array_equal(s2, stereo)
+
+
+def test_image_round_trips_exact():
+    import numpy as np
+
+    from overseer_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width → BMP row pad
+    for enc, dec in ((MC.encode_bmp, MC.decode_bmp), (MC.encode_ppm, MC.decode_ppm)):
+        meta, out = dec(enc(px))
+        assert (meta["width"], meta["height"]) == (7, 13)
+        assert np.array_equal(out, px)
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    _, g = MC.decode_pgm(MC.encode_pgm(gray))
+    assert np.array_equal(g, gray)
+
+
+def test_media_features_matches_numpy_oracle(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    feats = MM.media_features(MM.synthesize_media(docs)).collect()
+    assert len(feats) == 60
+    for r in feats:
+        codec, kind, w, h, sr, n, rms, luma = _synth_expected(r["doc_id"])
+        assert (r["codec"], r["kind"]) == (codec, kind)
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sample_rate"], r["n_samples"]) == (sr, n)
+        if rms is None:
+            assert r["rms"] is None
+            assert abs(r["mean_luma"] - luma) < 1e-9
+        else:
+            assert abs(r["rms"] - rms) < 1e-9
+            assert r["mean_luma"] is None
+
+
+def test_decode_features_catalog_entry_oracle(spark):
+    """The catalog entry's per-codec aggregates match an independent numpy
+    recomputation over the same ids."""
+    from collections import defaultdict
+
+    from overseer_spark.queries.catalog import CATALOG
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    agg = defaultdict(lambda: {"n": 0, "rms": [], "luma": [], "samples": 0})
+    for i in ids:
+        codec, kind, w, h, sr, n, rms, luma = _synth_expected(i)
+        a = agg[codec]
+        a["n"] += 1
+        if rms is not None:
+            a["rms"].append(rms)
+            a["samples"] += n
+        if luma is not None:
+            a["luma"].append(luma)
+
+    rows = {r["codec"]: r for r in
+            CATALOG["multimodal_decode_features"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for codec, a in agg.items():
+        r = rows[codec]
+        assert r["n"] == a["n"]
+        if a["rms"]:
+            assert abs(r["avg_rms"] - round(sum(a["rms"]) / len(a["rms"]), 6)) < 2e-6
+            assert r["total_samples"] == a["samples"]
+        if a["luma"]:
+            assert abs(r["avg_luma"] - round(sum(a["luma"]) / len(a["luma"]), 6)) < 2e-6
