@@ -89,7 +89,9 @@ def run_pipeline(
 ) -> None:
     """Drain the queue in-process (tests / notebooks / one-shot runs)."""
     cfg = config or Config()
-    Executor(store, handlers, cfg.sleep_time, cfg.rand_seed).run_until_complete()
+    Executor(
+        store, handlers, cfg.sleep_time, cfg.rand_seed, cfg.error_sink
+    ).run_until_complete()
 
 
 def start(

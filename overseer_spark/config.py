@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any, Callable
 
 
 @dataclass
@@ -20,6 +21,13 @@ class Config:
     heartbeat: HeartbeatConfig = field(default_factory=HeartbeatConfig)
     monitor_shutdown: bool = True  # exit worker on monitor error (config.clj:70-71)
     rand_seed: int | None = None  # seeded job pick for deterministic tests
+    # Pluggable external error reporting — the reference's Sentry hook
+    # (errors.clj:84-104) generalized: called with a JSON-safe payload
+    # {job_id, job_type, failure{reason, exception, message, data}} on every
+    # non-suppressed job failure, and {reason: "monitor-error", ...} on fatal
+    # monitor errors. Suppressed signals (abort_silent, fault) skip the sink;
+    # sink exceptions are swallowed and logged, never fail the job path.
+    error_sink: Callable[[dict[str, Any]], None] | None = None
 
     def liveness_threshold(self, now: float) -> int:
         """now − tolerance × period (overseer/heartbeat.clj:35-43)."""

@@ -93,3 +93,19 @@ def try_thunk(exception_handler, thunk):
         return thunk()
     except BaseException as exc:  # noqa: BLE001 — handler decides
         return exception_handler(exc)
+
+
+def report_failure(sink, payload: dict[str, Any]) -> None:
+    """Deliver a failure struct to the configured external sink — the
+    reference's Sentry capture generalized to any callable
+    (overseer/errors.clj:40-50,84-104). A sink error is logged and
+    swallowed: reporting must never change the job outcome, exactly as
+    the reference guards ``sentry-capture`` with its own try/catch."""
+    if sink is None:
+        return
+    try:
+        sink(payload)
+    except Exception:  # noqa: BLE001 — reporting is best-effort
+        import logging
+
+        logging.getLogger("overseer_spark").exception("error sink failed")

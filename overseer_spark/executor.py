@@ -20,7 +20,7 @@ from overseer_spark.core import (
     STATUS_UNSTARTED,
     Job,
 )
-from overseer_spark.errors import failure_info, try_thunk
+from overseer_spark.errors import failure_info, report_failure, try_thunk
 from overseer_spark.harness import Handler, as_stage_map
 from overseer_spark.store.base import Store
 
@@ -45,15 +45,31 @@ def invoke_handler(handler: Handler, job: Job) -> Any:
     return result
 
 
-def run_job(store: Store, handlers: Mapping[str, Handler], job: Job) -> int:
+def run_job(
+    store: Store,
+    handlers: Mapping[str, Handler],
+    job: Job,
+    error_sink=None,
+) -> int:
     """Run the handler for ``job`` (already reserved) and write back the FSM
-    transition; returns the final status code (executor.clj:41-60)."""
+    transition; returns the final status code (executor.clj:41-60).
+    ``error_sink`` mirrors the reference's per-job Sentry handler
+    (errors.clj:84-104): non-suppressed failures are delivered to it with
+    job context; abort_silent/fault skip it."""
     handler = handlers.get(job.type)
 
     def on_error(exc: BaseException) -> dict:
         info = failure_info(exc)
         if not info["suppress"]:
             log.exception("job %s (%s) failed", job.id, job.type)
+            report_failure(
+                error_sink,
+                {
+                    "job_id": job.id,
+                    "job_type": job.type,
+                    "failure": info["failure"],
+                },
+            )
         return info
 
     outcome = try_thunk(on_error, lambda: (invoke_handler(handler, job), None)[1])
@@ -83,11 +99,13 @@ class Executor:
         handlers: Mapping[str, Handler],
         sleep_time: float = 10.0,
         rand_seed: int | None = None,
+        error_sink=None,
     ) -> None:
         self.store = store
         self.handlers = handlers
         self.sleep_time = sleep_time
         self.rng = random.Random(rand_seed)
+        self.error_sink = error_sink
         self.current_job: Job | None = None
 
     def handleable(self, ready_ids: list[str]) -> list[Job]:
@@ -111,7 +129,7 @@ class Executor:
             return None  # lost the race to another worker
         self.current_job = reserved
         try:
-            return run_job(self.store, self.handlers, reserved)
+            return run_job(self.store, self.handlers, reserved, self.error_sink)
         finally:
             self.current_job = None
 

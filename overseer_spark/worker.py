@@ -31,7 +31,11 @@ class Worker:
         self.handlers = handlers
         self.config = config or Config()
         self.executor = Executor(
-            store, handlers, self.config.sleep_time, self.config.rand_seed
+            store,
+            handlers,
+            self.config.sleep_time,
+            self.config.rand_seed,
+            self.config.error_sink,
         )
         self._ready_cache: list = []
         self._cache_lock = threading.Lock()
@@ -99,8 +103,20 @@ class Worker:
                 threshold = self.config.liveness_threshold(time.time())
                 for job_id in self.store.jobs_dead(threshold):
                     self.store.reset_job(job_id)  # None on race is fine
-            except Exception:
+            except Exception as exc:
                 log.exception("monitor loop error")
+                # fatal-path reporting (reference ->fatal-ex-handler,
+                # errors.clj:83-91: log, capture to sink, shut down)
+                from overseer_spark.errors import report_failure
+
+                report_failure(
+                    self.config.error_sink,
+                    {
+                        "reason": "monitor-error",
+                        "exception": type(exc).__name__,
+                        "message": str(exc),
+                    },
+                )
                 if self.config.monitor_shutdown:
                     self.stop()
                     return
