@@ -177,3 +177,101 @@ def test_stream_dedup_within_watermark_across_microbatches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3], ids
+
+
+def test_stateful_recovery_after_mid_stream_kill(spark, tmp_path):
+    """Kill a checkpointed stateful query MID-stream and restart it: state
+    (per-user running count/sum from applyInPandasWithState) must recover
+    from the checkpoint, committed files must not be reprocessed, and the
+    recovered totals must equal the batch aggregate — exactly-once end to
+    end. The sink is an idempotent foreachBatch parquet write (overwrite
+    per batch-id path), the production recovery sink shape — the memory
+    sink deliberately refuses checkpoint recovery."""
+    from overseer_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    users = [1, 2, 3, 4, 5]
+    n_files = 6
+    all_rows = []
+    for b in range(n_files - 1):
+        rows = [
+            (b * 100 + i, _ts(b, i), users[(b + i) % 5], "click", float(b * 10 + i))
+            for i in range(10)
+        ]
+        all_rows += rows
+        _write_batch(spark, src, rows, b)
+    # final file touches EVERY user so the post-restart emissions carry the
+    # complete recovered state for all keys
+    final = [(900 + u, _ts(55, u), u, "click", 0.5 * u) for u in users]
+    all_rows += final
+
+    def write_batch(df, batch_id):
+        # overwrite-by-batch-path: replaying an uncommitted batch after the
+        # kill rewrites the same files — idempotent, hence exactly-once
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            os.path.join(sink, f"b{batch_id:05d}")
+        )
+
+    def start(trigger_kwargs):
+        sdf = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            running_totals(sdf)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # run 1: one file per micro-batch; kill after >=2 batches committed but
+    # before all 5 are — a hard stop mid-stream
+    q1 = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q1.recentProgress) >= 2:
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+    rows_run1 = sum(int(p["numInputRows"]) for p in q1.recentProgress)
+    assert 0 < rows_run1 < len(all_rows)  # genuinely mid-stream
+
+    # the "restarted worker" sees MORE data than run 1 ever did
+    _write_batch(spark, src, final, n_files - 1)
+
+    # run 2: same checkpoint, drain everything remaining
+    q2 = start({"availableNow": True})
+    assert q2.awaitTermination(300), "recovery run timed out"
+    rows_run2 = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+    q2.stop()
+
+    # exactly-once input accounting over COMMITTED batches: nothing counted
+    # twice, nothing lost
+    assert rows_run1 + rows_run2 == len(all_rows)
+
+    # recovered state equals the batch aggregate for every user: take each
+    # user's emission from the highest batch_id
+    out = spark.read.parquet(os.path.join(sink, "*"))
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy(F.desc("batch_id"), F.desc("n"))
+    got = {
+        r["user_id"]: (r["n"], round(r["total"], 2))
+        for r in out.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
