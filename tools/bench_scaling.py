@@ -1,0 +1,71 @@
+"""Measure dedup/ANN/text entry scaling: sf0.1 vs a 10x corpus.
+
+Runs the candidate-generation-heavy catalog entries at both scales and
+prints the time ratio. Sub-quadratic candidate generation should land
+ratios well under the ~15x danger line for a 10x input (a quadratic
+blowup would show ~100x). Results are recorded in SCALING.md.
+
+Usage: python tools/gen_scale_data.py && python tools/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+ENTRIES = [
+    "dedup_exact_groups",
+    "minhash_near_dup_pairs",
+    "near_dup_dedup_count",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "semantic_dedup_clustered",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_contamination_check",
+    "text_quality",
+]
+
+
+def run(spark, fn, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    n = df.count()  # full execution without driver materialization
+    dt = time.monotonic() - t0
+    return dt, n
+
+
+def main() -> None:
+    from overseer_spark.queries.catalog import CATALOG
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    # warm up the JVM / Arrow / Python-worker pools so the first timed
+    # entry is not charged for session startup
+    run(spark, CATALOG["dedup_exact_groups"].fn, "/root/testdata/sf0.01")
+    run(spark, CATALOG["ann_cosine_topk"].fn, "/root/testdata/sf0.01")
+    out = {}
+    for name in ENTRIES:
+        fn = CATALOG[name].fn
+        t_small, n_small = run(spark, fn, "/root/testdata/sf0.1")
+        t_big, n_big = run(spark, fn, ".bench_sf1")
+        out[name] = {
+            "sf0.1_sec": round(t_small, 2),
+            "x10_sec": round(t_big, 2),
+            "ratio": round(t_big / t_small, 1),
+            "rows_small": n_small,
+            "rows_big": n_big,
+        }
+        print(json.dumps({name: out[name]}))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

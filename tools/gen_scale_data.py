@@ -1,0 +1,124 @@
+"""Generate an sf1-equivalent (10x sf0.1) documents + embeddings dataset.
+
+The driver ships sf0.1 as the largest scale; the scaling study
+(SCALING.md "measured scale ratios") needs a 10x corpus with the SAME
+statistical structure, so this bootstrap-resamples sf0.1:
+
+- documents: resample source rows, mutate 15% of words (vocab drawn from
+  the corpus's own frequency distribution) so resamples are NOT trivial
+  duplicates; additionally 3% of rows are 5%-mutated copies of an earlier
+  generated row — an explicit near-duplicate population whose size grows
+  linearly with the corpus, matching how real crawl dup-rates behave.
+- embeddings: resample vectors with N(0, 0.05*std) noise — cluster
+  structure (what IVF/semantic-dedup cost depends on) is preserved.
+
+Deterministic (seed 42). Usage:
+    python tools/gen_scale_data.py [--mult 10] [--out .bench_sf1]
+Other tables are symlinked from sf0.1 so catalog entries that read them
+still resolve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def gen_documents(out_dir: str, mult: int, rng: np.random.Generator) -> None:
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+    n_src = len(texts)
+    # corpus vocabulary with empirical frequencies
+    from collections import Counter
+
+    vocab_counts = Counter(w for s in texts for w in s.split())
+    vocab = np.array(list(vocab_counts))
+    vocab_p = np.array(list(vocab_counts.values()), dtype=np.float64)
+    vocab_p /= vocab_p.sum()
+
+    n_out = n_src * mult
+    out_text, out_lang, out_source = [], [], []
+    for i in range(n_out):
+        if out_text and rng.random() < 0.03:
+            # explicit near-duplicate of an earlier generated doc (5% mutated)
+            j = int(rng.integers(0, len(out_text)))
+            words = out_text[j].split()
+            base_lang, base_source = out_lang[j], out_source[j]
+            mut_rate = 0.05
+        else:
+            j = int(rng.integers(0, n_src))
+            words = texts[j].split()
+            base_lang, base_source = langs[j], sources[j]
+            mut_rate = 0.15
+        words = list(words)
+        n_mut = max(1, int(len(words) * mut_rate))
+        idx = rng.integers(0, len(words), size=n_mut)
+        repl = rng.choice(vocab, size=n_mut, p=vocab_p)
+        for k, w in zip(idx, repl):
+            words[int(k)] = str(w)
+        s = " ".join(words)
+        out_text.append(s)
+        out_lang.append(base_lang)
+        out_source.append(base_source)
+
+    out = pa.table(
+        {
+            "doc_id": pa.array(range(n_out), pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+            "source": pa.array(out_source, pa.string()),
+            "n_chars": pa.array([len(s) for s in out_text], pa.int64()),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+
+
+def gen_embeddings(out_dir: str, mult: int, rng: np.random.Generator) -> None:
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    labels = np.array(t.column("label").to_pylist())
+    n_src, dim = vecs.shape
+    n_out = n_src * mult
+    pick = rng.integers(0, n_src, size=n_out)
+    noise = rng.normal(0.0, 0.05 * vecs.std(), size=(n_out, dim)).astype(np.float32)
+    out_vecs = vecs[pick] + noise
+    out = pa.table(
+        {
+            "vec_id": pa.array(range(n_out), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in out_vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels[pick]),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default=".bench_sf1")
+    ns = ap.parse_args()
+    os.makedirs(ns.out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    gen_documents(ns.out, ns.mult, rng)
+    gen_embeddings(ns.out, ns.mult, rng)
+    for name in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = os.path.join(ns.out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    print(f"wrote {ns.out} at {ns.mult}x sf0.1")
+
+
+if __name__ == "__main__":
+    main()
