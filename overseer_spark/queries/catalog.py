@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from overseer_spark.functions.vectors import cosine_similarity
 from overseer_spark.operators import dedup as D
+from overseer_spark.operators import incremental as INC
 from overseer_spark.operators import scheduling as S
 from overseer_spark.operators import similarity as V
 from overseer_spark.operators import text as TX
@@ -1680,6 +1681,80 @@ def dedup_golden_record(spark, sf):
         )
         .filter(F.col("n_copies") > 1)
         .orderBy(F.desc("n_copies"), "canonical_id")
+    )
+
+
+# --- incremental (cross-batch) dedup: operators/incremental.py -------------
+# Batch split for the fixtures: corpus = even doc_ids, new batch = odd —
+# deterministic at every SF. In production the corpus side is a persisted
+# hash / band index, not a recompute (see module docstring).
+
+@q(
+    "incr_exact_survivor_count",
+    oracle="""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+                   batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+                   firsts AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY text)
+              SELECT CAST(COUNT(*) AS BIGINT) AS survivors
+              FROM batch b JOIN firsts USING (doc_id)
+              WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)""",
+)
+def incr_exact_survivor_count(spark, sf):
+    """Incremental exact dedup: how many NEW docs survive screening against
+    the already-ingested corpus' hash index. One anti-join on 16-byte md5
+    keys — the corpus text is never re-read (operators/incremental.py)."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    survivors = INC.dedup_new_exact(batch, INC.exact_hash_index(corpus))
+    return survivors.agg(F.count(F.lit(1)).cast("long").alias("survivors"))
+
+
+@q(
+    "incr_exact_flagged",
+    oracle="""SELECT b.doc_id AS new_id, CAST(MIN(c.doc_id) AS BIGINT) AS corpus_id
+              FROM documents b JOIN documents c ON b.text = c.text
+              WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+              GROUP BY b.doc_id ORDER BY new_id""",
+)
+def incr_exact_flagged(spark, sf):
+    """(new_id → canonical corpus_id) for new-batch docs byte-identical to
+    corpus content — the audit-trail companion to incr_exact_survivor_count."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        INC.flag_new_exact(batch, INC.exact_hash_index(corpus))
+        .select("new_id", F.col("corpus_id").cast("long").alias("corpus_id"))
+        .orderBy("new_id")
+    )
+
+
+@q("incr_near_dup_vs_corpus", tier="py")
+def incr_near_dup_vs_corpus(spark, sf):
+    """MinHash near-dup screening of a new batch against the corpus' banded
+    LSH index: (new_id, corpus_id, jaccard). Candidates come from a
+    (band, band_hash) equi-join against the index; exact-Jaccard verify
+    re-reads only the candidate corpus docs (semi-join pushdown). Python
+    oracle in tests/test_incremental.py asserts parity with whole-corpus
+    minhash_near_duplicates restricted to cross-batch pairs."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return INC.near_dup_vs_corpus(batch, corpus).orderBy("new_id", "corpus_id")
+
+
+@q("incr_dedup_survivor_ids", tier="py")
+def incr_dedup_survivor_ids(spark, sf):
+    """Full incremental-ingest screen: exact hash-index anti-join, then
+    MinHash near-dup flagging of the remainder — the ids a continuous
+    training-data pipeline would actually append this batch."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        INC.incremental_dedup(batch, corpus)
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 

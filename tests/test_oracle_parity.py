@@ -107,6 +107,8 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "dag_pagerank": "pagerank",                 # power-iteration oracle, test_closure_strategies.py
         "r13_seeded_sample": "test_seeded_sample_deterministic",
         "kmeans_lloyd_iters": "kmeans_lloyd",  # numpy Lloyd oracle, test_similarity.py
+        "incr_near_dup_vs_corpus": "near_dup_vs_corpus",  # cross-pair parity, test_incremental.py
+        "incr_dedup_survivor_ids": "incremental_dedup",   # composition test, test_incremental.py
     }
     missing = [
         name

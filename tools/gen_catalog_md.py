@@ -81,6 +81,8 @@ FAMILIES: dict[str, list[str]] = {
         "ngram_jaccard_pairs", "ngram_containment_pairs", "near_dup_components", "near_dup_dedup_count",
         "embedding_near_dup_exact", "text_dup_span_stats",
         "semantic_dedup_clustered",
+        "incr_exact_survivor_count", "incr_exact_flagged",
+        "incr_near_dup_vs_corpus", "incr_dedup_survivor_ids",
     ],
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
