@@ -1758,6 +1758,44 @@ def incr_dedup_survivor_ids(spark, sf):
     )
 
 
+@q("layout_pruning_probe", tier="py")
+def layout_pruning_probe(spark, sf):
+    """Data-layout effectiveness probe (sources/layout.py): writes lineitem
+    three ways — round-robin, range-clustered on l_partkey, Z-ordered on
+    (l_partkey, l_suppkey) — and reports, from real parquet footer stats,
+    whether a range predicate can skip row groups under each layout.
+    Row-group pruning is THE 100 TB scan lever; this entry proves the
+    writers produce skippable layouts, not just sorted-looking files."""
+    import shutil
+    import tempfile
+
+    from overseer_spark.sources import layout as L
+
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    pred = {"l_partkey": (100.0, 200.0)}
+    out = []
+    tmp = tempfile.mkdtemp(prefix="layout_probe_")
+    try:
+        li.repartition(8).write.mode("overwrite").parquet(f"{tmp}/rr")
+        L.write_clustered(li, f"{tmp}/clu", ["l_partkey"], num_files=8)
+        L.write_zordered(li, f"{tmp}/zo", ["l_partkey", "l_suppkey"], num_files=8)
+        for scheme, path, p in (
+            ("round_robin", f"{tmp}/rr", pred),
+            ("range_clustered", f"{tmp}/clu", pred),
+            ("zorder_partkey", f"{tmp}/zo", pred),
+            ("zorder_suppkey", f"{tmp}/zo", {"l_suppkey": (1.0, 10.0)}),
+        ):
+            st = L.pruning_stats(spark, path, p)
+            out.append(
+                (scheme, st["row_groups_matching"] < st["row_groups_total"])
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "scheme string, prunes boolean").orderBy(
+        "scheme"
+    )
+
+
 @q(
     "multimodal_dedup_bytes",
     oracle="""WITH h AS (SELECT doc_id, md5(text) AS digest,

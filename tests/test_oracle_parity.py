@@ -109,6 +109,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "kmeans_lloyd_iters": "kmeans_lloyd",  # numpy Lloyd oracle, test_similarity.py
         "incr_near_dup_vs_corpus": "near_dup_vs_corpus",  # cross-pair parity, test_incremental.py
         "incr_dedup_survivor_ids": "incremental_dedup",   # composition test, test_incremental.py
+        "layout_pruning_probe": "pruning_stats",          # footer-stats assertions, test_layout.py
     }
     missing = [
         name

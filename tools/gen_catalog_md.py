@@ -16,7 +16,7 @@ FAMILIES: dict[str, list[str]] = {
     "Scans, filters, projections": [
         "q01_scan_count", "q02_projection_filter", "q03_string_filter",
         "q04_conjunctive_filter", "q05_in_list", "q06_like",
-        "pyds_docs_scan",
+        "pyds_docs_scan", "layout_pruning_probe",
     ],
     "Joins": [
         "q07_inner_join", "q08_multiway_join", "q09_left_join", "q10_semi_join",
