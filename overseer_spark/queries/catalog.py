@@ -1758,6 +1758,51 @@ def incr_dedup_survivor_ids(spark, sf):
     )
 
 
+@q("stream_incr_dedup_screen", tier="py")
+def stream_incr_dedup_screen(spark, sf):
+    """Streaming ingest screen (streaming/ingest.py): the document stream
+    (odd ids) is screened per micro-batch against the static corpus PLUS
+    all survivors accepted in earlier batches, via foreachBatch over the
+    batch incremental-dedup operator. Returns the audit flags
+    (new_id, matched_id, kind, jaccard); single-batch parity with
+    incr_near_dup_vs_corpus / cross-batch catch asserted in
+    tests/test_stream_ingest.py."""
+    import shutil
+    import tempfile
+
+    from overseer_spark.streaming.ingest import incremental_dedup_stream
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_screen_")
+    try:
+        query = incremental_dedup_stream(
+            stream, corpus, f"{tmp}/survivors", f"{tmp}/flags",
+            checkpoint_path=f"{tmp}/ckpt",
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("ingest screen stream exceeded 300s")
+        finally:
+            query.stop()
+        return (
+            spark.read.parquet(f"{tmp}/flags")
+            .select(
+                "new_id", "matched_id", "kind", F.round("jaccard", 6).alias("jaccard")
+            )
+            .orderBy("new_id", "matched_id")
+            .localCheckpoint()  # sever lineage from the about-to-be-deleted tmp dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q("layout_pruning_probe", tier="py")
 def layout_pruning_probe(spark, sf):
     """Data-layout effectiveness probe (sources/layout.py): writes lineitem

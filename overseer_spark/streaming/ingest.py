@@ -1,0 +1,105 @@
+"""Streaming ingest screen: continuous incremental dedup via foreachBatch.
+
+The streaming face of ``operators/incremental.py``: documents arrive as a
+stream; every micro-batch is screened against (a) the static corpus and
+(b) everything this stream has already accepted, then survivors are
+appended to the survivor store and flagged near-dups to an audit store.
+Because accepted survivors join the screening set, a duplicate arriving
+two batches after its original is still caught — the property a plain
+stream-static join cannot give you.
+
+``foreachBatch`` is the idiomatic Spark shape for this: the per-batch body
+is the *batch* incremental-dedup operator, so the heavily-tested batch
+semantics (hash anti-join, banded-LSH candidates, exact-Jaccard verify)
+are reused verbatim, and each batch commits atomically to the sinks. At
+scale the corpus side is the persisted band index partitioned by band
+(see operators/incremental.py); state never lives in stream memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from overseer_spark.operators import incremental as INC
+
+
+def incremental_dedup_stream(
+    stream_df: DataFrame,
+    corpus: DataFrame,
+    survivors_path: str,
+    flags_path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    checkpoint_path: str | None = None,
+    available_now: bool = True,
+):
+    """Start the screening stream; returns the StreamingQuery.
+
+    Survivors (rows that should join the corpus) append to
+    ``survivors_path``; ``flags_path`` gets the audit trail
+    ``(new_id, matched_id, kind, jaccard)`` where kind ∈ {exact, near}.
+    """
+    spark = stream_df.sparkSession
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        # screening set = static corpus + survivors accepted in earlier
+        # batches (so late duplicates of streamed content are caught too)
+        base = corpus.select(id_col, content_col)
+        if os.path.isdir(survivors_path) and any(
+            f.endswith(".parquet") for f in os.listdir(survivors_path)
+        ):
+            accepted = spark.read.parquet(survivors_path).select(id_col, content_col)
+            base = base.unionByName(accepted)
+        batch_df = batch_df.persist()
+        exact_survivors = near = None
+        try:
+            exact_flags = INC.flag_new_exact(
+                batch_df, INC.exact_hash_index(base, content_col, id_col),
+                content_col, id_col,
+            ).select(
+                "new_id",
+                F.col("corpus_id").alias("matched_id"),
+                F.lit("exact").alias("kind"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            exact_survivors = INC.dedup_new_exact(
+                batch_df, INC.exact_hash_index(base, content_col, id_col),
+                content_col, id_col,
+            ).persist()
+            near = INC.near_dup_vs_corpus(
+                exact_survivors, base, content_col, id_col,
+                k, num_perm, bands, threshold, seed,
+            ).persist()
+            near_flags = near.select(
+                "new_id",
+                F.col("corpus_id").alias("matched_id"),
+                F.lit("near").alias("kind"),
+                F.col("jaccard").cast("double").alias("jaccard"),
+            )
+            flagged_ids = near.select(
+                F.col("new_id").alias(id_col)
+            ).distinct()
+            survivors = exact_survivors.join(flagged_ids, id_col, "left_anti")
+            exact_flags.unionByName(near_flags).write.mode("append").parquet(
+                flags_path
+            )
+            survivors.write.mode("append").parquet(survivors_path)
+        finally:
+            for df in (near, exact_survivors, batch_df):
+                if df is not None:
+                    df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(screen)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -110,6 +110,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "incr_near_dup_vs_corpus": "near_dup_vs_corpus",  # cross-pair parity, test_incremental.py
         "incr_dedup_survivor_ids": "incremental_dedup",   # composition test, test_incremental.py
         "layout_pruning_probe": "pruning_stats",          # footer-stats assertions, test_layout.py
+        "stream_incr_dedup_screen": "incremental_dedup_stream",  # parity + cross-batch, test_stream_ingest.py
     }
     missing = [
         name

@@ -56,7 +56,7 @@ FAMILIES: dict[str, list[str]] = {
         "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
         "stream_hourly_counts", "stream_sessionize", "stream_dedup_counts",
         "stream_sliding_counts", "stream_running_totals",
-        "stream_static_join_counts",
+        "stream_static_join_counts", "stream_incr_dedup_screen",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
