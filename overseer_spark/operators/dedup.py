@@ -95,11 +95,17 @@ def jaccard_pairs(
     survives a 100× corpus scale-up.
     """
     sets_df = shingle_sets(df, content_col, id_col, k).cache()
+    # Candidate generation runs over xxhash64(shingle) int64 tokens, not the
+    # shingle strings: the doc-freq groupBy and the prefix self-join then
+    # shuffle 8-byte keys instead of ~25-byte strings. Sound: the hash is a
+    # function of the shingle, so J over hashed sets ≥ J over originals —
+    # candidates are a superset — and verification below uses the full
+    # STRING shingle sets, so the result is still exact Jaccard.
     posting = sets_df.select(
         F.col(id_col).alias("doc"),
         F.col("n_shingles").alias("n"),
         F.explode("shingles").alias("shingle"),
-    )
+    ).withColumn("shingle", F.xxhash64("shingle"))
     doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "shingle")
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
@@ -171,11 +177,14 @@ def containment_pairs(
     sets_df = shingle_sets(df, content_col, id_col, k).filter(
         F.col("n_shingles") > 0
     ).cache()
+    # int64-hashed candidate alphabet, exactly as in jaccard_pairs: C over
+    # hashed sets ≥ C over originals, so the candidate set is a superset
+    # and the string-set verification keeps the result exact.
     posting = sets_df.select(
         F.col(id_col).alias("doc"),
         F.col("n_shingles").alias("n"),
         F.explode("shingles").alias("shingle"),
-    )
+    ).withColumn("shingle", F.xxhash64("shingle"))
     doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "shingle")
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
