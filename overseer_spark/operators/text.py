@@ -177,6 +177,69 @@ def quality_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+# The 8 stopwords Gopher requires at least 2 of (Rae et al. 2021 §A1.1.2 —
+# public paper; thresholds below are the published rule values).
+GOPHER_REQUIRED_STOPWORDS = "the be to of and that have with".split()
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Named Gopher corpus-filter rules as per-document verdicts.
+
+    Unlike ``quality_score`` (features) / ``quality_filter`` (a silent
+    gate), this returns the full audit row: one boolean per published rule,
+    the overall ``keep``, and the FIRST failing rule as ``reject_reason`` —
+    what a corpus-curation dashboard actually needs. Rules (Rae et al.
+    2021): word count in [50, 100k]; mean word length in [3, 10]; ≥80% of
+    words contain an alphabetic character; ≥2 distinct required stopwords;
+    symbol-to-word ratio (# and ellipsis) ≤ 0.1. Single projection, all
+    built-in expressions — one corpus pass, no shuffle.
+    """
+    df = spread(df, id_col)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_wlen = (F.length(text_col) - (n - 1)) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    n_hash = F.length(text_col) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = (n_hash + n_ellipsis) / n
+    n_required = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    r_wc = (n >= 50) & (n <= 100_000)
+    r_mwl = (mean_wlen >= 3) & (mean_wlen <= 10)
+    r_alpha = alpha_frac >= 0.8
+    r_stop = n_required >= 2
+    r_sym = sym_ratio <= 0.1
+    reason = (
+        F.when(~r_wc, F.lit("word_count"))
+        .when(~r_mwl, F.lit("mean_word_len"))
+        .when(~r_alpha, F.lit("alpha_words"))
+        .when(~r_stop, F.lit("stopwords"))
+        .when(~r_sym, F.lit("symbol_ratio"))
+        .otherwise(F.lit("pass"))
+    )
+    return df.select(
+        F.col(id_col),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbol_ratio"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_sym).alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def redact(
     df: DataFrame,
     patterns: dict[str, str] | None = None,

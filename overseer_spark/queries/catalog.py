@@ -1422,6 +1422,68 @@ def quality_q(spark, sf):
     return TX.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+_GOPHER_ORACLE_CTE = """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id,
+            len(toks) AS n,
+            (length(text) - (len(toks) - 1)) / len(toks) AS mwl,
+            len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks) AS alpha_frac,
+            ((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks) AS sym_ratio,
+            len(list_filter(list_distinct(toks),
+                x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS n_req
+          FROM w),
+    v AS (SELECT doc_id,
+            (n >= 50 AND n <= 100000) AS r_word_count,
+            (mwl >= 3 AND mwl <= 10) AS r_mean_word_len,
+            (alpha_frac >= 0.8) AS r_alpha_words,
+            (n_req >= 2) AS r_stopwords,
+            (sym_ratio <= 0.1) AS r_symbol_ratio
+          FROM f),
+    verdicts AS (SELECT doc_id, r_word_count, r_mean_word_len, r_alpha_words,
+            r_stopwords, r_symbol_ratio,
+            (r_word_count AND r_mean_word_len AND r_alpha_words
+             AND r_stopwords AND r_symbol_ratio) AS keep,
+            CASE WHEN NOT r_word_count THEN 'word_count'
+                 WHEN NOT r_mean_word_len THEN 'mean_word_len'
+                 WHEN NOT r_alpha_words THEN 'alpha_words'
+                 WHEN NOT r_stopwords THEN 'stopwords'
+                 WHEN NOT r_symbol_ratio THEN 'symbol_ratio'
+                 ELSE 'pass' END AS reject_reason
+          FROM v)
+"""
+
+
+@q(
+    "text_gopher_rules",
+    oracle=_GOPHER_ORACLE_CTE + "SELECT * FROM verdicts ORDER BY doc_id",
+)
+def text_gopher_rules(spark, sf):
+    """Published Gopher corpus-filter rules (Rae et al. 2021) as per-doc
+    audit verdicts: one boolean per rule, overall keep, first-failing
+    reject_reason. One projection over the corpus, no shuffle
+    (operators/text.py gopher_rules)."""
+    return TX.gopher_rules(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@q(
+    "text_gopher_reject_stats",
+    oracle=_GOPHER_ORACLE_CTE
+    + """SELECT reject_reason, CAST(COUNT(*) AS BIGINT) AS n
+         FROM verdicts GROUP BY reject_reason ORDER BY reject_reason""",
+)
+def text_gopher_reject_stats(spark, sf):
+    """Corpus-curation dashboard stat: documents per first-failing Gopher
+    rule (plus 'pass') — the drop-reason histogram a data pipeline reports
+    after every filter stage."""
+    return (
+        TX.gopher_rules(_t(spark, sf, "documents"))
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("reject_reason")
+    )
+
+
 @q(
     "text_fingerprint_md5",
     oracle="SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",

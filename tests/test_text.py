@@ -188,3 +188,28 @@ def test_cms_term_counts_bounds(spark):
     for r in rows:
         assert r.est >= r.n, r
         assert r.est <= r.n + 0.001 * total, r
+
+
+def test_gopher_rules_semantics(spark):
+    """Pin each named rule with a handcrafted failing document."""
+    good = "the cat sat on the mat and that dog ran off with all of our lunch " * 4
+    docs = [
+        (1, good.strip()),                                   # passes everything
+        (2, "short text with the and that"),                 # < 50 words
+        (3, ("xx " * 60 + "the of and").strip()),            # mean word len < 3... xx=2
+        (4, ("1234 5678 9012 3456 " * 16 + "the of that").strip()),  # digits → alpha_words fail
+        (5, ("cat dog bird fish lion tiger bear wolf " * 8).strip()),  # no required stopwords
+        (6, (good + "word# " * 8).strip()),                  # symbol ratio > 0.1, alpha/mwl fine
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in TX.gopher_rules(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["reject_reason"] == "pass"
+    assert out[2]["reject_reason"] == "word_count"
+    assert not out[3]["r_mean_word_len"]
+    assert out[4]["reject_reason"] == "alpha_words"
+    assert out[5]["reject_reason"] == "stopwords"
+    assert out[6]["reject_reason"] == "symbol_ratio" and not out[6]["keep"]

@@ -100,6 +100,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_vocab_overlap", "text_dsir_scores", "text_chi2_terms",
         "text_perplexity_unigram", "text_ccnet_buckets",
         "quality_classifier_score", "text_kwic_snippets",
+        "text_gopher_rules", "text_gopher_reject_stats",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
