@@ -1,0 +1,117 @@
+"""Persisted IVF index for approximate-nearest-neighbor search.
+
+The ANN twin of the incremental-dedup index (operators/incremental.py):
+build the expensive part ONCE — centroid selection + cell assignment over
+the whole corpus — persist it partitioned by ``cell``, and serve every
+later query batch from the index with static partition pruning: a query
+probing ``n_probe`` of ``n_cells`` cells reads only those cell partitions,
+i.e. O(n_probe/n_cells) of the corpus bytes per query batch, verified here
+from Spark's own scanned-file listing.
+
+Layout on disk::
+
+    {path}/centroids/   (cell, embedding)           — tiny, broadcastable
+    {path}/vectors/     partitionBy(cell): (vec_id, embedding)
+
+Search semantics are identical to :func:`overseer_spark.operators.
+similarity.ivf_topk` (same deterministic lowest-id centroids, same rounded
+cosine ranking) — pytest asserts result equality; only the physical access
+path changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from overseer_spark.functions.vectors import cosine_similarity
+from overseer_spark.operators.similarity import assign_cells
+from overseer_spark.operators.util import eager_cache
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign every corpus vector to its nearest centroid and persist,
+    partitioned by cell. One broadcast O(n·c) pass + one write."""
+    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col)
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+
+
+def probed_cells(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, _qvec, cell) for each query's ``n_probe`` nearest cells."""
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        "cell", F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "_qvec", "cell",
+            cosine_similarity("_qvec", F.col("_cvec")).alias("_csim"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qvec", "cell")
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k from the persisted index, reading only the probed cells.
+
+    The union of probed cells across the query batch is collected
+    driver-side (≤ |queries|·n_probe ints) and pushed into the vector scan
+    as a partition filter — the parquet reader then lists only those cell
+    directories. Output matches ``similarity.ivf_topk`` exactly.
+    """
+    qcells = eager_cache(
+        probed_cells(spark, path, queries, n_probe, id_col, vec_col)
+    )
+    cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells)  # static partition pruning at the scan
+    )
+    scored = (
+        vectors.join(F.broadcast(qcells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), round_to
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -1222,6 +1222,34 @@ def ann_ivf(spark, sf):
     )
 
 
+@q("ann_ivf_index_topk", tier="py")
+def ann_ivf_index_topk(spark, sf):
+    """Persisted-IVF ANN (operators/ann_index.py): build the cell-partitioned
+    index once, then serve the query batch reading ONLY the probed cell
+    partitions (static partition pruning, plan-asserted in
+    tests/test_ann_index.py). Results are bit-identical to the in-memory
+    ann_ivf_topk entry — same centroids, same rounded ranking."""
+    import shutil
+    import tempfile
+
+    from overseer_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        AI.build_ivf_index(emb, tmp, n_cells=16)
+        return (
+            AI.ivf_index_topk(
+                spark, tmp, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4
+            )
+            .withColumnRenamed("rank", "rnk")
+            .orderBy("query_id", "rnk")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q(
     "embedding_near_dup_exact",
     oracle="""WITH p AS (

@@ -1,0 +1,85 @@
+"""Persisted IVF index: exact result parity with the in-memory ivf_topk,
+and the scale property that queries physically read only the probed cell
+partitions (asserted from the scan's own file listing)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from overseer_spark.operators import ann_index as AI
+from overseer_spark.operators.similarity import ivf_topk
+from tests.conftest import SF_CORRECTNESS
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb):
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    AI.build_ivf_index(emb, d, n_cells=N_CELLS)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in df.collect()
+    )
+
+
+def test_index_topk_matches_in_memory_ivf(spark, emb, index_path):
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = _rows(
+        AI.ivf_index_topk(spark, index_path, queries, k=3, n_probe=N_PROBE)
+    )
+    expected = _rows(
+        ivf_topk(emb, queries, k=3, n_cells=N_CELLS, n_probe=N_PROBE)
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_index_scan_prunes_to_probed_cells(spark, emb, index_path):
+    one_query = emb.filter(F.col("vec_id") == 3)
+    qcells = AI.probed_cells(spark, index_path, one_query, n_probe=N_PROBE)
+    cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
+    assert len(cells) == N_PROBE
+
+    import contextlib
+    import io
+
+    pruned = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the cell predicate must reach the scan as a PARTITION filter — i.e.
+    # directory-level pruning before any bytes are read, not a row filter
+    assert "PartitionFilters" in plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf and "IN" in pf.upper()
+
+    # and the pruned read really returns only the probed cells' rows
+    full = spark.read.parquet(f"{index_path}/vectors")
+    expected = full.filter(F.col("cell").isin(cells)).count()
+    assert 0 < pruned.count() == expected < full.count()
+
+
+def test_index_round_trip_preserves_vectors(spark, emb, index_path):
+    back = spark.read.parquet(f"{index_path}/vectors")
+    assert back.count() == emb.count()
+    assert back.select(F.count_distinct("vec_id")).collect()[0][0] == emb.count()

@@ -111,6 +111,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "incr_dedup_survivor_ids": "incremental_dedup",   # composition test, test_incremental.py
         "layout_pruning_probe": "pruning_stats",          # footer-stats assertions, test_layout.py
         "stream_incr_dedup_screen": "incremental_dedup_stream",  # parity + cross-batch, test_stream_ingest.py
+        "ann_ivf_index_topk": "ivf_index_topk",  # parity + partition pruning, test_ann_index.py
     }
     missing = [
         name
