@@ -36,6 +36,16 @@ _PRIORITY = [
     "semantic_dedup_clustered",
     "text_quality",
     "text_contamination_check",
+    # round-2 additions: incremental/index/layout/streaming dedup family
+    "incr_exact_survivor_count",
+    "incr_exact_flagged",
+    "incr_near_dup_vs_corpus",
+    "incr_dedup_survivor_ids",
+    "ann_ivf_index_topk",
+    "stream_incr_dedup_screen",
+    "layout_pruning_probe",
+    "text_gopher_rules",
+    "text_gopher_reject_stats",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",
