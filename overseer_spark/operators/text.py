@@ -298,6 +298,65 @@ def chunk(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-span removal (the span-level companion to document
+    dedup, after Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better"): any k-token span occurring in ≥ ``min_docs``
+    distinct documents is kept ONLY in its canonical document (min id);
+    every other document drops the tokens the span covers.
+
+    Output: (id, text, n_tokens, n_removed) with the cleaned text.
+
+    Plan shape at scale: spans are ``xxhash64``-keyed before the count
+    aggregate and the flag join (8-byte shuffle keys); flagged start
+    positions fold back to one array per document (id-keyed shuffle), and
+    the token-drop rebuild is a single array-HOF projection — coverage
+    test per token against the doc's flagged starts, no Python, no
+    per-row joins.
+    """
+    from overseer_spark.functions.textfns import shingles, tokens
+    from overseer_spark.operators.util import spread
+
+    base = spread(df, id_col)
+    toks = tokens(F.col(text_col))
+    span_arr = shingles(toks, k=k)
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(span_arr).alias("start", "s"),
+    ).select(id_col, "start", F.xxhash64("s").alias("s"))
+    span_docs = spans.groupBy("s").agg(
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.min(id_col).alias("keeper"),
+    )
+    flagged = (
+        spans.join(span_docs.filter(F.col("nd") >= min_docs), "s")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+    joined = base.join(flagged, id_col, "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+    toks_idx = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    covered = lambda s: F.exists(  # noqa: E731 — local predicate
+        F.col("_starts"), lambda st: (s["i"] >= st) & (s["i"] < st + F.lit(k))
+    )
+    kept = F.filter(toks_idx, lambda s: ~covered(s))
+    n_tokens = F.size(toks)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_tokens - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -1450,6 +1450,22 @@ def quality_q(spark, sf):
     return TX.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+@q("text_remove_repeated_spans", tier="py")
+def text_remove_repeated_spans(spark, sf):
+    """Exact repeated-span REMOVAL (Lee et al. 2021 style): every 8-token
+    span occurring in ≥2 distinct docs survives only in its min-id
+    canonical document; other docs drop the covered tokens. Returns the
+    per-doc removal ledger for affected docs. Python keep-first oracle in
+    tests/test_text.py; spans are xxhash64-keyed so both shuffles carry
+    8-byte keys (operators/text.py remove_repeated_spans)."""
+    return (
+        TX.remove_repeated_spans(_t(spark, sf, "documents"), k=8)
+        .filter(F.col("n_removed") > 0)
+        .select("doc_id", "n_tokens", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
 _GOPHER_ORACLE_CTE = """
     WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
     f AS (SELECT doc_id,

@@ -213,3 +213,48 @@ def test_gopher_rules_semantics(spark):
     assert out[4]["reject_reason"] == "alpha_words"
     assert out[5]["reject_reason"] == "stopwords"
     assert out[6]["reject_reason"] == "symbol_ratio" and not out[6]["keep"]
+
+
+def test_remove_repeated_spans_python_oracle(spark):
+    """Keep-first exact span removal vs a transparent Python implementation."""
+    boiler = "subscribe to our newsletter for the latest updates every single week"
+    docs = [
+        (1, f"unique opening words here {boiler} and some closing text one"),
+        (2, f"different start entirely {boiler} with another distinct ending"),
+        (3, "no duplicated spans in this document at all whatsoever today"),
+        (4, f"third copy carrier {boiler} trailing words differ again here"),
+    ]
+    k = 8
+    out = {
+        r["doc_id"]: r
+        for r in TX.remove_repeated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=k
+        ).collect()
+    }
+
+    # python oracle: same keep-first semantics
+    toks = {d: t.split(" ") for d, t in docs}
+    span_docs: dict[tuple, list] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            span_docs.setdefault(tuple(ts[i : i + k]), []).append((d, i))
+    expected = {}
+    for d, ts in toks.items():
+        cov = set()
+        for span, occ in span_docs.items():
+            if len({x for x, _ in occ}) >= 2:
+                keeper = min(x for x, _ in occ)
+                for x, i in occ:
+                    if x == d and x != keeper:
+                        cov.update(range(i, i + k))
+        kept = [t for i, t in enumerate(ts) if i not in cov]
+        expected[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+
+    for d in toks:
+        assert (
+            out[d]["text"], out[d]["n_tokens"], out[d]["n_removed"]
+        ) == expected[d], f"doc {d}"
+    assert out[1]["n_removed"] == 0          # canonical doc keeps the span
+    assert out[2]["n_removed"] > 0 and boiler not in out[2]["text"]
+    assert out[3]["n_removed"] == 0          # untouched doc
+    assert out[4]["n_removed"] > 0
