@@ -77,3 +77,43 @@ def stratified_sample(
     else:
         frac = F.lit(float(fractions))
     return df.filter(b < frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    salt: str = "s42",
+    id_col: str = "doc_id",
+    key_round: int = 8,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets key = ln(u) / w with u a per-row uniform
+    derived from md5(id:salt); the k largest keys ARE a weight-proportional
+    sample. Changing ``salt`` redraws the sample — epochs are reproducible
+    and engine-portable (the same md5 arithmetic runs in the DuckDB
+    oracle).
+
+    Scale shape: key assignment is one stateless projection; selection is
+    a top-k (TakeOrderedAndProject — per-partition heaps, no global sort).
+    Output: (id, weight, sample_key) sorted by id.
+    """
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = hv / F.lit(float(1 << 48))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(key, key_round).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+        .orderBy(id_col)
+    )

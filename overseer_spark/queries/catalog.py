@@ -5258,6 +5258,31 @@ def stratified_fixed_k_sample(spark, sf):
 
 
 @q(
+    "weighted_sample_by_length",
+    oracle="""WITH h AS (SELECT doc_id, n_chars,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 12))::BIGINT AS hv
+              FROM documents),
+              s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                      ROUND(ln(hv / 281474976710656.0) / n_chars, 8) AS sample_key
+                    FROM h ORDER BY sample_key DESC, doc_id LIMIT 50)
+              SELECT doc_id, weight, sample_key FROM s ORDER BY doc_id""",
+)
+def weighted_sample_by_length(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race): 50 docs with probability ∝ n_chars —
+    the curriculum/importance-sampling primitive for corpus mixing. Key
+    assignment is one stateless projection (md5-derived uniform, portable
+    to the DuckDB oracle); selection is top-k via per-partition heaps
+    (TakeOrderedAndProject), no global sort. Redraw = change the salt
+    (operators/sampling.py weighted_sample)."""
+    from overseer_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf, "documents"), k=50, weight_col="n_chars", salt="s42"
+    )
+
+
+@q(
     "q_snapshot_diff_cdc",
     oracle="""WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                           FROM orders WHERE o_orderdate < DATE '1997-01-01'),

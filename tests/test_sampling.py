@@ -80,3 +80,30 @@ def test_seeded_sample_deterministic(spark):
 
     keys = {r.o_orderkey for r in load_table(spark, SF_SMOKE, "orders").select("o_orderkey").collect()}
     assert set(a) <= keys
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """E-S race: with 10 heavy (w=1000) vs 90 light (w=1) rows and k=10,
+    the heavy rows must dominate the sample across independent salts."""
+    from overseer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 10 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy_picked = total = 0
+    for salt in ("a", "b", "c", "d", "e"):
+        picked = {r["doc_id"] for r in weighted_sample(df, 10, "w", salt=salt).collect()}
+        assert len(picked) == 10
+        heavy_picked += sum(1 for d in picked if d < 10)
+        total += 10
+    assert heavy_picked / total > 0.8  # E[heavy share] ≈ 96%, 0.8 leaves slack
+
+
+def test_weighted_sample_is_salt_deterministic(spark):
+    from overseer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(200)], "doc_id long, w long")
+    a1 = [tuple(r) for r in weighted_sample(df, 20, "w", salt="x").collect()]
+    a2 = [tuple(r) for r in weighted_sample(df.repartition(13), 20, "w", salt="x").collect()]
+    b = [tuple(r) for r in weighted_sample(df, 20, "w", salt="y").collect()]
+    assert a1 == a2          # partitioning-independent
+    assert a1 != b           # salt redraws

@@ -111,7 +111,7 @@ FAMILIES: dict[str, list[str]] = {
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
         "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
-        "deterministic_shuffle_order",
+        "deterministic_shuffle_order", "weighted_sample_by_length",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
