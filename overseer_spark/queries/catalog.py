@@ -1450,6 +1450,33 @@ def quality_q(spark, sf):
     return TX.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+@q("text_bpe_token_stats", tier="py")
+def text_bpe_token_stats(spark, sf):
+    """REAL BPE tokenization (functions/bpe.py): merges learned driver-side
+    on a deterministic md5-ordered sample (how production tokenizers train
+    — bounded data, sequential algorithm), then applied corpus-wide via
+    broadcast ranks + Arrow-batched mapInPandas with zero shuffle.
+    Returns per-language token statistics; token-by-token parity with the
+    pure-Python encoder asserted in tests/test_bpe.py."""
+    from overseer_spark.functions import bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe.train_from_sample(docs, n_merges=150, sample_docs=200)
+    enc = bpe.encode_corpus(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 @q("text_remove_repeated_spans", tier="py")
 def text_remove_repeated_spans(spark, sf):
     """Exact repeated-span REMOVAL (Lee et al. 2021 style): every 8-token

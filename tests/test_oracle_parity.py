@@ -113,6 +113,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "stream_incr_dedup_screen": "incremental_dedup_stream",  # parity + cross-batch, test_stream_ingest.py
         "ann_ivf_index_topk": "ivf_index_topk",  # parity + partition pruning, test_ann_index.py
         "text_remove_repeated_spans": "remove_repeated_spans",  # python keep-first oracle, test_text.py
+        "text_bpe_token_stats": "encode_corpus",  # token-level parity, test_bpe.py
     }
     missing = [
         name

@@ -102,7 +102,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_perplexity_unigram", "text_ccnet_buckets",
         "quality_classifier_score", "text_kwic_snippets",
         "text_gopher_rules", "text_gopher_reject_stats",
-        "text_remove_repeated_spans",
+        "text_remove_repeated_spans", "text_bpe_token_stats",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
