@@ -292,3 +292,59 @@ def media_features(
             "sample_rate int, n_samples long, rms double, mean_luma double"
         ),
     )
+
+
+def audio_spectral_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real DSP over decoded WAV payloads: dominant frequency (FFT peak),
+    spectral centroid, and bandwidth per clip — the audio analog of the
+    image luma features, Arrow-batched with the same pruned-input seam.
+    Non-audio payloads are filtered out, not fatal. The synthesize_media
+    fixtures are id-keyed sines landing exactly on FFT bin centers, so
+    tests assert the recovered peak equals the construction frequency."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            out = {
+                id_col: [], "sample_rate": [], "dominant_hz": [],
+                "spectral_centroid_hz": [], "bandwidth_hz": [],
+            }
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if MC.sniff_codec(b) != "wav":
+                    continue
+                meta, arr = MC.decode_wav(b)
+                x = arr.astype(np.float64) / 32768.0
+                if x.ndim == 2:  # (n_samples, n_channels) → mono mixdown
+                    x = x.mean(axis=1)
+                mag = np.abs(np.fft.rfft(x))
+                mag[0] = 0.0  # ignore DC
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / meta["sample_rate"])
+                peak = int(np.argmax(mag))
+                power = mag.sum()
+                centroid = float((freqs * mag).sum() / power) if power else 0.0
+                bw = (
+                    float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / power))
+                    if power
+                    else 0.0
+                )
+                out[id_col].append(int(i))
+                out["sample_rate"].append(meta["sample_rate"])
+                out["dominant_hz"].append(float(freqs[peak]))
+                out["spectral_centroid_hz"].append(round(centroid, 3))
+                out["bandwidth_hz"].append(round(bw, 3))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, sample_rate int, dominant_hz double, "
+            "spectral_centroid_hz double, bandwidth_hz double"
+        ),
+    )

@@ -2040,6 +2040,30 @@ def multimodal_decode_features(spark, sf):
     )
 
 
+@q("multimodal_audio_spectral", tier="py")
+def multimodal_audio_spectral(spark, sf):
+    """Real DSP over decoded WAV bytes: FFT dominant frequency, spectral
+    centroid, bandwidth per clip. The synthesized fixtures are id-keyed
+    sines on exact FFT bin centers, so tests assert the recovered peak
+    equals the construction frequency (operators/multimodal.py
+    audio_spectral_features)."""
+    from overseer_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf, "documents")
+    media = synthesize_media(docs, id_col="doc_id")
+    return (
+        audio_spectral_features(media)
+        .select(
+            "doc_id", "sample_rate", "dominant_hz",
+            "spectral_centroid_hz", "bandwidth_hz",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # statistics, reshaping, and dataset-curation extras
 # ---------------------------------------------------------------------------

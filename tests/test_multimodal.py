@@ -179,3 +179,26 @@ def test_decode_features_catalog_entry_oracle(spark):
             assert r["total_samples"] == a["samples"]
         if a["luma"]:
             assert abs(r["avg_luma"] - round(sum(a["luma"]) / len(a["luma"]), 6)) < 2e-6
+
+
+def test_audio_spectral_peak_recovers_construction_frequency(spark):
+    """synthesize_media writes sine WAVs at 200 + (id%40)*20 Hz — exact FFT
+    bin centers at sr=8000/n=400 — so the spectral peak must match them."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 120, 1, 4).withColumnRenamed("id", "doc_id")
+    media = synthesize_media(ids)
+    rows = audio_spectral_features(media).collect()
+    assert len(rows) == 40  # every third id is audio
+    for r in rows:
+        expect = 200.0 + (r["doc_id"] % 40) * 20.0
+        assert r["dominant_hz"] == expect, (r["doc_id"], r["dominant_hz"])
+        assert r["sample_rate"] == 8000
+        # pure tone: centroid sits near the peak, bandwidth is small
+        assert abs(r["spectral_centroid_hz"] - expect) < 25.0
+        assert r["bandwidth_hz"] < 120.0

@@ -114,6 +114,7 @@ def test_every_py_tier_entry_has_a_pytest_oracle():
         "ann_ivf_index_topk": "ivf_index_topk",  # parity + partition pruning, test_ann_index.py
         "text_remove_repeated_spans": "remove_repeated_spans",  # python keep-first oracle, test_text.py
         "text_bpe_token_stats": "encode_corpus",  # token-level parity, test_bpe.py
+        "multimodal_audio_spectral": "audio_spectral_features",  # bin-center oracle, test_multimodal.py
     }
     missing = [
         name

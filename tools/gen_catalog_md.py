@@ -106,7 +106,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
-        "multimodal_decode_features",
+        "multimodal_decode_features", "multimodal_audio_spectral",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
