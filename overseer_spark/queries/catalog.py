@@ -1450,6 +1450,58 @@ def quality_q(spark, sf):
     return TX.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+@q(
+    "dq_expectations_report",
+    oracle="""SELECT rule, violations FROM (
+        SELECT 'li_flag_in_AN' AS rule,
+               CAST(SUM(CASE WHEN l_returnflag IS NULL
+                             OR l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations FROM lineitem
+        UNION ALL
+        SELECT 'li_orderkey_ref',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'li_qty_range',
+               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                             OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_ship_not_null',
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_key_unique',
+               (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+                 (SELECT COUNT(*) AS n FROM orders
+                  GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    ) ORDER BY rule""",
+)
+def dq_expectations_report(spark, sf):
+    """Declarative data-quality gate (operators/expectations.py): one
+    violation-count row per rule. Row-local rules (range / set / not-null)
+    fold into a single aggregate pass; uniqueness adds one key groupBy and
+    referential integrity one anti-join. The in-set rule deliberately
+    excludes returnflag 'R' so the report carries a non-zero row — a gate
+    that can only say zero proves nothing."""
+    from overseer_spark.operators import expectations as DQ
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return DQ.check(
+        li,
+        [
+            DQ.in_range("li_qty_range", "l_quantity", 1, 50),
+            DQ.in_set("li_flag_in_AN", "l_returnflag", ["A", "N"]),
+            DQ.not_null("li_ship_not_null", "l_shipdate"),
+            DQ.ref_integrity("li_orderkey_ref", "l_orderkey", orders, "o_orderkey"),
+        ],
+    ).unionByName(
+        DQ.check(orders, [DQ.unique("orders_key_unique", "o_orderkey")])
+    ).orderBy("rule")
+
+
 @q("text_bpe_token_stats", tier="py")
 def text_bpe_token_stats(spark, sf):
     """REAL BPE tokenization (functions/bpe.py): merges learned driver-side
