@@ -46,6 +46,15 @@ _PRIORITY = [
     "layout_pruning_probe",
     "text_gopher_rules",
     "text_gopher_reject_stats",
+    # round-2 batch 2: soft-dedup weights, MG heavy hitters, fuzzy blocking,
+    # graph triangles, grid resampling, PQ-compressed ANN
+    "text_soft_dedup_weights",
+    "text_heavy_hitters",
+    "q_fuzzy_match_levenshtein",
+    "graph_triangle_count",
+    "q_resample_interpolate",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

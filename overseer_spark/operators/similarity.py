@@ -417,3 +417,198 @@ def kmeans_lloyd(
         F.col("_id").alias(id_col), F.col("c").alias("cluster"), "d2"
     )
     return final, centroids
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 256,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Train product-quantization codebooks on a bounded driver-side sample.
+
+    The vector dimension is split into ``m`` subspaces; each subspace gets
+    its own ``ks``-centroid k-means codebook (seeded Lloyd on the lowest-id
+    ``sample`` vectors, so training is deterministic and the collect is
+    bounded by ``sample × dim`` — never corpus-sized). Vectors are
+    L2-normalized first so subspace dot products sum to cosine.
+
+    Returns a ``(m, ks, dim//m)`` numpy array. At 100 TB the sample stays
+    a few hundred rows — codebook quality depends on coverage, not corpus
+    size — and the codebooks broadcast to executors as a few KB.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(len(Xj), ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` small codebook indices (4–8 bits each).
+
+    A 64-dim float vector becomes 8 bytes — a 32× compression of the
+    shuffle/storage footprint, which is what makes billion-vector ANN
+    serving fit in memory. Vectorized Arrow-batched pandas UDF; the
+    codebooks ride along as a broadcast numpy constant.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    b_books = spark.sparkContext.broadcast(books)
+
+    # no type hints: module-level `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's hint inspection rejects
+    def _encode_fn(vecs):
+        B = b_books.value
+        m, ks, sub = B.shape
+        X = np.array([list(v) for v in vecs], dtype=np.float64)
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    _encode = pandas_udf(_encode_fn, "array<int>")
+    return spread(corpus, id_col).select(
+        id_col, _encode(F.col(vec_col)).alias("code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via asymmetric distance computation (ADC).
+
+    Per query, a lookup table LUT[m][ks] of subspace dot products is built
+    driver-side (m×ks doubles — tiny) and broadcast; each corpus vector's
+    approximate cosine is then ``sum_j LUT[j][code_j]`` — a pure
+    table-gather over the 8-byte codes, never touching the original
+    floats. This is the serving path that scans compressed codes instead
+    of raw vectors; ranking uses rounded scores + id tiebreaks for
+    reproducibility.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    m, ks, sub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        luts[r[0]] = np.stack(
+            [books[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
+        )  # (m, ks)
+    b_luts = spark.sparkContext.broadcast(luts)
+
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    qdf = spark.createDataFrame(
+        [(r[0],) for r in qrows], f"query_id {'bigint'}"
+    )
+
+    def _adc_fn(qids, code_s):
+        L = b_luts.value
+        out = np.empty(len(qids))
+        rng_m = np.arange(m)
+        for i, (qid, code) in enumerate(zip(qids, code_s)):
+            out[i] = L[qid][rng_m, np.asarray(code)].sum()
+        return pd.Series(out)
+
+    _adc = pandas_udf(_adc_fn, "double")
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(_adc(F.col("query_id"), F.col("code")), round_to).alias("sim_pq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-stage ANN serving: PQ-ADC scans the compressed codes to build a
+    ``shortlist`` of candidates per query, then ONLY those candidates are
+    re-scored with exact float cosine and re-ranked. This is how
+    production vector search recovers accuracy lost to quantization: the
+    expensive exact pass touches ``shortlist``/corpus of the rows, and
+    recall is bounded by the shortlist's coverage, not the code budget.
+    The rerank join is a broadcast of the (queries × shortlist) candidate
+    ids against the corpus — candidate-only verification, same shape as
+    the LSH dedup verify stage (operators/dedup.py)."""
+    cands = pq_topk(
+        corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        spread(corpus, id_col)
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), round_to
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -443,3 +443,71 @@ def dup_span_stats(
         )
         .orderBy(group_col)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency > n/k) via a two-pass
+    Misra-Gries plan — the scalable alternative to a full token group-by
+    when the vocabulary is huge but the answer is small.
+
+    Pass 1 runs a bounded Misra-Gries summary *per partition* inside
+    ``mapInPandas`` (≤ k counters held in memory, one extra row carrying
+    the partition's token total). By the pigeonhole + MG undercount bound
+    (est ≥ f_i − n_i/k), any token with global frequency > n/k must
+    survive in at least one partition's summary, so the union of partial
+    summaries is a guaranteed superset of the true heavy hitters.
+
+    Pass 2 recounts ONLY the candidate tokens exactly (broadcast semi-join
+    against the candidate set) and applies the threshold — so the output
+    is exact and deterministic regardless of partitioning, while the
+    shuffle carries at most ``k × num_partitions`` candidate rows plus the
+    filtered token stream instead of the full vocabulary.
+
+    At 100 TB: the full-vocab group-by shuffles |vocab| cells per
+    partition; this plan shuffles ≤ k rows per partition in pass 1 and
+    only candidate-matching tokens in pass 2. Mirrors the mergeable-
+    summaries design of the reference's sketch family (SURVEY.md §2.C).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for t in pdf["token"]:
+                n += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        out = {"token": list(counters) + [None], "est": list(counters.values()) + [n]}
+        yield pd.DataFrame(out)
+
+    summary = toks.mapInPandas(_mg, "token string, est long")
+    # Bounded: ≤ (k+1) rows per partition.  Candidates + exact total.
+    parts = summary.select("token", "est")
+    candidates = parts.where(F.col("token").isNotNull()).select("token").distinct()
+    total = parts.where(F.col("token").isNull()).agg(F.sum("est").alias("n"))
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * k > F.col("n"))
+        .select("token", "freq")
+        .orderBy(F.desc("freq"), "token")
+    )

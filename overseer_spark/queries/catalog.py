@@ -6792,3 +6792,309 @@ def q_winsorized_stats(spark, sf):
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (Q14) — partial+final hash agg."""
     return q14(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch: soft dedup, fuzzy matching, graph triangles, resampling,
+# exact heavy hitters (Misra-Gries two-pass), PQ-compressed ANN
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_soft_dedup_weights",
+    oracle="""WITH g AS (SELECT source,
+                                md5(array_to_string(list_sort(list_distinct(
+                                    string_split(text, ' '))), ' ')) AS fp
+                         FROM documents),
+                   s AS (SELECT fp, COUNT(*) AS gs FROM g GROUP BY fp)
+              SELECT g.source,
+                     CAST(COUNT(*) AS BIGINT) AS docs,
+                     CAST(SUM(CASE WHEN s.gs > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_docs,
+                     ROUND(SUM(1.0 / s.gs), 3) AS eff_docs
+              FROM g JOIN s USING (fp)
+              GROUP BY g.source ORDER BY g.source""",
+)
+def text_soft_dedup_weights(spark, sf):
+    """Soft deduplication (SoftDeDup-style): instead of dropping
+    duplicates, each document is down-weighted to 1/|dup group| so the
+    corpus' effective size shrinks without losing coverage — the training
+    mixture then samples by weight. Groups here are bag-of-unique-words
+    fingerprints (md5 of the sorted distinct token set), a coarse
+    order-insensitive near-dup key. Plan: one shuffle keyed by the 16-byte
+    fingerprint for the group-size window, one for the per-source rollup —
+    weights never leave the executors, and the output is |sources| rows.
+    Reference's exact-dedup analogue: operators/dedup.py:38 (drop
+    semantics) — this is the keep-and-reweight variant."""
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+        ).alias("fp"),
+    )
+    gs = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    g = d.withColumn("gs", gs)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum((F.col("gs") > 1).cast("int")).cast("long").alias("dup_docs"),
+            F.round(F.sum(1.0 / F.col("gs")), 3).alias("eff_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "text_heavy_hitters",
+    oracle="""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                           FROM documents),
+                   tot AS (SELECT COUNT(*) AS n FROM tok)
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM tok, tot GROUP BY token, tot.n
+              HAVING COUNT(*) * 40 > tot.n
+              ORDER BY freq DESC, token""",
+)
+def text_heavy_hitters(spark, sf):
+    """Exact corpus heavy hitters (frequency > n/40) computed by the
+    two-pass Misra-Gries plan in operators/text.py:heavy_hitters — ≤ k
+    counters per partition in an Arrow-batched mapInPandas, candidate
+    union (a guaranteed superset by the MG undercount bound), then an
+    exact broadcast-semi-join recount of candidates only. Deterministic
+    output regardless of partitioning; the oracle is the naive full
+    group-by the sketch avoids at 100 TB vocabularies."""
+    return TX.heavy_hitters(_t(spark, sf, "documents"), k=40)
+
+
+@q(
+    "q_fuzzy_match_levenshtein",
+    oracle="""SELECT a.p_brand AS brand,
+                     CAST(COUNT(*) AS BIGINT) AS pairs_d4,
+                     CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_d
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              WHERE levenshtein(a.p_name, b.p_name) <= 4
+              GROUP BY brand ORDER BY brand""",
+)
+def q_fuzzy_match_levenshtein(spark, sf):
+    """Blocked fuzzy record matching: candidate pairs are generated only
+    WITHIN a blocking key (p_brand) — the classic entity-resolution trick
+    that turns O(n²) edit-distance comparisons into Σ O(|block|²) — then
+    scored with JVM-side levenshtein and rolled up per block. The join is
+    a pure equi-join on the block key (sort-merge/hash, never nested-loop
+    over the whole table); at 100 TB you add a second blocking pass with a
+    different key and union the candidates to recover cross-block recall."""
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(d <= 4)
+        .groupBy(F.col("a.p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pairs_d4"),
+            F.min(d).cast("long").alias("min_d"),
+        )
+        .orderBy("brand")
+    )
+
+
+@q(
+    "graph_triangle_count",
+    oracle="""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                     CAST((SELECT COUNT(*) FROM e e1
+                           JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                          AS BIGINT) AS n_triangles""",
+)
+def graph_triangle_count(spark, sf):
+    """Triangle counting on the part co-occurrence graph (parts appearing
+    in the same order ≥2 times). Edges are canonically oriented (u < v) so
+    each triangle is enumerated exactly once by two equi-joins — the
+    standard distributed triangle plan. The min-support filter is the
+    scale lever: it prunes the quadratic per-order pair blowup before the
+    edge shuffle. At 100 TB, orient edges low-degree→high-degree instead
+    of by key (same count, provably ≤ O(m^1.5) join work) and salt the
+    few mega-degree hub vertices."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = eager_cache(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    n_e = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_e.crossJoin(n_t)
+
+
+@q(
+    "q_resample_interpolate",
+    oracle="""WITH ev AS (SELECT user_id, ts, value FROM events
+                          WHERE user_id <= 10),
+                   b AS (SELECT user_id,
+                                date_trunc('hour', MIN(ts))
+                                  + INTERVAL 1 HOUR AS t0,
+                                MAX(ts) AS mx
+                         FROM ev GROUP BY user_id),
+                   grid AS (SELECT user_id,
+                                   unnest(generate_series(t0, mx,
+                                          INTERVAL 1 HOUR)) AS ts
+                            FROM b WHERE t0 <= mx),
+                   u AS (SELECT user_id, ts, value, 0 AS k FROM ev
+                         UNION ALL
+                         SELECT user_id, ts, CAST(NULL AS DOUBLE), 1
+                         FROM grid),
+                   w AS (SELECT user_id, ts, k,
+                                last_value(value IGNORE NULLS) OVER pw AS v0,
+                                last_value(CASE WHEN value IS NOT NULL
+                                           THEN ts END IGNORE NULLS)
+                                  OVER pw AS pt,
+                                first_value(value IGNORE NULLS) OVER fw AS v1,
+                                first_value(CASE WHEN value IS NOT NULL
+                                            THEN ts END IGNORE NULLS)
+                                  OVER fw AS nt
+                         FROM u
+                         WINDOW pw AS (PARTITION BY user_id ORDER BY ts, k
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                                fw AS (PARTITION BY user_id ORDER BY ts, k
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
+              SELECT user_id, ts,
+                     ROUND(v0 + (v1 - v0)
+                           * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+                              / (epoch_us(nt) - epoch_us(pt))), 2) AS ival
+              FROM w
+              WHERE k = 1 AND v0 IS NOT NULL AND v1 IS NOT NULL
+              ORDER BY user_id, ts""",
+)
+def q_resample_interpolate(spark, sf):
+    """Time-series resampling to a regular hourly grid with linear
+    interpolation between the surrounding raw events — the gap-filling
+    primitive behind dashboarding and feature pipelines (forward-fill's
+    continuous sibling; see q_forward_fill). Plan: the per-user grid is
+    generated with ``sequence`` (no driver loop), unioned with the raw
+    events, and ONE sort per user (window over ts) propagates both the
+    previous and next observation to every grid point — no self-join, no
+    as-of join per grid row. Event rows sort before a same-instant grid
+    point so the prev side is inclusive and the next side strictly
+    after. Scales as one shuffle keyed by user_id; grid density, not
+    corpus size, bounds the blowup."""
+    ev = (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") <= 10)
+        .select("user_id", "ts", "value")
+    )
+    b = ev.groupBy("user_id").agg(
+        (F.date_trunc("hour", F.min("ts")) + F.expr("interval 1 hour")).alias("t0"),
+        F.max("ts").alias("mx"),
+    )
+    grid = (
+        b.where(F.col("t0") <= F.col("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(t0, mx, interval 1 hour)")).alias("ts"),
+        )
+    )
+    u = ev.select(
+        "user_id", "ts", "value", F.lit(0).alias("k")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("k"),
+        )
+    )
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "k")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("value").isNotNull(), F.col("ts"))
+    w = u.select(
+        "user_id",
+        "ts",
+        "k",
+        F.last("value", ignorenulls=True).over(pw).alias("v0"),
+        F.last(ev_ts, ignorenulls=True).over(pw).alias("pt"),
+        F.first("value", ignorenulls=True).over(fw).alias("v1"),
+        F.first(ev_ts, ignorenulls=True).over(fw).alias("nt"),
+    )
+    frac = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("pt"))).cast(
+        "double"
+    ) / (F.unix_micros(F.col("nt")) - F.unix_micros(F.col("pt")))
+    return (
+        w.where(
+            (F.col("k") == 1) & F.col("v0").isNotNull() & F.col("v1").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.round(F.col("v0") + (F.col("v1") - F.col("v0")) * frac, 2).alias(
+                "ival"
+            ),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+@q("ann_pq_topk", tier="py", oracle=None)
+def ann_pq_topk(spark, sf):
+    """Product-quantization ANN serving: 64-dim float vectors compress to
+    8 one-byte codebook indices (32×), and each query scans the codes with
+    an asymmetric-distance lookup table instead of raw floats — the
+    memory-bound layout billion-vector serving uses. Codebooks train on a
+    bounded, seeded driver-side sample (operators/similarity.py:
+    pq_codebooks); encode + ADC are Arrow-batched pandas UDFs. PY-tier:
+    approximation quality (recall vs exact cosine) is pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    books = V.pq_codebooks(emb, m=8, ks=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return V.pq_topk(emb, queries, books, k=10).orderBy("query_id", "rank")
+
+
+@q("ann_pq_rerank_topk", tier="py", oracle=None)
+def ann_pq_rerank_topk(spark, sf):
+    """PQ shortlist + exact rerank (operators/similarity.py:
+    pq_rerank_topk): the compressed-code scan proposes 100 candidates per
+    query, exact cosine re-scores only those — the standard two-stage
+    serving layout where the float vectors are touched for 100 rows, not
+    the corpus. Recall vs exact top-k is pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    books = V.pq_codebooks(emb, m=8, ks=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return V.pq_rerank_topk(emb, queries, books, k=10, shortlist=100).orderBy(
+        "query_id", "rank"
+    )

@@ -383,6 +383,8 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "q33_transitive_closure", "q33b_closure_recursive_cte",
     "near_dup_components", "near_dup_dedup_count", "train_prep_pipeline",
     "hll_distinct_merge", "r13_seeded_sample", "q42_approx_aggs",
+    # eager_cache of the min-support edge set / driver-side PQ codebook training
+    "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
@@ -397,6 +399,8 @@ _BNLJ_OK = {
     "text_chi2_terms", "text_perplexity_unigram", "text_ccnet_buckets",
     "q_mixture_plan", "q_join_key_skew_profile", "tpch_q11_shape",
     "tpch_q22_shape", "q_equi_depth_histogram",
+    # 1-row total-count broadcast against the candidate recount
+    "text_heavy_hitters",
 }
 
 

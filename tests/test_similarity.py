@@ -288,3 +288,77 @@ def test_rp_lsh_deterministic(spark, emb):
     a = sorted(map(tuple, V.rp_lsh_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, V.rp_lsh_topk(emb, queries, k=3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    return V.pq_codebooks(emb, m=8, ks=16, sample=128)
+
+
+def test_pq_codebooks_deterministic(emb, pq_books):
+    again = V.pq_codebooks(emb, m=8, ks=16, sample=128)
+    assert pq_books.shape == (8, 16, 8)
+    assert np.array_equal(pq_books, again)
+
+
+def test_pq_encode_codes_in_range(spark, emb, pq_books):
+    codes = V.pq_encode(emb, pq_books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["code"]) == 8
+        assert all(0 <= c < 16 for c in r["code"])
+
+
+def test_pq_encode_matches_numpy(spark, emb, emb_np, pq_books):
+    """Spark-side encoding must equal the same argmin computed in numpy."""
+    ids, mat = emb_np
+    X = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    want = {}
+    for row_i, vid in enumerate(ids):
+        code = []
+        for j in range(8):
+            xj = X[row_i, j * 8 : (j + 1) * 8]
+            code.append(int(((pq_books[j] - xj) ** 2).sum(axis=1).argmin()))
+        want[int(vid)] = code
+    got = {r["vec_id"]: list(r["code"]) for r in V.pq_encode(emb, pq_books).collect()}
+    assert got == want
+
+
+def test_pq_topk_recall_vs_exact(spark, emb, pq_books):
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 5)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in V.pq_topk(emb, q, pq_books, k=10).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in V.cosine_topk(emb, q, k=10).collect()
+    }
+    # 8-byte codes on high-entropy vectors: recall is imperfect by design,
+    # but must be far above the random-baseline (10/n).
+    assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_pq_rerank_improves_recall_and_scores_exact(spark, emb, pq_books):
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 5)
+    rr = V.pq_rerank_topk(emb, q, pq_books, k=10, shortlist=100).collect()
+    exact_rows = V.cosine_topk(emb, q, k=100).collect()
+    exact_sim = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact_rows}
+    exact10 = {
+        (r["query_id"], r["vec_id"]) for r in exact_rows if r["rank"] <= 10
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in rr}
+    assert len(got & exact10) / len(exact10) >= 0.5
+    # reranked scores are EXACT cosine (quantization error is gone)
+    for r in rr:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sim:
+            assert r["sim"] == pytest.approx(exact_sim[key], abs=1e-9)

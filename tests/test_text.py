@@ -258,3 +258,49 @@ def test_remove_repeated_spans_python_oracle(spark):
     assert out[2]["n_removed"] > 0 and boiler not in out[2]["text"]
     assert out[3]["n_removed"] == 0          # untouched doc
     assert out[4]["n_removed"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Two-pass MG output == naive full group-by, for any partitioning."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.text import heavy_hitters
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    n = toks.count()
+    k = 40
+    naive = {
+        (r["token"], r["freq"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(F.col("freq") * k > F.lit(n))
+        .collect()
+    }
+    for parts in (1, 7):
+        got = [
+            (r["token"], r["freq"])
+            for r in heavy_hitters(docs.repartition(parts), k=k).collect()
+        ]
+        assert set(got) == naive
+        # output is sorted by freq desc, token
+        assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_heavy_hitters_skewed_synthetic(spark):
+    """A planted 30% token must survive; a 1% token must not appear (k=5)."""
+    import pandas as pd
+
+    from overseer_spark.operators.text import heavy_hitters
+
+    rows = (["hot"] * 300 + ["warm"] * 150 + [f"cold{i}" for i in range(550)])
+    pdf = pd.DataFrame({"text": rows})
+    df = spark.createDataFrame(pdf).repartition(9)
+    got = {r["token"]: r["freq"] for r in heavy_hitters(df, k=5).collect()}
+    assert got == {"hot": 300}

@@ -22,7 +22,7 @@ FAMILIES: dict[str, list[str]] = {
         "q07_inner_join", "q08_multiway_join", "q09_left_join", "q10_semi_join",
         "q11_anti_join", "q12_theta_self_join", "q_full_outer_join",
         "q_right_outer_join", "asof_join_events", "interval_join_events",
-        "q_null_safe_join", "bloom_semi_join_prune",
+        "q_null_safe_join", "bloom_semi_join_prune", "q_fuzzy_match_levenshtein",
     ],
     "Aggregation & grouping": [
         "q13_global_agg", "q14_grouped_agg", "q15_count_distinct", "q16_distinct",
@@ -51,7 +51,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_global_sort",
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
         "q_funnel_conversion_latency",
-        "q_scd2_intervals", "q_cumulative_max_drawdown",
+        "q_scd2_intervals", "q_cumulative_max_drawdown", "q_resample_interpolate",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
@@ -74,10 +74,11 @@ FAMILIES: dict[str, list[str]] = {
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
         "q33b_closure_recursive_cte", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
+        "graph_triangle_count",
     ],
     "Dedup family": [
         "q35_exact_dup_count", "dedup_exact_groups", "dedup_golden_record",
-        "dedup_rate_by_source",
+        "dedup_rate_by_source", "text_soft_dedup_weights",
         "minhash_near_dup_pairs", "simhash_signatures", "simhash_near_dup_pairs",
         "ngram_jaccard_pairs", "ngram_containment_pairs", "near_dup_components", "near_dup_dedup_count",
         "embedding_near_dup_exact", "text_dup_span_stats",
@@ -91,6 +92,7 @@ FAMILIES: dict[str, list[str]] = {
         "knn_label_predict",
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
+        "ann_pq_topk", "ann_pq_rerank_topk",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
@@ -104,6 +106,7 @@ FAMILIES: dict[str, list[str]] = {
         "quality_classifier_score", "text_kwic_snippets",
         "text_gopher_rules", "text_gopher_reject_stats",
         "text_remove_repeated_spans", "text_bpe_token_stats",
+        "text_heavy_hitters",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
