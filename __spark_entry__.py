@@ -55,6 +55,10 @@ _PRIORITY = [
     "q_resample_interpolate",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    "er_match_pairs",
+    "er_match_clusters",
+    "q_interval_merge",
+    "q_array_functions_surface",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -7098,3 +7098,232 @@ def ann_pq_rerank_topk(spark, sf):
     return V.pq_rerank_topk(emb, queries, books, k=10, shortlist=100).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 3: interval algebra, array-function surface, entity resolution
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_interval_merge",
+    oracle="""WITH iv AS (SELECT user_id, ts AS s,
+                                 ts + INTERVAL 10 MINUTE AS e FROM events),
+                   w AS (SELECT user_id, s, e,
+                                MAX(e) OVER (PARTITION BY user_id
+                                             ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS prev_max
+                         FROM iv),
+                   fl AS (SELECT user_id, s, e,
+                                 CASE WHEN prev_max IS NULL OR s > prev_max
+                                      THEN 1 ELSE 0 END AS ni FROM w),
+                   isl AS (SELECT user_id, s, e,
+                                  SUM(ni) OVER (PARTITION BY user_id
+                                                ORDER BY s, e
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS island
+                           FROM fl),
+                   m AS (SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+                         FROM isl GROUP BY 1, 2)
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+                     CAST(FLOOR(SUM(epoch_us(me) - epoch_us(ms))
+                                / 60000000.0) AS BIGINT) AS covered_min
+              FROM m GROUP BY user_id ORDER BY user_id""",
+)
+def q_interval_merge(spark, sf):
+    """Overlapping-interval merge (union of per-user activity intervals):
+    each event opens a 10-minute interval; overlapping/touching runs
+    collapse to islands via the running-max-of-end trick — a new island
+    starts exactly when an interval's start passes every previous end.
+    One sort per user (two stacked windows on the SAME partitioning+order,
+    so Spark plans a single Window exchange), then two metadata-sized
+    aggregates. The scalable alternative to a self-join interval overlap
+    (quadratic per user)."""
+    ev = _t(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(wprev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("ni").over(wrun).alias("island")
+    )
+    m = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            # cast first: parquet surfaces TIMESTAMP_NTZ, which unix_micros
+            # rejects; the tz offset cancels because only differences matter
+            F.floor(
+                F.sum(
+                    F.unix_micros(F.col("me").cast("timestamp"))
+                    - F.unix_micros(F.col("ms").cast("timestamp"))
+                )
+                / F.lit(60000000.0)
+            )
+            .cast("long")
+            .alias("covered_min"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "q_array_functions_surface",
+    oracle="""SELECT doc_id,
+                     CAST(len(list_distinct(string_split(text, ' ')))
+                          AS BIGINT) AS n_uniq,
+                     CAST(len(list_intersect(
+                              list_distinct(string_split(text, ' ')),
+                              ['scan', 'join', 'filter', 'table']))
+                          AS BIGINT) AS n_probe,
+                     CAST(NULLIF(list_position(string_split(text, ' '),
+                                               'join'), 0)
+                          AS BIGINT) AS first_join_pos,
+                     array_to_string(string_split(text, ' ')[1:5], ' ')
+                       AS head5
+              FROM documents ORDER BY doc_id""",
+)
+def q_array_functions_surface(spark, sf):
+    """Array set-algebra function surface over token arrays — distinct
+    cardinality, intersection with a probe set, first-position lookup
+    (Spark's 0-for-absent normalized to SQL NULL), and slicing — all
+    array HOFs inside whole-stage codegen, no explode: the per-row array
+    ops never shuffle and the scan stays one narrow stage."""
+    toks = F.split(F.col("text"), " ")
+    probe = F.array(*[F.lit(x) for x in ("scan", "join", "filter", "table")])
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+            F.size(F.array_intersect(F.array_distinct(toks), probe))
+            .cast("long")
+            .alias("n_probe"),
+            F.nullif(F.array_position(toks, "join"), F.lit(0))
+            .cast("long")
+            .alias("first_join_pos"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _er_scored_pairs(spark, sf):
+    """Blocked multi-feature entity-resolution scoring over part records:
+    name edit-similarity (levenshtein / max-length), token-set Jaccard,
+    and attribute agreement (p_size), linearly combined. Blocking on
+    p_brand keeps candidate generation an equi-join."""
+    t = _t(spark, sf, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        "p_size",
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("tok"),
+        F.length("p_name").alias("ln"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    ni = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union_n = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - ni
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    score = (
+        F.lit(0.5) * (F.lit(1.0) - lev / F.greatest(F.col("a.ln"), F.col("b.ln")))
+        + F.lit(0.3) * (ni / union_n)
+        + F.lit(0.2)
+        * F.when(F.col("a.p_size") == F.col("b.p_size"), 1.0).otherwise(0.0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("x"),
+            F.col("b.p_partkey").alias("y"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= 0.8)
+    )
+
+
+@q(
+    "er_match_pairs",
+    oracle="""WITH t AS (SELECT p_partkey, p_brand, p_name, p_size,
+                                list_distinct(string_split(p_name, ' ')) AS tok,
+                                len(p_name) AS ln
+                         FROM part),
+                   pr AS (SELECT a.p_partkey AS x, b.p_partkey AS y,
+                                 0.5 * (1.0 - levenshtein(a.p_name, b.p_name)
+                                        * 1.0 / GREATEST(a.ln, b.ln))
+                                 + 0.3 * (len(list_intersect(a.tok, b.tok)) * 1.0
+                                          / (len(a.tok) + len(b.tok)
+                                             - len(list_intersect(a.tok, b.tok))))
+                                 + 0.2 * (CASE WHEN a.p_size = b.p_size
+                                          THEN 1.0 ELSE 0.0 END) AS score
+                          FROM t a JOIN t b
+                            ON a.p_brand = b.p_brand
+                           AND a.p_partkey < b.p_partkey)
+              SELECT x, y, ROUND(score, 4) AS score
+              FROM pr WHERE score >= 0.8 ORDER BY x, y""",
+)
+def er_match_pairs(spark, sf):
+    """Entity-resolution match scoring (see _er_scored_pairs): blocked
+    candidate pairs scored with three fuzzy features and thresholded.
+    The score arithmetic is identical double math in both engines, so the
+    0.8 cut is engine-portable. At 100 TB: add a second blocking key and
+    union candidates (recall), keep features JVM-side (they are), and
+    feed the pairs to connected components for clustering
+    (er_match_clusters)."""
+    return (
+        _er_scored_pairs(spark, sf)
+        .select("x", "y", F.round("score", 4).alias("score"))
+        .orderBy("x", "y")
+    )
+
+
+@q("er_match_clusters", tier="py", oracle=None)
+def er_match_clusters(spark, sf):
+    """Entity clusters from the thresholded match pairs: connected
+    components (operators/components.py — driver union-find under a
+    bounded size probe, distributed label propagation beyond it) over the
+    er_match_pairs edge set, reported as a cluster-size histogram. The
+    full MDM pipeline is blocking → scoring → clustering → golden record
+    (dedup_golden_record); this entry is the clustering stage. Verified
+    against a pure-python union-find in tests/test_components.py."""
+    from overseer_spark.operators.components import connected_components
+
+    edges = _er_scored_pairs(spark, sf).select(
+        F.col("x").alias("d1"), F.col("y").alias("d2")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long"), "n_clusters")
+        .orderBy("cluster_size")
+    )

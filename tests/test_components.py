@@ -72,3 +72,34 @@ def test_dedup_keep_canonical(spark, graph):
     }
     want = {n for n in all_nodes if oracle.get(n, n) == n}
     assert kept == want
+
+
+def test_er_match_clusters_vs_union_find(spark):
+    """Cluster-size histogram from the catalog entry == a pure-python
+    union-find over the same thresholded match pairs."""
+    from collections import Counter
+
+    from overseer_spark.queries.catalog import CATALOG, _er_scored_pairs
+    from tests.conftest import SF_SMOKE
+
+    pairs = [(r["x"], r["y"]) for r in _er_scored_pairs(spark, SF_SMOKE).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    sizes = Counter(find(x) for x in parent)
+    want = sorted(Counter(sizes.values()).items())
+    got = [
+        (r["cluster_size"], r["n_clusters"])
+        for r in CATALOG["er_match_clusters"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == want

@@ -385,6 +385,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "hll_distinct_merge", "r13_seeded_sample", "q42_approx_aggs",
     # eager_cache of the min-support edge set / driver-side PQ codebook training
     "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
+    "er_match_clusters",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query

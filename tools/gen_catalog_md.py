@@ -23,6 +23,7 @@ FAMILIES: dict[str, list[str]] = {
         "q11_anti_join", "q12_theta_self_join", "q_full_outer_join",
         "q_right_outer_join", "asof_join_events", "interval_join_events",
         "q_null_safe_join", "bloom_semi_join_prune", "q_fuzzy_match_levenshtein",
+        "er_match_pairs", "er_match_clusters",
     ],
     "Aggregation & grouping": [
         "q13_global_agg", "q14_grouped_agg", "q15_count_distinct", "q16_distinct",
@@ -52,6 +53,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
         "q_funnel_conversion_latency",
         "q_scd2_intervals", "q_cumulative_max_drawdown", "q_resample_interpolate",
+        "q_interval_merge",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
@@ -68,7 +70,7 @@ FAMILIES: dict[str, list[str]] = {
         "q27_string_funcs", "q28_datetime_funcs", "q29_math_funcs", "q_date_arith",
         "q_regexp_extract", "q_map_ops", "q36_json_extract", "q_variant_json",
         "q37_array_l2norm", "q_explode_outer_semantics", "udtf_tokenize_positions",
-        "pandas_udf_scalar", "q_sql_function_surface",
+        "pandas_udf_scalar", "q_sql_function_surface", "q_array_functions_surface",
     ],
     "Engine tables (scheduler queries)": [
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
