@@ -59,6 +59,7 @@ _PRIORITY = [
     "er_match_clusters",
     "q_interval_merge",
     "q_array_functions_surface",
+    "stream_stream_join_pairs",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

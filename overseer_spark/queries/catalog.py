@@ -7327,3 +7327,88 @@ def er_match_clusters(spark, sf):
         .select(F.col("cluster_size").cast("long"), "n_clusters")
         .orderBy("cluster_size")
     )
+
+
+@q(
+    "stream_stream_join_pairs",
+    oracle="""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users
+              FROM events v JOIN events p
+                ON v.user_id = p.user_id
+               AND v.event_type = 'view' AND p.event_type = 'purchase'
+               AND p.ts >= v.ts
+               AND p.ts <= v.ts + INTERVAL 30 MINUTE""",
+)
+def stream_stream_join_pairs(spark, sf):
+    """STREAM-STREAM inner join — the attribution join (view → purchase by
+    the same user within 30 minutes) as a real Structured Streaming
+    query: both sides are unbounded file streams carrying watermarks, and
+    the time-range predicate lets Spark bound the join state (a view
+    older than the watermark minus 30 minutes can never match again and
+    its state is evicted). The equi-key (user_id) keeps it a streaming
+    hash join; matched pairs append to the sink as they occur. Run
+    bounded via availableNow and hash-matched against the batch
+    self-join oracle — matched results of a streaming inner join are
+    exact, watermarks only govern state retention."""
+    import os
+    import uuid
+
+    _t(spark, sf, "events")  # configure_for_oracle before any scan
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    def stream():
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        from pyspark.sql import types as T
+
+        if isinstance(sdf.schema["ts"].dataType, T.LongType):
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return sdf
+
+    views = (
+        stream()
+        .where(F.col("event_type") == "view")
+        # watermark requires TIMESTAMP; NTZ->LTZ cast is deterministic
+        # under the session's pinned UTC timezone
+        .select("user_id", F.col("ts").cast("timestamp").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 30 minutes"
+        ),
+    )
+    name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
+    finally:
+        query.stop()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
