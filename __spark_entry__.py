@@ -60,6 +60,11 @@ _PRIORITY = [
     "q_interval_merge",
     "q_array_functions_surface",
     "stream_stream_join_pairs",
+    "q_time_weighted_avg",
+    "q_ab_test_stats",
+    "q_decimal_exact_money",
+    "multimodal_image_ahash",
+    "graph_kcore",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

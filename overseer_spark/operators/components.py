@@ -132,3 +132,44 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core of the undirected graph: iteratively peel vertices with
+    degree < k until a fixpoint. Returns the surviving vertices as
+    (node).
+
+    Each round: symmetrize → degree aggregate → keep-set semi-join on
+    both endpoints. The edge set shrinks monotonically; rounds are
+    bounded by peeling depth (degeneracy), not graph size.
+    ``localCheckpoint`` cuts lineage so late rounds don't replay the
+    whole peel history, and the loop exits early the first round nothing
+    is removed (one count per round — metadata-sized)."""
+    e = eager_cache(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    )
+    for _ in range(max_rounds):
+        sym = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("a").localCheckpoint(eager=True)
+        n_before = e.count()
+        e2 = (
+            e.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_after = e2.count()
+        e = e2
+        if n_after == n_before:
+            break
+    sym = e.select("a").union(e.select(F.col("b").alias("a")))
+    return sym.distinct().select(F.col("a").alias("node"))

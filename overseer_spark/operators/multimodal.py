@@ -348,3 +348,71 @@ def audio_spectral_features(
             "spectral_centroid_hz double, bandwidth_hz double"
         ),
     )
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """64-bit average hash (aHash) of decoded image payloads.
+
+    Decode (pure-numpy bmp/ppm/pgm codecs) → luma grayscale → 8×8 mean
+    downsample → one bit per cell (above/below the global mean), packed
+    MSB-first into a signed int64 and emitted as a 16-hex-char string.
+    The perceptual fingerprint is invariant to uniform brightness scaling
+    and tolerant to resizing — Hamming distance on the 64-bit keys is the
+    image near-dup metric, and the SimHash pigeonhole blocking
+    (operators/dedup.py) applies unchanged, so candidate generation
+    shuffles 8-byte hashes instead of pixels. Non-image codecs pass
+    through with a NULL hash."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            out_hash = []
+            for codec, payload in zip(pdf[codec_col], pdf[payload_col]):
+                if codec not in ("bmp", "ppm", "pgm"):
+                    out_hash.append(None)
+                    continue
+                _, px = getattr(MC, f"decode_{codec}")(bytes(payload))
+                px = px.astype(np.float64)
+                gray = (
+                    0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                    if px.ndim == 3
+                    else px
+                )
+                h, w = gray.shape
+                # 8x8 block-mean downsample on an even grid (edge blocks
+                # absorb the remainder), then sign-vs-mean bits
+                ri = (np.arange(h) * 8) // h
+                ci = (np.arange(w) * 8) // w
+                cells = np.zeros((8, 8))
+                counts = np.zeros((8, 8))
+                np.add.at(cells, (ri[:, None], ci[None, :]), gray)
+                np.add.at(counts, (ri[:, None], ci[None, :]), 1.0)
+                cells /= np.maximum(counts, 1.0)
+                bits = (cells >= cells.mean()).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # wrap to signed 64-bit so it round-trips through LongType
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out_hash.append(f"{val & 0xFFFFFFFFFFFFFFFF:016x}")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    codec_col: pdf[codec_col],
+                    "ahash": out_hash,
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema=f"{id_col} long, {codec_col} string, ahash string"
+    )

@@ -7412,3 +7412,173 @@ def stream_stream_join_pairs(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 4: time-weighted mean, A/B stats, exact decimal money,
+# perceptual image-hash dedup, k-core decomposition
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_time_weighted_avg",
+    oracle="""WITH w AS (SELECT user_id, value, ts,
+                                LEAD(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS nts
+                         FROM events)
+              SELECT user_id,
+                     ROUND(SUM(value * (epoch_us(nts) - epoch_us(ts)))
+                           / SUM(epoch_us(nts) - epoch_us(ts)), 4) AS twa,
+                     CAST(COUNT(nts) AS BIGINT) AS n_segments
+              FROM w WHERE nts IS NOT NULL
+              GROUP BY user_id ORDER BY user_id""",
+)
+def q_time_weighted_avg(spark, sf):
+    """Time-weighted average per user — the correct mean for irregularly
+    sampled series (a value 'holds' until the next observation, so each
+    sample is weighted by its holding duration). One LEAD window per user
+    (single shuffle on user_id) feeds a weighted-sum aggregate that reuses
+    the same partitioning; the plain AVG would over-weight bursts. Same
+    epoch-difference arithmetic both engines, so the 4-decimal round is
+    portable."""
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        _t(spark, sf, "events")
+        .select("user_id", "value", "ts", "event_id")
+        .withColumn("nts", F.lead("ts").over(w))
+        .where(F.col("nts").isNotNull())
+    )
+    dt = us("nts") - us("ts")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "q_ab_test_stats",
+    oracle="""WITH g AS (SELECT user_id % 2 AS grp, value FROM events
+                         WHERE event_type = 'purchase'),
+                   s AS (SELECT grp, COUNT(*) AS n, AVG(value) AS mu,
+                                stddev_samp(value) AS sd
+                         FROM g GROUP BY grp)
+              SELECT ROUND(a.mu, 4) AS mean_a, ROUND(b.mu, 4) AS mean_b,
+                     CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                     ROUND((a.mu - b.mu)
+                           / sqrt(a.sd * a.sd / a.n + b.sd * b.sd / b.n),
+                           4) AS z_score
+              FROM s a JOIN s b ON a.grp = 0 AND b.grp = 1""",
+)
+def q_ab_test_stats(spark, sf):
+    """Two-sample A/B comparison (Welch z): per-arm mean/stddev/count in
+    ONE grouped aggregate over the fact table, then the z-statistic
+    assembled from the two 1-row summaries — the experiment-analysis
+    pattern where only dimension-sized aggregates ever leave the
+    executors. Assignment is the deterministic user_id hash (mod 2), the
+    same engine-portable bucketing used by train_test_split."""
+    g = (
+        _t(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("grp"), "value")
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    a, b = s.where(F.col("grp") == 0).alias("a"), s.where(F.col("grp") == 1).alias("b")
+    z = (F.col("a.mu") - F.col("b.mu")) / F.sqrt(
+        F.col("a.sd") * F.col("a.sd") / F.col("a.n")
+        + F.col("b.sd") * F.col("b.sd") / F.col("b.n")
+    )
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mu"), 4).alias("mean_a"),
+        F.round(F.col("b.mu"), 4).alias("mean_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+@q(
+    "q_decimal_exact_money",
+    oracle="""SELECT l_returnflag,
+                     CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                               AS DECIMAL(18, 2)) AS VARCHAR) AS total_str,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q_decimal_exact_money(spark, sf):
+    """Exact decimal money aggregation — the financial-correctness
+    contract floating point can't give: prices cast to DECIMAL(18,2)
+    BEFORE summation, so the grouped totals are exact and
+    association-order-independent (double summation differs in the last
+    ulp across partitionings; decimal never does). Emitted as canonical
+    strings so both engines' decimal types compare bit-for-bit. Decimal
+    aggs stay inside Spark's unsafe-row hash aggregate — no codegen
+    loss."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("decimal(18,2)").alias("p")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum("p").cast("decimal(18,2)").cast("string").alias("total_str"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q("multimodal_image_ahash", tier="py", oracle=None)
+def multimodal_image_ahash(spark, sf):
+    """Perceptual image dedup: REAL bmp/ppm payloads (synthesize_media →
+    pure-numpy decode) hash to a 64-bit average-hash (8×8 grayscale
+    downsample, sign-vs-mean bits) — the standard near-duplicate image
+    fingerprint robust to resizing/re-encoding. Output is per-image
+    (doc_id, codec, ahash as hex) — downstream near-dup joins reuse the
+    SimHash pigeonhole blocking on the 64-bit key (operators/dedup.py),
+    so image dedup at 100 TB shuffles 8-byte hashes, never pixels.
+    Hash values are pinned against a numpy reference in
+    tests/test_multimodal.py."""
+    from overseer_spark.operators.multimodal import image_ahash, synthesize_media
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
+    media = synthesize_media(docs)
+    return image_ahash(media).orderBy("doc_id")
+
+
+@q("graph_kcore", tier="py", oracle=None)
+def graph_kcore(spark, sf):
+    """k-core decomposition (k=3) of the part co-occurrence graph by
+    iterative peeling: repeatedly drop vertices with degree < k until a
+    fixpoint — the standard dense-substructure primitive for community
+    seeds and spam/bot rings. Each round is one degree aggregate + one
+    semi-join, with localCheckpoint lineage cuts; rounds are bounded by
+    the peeling depth (typically ≤ tens), never graph size. Verified
+    against a pure-python peeler in tests/test_components.py."""
+    from overseer_spark.operators.components import kcore
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    core = kcore(edges, k=3)
+    return core.agg(
+        F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -103,3 +103,66 @@ def test_er_match_clusters_vs_union_find(spark):
         for r in CATALOG["er_match_clusters"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def _py_kcore(pairs, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return set(adj)
+
+
+def test_kcore_matches_python_peeler(spark):
+    from overseer_spark.operators.components import kcore
+
+    # a 4-clique (3-core) + a tail + a triangle (2-core only)
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+        (4, 5), (5, 6),                                   # tail
+        (7, 8), (8, 9), (7, 9),                           # triangle
+    ]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    got = {r["node"] for r in kcore(edges, k=3).collect()}
+    assert got == _py_kcore(pairs, 3) == {1, 2, 3, 4}
+    got2 = {r["node"] for r in kcore(edges, k=2).collect()}
+    assert got2 == _py_kcore(pairs, 2) == {1, 2, 3, 4, 7, 8, 9}
+
+
+def test_graph_kcore_catalog_entry_vs_python(spark):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = [
+        (r["u"], r["v"])
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .collect()
+    ]
+    want = _py_kcore(pairs, 3)
+    row = CATALOG["graph_kcore"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_core_nodes"] == len(want)
+    if want:
+        assert row["min_node"] == min(want) and row["max_node"] == max(want)

@@ -202,3 +202,87 @@ def test_audio_spectral_peak_recovers_construction_frequency(spark):
         # pure tone: centroid sits near the peak, bandwidth is small
         assert abs(r["spectral_centroid_hz"] - expect) < 25.0
         assert r["bandwidth_hz"] < 120.0
+
+
+# ---------------------------------------------------------------------------
+# perceptual average-hash
+# ---------------------------------------------------------------------------
+
+def _ref_ahash(px):
+    """Independent numpy reference for the 8x8 average hash."""
+    import numpy as np
+
+    px = px.astype(np.float64)
+    gray = (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        if px.ndim == 3
+        else px
+    )
+    h, w = gray.shape
+    ri = (np.arange(h) * 8) // h
+    ci = (np.arange(w) * 8) // w
+    cells = np.zeros((8, 8))
+    counts = np.zeros((8, 8))
+    np.add.at(cells, (ri[:, None], ci[None, :]), gray)
+    np.add.at(counts, (ri[:, None], ci[None, :]), 1.0)
+    cells /= np.maximum(counts, 1.0)
+    bits = (cells >= cells.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return f"{val:016x}"
+
+
+def test_image_ahash_matches_reference_and_flags_duplicates(spark):
+    import numpy as np
+
+    from overseer_spark.functions import media_codecs as MC
+    from overseer_spark.operators.multimodal import image_ahash
+
+    rng = np.random.RandomState(3)
+    img_a = rng.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    img_b = (img_a.astype(np.int32) * 2 % 256).astype(np.uint8)  # different
+    rows = [
+        (1, "bmp", MC.encode_bmp(img_a)),
+        (2, "bmp", MC.encode_bmp(img_a)),  # exact duplicate payload
+        (3, "ppm", MC.encode_ppm(img_b)),
+        (4, "wav", b"RIFF0000WAVE"),  # non-image: NULL hash
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, codec string, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] == _ref_ahash(img_a)
+    assert got[3] == _ref_ahash(img_b)
+    assert got[1] == got[2]  # duplicates collide
+    assert got[1] != got[3]
+    assert got[4] is None
+
+
+def test_image_ahash_brightness_invariance(spark):
+    """aHash thresholds against the image's own mean, so uniform
+    brightness scaling must not change the fingerprint."""
+    import numpy as np
+
+    from overseer_spark.functions import media_codecs as MC
+    from overseer_spark.operators.multimodal import image_ahash
+
+    base = (np.mgrid[0:10, 0:10][0] * 20 % 200).astype(np.uint8)
+    px = np.stack([base, base, base], axis=-1)
+    brighter = (px.astype(np.float64) * 1.2).clip(0, 255).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, "bmp", MC.encode_bmp(px)), (2, "bmp", MC.encode_bmp(brighter))],
+        "doc_id long, codec string, payload binary",
+    )
+    got = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_multimodal_image_ahash_catalog_entry(spark):
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["multimodal_image_ahash"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r["codec"] in ("bmp", "ppm") for r in rows)
+    assert all(len(r["ahash"]) == 16 for r in rows)
+    # deterministic across runs
+    again = CATALOG["multimodal_image_ahash"].fn(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -385,7 +385,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "hll_distinct_merge", "r13_seeded_sample", "q42_approx_aggs",
     # eager_cache of the min-support edge set / driver-side PQ codebook training
     "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
-    "er_match_clusters",
+    "er_match_clusters", "graph_kcore",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
@@ -402,6 +402,8 @@ _BNLJ_OK = {
     "tpch_q22_shape", "q_equi_depth_histogram",
     # 1-row total-count broadcast against the candidate recount
     "text_heavy_hitters",
+    # two 1-row arm summaries / grouped z assembly
+    "q_ab_test_stats",
 }
 
 

@@ -26,6 +26,11 @@ ENTRIES = [
     "ann_ivf_topk",
     "text_contamination_check",
     "text_quality",
+    # round-2 batch additions
+    "text_soft_dedup_weights",
+    "text_heavy_hitters",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
 ]
 
 

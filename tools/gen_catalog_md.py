@@ -40,6 +40,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_join_key_skew_profile",
         "q_json_props_sum", "skew_salted_agg", "pandas_udaf_weighted_mean",
         "q_mixture_plan", "zscore_groups", "q_date_spine", "q_winsorized_stats",
+        "q_time_weighted_avg", "q_ab_test_stats", "q_decimal_exact_money",
         "q_observed_metrics",
     ],
     "Windows & sequences": [
@@ -77,7 +78,7 @@ FAMILIES: dict[str, list[str]] = {
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
         "q33b_closure_recursive_cte", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
-        "graph_triangle_count",
+        "graph_triangle_count", "graph_kcore",
     ],
     "Dedup family": [
         "q35_exact_dup_count", "dedup_exact_groups", "dedup_golden_record",
@@ -114,6 +115,7 @@ FAMILIES: dict[str, list[str]] = {
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
         "multimodal_decode_features", "multimodal_audio_spectral",
+        "multimodal_image_ahash",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
