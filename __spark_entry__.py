@@ -65,6 +65,9 @@ _PRIORITY = [
     "q_decimal_exact_money",
     "multimodal_image_ahash",
     "graph_kcore",
+    "q_regression_metrics",
+    "q_bitmask_funnel",
+    "q_k_anonymity",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -7582,3 +7582,127 @@ def graph_kcore(spark, sf):
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 5: regression aggregates, bitmask funnel, k-anonymity audit
+# ---------------------------------------------------------------------------
+
+@q(
+    "q_regression_metrics",
+    oracle="""SELECT event_type,
+                     ROUND(regr_slope(value,
+                           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                           / 3600000000.0), 6) AS slope,
+                     ROUND(regr_intercept(value,
+                           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                           / 3600000000.0), 4) AS intercept,
+                     ROUND(regr_r2(value,
+                           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                           / 3600000000.0), 6) AS r2,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q_regression_metrics(spark, sf):
+    """Per-group OLS trend — regr_slope / regr_intercept / regr_r2 as
+    grouped aggregates (drift detection over event streams). The x axis
+    is hours-since-2024-01-01, centered near zero so the moment sums are
+    well-conditioned and the two engines' summation orders agree to well
+    past the rounded digits; everything is one partial+final hash
+    aggregate, the same single-pass shape as AVG."""
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) / F.lit(3600000000.0)
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q_bitmask_funnel",
+    oracle="""WITH m AS (SELECT user_id,
+                                bit_or(CASE event_type
+                                       WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                                       WHEN 'purchase' THEN 4
+                                       WHEN 'signup' THEN 8
+                                       ELSE 16 END) AS mask
+                         FROM events
+                         WHERE ts < TIMESTAMP '2024-01-03'
+                         GROUP BY user_id)
+              SELECT CAST(mask AS BIGINT) AS mask,
+                     CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(CASE WHEN mask & 5 = 5 THEN 1 ELSE 0 END
+                          AS BIGINT) AS viewed_and_purchased
+              FROM m GROUP BY mask ORDER BY mask""",
+)
+def q_bitmask_funnel(spark, sf):
+    """Behavioral-cohort bitmasks: each user's event-type SET packed into
+    an integer via BIT_OR — the roaring-bitmap-style trick that turns
+    set-membership questions ('viewed AND purchased?') into bitwise
+    filters on an 8-byte aggregate instead of N semi-joins. One grouped
+    agg per user, then a mask histogram; segment predicates (mask & 5 =
+    5) evaluate on the aggregate, never rescanning events."""
+    mask_val = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    m = (
+        _t(spark, sf, "events")
+        .where(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.bit_or(mask_val).alias("mask"))
+    )
+    return (
+        m.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("mask").cast("long"),
+            "n_users",
+            F.when(F.col("mask").bitwiseAND(5) == 5, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("viewed_and_purchased"),
+        )
+        .orderBy("mask")
+    )
+
+
+@q(
+    "q_k_anonymity",
+    oracle="""SELECT event_type, CAST(hour(ts) AS BIGINT) AS tod,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+                     CAST(CASE WHEN COUNT(DISTINCT user_id) < 30
+                          THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+              FROM events GROUP BY event_type, tod
+              ORDER BY event_type, tod""",
+)
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit over quasi-identifiers: for every (event_type,
+    hour-of-day) combination, the distinct-user count and whether the
+    group falls below k=30 — the privacy-governance check run before a
+    dataset release (small groups re-identify individuals). A single
+    COUNT(DISTINCT) grouped pass; at 100 TB the distinct count switches
+    to the mergeable HLL sketch (hll_distinct_merge) with k set above
+    the sketch error band."""
+    e = _t(spark, sf, "events")
+    users = F.count_distinct("user_id")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("tod"))
+        .agg(
+            users.cast("long").alias("users"),
+            F.when(users < 30, 1).otherwise(0).cast("long").alias("at_risk"),
+        )
+        .orderBy("event_type", "tod")
+    )

@@ -41,6 +41,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_json_props_sum", "skew_salted_agg", "pandas_udaf_weighted_mean",
         "q_mixture_plan", "zscore_groups", "q_date_spine", "q_winsorized_stats",
         "q_time_weighted_avg", "q_ab_test_stats", "q_decimal_exact_money",
+        "q_regression_metrics", "q_bitmask_funnel", "q_k_anonymity",
         "q_observed_metrics",
     ],
     "Windows & sequences": [
