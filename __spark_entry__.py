@@ -68,6 +68,10 @@ _PRIORITY = [
     "q_regression_metrics",
     "q_bitmask_funnel",
     "q_k_anonymity",
+    "q_rolling_active_users",
+    "q_weighted_median",
+    "q_gini_coefficient",
+    "multimodal_audio_fingerprint",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -456,10 +456,15 @@ def heavy_hitters(
 
     Pass 1 runs a bounded Misra-Gries summary *per partition* inside
     ``mapInPandas`` (≤ k counters held in memory, one extra row carrying
-    the partition's token total). By the pigeonhole + MG undercount bound
-    (est ≥ f_i − n_i/k), any token with global frequency > n/k must
-    survive in at least one partition's summary, so the union of partial
-    summaries is a guaranteed superset of the true heavy hitters.
+    the partition's token total). Each Arrow batch is folded in via its
+    vectorized ``value_counts`` and the merged counter is MG-compressed
+    back to k entries (subtract the (k+1)-th largest count, drop ≤ 0) —
+    the mergeable-summaries formulation (Agarwal et al., PODS'12), which
+    keeps the undercount bound est ≥ f_i − n_i/k while avoiding a Python
+    loop over individual tokens. So any token with global frequency >
+    n/k must survive in at least one partition's summary, and the union
+    of partial summaries is a guaranteed superset of the true heavy
+    hitters.
 
     Pass 2 recounts ONLY the candidate tokens exactly (broadcast semi-join
     against the candidate set) and applies the threshold — so the output
@@ -477,22 +482,28 @@ def heavy_hitters(
     toks = df.select(F.explode(tokens(text_col)).alias("token"))
 
     def _mg(batches):
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         n = 0
         for pdf in batches:
-            for t in pdf["token"]:
-                n += 1
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < k:
-                    counters[t] = 1
-                else:
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
-        out = {"token": list(counters) + [None], "est": list(counters.values()) + [n]}
+            vc = pdf["token"].value_counts()
+            n += int(vc.sum())
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                # MG compress: subtract the (k+1)-th largest from EVERY
+                # counter, drop <= 0. The subtraction is what makes the
+                # bound work: each round removes >= (k+1)*cut total mass,
+                # so sum(cut) <= n/(k+1) and any element's cumulative loss
+                # is <= n/(k+1) < n/k. (Dropping small entries WITHOUT
+                # subtracting is unsound — large survivors would justify
+                # unlimited drop rounds and a true heavy hitter arriving
+                # in small increments could be discarded every round.)
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        out = {
+            "token": list(counters.index) + [None],
+            "est": [int(x) for x in counters.values] + [n],
+        }
         yield pd.DataFrame(out)
 
     summary = toks.mapInPandas(_mg, "token string, est long")

@@ -7706,3 +7706,159 @@ def q_k_anonymity(spark, sf):
         )
         .orderBy("event_type", "tod")
     )
+
+
+@q(
+    "q_rolling_active_users",
+    oracle="""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                             FROM events),
+                   c AS (SELECT user_id,
+                                CAST(unnest(generate_series(
+                                     CAST(d AS TIMESTAMP),
+                                     CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS wd
+                         FROM daily)
+              SELECT wd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+              FROM c WHERE wd IN (SELECT d FROM daily)
+              GROUP BY wd ORDER BY wd""",
+)
+def q_rolling_active_users(spark, sf):
+    """Rolling 7-day active users (WAU) per day — the canonical engagement
+    metric that naive SQL writes as a per-day range join (spine × daily,
+    O(days·rows) nested loop). Here each (day, user) observation is
+    EXPLODED into the ≤7 window-end days it contributes to, turning the
+    computation into a pure equi-group COUNT(DISTINCT) — no join against
+    the fact at all; the trailing semi-join only clips window ends past
+    the observed day spine. Work is 7× the daily-distinct table
+    (dimension-sized), not 7× the event table, and it shuffles on
+    (day) — the same rewrite works for any bounded rolling window at
+    100 TB."""
+    daily = (
+        _t(spark, sf, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    contrib = daily.select(
+        "user_id", F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd")
+    )
+    spine = daily.select(F.col("d").alias("wd")).distinct()
+    return (
+        contrib.join(spine, "wd", "semi")
+        .groupBy("wd")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .orderBy("wd")
+    )
+
+
+@q(
+    "q_weighted_median",
+    oracle="""WITH w AS (SELECT l_returnflag AS g, l_extendedprice AS x,
+                                SUM(l_quantity) OVER
+                                    (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice, l_orderkey,
+                                              l_linenumber
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cw,
+                                SUM(l_quantity) OVER
+                                    (PARTITION BY l_returnflag) AS tw
+                         FROM lineitem)
+              SELECT g, ROUND(MIN(x), 2) AS wmedian
+              FROM w WHERE cw >= tw / 2 GROUP BY g ORDER BY g""",
+)
+def q_weighted_median(spark, sf):
+    """Weighted median (price weighted by quantity) per group — the
+    inventory-correct central tendency built-ins don't provide: the
+    smallest value whose cumulative weight reaches half the group total.
+    One sort per group feeds both the running and total weight windows
+    (same partitioning, one exchange), then MIN over the qualifying
+    suffix; fully deterministic via the composite sort key."""
+    cw = F.sum("l_quantity").over(
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tw = F.sum("l_quantity").over(Window.partitionBy("l_returnflag"))
+    w = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("x"),
+        cw.alias("cw"),
+        tw.alias("tw"),
+    )
+    return (
+        w.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("g")
+        .agg(F.round(F.min("x"), 2).alias("wmedian"))
+        .orderBy("g")
+    )
+
+
+@q(
+    "q_gini_coefficient",
+    oracle="""WITH r AS (SELECT event_type AS g, value AS x,
+                                ROW_NUMBER() OVER (PARTITION BY event_type
+                                                   ORDER BY value, event_id)
+                                  AS i,
+                                COUNT(*) OVER (PARTITION BY event_type) AS n,
+                                SUM(value) OVER (PARTITION BY event_type) AS s
+                         FROM events WHERE value > 0)
+              SELECT g, ROUND(2.0 * SUM(i * x) / (MAX(n) * MAX(s))
+                              - (MAX(n) + 1.0) / MAX(n), 4) AS gini
+              FROM r GROUP BY g ORDER BY g""",
+)
+def q_gini_coefficient(spark, sf):
+    """Gini concentration per group via the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending values — the
+    whale-dependence / inequality metric for revenue and token-usage
+    distributions. One rank window + the group aggregates share a single
+    event_type partitioning; no pair-wise |xᵢ−xⱼ| blowup (the textbook
+    definition is O(n²))."""
+    wr = Window.partitionBy("g").orderBy("x", "event_id")
+    wp = Window.partitionBy("g")
+    r = (
+        _t(spark, sf, "events")
+        .where(F.col("value") > 0)
+        .select(
+            F.col("event_type").alias("g"), F.col("value").alias("x"), "event_id"
+        )
+        .select(
+            "g",
+            "x",
+            F.row_number().over(wr).alias("i"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+            F.sum("x").over(wp).alias("s"),
+        )
+    )
+    gini = F.lit(2.0) * F.sum(F.col("i") * F.col("x")) / (
+        F.max("n") * F.max("s")
+    ) - (F.max("n") + F.lit(1.0)) / F.max("n")
+    return r.groupBy("g").agg(F.round(gini, 4).alias("gini")).orderBy("g")
+
+
+@q("multimodal_audio_fingerprint", tier="py", oracle=None)
+def multimodal_audio_fingerprint(spark, sf):
+    """Audio near-dup fingerprinting: REAL WAV payloads decode (pure-numpy
+    codec) to an FFT dominant-frequency fingerprint (5 Hz quantized) — the
+    landmark-hash family's simplest member — and duplicate groups are the
+    fingerprint equi-groups, with the canonical member and copy count per
+    group (same survivorship shape as dedup_exact_groups, but on DSP
+    features instead of bytes, so re-encoded copies still collide). The
+    id-keyed sine fixtures collide exactly when their construction
+    frequency matches; tests/test_multimodal.py pins that structure."""
+    from overseer_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 == 0)
+    feats = audio_spectral_features(synthesize_media(docs))
+    fp = F.round(F.col("dominant_hz") / 5).cast("long")
+    return (
+        feats.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .orderBy("fp")
+    )

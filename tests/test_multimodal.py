@@ -286,3 +286,32 @@ def test_multimodal_image_ahash_catalog_entry(spark):
     # deterministic across runs
     again = CATALOG["multimodal_image_ahash"].fn(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_audio_fingerprint_groups_match_construction(spark):
+    """synthesize_media keys the sine frequency by doc_id (200 + (id%40)*20
+    for id%3==0), so two audio docs collide exactly when id%120 matches."""
+    from collections import Counter
+
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .where("doc_id % 3 = 0")
+        .select("doc_id")
+        .collect()
+    ]
+    groups = Counter(i % 120 for i in ids)
+    want = sorted(
+        (min(i for i in ids if i % 120 == g), c)
+        for g, c in groups.items()
+        if c >= 2
+    )
+    got = sorted(
+        (r["canonical_id"], r["n_copies"])
+        for r in CATALOG["multimodal_audio_fingerprint"].fn(spark, SF_SMOKE).collect()
+    )
+    assert got == want and got

@@ -304,3 +304,34 @@ def test_heavy_hitters_skewed_synthetic(spark):
     df = spark.createDataFrame(pdf).repartition(9)
     got = {r["token"]: r["freq"] for r in heavy_hitters(df, k=5).collect()}
     assert got == {"hot": 300}
+
+
+def test_heavy_hitters_adversarial_small_increments(spark):
+    """A heavy token arriving in small per-batch increments among large
+    survivors must NOT be compressed away — guards the subtract-and-drop
+    MG merge (dropping without subtracting fails exactly this case)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.text import heavy_hitters
+
+    rows = (
+        ["bigA " * 50] * 20
+        + ["bigB " * 50] * 20
+        + ["x " * 10] * 300
+        + [f"filler{i}" for i in range(200)]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": [r.strip() for r in rows]})
+    ).repartition(1)
+    toks = df.select(F.explode(F.split("text", " ")).alias("token"))
+    n = toks.count()
+    naive = {
+        (r[0], r[1])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(F.col("freq") * 3 > n)
+        .collect()
+    }
+    got = {(r["token"], r["freq"]) for r in heavy_hitters(df, k=3).collect()}
+    assert got == naive == {("x", 3000)}

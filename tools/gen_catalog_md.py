@@ -42,6 +42,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_mixture_plan", "zscore_groups", "q_date_spine", "q_winsorized_stats",
         "q_time_weighted_avg", "q_ab_test_stats", "q_decimal_exact_money",
         "q_regression_metrics", "q_bitmask_funnel", "q_k_anonymity",
+        "q_rolling_active_users", "q_weighted_median", "q_gini_coefficient",
         "q_observed_metrics",
     ],
     "Windows & sequences": [
@@ -116,7 +117,7 @@ FAMILIES: dict[str, list[str]] = {
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
         "multimodal_decode_features", "multimodal_audio_spectral",
-        "multimodal_image_ahash",
+        "multimodal_image_ahash", "multimodal_audio_fingerprint",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
