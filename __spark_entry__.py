@@ -72,6 +72,7 @@ _PRIORITY = [
     "q_weighted_median",
     "q_gini_coefficient",
     "multimodal_audio_fingerprint",
+    "q33c_closure_sql_scripting",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -7862,3 +7862,53 @@ def multimodal_audio_fingerprint(spark, sf):
         .where(F.col("n_copies") >= 2)
         .orderBy("fp")
     )
+
+
+@q(
+    "q33c_closure_sql_scripting",
+    oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
+               reach(id) AS (
+                 SELECT job_id FROM overseer_dependencies WHERE dep_id = '{FX.CLOSURE_SEED}'
+                 UNION
+                 SELECT d.job_id FROM overseer_dependencies d
+                 JOIN reach r ON d.dep_id = r.id)
+               SELECT id FROM reach ORDER BY id""",
+)
+def q33c(spark, sf):
+    """Q33's transitive closure through Spark 4 SQL SCRIPTING — the third
+    physical strategy beside the driver BFS (q33) and the recursive CTE
+    (q33b): a BEGIN…END block with DECLAREd loop state, a WHILE
+    fixpoint loop, and EXECUTE IMMEDIATE building per-iteration frontier
+    views (…INTO reads the loop's convergence counter back into a
+    variable). This is the migration path for stored-procedure-style
+    control flow the reference delegated to application code
+    (overseer/executor.clj run-loop): the whole iteration now lives
+    server-side in one SQL batch. Iterations are bounded by DAG depth;
+    each frontier view is dimension-sized."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    FX.deps_df(spark).createOrReplaceTempView("_deps_script_fixture")
+    return spark.sql(
+        f"""BEGIN
+  DECLARE i INT = 0;
+  DECLARE n BIGINT = 0;
+  DECLARE n_prev BIGINT = -1;
+  CREATE OR REPLACE TEMPORARY VIEW _cl_0 AS
+    SELECT DISTINCT job_id AS id FROM _deps_script_fixture
+    WHERE dep_id = '{FX.CLOSURE_SEED}';
+  SET n = (SELECT COUNT(*) FROM _cl_0);
+  WHILE n > n_prev DO
+    SET n_prev = n;
+    EXECUTE IMMEDIATE 'CREATE OR REPLACE TEMPORARY VIEW _cl_'
+      || CAST(i+1 AS STRING)
+      || ' AS SELECT DISTINCT id FROM (SELECT id FROM _cl_'
+      || CAST(i AS STRING)
+      || ' UNION ALL SELECT d.job_id FROM _deps_script_fixture d JOIN _cl_'
+      || CAST(i AS STRING) || ' r ON d.dep_id = r.id)';
+    SET i = i + 1;
+    EXECUTE IMMEDIATE 'SELECT COUNT(*) AS c FROM _cl_' || CAST(i AS STRING)
+      INTO n;
+  END WHILE;
+  EXECUTE IMMEDIATE 'SELECT id FROM _cl_' || CAST(i AS STRING)
+    || ' ORDER BY id';
+END"""
+    )

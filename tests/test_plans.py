@@ -381,6 +381,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "q_observed_metrics", "cms_term_counts", "kmeans_lloyd_iters",
     "embedding_pca_power", "dag_pagerank", "dag_components", "dag_cycle_check",
     "q33_transitive_closure", "q33b_closure_recursive_cte",
+    "q33c_closure_sql_scripting",
     "near_dup_components", "near_dup_dedup_count", "train_prep_pipeline",
     "hll_distinct_merge", "r13_seeded_sample", "q42_approx_aggs",
     # eager_cache of the min-support edge set / driver-side PQ codebook training

@@ -78,7 +78,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "Engine tables (scheduler queries)": [
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
-        "q33b_closure_recursive_cte", "q_status_counts", "dag_degree_stats",
+        "q33b_closure_recursive_cte", "q33c_closure_sql_scripting", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
         "graph_triangle_count", "graph_kcore",
     ],
