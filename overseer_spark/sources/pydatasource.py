@@ -29,9 +29,11 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
+    DataSourceWriter,
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "doc_id bigint, text string, lang string, n_tokens bigint"
@@ -141,3 +143,84 @@ def register(spark) -> None:
     # session, including the driver's plain one — see .claude/skills/verify
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: a JSONL sink with a real commit protocol
+# ---------------------------------------------------------------------------
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side JSONL writer with task-temp + driver-commit atomics.
+
+    Each task streams its partition to ``_tmp_<uuid>.jsonl`` and reports a
+    commit message; the driver's ``commit`` renames every temp file to its
+    final name and writes a ``_SUCCESS`` manifest (filename + row count
+    per task), while ``abort`` removes the temps — so readers never
+    observe a half-written dataset (the same temp-then-rename contract
+    Spark's file committers use, expressed through the Python
+    DataSourceWriter API)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"_tmp_{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = []
+        for i, m in enumerate(messages):
+            final = f"part-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(self.path, m.filename),
+                os.path.join(self.path, final),
+            )
+            manifest.append({"file": final, "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": manifest}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # writer-only source; schema comes from the df
+        return "placeholder string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

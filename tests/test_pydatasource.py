@@ -121,3 +121,45 @@ def test_stream_reader_micro_batches(spark, tmp_path):
         assert got == sorted(make_doc(i) for i in range(300))
     finally:
         query.stop()
+
+
+# ---------------------------------------------------------------------------
+# writer: jsonl sink with commit protocol
+# ---------------------------------------------------------------------------
+
+def test_jsonl_sink_writes_commit_manifest_and_roundtrips(spark, tmp_path):
+    import json
+    import os
+
+    from overseer_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('doc-', id) AS name", "id % 7 AS bucket"
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.startswith("_tmp_")], "temps left behind"
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(m["rows"] for m in manifest["files"]) == 100
+    assert sorted(m["file"] for m in manifest["files"]) == parts
+
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    got = {(r["id"], r["name"], r["bucket"]) for r in back.collect()}
+    want = {(r["id"], r["name"], r["bucket"]) for r in df.collect()}
+    assert got == want
+
+
+def test_jsonl_sink_requires_path(spark):
+    import pytest as _pytest
+
+    from overseer_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    with _pytest.raises(Exception, match="path"):
+        spark.range(3).write.format("jsonl_sink").mode("append").save()
