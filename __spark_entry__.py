@@ -73,6 +73,8 @@ _PRIORITY = [
     "q_gini_coefficient",
     "multimodal_audio_fingerprint",
     "q33c_closure_sql_scripting",
+    "q_skyline_pareto",
+    "q_churn_features",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -7912,3 +7912,102 @@ def q33c(spark, sf):
     || ' ORDER BY id';
 END"""
     )
+
+
+@q(
+    "q_skyline_pareto",
+    oracle="""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                     ROUND(p_retailprice, 2) AS price
+              FROM part a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_size >= a.p_size
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND (b.p_size > a.p_size
+                       OR b.p_retailprice < a.p_retailprice))
+              ORDER BY p_partkey""",
+)
+def q_skyline_pareto(spark, sf):
+    """Skyline (Pareto-optimal set) operator — rows not dominated on
+    (maximize p_size, minimize p_retailprice). The textbook formulation
+    is a quadratic NOT-EXISTS self-join (the oracle runs exactly that);
+    the Spark plan reduces domination to a DIMENSION-sized summary:
+    per-size price minima (|sizes| rows) get a running minimum over
+    strictly larger sizes (a window over ≤ |sizes| rows, not the fact),
+    and broadcast back — the fact table is touched by exactly one
+    grouped aggregate and one broadcast join. Ties on both dimensions
+    are kept (standard skyline semantics). Two formulations, one
+    hash-matched result."""
+    p = _t(spark, sf, "part").select("p_partkey", "p_size", "p_retailprice")
+    per_size = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("mp_equal")
+    )
+    w_larger = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dim = per_size.withColumn("mp_larger", F.min("mp_equal").over(w_larger))
+    w = p.join(F.broadcast(dim), "p_size")
+    return (
+        w.where(
+            (F.col("mp_larger").isNull() | (F.col("mp_larger") > F.col("p_retailprice")))
+            & (F.col("mp_equal") >= F.col("p_retailprice"))
+        )
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("long"),
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "q_churn_features",
+    oracle="""WITH g AS (SELECT user_id, ts, value, event_type,
+                                epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                                  (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap_us
+                         FROM events)
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                     ROUND(SUM(value), 2) AS total_value,
+                     CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS days_active,
+                     CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                                    DATE '2024-01-31') AS BIGINT)
+                       AS recency_days,
+                     ROUND(AVG(gap_us) / 3600000000.0, 4) AS avg_gap_hours
+              FROM g GROUP BY user_id ORDER BY user_id""",
+)
+def q_churn_features(spark, sf):
+    """Churn-model feature engineering — the feature-store pattern: event
+    counts, purchase counts, monetary total, active-day breadth, recency
+    vs a reference date, and mean inter-event gap, all per user in ONE
+    grouped pass plus one LAG window that reuses the same user_id
+    partitioning (no per-feature scans, no self-joins). At 100 TB this
+    is the daily feature-materialization job; every feature is an
+    algebraic aggregate so incremental refresh (q_incremental_merge)
+    applies directly."""
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = _t(spark, sf, "events").withColumn(
+        "gap_us", us("ts") - F.lag(us("ts")).over(w)
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct(F.to_date("ts")).cast("long").alias("days_active"),
+            F.datediff(F.lit("2024-01-31").cast("date"), F.to_date(F.max("ts")))
+            .cast("long")
+            .alias("recency_days"),
+            F.round(F.avg("gap_us") / F.lit(3600000000.0), 4).alias("avg_gap_hours"),
+        )
+        .orderBy("user_id")
+    )
