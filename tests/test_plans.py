@@ -386,7 +386,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "hll_distinct_merge", "r13_seeded_sample", "q42_approx_aggs",
     # eager_cache of the min-support edge set / driver-side PQ codebook training
     "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
-    "er_match_clusters", "graph_kcore",
+    "er_match_clusters", "graph_kcore", "embedding_mmr_topk",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
@@ -405,6 +405,8 @@ _BNLJ_OK = {
     "text_heavy_hitters",
     # two 1-row arm summaries / grouped z assembly
     "q_ab_test_stats",
+    # 1-row corpus-total broadcasts against the bigram table
+    "text_bigram_pmi",
 }
 
 

@@ -362,3 +362,66 @@ def test_pq_rerank_improves_recall_and_scores_exact(spark, emb, pq_books):
         key = (r["query_id"], r["vec_id"])
         if key in exact_sim:
             assert r["sim"] == pytest.approx(exact_sim[key], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+def test_mmr_matches_plain_python_reference(spark, emb, emb_np):
+    """Greedy MMR from the operator == an independently coded reference
+    loop over the same shortlist."""
+    from pyspark.sql import functions as F
+
+    ids, mat = emb_np
+    lam, k, shortlist = 0.7, 10, 50
+    got = V.mmr_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=k, shortlist=shortlist, lam=lam
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    for qid in (0, 1, 2):
+        cand = _np_topk(ids, mat, qid, shortlist)  # [(id, sim)] sorted
+        cand_ids = [c[0] for c in cand]
+        qsim = {c[0]: c[1] for c in cand}
+        picked = []
+        avail = list(cand_ids)
+        while avail and len(picked) < k:
+            best, best_key = None, None
+            for c in avail:
+                div = max(
+                    (
+                        round(
+                            float(norm[id_to_row[c]] @ norm[id_to_row[p]]), 6
+                        )
+                        for p in picked
+                    ),
+                    default=0.0,
+                )
+                score = lam * qsim[c] - (1 - lam) * div
+                key = (-score, c)
+                if best_key is None or key < best_key:
+                    best, best_key = c, key
+            avail.remove(best)
+            picked.append(best)
+        want = [(i + 1, p) for i, p in enumerate(picked)]
+        assert sorted(by_q[qid]) == sorted(want), f"query {qid}"
+
+
+def test_mmr_rank1_is_top_cosine_and_diversifies(spark, emb):
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 3)
+    mmr = V.mmr_topk(emb, q, k=10, shortlist=50, lam=0.7).collect()
+    top = V.cosine_topk(emb, q, k=10).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    mmr1 = {r["query_id"]: r["vec_id"] for r in mmr if r["rank"] == 1}
+    assert top1 == mmr1  # highest-relevance item always survives
+    # with lam<1 the tail must differ from pure relevance ranking
+    t_set = {(r["query_id"], r["vec_id"]) for r in top}
+    m_set = {(r["query_id"], r["vec_id"]) for r in mmr}
+    assert m_set != t_set

@@ -21,7 +21,7 @@ FAMILIES: dict[str, list[str]] = {
     "Joins": [
         "q07_inner_join", "q08_multiway_join", "q09_left_join", "q10_semi_join",
         "q11_anti_join", "q12_theta_self_join", "q_full_outer_join",
-        "q_right_outer_join", "asof_join_events", "interval_join_events",
+        "q_right_outer_join", "asof_join_events", "interval_join_events", "q_point_in_time_join",
         "q_null_safe_join", "bloom_semi_join_prune", "q_fuzzy_match_levenshtein",
         "er_match_pairs", "er_match_clusters",
     ],
@@ -99,7 +99,7 @@ FAMILIES: dict[str, list[str]] = {
         "knn_label_predict",
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
-        "ann_pq_topk", "ann_pq_rerank_topk",
+        "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
@@ -113,7 +113,7 @@ FAMILIES: dict[str, list[str]] = {
         "quality_classifier_score", "text_kwic_snippets",
         "text_gopher_rules", "text_gopher_reject_stats",
         "text_remove_repeated_spans", "text_bpe_token_stats",
-        "text_heavy_hitters",
+        "text_heavy_hitters", "text_bigram_pmi",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
