@@ -78,6 +78,7 @@ _PRIORITY = [
     "q_point_in_time_join",
     "text_bigram_pmi",
     "embedding_mmr_topk",
+    "q_decayed_score",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -8151,3 +8151,36 @@ def embedding_mmr_topk(spark, sf):
     return mmr_topk(emb, queries, k=10, shortlist=50, lam=0.7).orderBy(
         "query_id", "rank"
     )
+
+
+@q(
+    "q_decayed_score",
+    oracle="""SELECT user_id,
+                     ROUND(SUM(value * exp(-(epoch_us(TIMESTAMP '2024-01-31')
+                                             - epoch_us(ts))
+                                           / 86400000000.0 / 7.0)), 4)
+                       AS decayed_score
+              FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def q_decayed_score(spark, sf):
+    """Exponential time-decay scoring (7-day half-life-style recency
+    weighting, the standard engagement/ranking freshness signal):
+    Σ value·e^(−age/τ) per user in ONE grouped aggregate — no window, no
+    per-day bucketing; the decay factor is a scalar expression inside
+    codegen, so this costs exactly what SUM(value) costs. Identical
+    double math (exp of an epoch-difference ratio) keeps the 4-decimal
+    round engine-portable."""
+    age_days = (
+        F.unix_micros(F.lit("2024-01-31").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(86400000000.0)
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.exp(-age_days / 7.0)), 4).alias(
+                "decayed_score"
+            )
+        )
+        .orderBy("user_id")
+    )

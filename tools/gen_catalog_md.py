@@ -43,7 +43,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_time_weighted_avg", "q_ab_test_stats", "q_decimal_exact_money",
         "q_regression_metrics", "q_bitmask_funnel", "q_k_anonymity",
         "q_rolling_active_users", "q_weighted_median", "q_gini_coefficient",
-        "q_skyline_pareto", "q_churn_features",
+        "q_skyline_pareto", "q_churn_features", "q_decayed_score",
         "q_observed_metrics",
     ],
     "Windows & sequences": [
