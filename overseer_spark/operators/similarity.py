@@ -543,9 +543,7 @@ def pq_topk(
     b_luts = spark.sparkContext.broadcast(luts)
 
     codes = pq_encode(corpus, books, id_col, vec_col)
-    qdf = spark.createDataFrame(
-        [(r[0],) for r in qrows], f"query_id {'bigint'}"
-    )
+    qdf = spark.createDataFrame([(r[0],) for r in qrows], "query_id bigint")
 
     def _adc_fn(qids, code_s):
         L = b_luts.value

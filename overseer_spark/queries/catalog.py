@@ -8039,23 +8039,24 @@ def q_point_in_time_join(spark, sf):
     (asof_join_events) is the fallback. This is the ML-feature-store
     correctness pattern: training rows must see ONLY dimension state
     known at event time (no leakage from later versions)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = _t(spark, sf, "events")
     chg = (
         ev.where(F.col("event_type") == "signup")
         .select(
             "user_id",
+            "event_id",
             F.col("ts").alias("valid_from"),
             F.col("value").alias("tier_value"),
         )
-        .withColumn("valid_to", F.lead("valid_from").over(
-            Window.partitionBy("user_id").orderBy("valid_from")
-        ))
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                # same total order as the oracle's (ts, event_id)
+                Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+            ),
+        )
+        .drop("event_id")
     )
-    # NB: the LEAD above must order exactly like the oracle's (ts, event_id);
-    # signup timestamps are unique per user in the fixtures, and the
-    # valid_from alias carries ts, so ordering by valid_from is identical.
-    _ = w
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
