@@ -427,3 +427,53 @@ def test_no_unexpected_nested_loop_joins(spark):
         f"unexpected nested-loop/cartesian plans: {offenders} — fix the join "
         "or consciously whitelist in _BNLJ_OK"
     )
+
+
+def test_skyline_broadcasts_domination_summary(spark):
+    """The skyline's domination summary is dimension-sized and must
+    broadcast — the fact table sees one grouped agg + one broadcast
+    join, never a quadratic self-join."""
+    from overseer_spark.plans import has_broadcast_join, has_cartesian_or_bnlj
+
+    df = q("q_skyline_pareto", spark)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_interval_merge_single_user_partitioning(spark):
+    """Both stacked windows and the island aggregate share ONE
+    hashpartitioning(user_id) exchange."""
+    from overseer_spark.plans import explain_str
+
+    text = explain_str(q("q_interval_merge", spark))
+    assert text.count("hashpartitioning(user_id") == 1, text.count(
+        "hashpartitioning(user_id"
+    )
+
+
+def test_churn_features_single_user_exchange(spark):
+    """The LAG window and the feature aggregate share the user_id
+    partitioning — one exchange before the presentation sort."""
+    from overseer_spark.plans import explain_str
+
+    text = explain_str(q("q_churn_features", spark))
+    assert text.count("hashpartitioning(user_id") == 1
+
+
+def test_rolling_wau_is_equi_joined(spark):
+    """Contribution-explode WAU must not plan a range/nested-loop join
+    against a day spine."""
+    from overseer_spark.plans import has_cartesian_or_bnlj
+
+    assert not has_cartesian_or_bnlj(q("q_rolling_active_users", spark))
+
+
+def test_point_in_time_join_is_equi_join(spark):
+    """PIT join: user_id equi-join with the validity range as a join
+    filter — no nested loop over versions."""
+    from overseer_spark.plans import has_cartesian_or_bnlj
+    from overseer_spark.plans.inspect import explain_str
+
+    df = q("q_point_in_time_join", spark)
+    assert not has_cartesian_or_bnlj(df)
+    assert "Join" in explain_str(df, "simple")
