@@ -79,6 +79,7 @@ _PRIORITY = [
     "text_bigram_pmi",
     "embedding_mmr_topk",
     "q_decayed_score",
+    "udtf_zip_explode_dynamic",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -8185,3 +8185,55 @@ def q_decayed_score(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "udtf_zip_explode_dynamic",
+    oracle="""WITH toks AS (SELECT string_split(text, ' ') AS t
+                            FROM documents),
+                   big AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                                  unnest(t[2:len(t)]) AS w2 FROM toks)
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+              FROM big WHERE w1 = 'fast'
+              GROUP BY w1, w2 ORDER BY w2""",
+)
+def udtf_zip_explode_dynamic(spark, sf):
+    """Python UDTF with a DYNAMIC ``analyze()`` — the polymorphic half of
+    the UDTF contract (udtf_tokenize_positions covers the static half):
+    output columns and their types are derived at plan time from the
+    argument array element types, so one registered function zip-explodes
+    any combination of array columns (here: a token array against its own
+    tail, yielding bigram rows). Rows stream Arrow-batched per input row;
+    the downstream count is a plain grouped aggregate."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import ArrayType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ZipExplode:
+        @staticmethod
+        def analyze(*args: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i, a in enumerate(args):
+                if not isinstance(a.dataType, ArrayType):
+                    raise TypeError("zip_explode requires array arguments")
+                st = st.add(f"c{i}", a.dataType.elementType)
+            return AnalyzeResult(schema=st)
+
+        def eval(self, *arrays):
+            n = max((len(a) for a in arrays if a is not None), default=0)
+            for i in range(n):
+                yield tuple(
+                    a[i] if a is not None and i < len(a) else None
+                    for a in arrays
+                )
+
+    spark.udtf.register("overseer_zip_explode", udtf(ZipExplode))
+    _t(spark, sf, "documents").createOrReplaceTempView("_docs_udtf_zip")
+    return spark.sql(
+        """SELECT z.c0 AS w1, z.c1 AS w2, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT split(text, ' ') AS t FROM _docs_udtf_zip) s,
+           LATERAL overseer_zip_explode(
+             slice(s.t, 1, size(s.t) - 1), slice(s.t, 2, size(s.t) - 1)) z
+           WHERE z.c0 = 'fast'
+           GROUP BY w1, w2 ORDER BY w2"""
+    )
