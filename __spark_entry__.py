@@ -80,6 +80,8 @@ _PRIORITY = [
     "embedding_mmr_topk",
     "q_decayed_score",
     "udtf_zip_explode_dynamic",
+    "text_span_corruption",
+    "contrastive_pairs_mining",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

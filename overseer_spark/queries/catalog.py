@@ -8237,3 +8237,93 @@ def udtf_zip_explode_dynamic(spark, sf):
            WHERE z.c0 = 'fast'
            GROUP BY w1, w2 ORDER BY w2"""
     )
+
+
+@q(
+    "text_span_corruption",
+    oracle="""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+                   m AS (SELECT doc_id, toks,
+                                list_filter(range(1, len(toks) + 1),
+                                            p -> (doc_id * 131 + p) % 20 = 0)
+                                  AS starts
+                         FROM t)
+              SELECT doc_id,
+                     array_to_string(list_transform(m.toks, (x, i) ->
+                       CASE WHEN len(list_filter(m.starts,
+                                   s -> i >= s AND i < s + 3)) > 0
+                            THEN '<M>' ELSE x END), ' ') AS corrupted,
+                     COALESCE(array_to_string(list_filter(m.toks, (x, i) ->
+                       len(list_filter(m.starts,
+                           s -> i >= s AND i < s + 3)) > 0), ' '), '')
+                       AS targets,
+                     CAST(len(list_filter(m.toks, (x, i) ->
+                       len(list_filter(m.starts,
+                           s -> i >= s AND i < s + 3)) > 0)) AS BIGINT)
+                       AS n_masked
+              FROM m ORDER BY doc_id""",
+)
+def text_span_corruption(spark, sf):
+    """T5-style span corruption for denoising pretraining: deterministic
+    span starts (seeded by a doc_id/position congruence — swap in
+    xxhash64 at scale, same plan) mask 3-token spans to a sentinel while
+    the masked tokens become the target sequence. Everything is array
+    higher-order functions over the token array — per-row, zero shuffle,
+    stays in codegen; the corruption is reproducible across engines,
+    epochs, and partitionings (the property that makes the training set
+    auditable). Spark lambda indexes are 0-based vs the oracle's 1-based
+    — normalized inside the expression."""
+    t = F.split(F.col("text"), " ")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda p: (F.col("doc_id") * 131 + p) % 20 == 0,
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", t.alias("toks"), starts.alias("starts")
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — i is the 1-based position
+        F.col("starts"), lambda s: (i >= s) & (i < s + 3)
+    )
+    corrupted = F.transform(
+        F.col("toks"),
+        lambda x, i: F.when(covered(i + 1), F.lit("<M>")).otherwise(x),
+    )
+    masked = F.filter(F.col("toks"), lambda x, i: covered(i + 1))
+    return docs.select(
+        "doc_id",
+        F.array_join(corrupted, " ").alias("corrupted"),
+        F.array_join(masked, " ").alias("targets"),
+        F.size(masked).cast("long").alias("n_masked"),
+    ).orderBy("doc_id")
+
+
+@q("contrastive_pairs_mining", tier="py", oracle=None)
+def contrastive_pairs_mining(spark, sf):
+    """Contrastive training-pair construction for embedding models:
+    positives are the MinHash-LSH near-duplicate pairs (label 1 — texts
+    that SHOULD embed close), negatives pair each positive anchor with a
+    deterministic pseudo-random other document (label 0) chosen by a
+    doc_id congruence — seeded, reproducible, no Python randomness. The
+    expensive half (positive mining) is the banded-LSH candidate path
+    (operators/dedup.py); negatives are a dimension-free arithmetic
+    projection plus one semi-join to guarantee the sampled id exists.
+    Output: (anchor_id, other_id, label)."""
+    from overseer_spark.operators import dedup as DD
+
+    docs = _t(spark, sf, "documents")
+    pos = DD.minhash_near_duplicates(docs).select(
+        F.col("d1").alias("anchor_id"),
+        F.col("d2").alias("other_id"),
+        F.lit(1).cast("long").alias("label"),
+    )
+    n_docs = docs.count()
+    neg_cand = pos.select(
+        "anchor_id",
+        ((F.col("anchor_id") * 7919 + F.col("other_id") * 104729 + 13) % n_docs)
+        .alias("other_id"),
+    ).where(F.col("other_id") != F.col("anchor_id"))
+    ids = docs.select(F.col("doc_id").alias("other_id"))
+    neg = neg_cand.join(ids, "other_id", "semi").select(
+        "anchor_id", "other_id", F.lit(0).cast("long").alias("label")
+    )
+    return pos.unionByName(neg).orderBy("label", "anchor_id", "other_id")

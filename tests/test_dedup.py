@@ -151,3 +151,29 @@ def test_containment_equal_size_pair_generated_once(spark):
     df = spark.createDataFrame([(7, t), (9, t)], "doc_id long, text string")
     rows = D.containment_pairs(df).collect()
     assert [(r.d1, r.d2, r.containment) for r in rows] == [(7, 9, 1.0)]
+
+
+def test_contrastive_pairs_mining_labels_are_faithful(spark):
+    """Positives must be verified near-duplicates (they come from the
+    LSH+exact-verify path); negatives must reference real docs, differ
+    from their anchor, and not collide with any positive pair."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = CATALOG["contrastive_pairs_mining"].fn(spark, SF_CORRECTNESS).collect()
+    pos = {(r["anchor_id"], r["other_id"]) for r in rows if r["label"] == 1}
+    neg = [(r["anchor_id"], r["other_id"]) for r in rows if r["label"] == 0]
+    assert pos and neg
+    doc_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    pos_sym = pos | {(b, a) for a, b in pos}
+    for a, b in neg:
+        assert b in doc_ids and a != b
+        assert (a, b) not in pos_sym
+    # each positive anchor contributes exactly one negative candidate row
+    # (minus the ones whose sampled id collided with the anchor)
+    assert len(neg) <= len(pos)

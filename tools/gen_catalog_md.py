@@ -114,7 +114,7 @@ FAMILIES: dict[str, list[str]] = {
         "quality_classifier_score", "text_kwic_snippets",
         "text_gopher_rules", "text_gopher_reject_stats",
         "text_remove_repeated_spans", "text_bpe_token_stats",
-        "text_heavy_hitters", "text_bigram_pmi",
+        "text_heavy_hitters", "text_bigram_pmi", "text_span_corruption",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
@@ -125,6 +125,7 @@ FAMILIES: dict[str, list[str]] = {
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
         "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
         "deterministic_shuffle_order", "weighted_sample_by_length",
+        "contrastive_pairs_mining",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
