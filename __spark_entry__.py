@@ -82,6 +82,7 @@ _PRIORITY = [
     "udtf_zip_explode_dynamic",
     "text_span_corruption",
     "contrastive_pairs_mining",
+    "docs_quality_ensemble",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

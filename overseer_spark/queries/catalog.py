@@ -8327,3 +8327,72 @@ def contrastive_pairs_mining(spark, sf):
         "anchor_id", "other_id", F.lit(0).cast("long").alias("label")
     )
     return pos.unionByName(neg).orderBy("label", "anchor_id", "other_id")
+
+
+@q(
+    "docs_quality_ensemble",
+    oracle=_GOPHER_ORACLE_CTE
+    + f""", q AS (SELECT doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 ROUND(len(list_distinct(string_split(text, ' ')))
+                       / len(string_split(text, ' ')), 4) AS dr,
+                 ROUND(len(list_filter(string_split(text, ' '),
+                           x -> list_contains({TX.STOPWORDS!r}, x)))
+                       / len(string_split(text, ' ')), 4) AS sr,
+                 ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / length(text), 4) AS ar
+          FROM documents)
+     SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+       SELECT v.doc_id,
+              CASE WHEN NOT v.r_word_count THEN 'gopher:word_count'
+                   WHEN NOT v.r_mean_word_len THEN 'gopher:mean_word_len'
+                   WHEN NOT v.r_alpha_words THEN 'gopher:alpha_words'
+                   WHEN NOT v.r_symbol_ratio THEN 'gopher:symbol_ratio'
+                   WHEN NOT (q.n >= 5 AND q.dr >= 0.2
+                             AND q.sr <= 0.9 AND q.ar >= 0.5)
+                     THEN 'quality'
+                   ELSE 'pass' END AS stage
+       FROM verdicts v JOIN q USING (doc_id))
+     GROUP BY stage ORDER BY stage""",
+)
+def docs_quality_ensemble(spark, sf):
+    """The filtering CASCADE a production corpus pipeline runs (FineWeb/
+    RefinedWeb shape): stage 1 = the published Gopher rules with named
+    reject reasons, stage 2 = the C4-style quality gates — each document
+    attributed to its FIRST failing stage so the drop-reason histogram is
+    an auditable funnel, not a silent survivor count. Composes the
+    existing per-stage operators (gopher_rules + quality_score) in one
+    plan: two projections over the corpus joined on doc_id (both sides
+    scan-pruned), one dimension-sized aggregate out. The English-
+    stopword Gopher rule is excluded from the cascade — the synthetic
+    corpus has no English function words, so it would reject everything
+    and hide the rest of the funnel (it stays first-class in
+    text_gopher_rules)."""
+    g = TX.gopher_rules(_t(spark, sf, "documents")).select(
+        "doc_id", "r_word_count", "r_mean_word_len", "r_alpha_words",
+        "r_symbol_ratio",
+    )
+    qf = TX.quality_score(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio", "alpha_ratio"
+    )
+    quality_ok = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("distinct_ratio") >= 0.2)
+        & (F.col("stopword_ratio") <= 0.9)
+        & (F.col("alpha_ratio") >= 0.5)
+    )
+    stage = (
+        F.when(~F.col("r_word_count"), F.lit("gopher:word_count"))
+        .when(~F.col("r_mean_word_len"), F.lit("gopher:mean_word_len"))
+        .when(~F.col("r_alpha_words"), F.lit("gopher:alpha_words"))
+        .when(~F.col("r_symbol_ratio"), F.lit("gopher:symbol_ratio"))
+        .when(~quality_ok, F.lit("quality"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        g.join(qf, "doc_id")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("stage")
+    )

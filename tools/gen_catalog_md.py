@@ -112,7 +112,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_vocab_overlap", "text_dsir_scores", "text_chi2_terms",
         "text_perplexity_unigram", "text_ccnet_buckets",
         "quality_classifier_score", "text_kwic_snippets",
-        "text_gopher_rules", "text_gopher_reject_stats",
+        "text_gopher_rules", "text_gopher_reject_stats", "docs_quality_ensemble",
         "text_remove_repeated_spans", "text_bpe_token_stats",
         "text_heavy_hitters", "text_bigram_pmi", "text_span_corruption",
     ],
