@@ -31,6 +31,11 @@ ENTRIES = [
     "text_heavy_hitters",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    "text_span_corruption",
+    "text_bigram_pmi",
+    "contrastive_pairs_mining",
+    "docs_quality_ensemble",
+    "q_rolling_active_users",
 ]
 
 
