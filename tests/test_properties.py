@@ -157,3 +157,144 @@ def test_jaccard_and_containment_prefix_filters_are_exact(spark, docs):
 
 def rows_to_words(docs):
     return [(i, ws) for i, ws in enumerate(docs)]
+
+
+# ---------------------------------------------------------------------------
+# round-2 operator laws
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user
+        st.integers(min_value=0, max_value=3000),       # start offset sec
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_intervals)
+@settings(**_SETTINGS)
+def test_interval_merge_laws(spark, rows):
+    """Island merge vs a pure-python sweep: same island count and same
+    total covered micros, for 10-minute intervals at random offsets."""
+    width = 600  # seconds
+    data = [
+        (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s))
+        for u, s in rows
+    ]
+    df = spark.createDataFrame(data, schema="user_id long, ts timestamp")
+    iv = df.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"interval {width} seconds")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(wprev)
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0).alias("ni"),
+    )
+    m = (
+        flagged.select("user_id", "s", "e", F.sum("ni").over(wrun).alias("island"))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .collect()
+    )
+    got = {}
+    for r in m:
+        n, cov = got.get(r.user_id, (0, 0.0))
+        got[r.user_id] = (n + 1, cov + (r.me - r.ms).total_seconds())
+
+    want = {}
+    by_user: dict[int, list[float]] = {}
+    for u, s in rows:
+        by_user.setdefault(u, []).append(s)
+    for u, starts in by_user.items():
+        starts.sort()
+        islands = []
+        for s in starts:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s + width)
+            else:
+                islands.append([s, s + width])
+        want[u] = (len(islands), float(sum(e - s for s, e in islands)))
+    assert got == want
+
+
+_sky = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # size (maximize)
+        st.integers(min_value=0, max_value=8),   # price (minimize)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_sky)
+@settings(**_SETTINGS)
+def test_skyline_laws(spark, rows):
+    """Skyline membership: no member dominates another member; every
+    non-member is dominated by some member (the defining property)."""
+    data = [(i, sz, float(pr)) for i, (sz, pr) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, size long, price double")
+    per_size = df.groupBy("size").agg(F.min("price").alias("mp_equal"))
+    w = Window.orderBy(F.desc("size")).rowsBetween(Window.unboundedPreceding, -1)
+    dim = per_size.withColumn("mp_larger", F.min("mp_equal").over(w))
+    sky = {
+        r.id
+        for r in df.join(F.broadcast(dim), "size")
+        .where(
+            (F.col("mp_larger").isNull() | (F.col("mp_larger") > F.col("price")))
+            & (F.col("mp_equal") >= F.col("price"))
+        )
+        .collect()
+    }
+
+    def dominates(a, b):  # a dominates b
+        return (
+            a[1] >= b[1] and a[2] <= b[2] and (a[1] > b[1] or a[2] < b[2])
+        )
+
+    members = [d for d in data if d[0] in sky]
+    non_members = [d for d in data if d[0] not in sky]
+    for a in members:
+        for b in members:
+            assert not dominates(a, b) or (a[1], a[2]) == (b[1], b[2])
+    for b in non_members:
+        assert any(dominates(a, b) for a in data), b
+
+
+_docs_hh = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(docs=_docs_hh, k=st.integers(min_value=2, max_value=6))
+@settings(**_SETTINGS)
+def test_heavy_hitters_exactness_law(spark, docs, k):
+    """Two-pass MG == naive group-by threshold for random corpora and k,
+    under a randomized partitioning."""
+    from overseer_spark.operators.text import heavy_hitters
+
+    pdf = [(" ".join(d),) for d in docs]
+    df = spark.createDataFrame(pdf, "text string").repartition(3)
+    toks = [t for d in docs for t in d]
+    n = len(toks)
+    from collections import Counter
+
+    want = {(w, c) for w, c in Counter(toks).items() if c * k > n}
+    got = {(r.token, r.freq) for r in heavy_hitters(df, k=k).collect()}
+    assert got == want
