@@ -83,6 +83,7 @@ _PRIORITY = [
     "text_span_corruption",
     "contrastive_pairs_mining",
     "docs_quality_ensemble",
+    "q_geo_nearby_pairs",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -8396,3 +8396,93 @@ def docs_quality_ensemble(spark, sf):
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("stage")
     )
+
+
+@q(
+    "q_geo_nearby_pairs",
+    oracle="""WITH pts AS (SELECT c_custkey AS id,
+                     -60.0 + (c_custkey * 7919 % 12000) / 100.0 AS lat,
+                     -180.0 + (c_custkey * 104729 % 36000) / 100.0 AS lon
+                           FROM customer),
+                   g AS (SELECT *, CAST(FLOOR(lat / 5) AS BIGINT) AS gy,
+                                CAST(FLOOR(lon / 5) AS BIGINT) AS gx
+                         FROM pts),
+                   cand AS (SELECT a.id AS x, b.id AS y, a.lat AS alat,
+                                   a.lon AS alon, b.lat AS blat, b.lon AS blon
+                            FROM g a JOIN g b
+                              ON b.gy BETWEEN a.gy - 1 AND a.gy + 1
+                             AND b.gx BETWEEN a.gx - 1 AND a.gx + 1
+                             AND a.id < b.id),
+                   d AS (SELECT x, y,
+                           2 * 6371.0 * asin(sqrt(
+                             pow(sin(radians(blat - alat) / 2), 2)
+                             + cos(radians(alat)) * cos(radians(blat))
+                               * pow(sin(radians(blon - alon) / 2), 2))) AS km
+                         FROM cand)
+              SELECT x, y, ROUND(km, 2) AS km FROM d
+              WHERE km <= 500 ORDER BY x, y""",
+)
+def q_geo_nearby_pairs(spark, sf):
+    """Geospatial proximity join: all point pairs within 500 km, via
+    5°-grid cell blocking (each point equi-joins only its own and the 8
+    neighboring cells — the geohash-bucketing pattern) and exact
+    haversine verification of candidates only. Cell width is chosen so
+    no qualifying pair can span more than one cell boundary at the data's
+    latitude range (±60°), making blocking recall 1.0 by construction —
+    the same block-then-verify shape as the LSH dedup family, on
+    coordinates. Synthetic-but-deterministic lat/lon derive from the
+    customer key, so both engines see identical geometry."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(-60.0) + (F.col("c_custkey") * 7919 % 12000) / 100.0).alias("lat"),
+        (F.lit(-180.0) + (F.col("c_custkey") * 104729 % 36000) / 100.0).alias("lon"),
+    )
+    g = c.select(
+        "*",
+        F.floor(F.col("lat") / 5).cast("long").alias("gy"),
+        F.floor(F.col("lon") / 5).cast("long").alias("gx"),
+    )
+    # probe side replicates into its 9 neighbor cells so candidate
+    # generation is a pure EQUI-join on (gy, gx) — hash-partitionable;
+    # the oracle's BETWEEN formulation would be a nested loop at scale
+    probe = g.select(
+        "id", "lat", "lon",
+        F.explode(
+            F.expr("sequence(gy - 1, gy + 1)")
+        ).alias("gy"),
+        "gx",
+    ).select(
+        "id", "lat", "lon", "gy",
+        F.explode(F.expr("sequence(gx - 1, gx + 1)")).alias("gx"),
+    )
+    a, b = probe.alias("a"), g.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.gy") == F.col("b.gy"))
+        & (F.col("a.gx") == F.col("b.gx"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("x"),
+        F.col("b.id").alias("y"),
+        F.col("a.lat").alias("alat"),
+        F.col("a.lon").alias("alon"),
+        F.col("b.lat").alias("blat"),
+        F.col("b.lon").alias("blon"),
+    )
+    km = (
+        F.lit(2 * 6371.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+                + F.cos(F.radians("alat"))
+                * F.cos(F.radians("blat"))
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
+            )
+        )
+    )
+    return (
+        cand.select("x", "y", km.alias("km"))
+        .where(F.col("km") <= 500)
+        .select("x", "y", F.round("km", 2).alias("km"))
+        .orderBy("x", "y")
+    )

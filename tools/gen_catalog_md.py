@@ -23,7 +23,7 @@ FAMILIES: dict[str, list[str]] = {
         "q11_anti_join", "q12_theta_self_join", "q_full_outer_join",
         "q_right_outer_join", "asof_join_events", "interval_join_events", "q_point_in_time_join",
         "q_null_safe_join", "bloom_semi_join_prune", "q_fuzzy_match_levenshtein",
-        "er_match_pairs", "er_match_clusters",
+        "er_match_pairs", "er_match_clusters", "q_geo_nearby_pairs",
     ],
     "Aggregation & grouping": [
         "q13_global_agg", "q14_grouped_agg", "q15_count_distinct", "q16_distinct",
