@@ -84,6 +84,7 @@ _PRIORITY = [
     "contrastive_pairs_mining",
     "docs_quality_ensemble",
     "q_geo_nearby_pairs",
+    "q_xml_roundtrip",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

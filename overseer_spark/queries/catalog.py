@@ -8486,3 +8486,39 @@ def q_geo_nearby_pairs(spark, sf):
         .select("x", "y", F.round("km", 2).alias("km"))
         .orderBy("x", "y")
     )
+
+
+@q(
+    "q_xml_roundtrip",
+    oracle="""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 2) AS s
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q_xml_roundtrip(spark, sf):
+    """XML ingestion surface: documents are built from the event columns,
+    then parsed BACK through ``from_xml`` with a typed schema, and the
+    parsed fields aggregate — so the oracle (a plain group-by on the raw
+    columns) verifies the whole serialize→parse→extract round trip
+    against ground truth rather than trusting the parser. Both
+    construction and parsing are JVM expressions inside codegen; this is
+    the pattern for landing XML feeds (the third wire format beside JSON
+    q36/q_variant_json and binary multimodal payloads)."""
+    ev = _t(spark, sf, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.col("value").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "t string, v double").alias("p")
+    ).select(F.col("p.t").alias("event_type"), F.col("p.v").alias("value"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .orderBy("event_type")
+    )
