@@ -65,6 +65,16 @@ HEADLINE = [
     "deterministic_shuffle_order",
     "q_winsorized_stats",
     "ewma_user_value",
+    # round-2 additions: MG heavy hitters, graph, temporal, geo, text-pipeline
+    "text_heavy_hitters",
+    "graph_triangle_count",
+    "q_interval_merge",
+    "q_rolling_active_users",
+    "q_skyline_pareto",
+    "text_span_corruption",
+    "q_geo_nearby_pairs",
+    "q_churn_features",
+    "text_bigram_pmi",
 ]
 
 
