@@ -85,6 +85,7 @@ _PRIORITY = [
     "docs_quality_ensemble",
     "q_geo_nearby_pairs",
     "q_xml_roundtrip",
+    "q_peak_concurrency",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -8527,3 +8527,56 @@ def q_xml_roundtrip(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q_peak_concurrency",
+    oracle="""WITH ev AS (SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e
+                          FROM events),
+                   pts AS (SELECT s AS t, 1 AS delta FROM ev
+                           UNION ALL SELECT e, -1 FROM ev),
+                   run AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS conc
+                           FROM pts)
+              SELECT CAST(t AS DATE) AS d, CAST(MAX(conc) AS BIGINT) AS peak
+              FROM run GROUP BY d ORDER BY d""",
+)
+def q_peak_concurrency(spark, sf):
+    """Peak concurrent open intervals per day (capacity planning /
+    max-concurrent-sessions) — the classic sweep line: +1 at each start,
+    −1 at each end, running sum, daily max; ties close-before-open so
+    touching intervals don't double-count. The oracle's single global
+    window is a one-partition sort at scale; the Spark plan two-levels
+    it — a per-HOUR running sum (windows partitioned by hour, parallel)
+    plus each hour's carry-in, a cumulative sum over the tiny hour-level
+    net-delta table that broadcasts back. Same two-phase
+    partial-plus-offset trick as deterministic_shuffle_order; exact, and
+    every window is bounded by an hour of points."""
+    ev = _t(spark, sf, "events").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("e"),
+    )
+    pts = ev.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        ev.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    pts = pts.withColumn("hr", F.date_trunc("hour", F.col("t")))
+    w_in = (
+        Window.partitionBy("hr")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = pts.withColumn("run_in", F.sum("delta").over(w_in))
+    hr_net = pts.groupBy("hr").agg(F.sum("delta").alias("net"))
+    w_carry = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    carry = hr_net.select(
+        "hr", F.coalesce(F.sum("net").over(w_carry), F.lit(0)).alias("carry")
+    )
+    conc = inner.join(F.broadcast(carry), "hr").select(
+        F.to_date("t").alias("d"), (F.col("carry") + F.col("run_in")).alias("conc")
+    )
+    return (
+        conc.groupBy("d")
+        .agg(F.max("conc").cast("long").alias("peak"))
+        .orderBy("d")
+    )

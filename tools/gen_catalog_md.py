@@ -57,7 +57,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
         "q_funnel_conversion_latency",
         "q_scd2_intervals", "q_cumulative_max_drawdown", "q_resample_interpolate",
-        "q_interval_merge",
+        "q_interval_merge", "q_peak_concurrency",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
