@@ -478,3 +478,24 @@ def test_point_in_time_join_is_equi_join(spark):
     df = q("q_point_in_time_join", spark)
     assert not has_cartesian_or_bnlj(df)
     assert "Join" in explain_str(df, "simple")
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """Runtime re-planning evidence: with 64 shuffle partitions configured
+    but a tiny aggregate, AQE's executed plan must coalesce the shuffle
+    reads (AQEShuffleRead coalesced) instead of launching 64 near-empty
+    tasks — the behavior that keeps small stages cheap at any configured
+    parallelism."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        agg = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .groupBy("event_type")
+            .count()
+        )
+        agg.collect()  # AQE final plan exists only after execution
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
