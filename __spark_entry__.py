@@ -72,6 +72,7 @@ _PRIORITY = [
     "q_weighted_median",
     "q_gini_coefficient",
     "multimodal_audio_fingerprint",
+    "multimodal_resize_thumbnails",
     "q33c_closure_sql_scripting",
     "q_skyline_pareto",
     "q_churn_features",

@@ -416,3 +416,62 @@ def image_ahash(
     return media.mapInPandas(
         batches, schema=f"{id_col} long, {codec_col} string, ahash string"
     )
+
+
+def image_resize(
+    media: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """REAL image resize: decode (pure-numpy bmp/ppm/pgm) → block-mean
+    downsample to (out_h, out_w) → re-encode as BMP. The thumbnail
+    pipeline stage: output payloads are valid BMP files any tool opens,
+    emitted with their dimensions and byte size so downstream stages can
+    verify without decoding. Arrow-batched mapInPandas; non-image codecs
+    drop out (filtered, not fatal). At 100 TB the decode+resize runs
+    where the bytes live — only thumbnails (fixed small size) ever
+    shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            out = {id_col: [], "in_codec": [], "out_w": [], "out_h": [],
+                   "out_bytes": [], "payload": []}
+            for i, codec, b in zip(pdf[id_col], pdf[codec_col], pdf[payload_col]):
+                if codec not in ("bmp", "ppm", "pgm"):
+                    continue
+                _, px = getattr(MC, f"decode_{codec}")(bytes(b))
+                px = px.astype(np.float64)
+                if px.ndim == 2:
+                    px = np.stack([px, px, px], axis=-1)
+                h, w, _c = px.shape
+                ri = (np.arange(h) * out_h) // h
+                ci = (np.arange(w) * out_w) // w
+                cells = np.zeros((out_h, out_w, 3))
+                counts = np.zeros((out_h, out_w, 1))
+                np.add.at(cells, (ri[:, None], ci[None, :]), px)
+                np.add.at(counts, (ri[:, None], ci[None, :]), 1.0)
+                thumb = (cells / np.maximum(counts, 1.0)).round().clip(0, 255)
+                payload = MC.encode_bmp(thumb.astype(np.uint8))
+                out[id_col].append(int(i))
+                out["in_codec"].append(codec)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["out_bytes"].append(len(payload))
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, in_codec string, out_w int, out_h int, "
+            "out_bytes long, payload binary"
+        ),
+    )

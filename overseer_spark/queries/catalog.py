@@ -8580,3 +8580,20 @@ def q_peak_concurrency(spark, sf):
         .agg(F.max("conc").cast("long").alias("peak"))
         .orderBy("d")
     )
+
+
+@q("multimodal_resize_thumbnails", tier="py", oracle=None)
+def multimodal_resize_thumbnails(spark, sf):
+    """Thumbnail generation over REAL image payloads (the 'resize' leg of
+    the multimodal contract): decode → 8×8 block-mean → re-encode BMP,
+    emitted with dimensions and byte counts (operators/multimodal.py:
+    image_resize). Output thumbnails are valid BMPs — round-tripped and
+    pixel-checked against a numpy reference in tests/test_multimodal.py."""
+    from overseer_spark.operators.multimodal import image_resize, synthesize_media
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
+    return (
+        image_resize(synthesize_media(docs))
+        .select("doc_id", "in_codec", "out_w", "out_h", "out_bytes")
+        .orderBy("doc_id")
+    )

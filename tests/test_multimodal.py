@@ -315,3 +315,42 @@ def test_audio_fingerprint_groups_match_construction(spark):
         for r in CATALOG["multimodal_audio_fingerprint"].fn(spark, SF_SMOKE).collect()
     )
     assert got == want and got
+
+
+def test_image_resize_roundtrips_valid_bmp(spark):
+    """Thumbnails decode back as 8x8 BMPs whose pixels equal the
+    block-mean of the source image (numpy reference)."""
+    import numpy as np
+
+    from overseer_spark.functions import media_codecs as MC
+    from overseer_spark.operators.multimodal import image_resize
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, "bmp", MC.encode_bmp(img))], "doc_id long, codec string, payload binary"
+    )
+    rows = image_resize(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["out_w"], r["out_h"]) == (8, 8)
+    meta, px = MC.decode_bmp(bytes(r["payload"]))
+    assert px.shape == (8, 8, 3)
+    # numpy reference block-mean
+    h, w, _ = img.shape
+    ri = (np.arange(h) * 8) // h
+    ci = (np.arange(w) * 8) // w
+    cells = np.zeros((8, 8, 3)); counts = np.zeros((8, 8, 1))
+    np.add.at(cells, (ri[:, None], ci[None, :]), img.astype(np.float64))
+    np.add.at(counts, (ri[:, None], ci[None, :]), 1.0)
+    want = (cells / counts).round().clip(0, 255).astype(np.uint8)
+    assert np.array_equal(px, want)
+
+
+def test_multimodal_resize_catalog_entry(spark):
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["multimodal_resize_thumbnails"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r["out_w"] == 8 and r["out_h"] == 8 for r in rows)
+    assert all(r["in_codec"] in ("bmp", "ppm") for r in rows)

@@ -120,6 +120,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
         "multimodal_decode_features", "multimodal_audio_spectral",
         "multimodal_image_ahash", "multimodal_audio_fingerprint",
+        "multimodal_resize_thumbnails",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
