@@ -61,3 +61,21 @@ def test_stream_reader(spark, nation, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT COUNT(*) c FROM src_stream").collect()[0]["c"] == 25
+
+
+def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution contract: files written before a column existed
+    read back as NULL for that column under mergeSchema — appends never
+    require rewriting history (the additive-evolution rule every
+    long-lived lakehouse table relies on)."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        out, mode="append"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(out, mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
