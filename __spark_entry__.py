@@ -87,6 +87,15 @@ _PRIORITY = [
     "q_geo_nearby_pairs",
     "q_xml_roundtrip",
     "q_peak_concurrency",
+    # round-2 batch 3: forensic audit, seasonal baseline, bigram LM,
+    # preference mining, shard planning, agreement stats, sequence mining
+    "q_benford_audit",
+    "q_seasonal_baseline",
+    "text_perplexity_bigram",
+    "preference_pairs",
+    "shard_plan_by_tokens",
+    "q_cohens_kappa",
+    "q_sequential_patterns",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -8597,3 +8597,412 @@ def multimodal_resize_thumbnails(spark, sf):
         .select("doc_id", "in_codec", "out_w", "out_h", "out_bytes")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q_benford_audit",
+    oracle="""WITH d AS (SELECT CAST(FLOOR(o_totalprice
+                         / POW(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT)
+                           AS digit
+                         FROM orders WHERE o_totalprice > 0),
+                   obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+                   tot AS (SELECT SUM(n) AS t FROM obs)
+              SELECT digit, CAST(n AS BIGINT) AS n,
+                     ROUND(n * 1.0 / t, 4) AS obs_p,
+                     ROUND(LOG10(1 + 1.0 / digit), 4) AS exp_p,
+                     ROUND(POW(n * 1.0 / t - LOG10(1 + 1.0 / digit), 2)
+                           / LOG10(1 + 1.0 / digit), 6) AS chi2_part
+              FROM obs, tot ORDER BY digit""",
+)
+def q_benford_audit(spark, sf):
+    """Benford's-law first-digit audit over order amounts — the standard
+    forensic integrity screen for financial / metric columns (synthetic
+    or fabricated data shows flat digit frequencies; organic multi-scale
+    data follows log10(1+1/d)). One narrow scan → 9-row aggregate; the
+    grand total joins back via a 1-row broadcast, so the whole audit is
+    two map-side passes regardless of table size — run it per-ingest as
+    a data-quality gate beside q_integrity_audit / dq_expectations."""
+    d = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp_p = F.log10(1 + 1.0 / F.col("digit"))
+    op = F.col("n") / F.col("t")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(op, 4).alias("obs_p"),
+            F.round(exp_p, 4).alias("exp_p"),
+            F.round(F.pow(op - exp_p, 2) / exp_p, 6).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+@q(
+    "q_seasonal_baseline",
+    oracle="""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                                     CAST(COUNT(*) AS BIGINT) AS c
+                              FROM events GROUP BY h),
+                   z AS (SELECT EXTRACT(dow FROM h) AS dw,
+                                EXTRACT(hour FROM h) AS hr, c
+                         FROM hourly)
+              SELECT CAST(dw AS BIGINT) AS dw, CAST(hr AS BIGINT) AS hr,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs,
+                     ROUND(AVG(c), 4) AS mean_c,
+                     ROUND(COALESCE(STDDEV_SAMP(c), 0.0), 4) AS std_c,
+                     CAST(MAX(c) AS BIGINT) AS max_c
+              FROM z GROUP BY dw, hr ORDER BY dw, hr""",
+)
+def q_seasonal_baseline(spark, sf):
+    """Seasonal traffic baseline for anomaly detection: hourly event
+    counts folded onto the (day-of-week × hour-of-day) grid — mean /
+    sample-stddev / max per cell is the 168-row profile a monitor
+    compares live counts against (the seasonal-naive residual model; an
+    hour whose count exceeds mean + 3·std is the alert). Two cascaded
+    aggregations, each strictly smaller than the last (rows → hours →
+    168 cells), so the plan is a pair of partial-agg shuffles and works
+    unchanged at any history length. Day-of-week is normalized to
+    DuckDB's 0=Sunday convention (Spark's dayofweek is 1-based)."""
+    hourly = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    z = hourly.select(
+        (F.dayofweek("h") - 1).cast("long").alias("dw"),
+        F.hour("h").cast("long").alias("hr"),
+        "c",
+    )
+    return (
+        z.groupBy("dw", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(F.avg("c"), 4).alias("mean_c"),
+            F.round(F.coalesce(F.stddev_samp("c"), F.lit(0.0)), 4).alias("std_c"),
+            F.max("c").cast("long").alias("max_c"),
+        )
+        .orderBy("dw", "hr")
+    )
+
+
+@q(
+    "text_perplexity_bigram",
+    oracle="""WITH tok AS (SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS term,
+                       generate_subscripts(string_split(lower(text), ' '), 1)
+                         AS pos
+                           FROM documents),
+                   big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+                           FROM tok a JOIN tok b
+                             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                   bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big
+                          GROUP BY w1, w2),
+                   cc AS (SELECT w1, SUM(cb) AS cw FROM bc GROUP BY w1),
+                   v AS (SELECT COUNT(DISTINCT term) AS vs FROM tok),
+                   lm AS (SELECT w1, w2,
+                                 ln((cb + 0.5) / (cw + 0.5 * vs)) AS logp
+                          FROM bc JOIN cc USING (w1), v)
+              SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+                     ROUND(AVG(-lm.logp), 4) AS nll
+              FROM big JOIN lm USING (w1, w2)
+              GROUP BY big.doc_id ORDER BY big.doc_id""",
+)
+def text_perplexity_bigram(spark, sf):
+    """Bigram-LM perplexity (add-k smoothed, k=0.5) — the next rung above
+    text_perplexity_unigram toward the KenLM signal CCNet actually uses:
+    per-document mean negative log-likelihood of each token given its
+    predecessor. Bigrams come from a posexplode + self-join on adjacent
+    positions that stays partitioned by doc_id (both sides hash the same
+    key — one shuffle, co-located), the bigram/context LM tables are
+    vocabulary²-bounded aggregates that broadcast back for scoring, and
+    the vocab size is a 1-row broadcast — so the corpus streams through
+    twice and nothing driver-side scales with data. The smoothing keeps
+    every observed bigram finite without a backoff join."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a, b = tok.alias("a"), tok.alias("b")
+    big = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.term").alias("w1"),
+        F.col("b.term").alias("w2"),
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    v = tok.agg(F.countDistinct("term").alias("vs"))
+    lm = (
+        bc.join(cc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("cb") + 0.5) / (F.col("cw") + 0.5 * F.col("vs"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        big.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_big"),
+            F.round(F.avg(-F.col("logp")), 4).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "preference_pairs",
+    oracle="""WITH s AS (SELECT doc_id, lang, source,
+                     CAST(len(list_distinct(string_split(lower(text), ' ')))
+                          AS BIGINT) AS score
+                         FROM documents),
+                   ch AS (SELECT lang, source, doc_id, score,
+                                 ROW_NUMBER() OVER (PARTITION BY lang, source
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+                          FROM s),
+                   rj AS (SELECT lang, source, doc_id, score,
+                                 ROW_NUMBER() OVER (PARTITION BY lang, source
+                                   ORDER BY score ASC, doc_id DESC) AS rn
+                          FROM s),
+                   n AS (SELECT lang, source, COUNT(*) AS cnt FROM s
+                         GROUP BY lang, source)
+              SELECT c.lang, c.source, c.doc_id AS chosen_id,
+                     r.doc_id AS rejected_id,
+                     CAST(c.score - r.score AS BIGINT) AS margin
+              FROM ch c
+              JOIN rj r ON c.lang = r.lang AND c.source = r.source
+              JOIN n ON c.lang = n.lang AND c.source = n.source
+              WHERE c.rn = 1 AND r.rn = 1 AND n.cnt >= 2
+              ORDER BY c.lang, c.source""",
+)
+def preference_pairs(spark, sf):
+    """DPO/RLHF-style preference-pair mining: within each (lang, source)
+    prompt group, pair the highest-scoring document (chosen) with the
+    lowest (rejected), scored here by lexical diversity (distinct-token
+    count — swap in any reward model's column). Deterministic tie-breaks
+    (doc_id ASC for chosen, DESC for rejected) guarantee chosen ≠
+    rejected whenever the group has ≥2 docs, so the pair table is stable
+    across runs — a requirement for reproducible training sets. Plan:
+    one scored scan, two rank windows over the SAME (lang, source)
+    partitioning (one shuffle, reused), and the final joins are on the
+    group key — group-count rows, not document rows."""
+    s = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+        .cast("long")
+        .alias("score"),
+    )
+    grp = Window.partitionBy("lang", "source")
+    ch = s.withColumn(
+        "rn", F.row_number().over(grp.orderBy(F.desc("score"), F.asc("doc_id")))
+    ).where(F.col("rn") == 1)
+    rj = s.withColumn(
+        "rn", F.row_number().over(grp.orderBy(F.asc("score"), F.desc("doc_id")))
+    ).where(F.col("rn") == 1)
+    n = s.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        ch.select("lang", "source", F.col("doc_id").alias("chosen_id"),
+                  F.col("score").alias("cs"))
+        .join(
+            rj.select("lang", "source", F.col("doc_id").alias("rejected_id"),
+                      F.col("score").alias("rs")),
+            ["lang", "source"],
+        )
+        .join(n.where(F.col("cnt") >= 2).select("lang", "source"), ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            (F.col("cs") - F.col("rs")).cast("long").alias("margin"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@q(
+    "shard_plan_by_tokens",
+    oracle="""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                         FROM documents),
+                   c AS (SELECT doc_id, toks,
+                                SUM(toks) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+                         FROM t),
+                   sh AS (SELECT CAST(FLOOR((cum - toks) / 5000.0) AS BIGINT)
+                                   AS shard, doc_id, toks
+                          FROM c)
+              SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(toks) AS BIGINT) AS tokens,
+                     CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                     CAST(MAX(doc_id) AS BIGINT) AS last_doc
+              FROM sh GROUP BY shard ORDER BY shard""",
+)
+def shard_plan_by_tokens(spark, sf):
+    """Token-budgeted shard planning — the step between dedup/filter and
+    writing training shards: assign documents (in stable doc_id order)
+    to ~5000-token shards by cumulative token count, emitting each
+    shard's manifest row (doc span, doc count, token total). The
+    oracle's single global running sum is a one-partition sort at scale;
+    the Spark plan uses the two-phase split: a per-BLOCK running sum
+    (blocks = doc_id ranges, windows partitioned and parallel) plus
+    each block's carry-in offset — a cumulative sum over the tiny
+    block-totals table that broadcasts back. Exact same result, no
+    global sort; the pattern scales to billions of docs because only
+    block summaries are single-threaded."""
+    t = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    t = t.withColumn("blk", F.floor(F.col("doc_id") / 4096).cast("long"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = t.withColumn("run_in", F.sum("toks").over(w_in))
+    blk_tot = t.groupBy("blk").agg(F.sum("toks").alias("net"))
+    w_carry = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk_tot.select(
+        "blk", F.coalesce(F.sum("net").over(w_carry), F.lit(0)).alias("carry")
+    )
+    c = inner.join(F.broadcast(carry), "blk").select(
+        "doc_id", "toks", (F.col("carry") + F.col("run_in")).alias("cum")
+    )
+    sh = c.select(
+        F.floor((F.col("cum") - F.col("toks")) / 5000.0).cast("long").alias("shard"),
+        "doc_id",
+        "toks",
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@q(
+    "q_cohens_kappa",
+    oracle="""WITH lab AS (SELECT doc_id,
+                     CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN len(string_split(text, ' ')) >= 55
+                          THEN 1 ELSE 0 END AS b
+                          FROM documents),
+                   m AS (SELECT COUNT(*) * 1.0 AS n,
+                                SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+                                SUM(a) AS a1, SUM(b) AS b1
+                         FROM lab)
+              SELECT CAST(n AS BIGINT) AS n_items,
+                     ROUND(agree / n, 4) AS po,
+                     ROUND((a1 / n) * (b1 / n)
+                           + (1 - a1 / n) * (1 - b1 / n), 4) AS pe,
+                     ROUND((agree / n - ((a1 / n) * (b1 / n)
+                            + (1 - a1 / n) * (1 - b1 / n)))
+                           / (1 - ((a1 / n) * (b1 / n)
+                            + (1 - a1 / n) * (1 - b1 / n))), 4) AS kappa
+              FROM m""",
+)
+def q_cohens_kappa(spark, sf):
+    """Inter-labeler agreement (Cohen's κ) between two weak document
+    labelers — the statistic a labeling pipeline reports before trusting
+    silver labels (κ corrects raw agreement for chance; 0.4–0.6 =
+    moderate). Labeler A = char-length gate, labeler B = token-count
+    gate (stand-ins for any two classifier columns). The whole
+    computation is one map-side projection folded into a single global
+    aggregate — four partial sums, one reduce, a 1-row result at any
+    corpus size; κ's algebra happens on that row, not on data."""
+    lab = _t(spark, sf, "documents").select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 55, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    po = F.col("agree") / F.col("n")
+    pe = (F.col("a1") / F.col("n")) * (F.col("b1") / F.col("n")) + (
+        1 - F.col("a1") / F.col("n")
+    ) * (1 - F.col("b1") / F.col("n"))
+    return m.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.round((po - pe) / (1 - pe), 4).alias("kappa"),
+    )
+
+
+@q(
+    "q_sequential_patterns",
+    oracle="""WITH ordered AS (SELECT user_id, event_type, ts, event_id
+                               FROM events),
+                   tri AS (SELECT user_id,
+                                  event_type AS e1,
+                                  LEAD(event_type, 1) OVER w AS e2,
+                                  LEAD(event_type, 2) OVER w AS e3
+                           FROM ordered
+                           WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY ts, event_id)),
+                   pat AS (SELECT e1 || '>' || e2 || '>' || e3 AS pattern
+                           FROM tri WHERE e3 IS NOT NULL)
+              SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pat GROUP BY pattern
+              ORDER BY n DESC, pattern LIMIT 10""",
+)
+def q_sequential_patterns(spark, sf):
+    """Sequential pattern mining (PrefixSpan's contiguous-trigram core):
+    the 10 most frequent 3-event sequences across user journeys —
+    onboarding-path / funnel-discovery analytics. Per-user windows
+    partition by user_id (parallel, bounded by one user's history;
+    event_id tie-breaks equal timestamps for determinism), the pattern
+    space is |event_types|³-bounded so the count aggregate is tiny, and
+    the top-10 compiles to TakeOrderedAndProject — no global sort ever
+    materializes. Longer prefixes = add LEADs; the plan shape is
+    unchanged."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = _t(spark, sf, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    pat = tri.where(F.col("e3").isNotNull()).select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("pattern")
+    )
+    return (
+        pat.groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pattern"))
+        .limit(10)
+    )

@@ -44,7 +44,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_regression_metrics", "q_bitmask_funnel", "q_k_anonymity",
         "q_rolling_active_users", "q_weighted_median", "q_gini_coefficient",
         "q_skyline_pareto", "q_churn_features", "q_decayed_score",
-        "q_observed_metrics",
+        "q_observed_metrics", "q_benford_audit", "q_seasonal_baseline",
     ],
     "Windows & sequences": [
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
@@ -57,7 +57,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
         "q_funnel_conversion_latency",
         "q_scd2_intervals", "q_cumulative_max_drawdown", "q_resample_interpolate",
-        "q_interval_merge", "q_peak_concurrency",
+        "q_interval_merge", "q_peak_concurrency", "q_sequential_patterns",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
@@ -115,6 +115,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_gopher_rules", "text_gopher_reject_stats", "docs_quality_ensemble",
         "text_remove_repeated_spans", "text_bpe_token_stats",
         "text_heavy_hitters", "text_bigram_pmi", "text_span_corruption",
+        "text_perplexity_bigram", "q_cohens_kappa",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
@@ -126,7 +127,7 @@ FAMILIES: dict[str, list[str]] = {
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
         "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
         "deterministic_shuffle_order", "weighted_sample_by_length",
-        "contrastive_pairs_mining",
+        "contrastive_pairs_mining", "preference_pairs", "shard_plan_by_tokens",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
