@@ -96,6 +96,11 @@ _PRIORITY = [
     "shard_plan_by_tokens",
     "q_cohens_kappa",
     "q_sequential_patterns",
+    "stream_dedup_within_watermark",
+    "q_active_learning_batch",
+    "hll_intersection_estimate",
+    "multimodal_audio_vad",
+    "multimodal_scene_cuts",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -475,3 +475,187 @@ def image_resize(
             "out_bytes long, payload binary"
         ),
     )
+
+
+def synthesize_speechlike(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Speech-shaped WAV payloads for VAD testing: each id gets
+    ``1 + id % 4`` voiced tone bursts (500 samples @ 8 kHz, id-keyed
+    pitch) separated by exact-zero silence gaps (300 samples), with
+    leading/trailing silence. Every payload is a valid WAV any tool can
+    open; the burst count is recoverable from the id, which is the
+    oracle ``audio_vad`` is tested against. Arrow-batched, scans only
+    the id column."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n_bursts = 1 + i % 4
+                freq = 180.0 + (i % 50) * 15.0
+                sr = 8000
+                parts = [np.zeros(300, dtype=np.int16)]
+                tone_t = np.arange(500, dtype=np.float64) / sr
+                tone = (11000 * np.sin(2 * np.pi * freq * tone_t)).astype(
+                    np.int16
+                )
+                for _ in range(n_bursts):
+                    parts.append(tone)
+                    parts.append(np.zeros(300, dtype=np.int16))
+                payloads.append(MC.encode_wav(np.concatenate(parts), sr))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def audio_vad(
+    df: DataFrame,
+    frame_len: int = 100,
+    rms_threshold: float = 500.0,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-based voice-activity detection over WAV payloads — the
+    silence-trim / segmentation step an audio training pipeline runs
+    before transcription: decode, frame into ``frame_len``-sample
+    windows, RMS per frame, threshold, and merge consecutive voiced
+    frames into segments. Emits per-document segment count, voiced
+    fraction, and voiced milliseconds. Pure-numpy decode inside an
+    Arrow-batched mapInPandas — the payload bytes never shuffle and the
+    output is one narrow row per document."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids, n_seg, voiced_ms, ratio = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                meta, samples = MC.decode_wav(bytes(b))
+                sr = meta["sample_rate"]
+                n = len(samples) // frame_len * frame_len
+                frames = samples[:n].astype(np.float64).reshape(
+                    -1, frame_len
+                )
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                voiced = rms > rms_threshold
+                # segment = maximal run of voiced frames
+                starts = int(
+                    (voiced & ~np.concatenate(([False], voiced[:-1]))).sum()
+                )
+                ids.append(int(i))
+                n_seg.append(starts)
+                voiced_ms.append(
+                    float(voiced.sum() * frame_len * 1000.0 / sr)
+                )
+                ratio.append(
+                    float(voiced.mean()) if len(voiced) else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_segments": n_seg,
+                    "voiced_ms": voiced_ms,
+                    "voiced_ratio": ratio,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, n_segments int, voiced_ms double, "
+            "voiced_ratio double"
+        ),
+    )
+
+
+def synthesize_video_frames(
+    df: DataFrame, n_frames: int = 24, id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw-frame 'video' payloads with id-keyed hard cuts: ``n_frames``
+    8×8 grayscale frames (64 bytes each, concatenated), three scenes
+    with boundaries at ``6 + id % 6`` and ``14 + id % 8`` and per-scene
+    luma ``(id * 31) % 100 + 75 * scene`` — so consecutive-frame deltas
+    are exactly 0 within a scene and exactly 75 at a cut. The cut
+    positions are recoverable from the id; that is the oracle
+    ``scene_cuts`` is tested against."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                c1, c2 = 6 + i % 6, 14 + i % 8
+                base = i * 31 % 100
+                frames = np.empty((n_frames, 64), dtype=np.uint8)
+                for f in range(n_frames):
+                    scene = 0 if f < c1 else (1 if f < c2 else 2)
+                    frames[f, :] = base + 75 * scene
+                payloads.append(frames.tobytes())
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def scene_cuts(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    threshold: float = 30.0,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shot-boundary detection over raw-frame video payloads — the
+    keyframe-selection step a video training pipeline runs instead of
+    decoding every frame: mean absolute pixel delta between consecutive
+    frames, a cut wherever the delta exceeds ``threshold``, frame 0
+    always a keyframe. Emits one row per keyframe (doc_id, frame index,
+    mean luma) so downstream feature extraction touches only keyframes
+    — a 10-100× decode reduction on real footage. Same Arrow-batched
+    1→N expansion shape as frame_sample; payloads never shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out_ids, out_idx, out_luma = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr) // frame_bytes
+                frames = arr[: n * frame_bytes].reshape(n, frame_bytes)
+                fl = frames.astype(np.float64)
+                deltas = np.abs(fl[1:] - fl[:-1]).mean(axis=1)
+                keyframes = [0] + [
+                    j + 1 for j in range(n - 1) if deltas[j] > threshold
+                ]
+                for k in keyframes:
+                    out_ids.append(int(i))
+                    out_idx.append(int(k))
+                    out_luma.append(float(fl[k].mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "keyframe_idx": out_idx,
+                    "mean_luma": out_luma,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} long, keyframe_idx int, mean_luma double"
+    )

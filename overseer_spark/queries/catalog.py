@@ -9006,3 +9006,194 @@ def q_sequential_patterns(spark, sf):
         .orderBy(F.desc("n"), F.asc("pattern"))
         .limit(10)
     )
+
+
+@q("multimodal_audio_vad", tier="py", oracle=None)
+def multimodal_audio_vad(spark, sf):
+    """Voice-activity detection over REAL WAV payloads: speech-shaped
+    audio (id-keyed tone bursts separated by silence) → energy VAD →
+    per-document segment count / voiced fraction / voiced milliseconds
+    (operators/multimodal.py: audio_vad). The burst count is recoverable
+    from the id, so tests/test_multimodal.py asserts the detector finds
+    EXACTLY the synthesized segments — a closed-loop oracle, not a
+    smoke test."""
+    from overseer_spark.operators.multimodal import audio_vad, synthesize_speechlike
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 2 == 0)
+    return (
+        audio_vad(synthesize_speechlike(docs))
+        .select(
+            "doc_id",
+            "n_segments",
+            F.round("voiced_ms", 1).alias("voiced_ms"),
+            F.round("voiced_ratio", 4).alias("voiced_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q("multimodal_scene_cuts", tier="py", oracle=None)
+def multimodal_scene_cuts(spark, sf):
+    """Shot-boundary detection over raw-frame video payloads: id-keyed
+    3-scene clips → consecutive-frame delta → keyframe rows
+    (operators/multimodal.py: scene_cuts). Cut positions derive from the
+    id, so tests/test_multimodal.py checks bit-exact agreement with the
+    synthesis formula; the keyframe set is the 10-100× decode-reduction
+    manifest a video pipeline feeds to feature extraction."""
+    from overseer_spark.operators.multimodal import scene_cuts, synthesize_video_frames
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 2 == 1)
+    return (
+        scene_cuts(synthesize_video_frames(docs))
+        .select(
+            "doc_id",
+            "keyframe_idx",
+            F.round("mean_luma", 2).alias("mean_luma"),
+        )
+        .orderBy("doc_id", "keyframe_idx")
+    )
+
+
+@q("hll_intersection_estimate", tier="py")
+def hll_intersection_estimate(spark, sf):
+    """Audience-overlap estimation from MERGEABLE sketches: HLL sketches
+    of viewer and clicker user sets, |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    by inclusion-exclusion — the sketch algebra that answers overlap
+    questions at 100 TB without re-scanning either side (the union comes
+    from ``hll_union_agg`` over the per-set sketches, kilobytes of
+    state). Output: both set estimates, the union, the derived
+    intersection, and the exact intersection is asserted within
+    tolerance in tests/test_text.py (inclusion-exclusion compounds the
+    per-sketch error, so the bound is looser than single-set ±5%)."""
+    ev = _t(spark, sf, "events")
+    per = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    )
+    union = per.agg(F.hll_union_agg("_sk").alias("_u"))
+    wide = (
+        per.groupBy()
+        .pivot("event_type", ["view", "click"])
+        .agg(F.first("_sk"))
+        .crossJoin(F.broadcast(union))
+    )
+    return wide.select(
+        F.hll_sketch_estimate("view").cast("long").alias("est_view"),
+        F.hll_sketch_estimate("click").cast("long").alias("est_click"),
+        F.hll_sketch_estimate("_u").cast("long").alias("est_union"),
+        (
+            F.hll_sketch_estimate("view")
+            + F.hll_sketch_estimate("click")
+            - F.hll_sketch_estimate("_u")
+        )
+        .cast("long")
+        .alias("est_intersection"),
+    )
+
+
+@q(
+    "stream_dedup_within_watermark",
+    oracle="""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+                    FROM events)
+              GROUP BY event_type ORDER BY event_type""",
+)
+def stream_dedup_within_watermark(spark, sf):
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    on (event_type, user_id, day) with an event-time watermark — the
+    production form of stream_dedup_counts whose keyed state is
+    EVICTABLE once the watermark passes, so state size tracks the
+    watermark window, not stream history (exact ``dropDuplicates`` state
+    grows forever). The watermark delay here exceeds the dataset's span,
+    so the result is exactly the batch DISTINCT — which the oracle
+    checks; in production the delay is minutes and the guarantee is
+    'no duplicates closer than the watermark'."""
+    import os
+    import uuid
+
+    _t(spark, sf, "events")  # configure_for_oracle before any scan
+    static = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    # watermark requires TIMESTAMP (with tz): ts arrives as int64 ns under
+    # nanosAsLong or as TIMESTAMP_NTZ — normalize under the UTC session tz
+    from pyspark.sql import types as T
+
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(sdf.schema["ts"].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    name = f"stream_wmdedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        sdf.withWatermark("ts", "100 days")
+        .select("event_type", "user_id", F.to_date("ts").alias("d"), "ts")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id", "d"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q_active_learning_batch",
+    oracle="""WITH s AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                         FROM documents),
+                   u AS (SELECT doc_id, lang, toks,
+                                ABS(toks - 55) AS dist,
+                                ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY ABS(toks - 55) ASC, doc_id ASC)
+                                  AS rn
+                         FROM s)
+              SELECT lang, doc_id, toks, CAST(dist AS BIGINT) AS dist
+              FROM u WHERE rn <= 8 ORDER BY lang, doc_id""",
+)
+def q_active_learning_batch(spark, sf):
+    """Uncertainty-sampling batch selection — the active-learning loop's
+    query: per language stratum, the 8 documents whose classifier
+    feature (token count) sits CLOSEST to the decision boundary (55,
+    the q_cohens_kappa labeler gate) are sent for human labels; ties
+    break on doc_id so the batch is reproducible. Per-stratum rank
+    windows partition by lang (parallel, no global sort); swap the
+    distance column for |p − 0.5| from any model's score and the plan
+    is unchanged. Stratifying the batch keeps rare languages
+    represented — the same guardrail as stratified_fixed_k_sample."""
+    s = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.abs(F.col("toks") - 55).asc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .select(
+            "lang",
+            "doc_id",
+            "toks",
+            F.abs(F.col("toks") - 55).cast("long").alias("dist"),
+        )
+        .orderBy("lang", "doc_id")
+    )

@@ -354,3 +354,57 @@ def test_multimodal_resize_catalog_entry(spark):
     rows = CATALOG["multimodal_resize_thumbnails"].fn(spark, SF_SMOKE).collect()
     assert rows and all(r["out_w"] == 8 and r["out_h"] == 8 for r in rows)
     assert all(r["in_codec"] in ("bmp", "ppm") for r in rows)
+
+
+def test_audio_vad_recovers_synthesized_burst_structure(spark):
+    """audio_vad over speech-shaped WAVs must find EXACTLY the bursts the
+    synthesizer wrote: n_segments == 1 + id % 4, voiced time == bursts ×
+    500 samples @ 8 kHz (62.5 ms each) — burst/silence spans are aligned
+    to the 100-sample VAD frame, so the detector has no boundary slack."""
+    from overseer_spark.operators.multimodal import audio_vad, synthesize_speechlike
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in audio_vad(synthesize_speechlike(docs)).collect()
+    }
+    assert len(rows) == 40
+    for i, r in rows.items():
+        n_bursts = 1 + i % 4
+        assert r["n_segments"] == n_bursts, i
+        assert r["voiced_ms"] == n_bursts * 62.5, i
+        total_frames = (300 + n_bursts * 800) // 100
+        assert abs(r["voiced_ratio"] - n_bursts * 5 / total_frames) < 1e-9
+
+
+def test_scene_cuts_match_synthesis_formula(spark):
+    """scene_cuts must emit keyframes at exactly [0, 6 + id % 6,
+    14 + id % 8] with per-scene luma base, base+75, base+150."""
+    from overseer_spark.operators.multimodal import (
+        scene_cuts,
+        synthesize_video_frames,
+    )
+
+    docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    out = scene_cuts(synthesize_video_frames(docs)).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 48
+    for i, rs in by_doc.items():
+        rs.sort(key=lambda r: r["keyframe_idx"])
+        base = i * 31 % 100
+        expected = [(0, float(base)), (6 + i % 6, float(base + 75)),
+                    (14 + i % 8, float(base + 150))]
+        assert [(r["keyframe_idx"], r["mean_luma"]) for r in rs] == expected, i
+
+
+def test_vad_and_scene_catalog_entries_run(spark):
+    from overseer_spark.queries.catalog import CATALOG
+
+    vad = CATALOG["multimodal_audio_vad"].fn(spark, SF_SMOKE).collect()
+    cuts = CATALOG["multimodal_scene_cuts"].fn(spark, SF_SMOKE).collect()
+    assert len(vad) > 0 and len(cuts) > 0
+    assert all(r["n_segments"] == 1 + r["doc_id"] % 4 for r in vad)
+    # every odd doc contributes exactly 3 keyframes
+    assert len(cuts) == 3 * len({r["doc_id"] for r in cuts})

@@ -335,3 +335,22 @@ def test_heavy_hitters_adversarial_small_increments(spark):
     }
     got = {(r["token"], r["freq"]) for r in heavy_hitters(df, k=3).collect()}
     assert got == naive == {("x", 3000)}
+
+
+def test_hll_intersection_inclusion_exclusion_tolerance(spark, duck):
+    """hll_intersection_estimate: the derived |view ∩ click| must land
+    within 10% of the exact intersection (inclusion-exclusion compounds
+    three ±~2% sketch errors), and the union estimate must not exceed
+    the sum of the parts."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    row = CATALOG["hll_intersection_estimate"].fn(spark, SF_CORRECTNESS).collect()[0]
+    exact = duck.execute(
+        """SELECT COUNT(*) FROM
+             (SELECT DISTINCT user_id FROM events WHERE event_type='view') v
+           JOIN (SELECT DISTINCT user_id FROM events WHERE event_type='click') c
+             USING (user_id)"""
+    ).fetchone()[0]
+    assert row["est_union"] <= row["est_view"] + row["est_click"]
+    assert abs(row["est_intersection"] - exact) <= max(3, 0.10 * exact)

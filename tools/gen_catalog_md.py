@@ -58,13 +58,14 @@ FAMILIES: dict[str, list[str]] = {
         "q_funnel_conversion_latency",
         "q_scd2_intervals", "q_cumulative_max_drawdown", "q_resample_interpolate",
         "q_interval_merge", "q_peak_concurrency", "q_sequential_patterns",
+        "q_active_learning_batch",
     ],
     "Streaming (event-time)": [
         "q30_tumbling_window", "sliding_window_counts", "sessionize", "q_session_stats",
         "stream_hourly_counts", "stream_sessionize", "stream_dedup_counts",
         "stream_sliding_counts", "stream_running_totals",
         "stream_static_join_counts", "stream_incr_dedup_screen",
-        "stream_stream_join_pairs",
+        "stream_stream_join_pairs", "stream_dedup_within_watermark",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
@@ -121,7 +122,8 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
         "multimodal_decode_features", "multimodal_audio_spectral",
         "multimodal_image_ahash", "multimodal_audio_fingerprint",
-        "multimodal_resize_thumbnails",
+        "multimodal_resize_thumbnails", "multimodal_audio_vad",
+        "multimodal_scene_cuts",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
@@ -131,6 +133,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
+        "hll_intersection_estimate",
     ],
     "TPC-H shapes": [
         "tpch_q1_full", "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
