@@ -101,6 +101,9 @@ _PRIORITY = [
     "hll_intersection_estimate",
     "multimodal_audio_vad",
     "multimodal_scene_cuts",
+    "ann_recall_eval",
+    "q_csv_roundtrip",
+    "q_jsonl_roundtrip",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -425,3 +425,28 @@ def test_mmr_rank1_is_top_cosine_and_diversifies(spark, emb):
     t_set = {(r["query_id"], r["vec_id"]) for r in top}
     m_set = {(r["query_id"], r["vec_id"]) for r in mmr}
     assert m_set != t_set
+
+
+def test_ann_recall_eval_bounds(spark):
+    """ann_recall_eval: IVF at (16 cells, 6 probes) must reach recall@10
+    ≥ 0.6 and MRR ≥ 0.5 vs brute-force truth, and a perfect retriever
+    (brute vs itself) must score exactly 1.0 on both."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.similarity import cosine_topk
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    row = CATALOG["ann_recall_eval"].fn(spark, SF_CORRECTNESS).collect()[0]
+    assert row["n_queries"] > 0
+    assert row["recall_at_10"] >= 0.6, row
+    assert row["mrr"] >= 0.5, row
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk(emb, queries, k=10)
+    hits = truth.select("query_id", "vec_id").join(
+        truth.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    assert hits.count() == truth.count()

@@ -16,7 +16,8 @@ FAMILIES: dict[str, list[str]] = {
     "Scans, filters, projections": [
         "q01_scan_count", "q02_projection_filter", "q03_string_filter",
         "q04_conjunctive_filter", "q05_in_list", "q06_like",
-        "pyds_docs_scan", "layout_pruning_probe",
+        "pyds_docs_scan", "layout_pruning_probe", "q_csv_roundtrip",
+        "q_jsonl_roundtrip",
     ],
     "Joins": [
         "q07_inner_join", "q08_multiway_join", "q09_left_join", "q10_semi_join",
@@ -102,6 +103,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
+        "ann_recall_eval",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
