@@ -408,6 +408,10 @@ _BNLJ_OK = {
     "q_ab_test_stats",
     # 1-row corpus-total broadcasts against the bigram table
     "text_bigram_pmi",
+    # 1-row grand-total / vocab-size / union-sketch broadcasts
+    "q_benford_audit", "text_perplexity_bigram", "hll_intersection_estimate",
+    # brute-force ground-truth leg of the retrieval eval (query-set broadcast)
+    "ann_recall_eval",
 }
 
 

@@ -36,6 +36,13 @@ ENTRIES = [
     "contrastive_pairs_mining",
     "docs_quality_ensemble",
     "q_rolling_active_users",
+    # round-2 batch 3: bigram LM (token self-join), sweep-line, shard plan,
+    # sequence mining, retrieval eval (two full ANN runs)
+    "text_perplexity_bigram",
+    "q_peak_concurrency",
+    "shard_plan_by_tokens",
+    "q_sequential_patterns",
+    "ann_recall_eval",
 ]
 
 

@@ -102,6 +102,42 @@ def gen_embeddings(out_dir: str, mult: int, rng: np.random.Generator) -> None:
     pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
 
 
+def gen_events(out_dir: str, mult: int, rng: np.random.Generator) -> None:
+    """10× events = 10× the user population with the SAME per-user
+    activity shape: each replica offsets user_id/event_id into a fresh
+    range and jitters ts by a per-replica constant ± up to 5 min per
+    row, so per-user history length (what window costs depend on) is
+    preserved while users, sessions, and sweep-line points all grow
+    linearly — how traffic actually scales."""
+    t = pq.read_table(os.path.join(SRC, "events.parquet"))
+    n = t.num_rows
+    ev_id = np.array(t.column("event_id").to_pylist(), dtype=np.int64)
+    ts = np.array(t.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+    uid = np.array(t.column("user_id").to_pylist(), dtype=np.int64)
+    etype = t.column("event_type").to_pylist()
+    value = t.column("value").to_pylist()
+    props = t.column("props").to_pylist()
+    max_uid = int(uid.max()) + 1
+    parts = []
+    ts_unit = t.schema.field("ts").type
+    for r in range(mult):
+        jitter = rng.integers(-300, 301, size=n).astype(np.int64)
+        scale = 1_000_000_000 if pa.types.is_timestamp(ts_unit) and ts_unit.unit == "ns" else 1_000_000
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pa.array(ev_id + r * n),
+                    "ts": pa.array(ts + jitter * scale).cast(ts_unit),
+                    "user_id": pa.array(uid + r * max_uid),
+                    "event_type": pa.array(etype),
+                    "value": pa.array(value),
+                    "props": pa.array(props),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -111,6 +147,7 @@ def main() -> None:
     rng = np.random.default_rng(42)
     gen_documents(ns.out, ns.mult, rng)
     gen_embeddings(ns.out, ns.mult, rng)
+    gen_events(ns.out, ns.mult, rng)
     for name in (
         "region nation customer supplier part orders lineitem events".split()
     ):
