@@ -104,6 +104,9 @@ _PRIORITY = [
     "ann_recall_eval",
     "q_csv_roundtrip",
     "q_jsonl_roundtrip",
+    "q_group_kfold_split",
+    "minhash_recall_eval",
+    "q_markov_attribution",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -9341,3 +9341,156 @@ def q_jsonl_roundtrip(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q_group_kfold_split",
+    oracle="""WITH f AS (SELECT event_id, user_id, user_id % 5 AS fold
+                         FROM events)
+              SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM f GROUP BY fold ORDER BY fold""",
+)
+def q_group_kfold_split(spark, sf):
+    """Grouped k-fold assignment — the split a model evaluation needs
+    when rows belonging to one entity must NEVER straddle folds (user
+    leakage inflates offline metrics): fold = deterministic function of
+    the GROUP key, so every event of a user lands in the same fold by
+    construction, no coordination required. The audit query emits per-
+    fold row and group counts; tests/test_sampling.py additionally
+    asserts zero users appear in two folds. Pure map-side assignment +
+    one aggregate — works identically on a 10¹² -row table; swap
+    ``% 5`` for ``pmod(xxhash64(user_id), 5)`` when keys are not
+    uniformly distributed (kept modular here so the DuckDB oracle
+    shares the arithmetic)."""
+    f = _t(spark, sf, "events").select(
+        "event_id", "user_id", (F.col("user_id") % 5).alias("fold")
+    )
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("fold")
+    )
+
+
+@q("minhash_recall_eval", tier="py")
+def minhash_recall_eval(spark, sf):
+    """Dedup-quality evaluation harness — the LSH twin of
+    ann_recall_eval: exact n-gram Jaccard ≥ 0.8 pairs (PPJoin, the
+    oracle) vs the MinHash→LSH→verify pipeline's output, reporting
+    ground-truth pair count, found count, and recall. Because the
+    pipeline verifies candidates with the SAME exact Jaccard, precision
+    is 1.0 by construction and the only question is candidate recall —
+    which is what this measures, and what you re-measure whenever you
+    retune (num_perm, bands) on a new corpus. Both legs are the
+    existing bucketed operators; the eval join is on (d1, d2) pair keys
+    — pair-count rows, not corpus rows. tests/test_dedup.py pins
+    recall ≥ 0.9 at (64 perms, 16 bands)."""
+    from overseer_spark.operators.dedup import jaccard_pairs, minhash_near_duplicates
+
+    docs = _t(spark, sf, "documents")
+    truth = jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    found = minhash_near_duplicates(docs, threshold=0.8).select("d1", "d2")
+    hits = truth.join(found, ["d1", "d2"])
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_found")))
+        .select(
+            "n_true",
+            "n_found",
+            F.when(
+                F.col("n_true") > 0, F.round(F.col("n_found") / F.col("n_true"), 4)
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )
+
+
+@q("q_markov_attribution", tier="py")
+def q_markov_attribution(spark, sf):
+    """Markov removal-effect attribution — the data-driven alternative
+    to last-touch credit: model each user's event sequence as a
+    first-order chain into an absorbing 'purchase' state, then credit
+    each event type by how much the purchase probability DROPS when
+    that state is removed (Anderl et al. 2014). The distributed part is
+    exactly one pass: per-user ordered transitions → a |types|²
+    transition-count table (25 rows here); the absorption solve runs
+    driver-side on that tiny matrix — same driver-math-on-aggregates
+    seam as embedding_pca_power's d×d eigensolve. Output: one row per
+    event type with its removal effect and normalized credit;
+    tests/test_funnel.py checks the chain against a numpy reference."""
+    import numpy as np
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.select("src", F.coalesce("dst", F.lit("__end__")).alias("dst"))
+        .unionByName(
+            # journeys enter the chain through an explicit __start__ state —
+            # without it, entry-point event types earn zero removal effect
+            seq.where(F.col("rn") == 1).select(
+                F.lit("__start__").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = trans.collect()  # (|types|+1)² rows — dimension-sized
+    states = sorted({r["src"] for r in rows} - {"__start__"})
+    absorb = "purchase"
+
+    def conversion_prob(excluded: str | None) -> float:
+        # transient states: __start__ plus everything except the absorbing
+        # target and the removed state (the removed state's mass is lost)
+        trans_states = ["__start__"] + [
+            s for s in states if s != absorb and s != excluded
+        ]
+        idx = {s: i for i, s in enumerate(trans_states)}
+        n_t = len(trans_states)
+        Q = np.zeros((n_t, n_t))
+        r = np.zeros(n_t)  # one-step absorption into `absorb`
+        outs: dict[str, float] = {}
+        for row in rows:
+            if row["src"] in idx:
+                outs[row["src"]] = outs.get(row["src"], 0.0) + row["n"]
+        for row in rows:
+            s = row["src"]
+            if s not in idx:
+                continue
+            p = row["n"] / outs[s]
+            d = row["dst"]
+            if d == absorb:
+                r[idx[s]] += p
+            elif d in idx:
+                Q[idx[s], idx[d]] += p
+            # else: __end__ or removed state → lost mass
+        start = np.zeros(n_t)
+        start[idx["__start__"]] = 1.0  # every journey begins at __start__
+        absorb_p = np.linalg.solve(np.eye(n_t) - Q, r)
+        return float(start @ absorb_p)
+
+    base = conversion_prob(None)
+    effects = []
+    for s in states:
+        if s == absorb:
+            continue
+        drop = max(0.0, base - conversion_prob(s))
+        effects.append((s, drop))
+    total = sum(d for _, d in effects) or 1.0
+    out = [
+        (s, round(base, 6), round(d, 6), round(d / total, 4))
+        for s, d in sorted(effects)
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, base_conversion double, removal_effect double, credit double"
+    )

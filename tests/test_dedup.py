@@ -177,3 +177,15 @@ def test_contrastive_pairs_mining_labels_are_faithful(spark):
     # each positive anchor contributes exactly one negative candidate row
     # (minus the ones whose sampled id collided with the anchor)
     assert len(neg) <= len(pos)
+
+
+def test_minhash_recall_eval_bound(spark):
+    """minhash_recall_eval: candidate recall ≥ 0.9 at (64 perms, 16
+    bands) against exact-Jaccard ground truth, and found ≤ true (the
+    verify step makes precision 1.0, so found pairs are a subset)."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    row = CATALOG["minhash_recall_eval"].fn(spark, SF_CORRECTNESS).collect()[0]
+    assert row["n_found"] <= row["n_true"]
+    assert row["recall"] >= 0.9, row

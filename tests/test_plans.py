@@ -412,6 +412,8 @@ _BNLJ_OK = {
     "q_benford_audit", "text_perplexity_bigram", "hll_intersection_estimate",
     # brute-force ground-truth leg of the retrieval eval (query-set broadcast)
     "ann_recall_eval",
+    # two 1-row count aggregates crossed into the metric row
+    "minhash_recall_eval",
 }
 
 

