@@ -107,6 +107,10 @@ _PRIORITY = [
     "q_group_kfold_split",
     "minhash_recall_eval",
     "q_markov_attribution",
+    "q_seasonal_anomaly_flags",
+    "q_changepoint_cusum",
+    "embedding_dimension_stats",
+    "embedding_outlier_flags",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

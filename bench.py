@@ -75,6 +75,15 @@ HEADLINE = [
     "q_geo_nearby_pairs",
     "q_churn_features",
     "text_bigram_pmi",
+    # round-2 batch 3: bigram LM, sweep-line concurrency, shard planning,
+    # retrieval/dedup eval harnesses, preference mining, attribution
+    "text_perplexity_bigram",
+    "q_peak_concurrency",
+    "shard_plan_by_tokens",
+    "preference_pairs",
+    "q_sequential_patterns",
+    "q_benford_audit",
+    "q_group_kfold_split",
 ]
 
 

@@ -9494,3 +9494,204 @@ def q_markov_attribution(spark, sf):
     return spark.createDataFrame(
         out, "event_type string, base_conversion double, removal_effect double, credit double"
     )
+
+
+@q(
+    "q_seasonal_anomaly_flags",
+    oracle="""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                                     CAST(COUNT(*) AS BIGINT) AS c
+                              FROM events GROUP BY h),
+                   z AS (SELECT h, EXTRACT(dow FROM h) AS dw,
+                                EXTRACT(hour FROM h) AS hr, c
+                         FROM hourly),
+                   base AS (SELECT dw, hr, AVG(c) AS mean_c,
+                                   COALESCE(STDDEV_SAMP(c), 0.0) AS std_c
+                            FROM z GROUP BY dw, hr)
+              SELECT CAST(z.h AS TIMESTAMP) AS h, z.c,
+                     ROUND((z.c - base.mean_c)
+                           / (CASE WHEN base.std_c < 1e-9 THEN 1e9
+                                   ELSE base.std_c END), 3) AS zscore
+              FROM z JOIN base ON z.dw = base.dw AND z.hr = base.hr
+              ORDER BY ABS(ROUND((z.c - base.mean_c)
+                           / (CASE WHEN base.std_c < 1e-9 THEN 1e9
+                                   ELSE base.std_c END), 3)) DESC, h
+              LIMIT 10""",
+)
+def q_seasonal_anomaly_flags(spark, sf):
+    """The alerting half of q_seasonal_baseline: the 10 hours deviating
+    MOST from their (day-of-week × hour) seasonal cell, ranked by
+    |z-score| — the seasonal-naive residual detector a traffic monitor
+    pages on (a fixed 3σ cut is the production form; top-k keeps the
+    audit non-empty on healthy series like this one, where max |z| ≈
+    1.7). The baseline is a 168-row aggregate that BROADCASTS back onto
+    the hourly series, so the join adds no shuffle at any history
+    length; zero-variance cells are guarded (z forced to ~0) rather
+    than dividing by zero, and the top-10 compiles to
+    TakeOrderedAndProject."""
+    hourly = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    z = hourly.select(
+        "h",
+        (F.dayofweek("h") - 1).alias("dw"),
+        F.hour("h").alias("hr"),
+        "c",
+    )
+    base = z.groupBy("dw", "hr").agg(
+        F.avg("c").alias("mean_c"),
+        F.coalesce(F.stddev_samp("c"), F.lit(0.0)).alias("std_c"),
+    )
+    safe_std = F.when(F.col("std_c") < 1e-9, F.lit(1e9)).otherwise(
+        F.col("std_c")
+    )
+    zs = (F.col("c") - F.col("mean_c")) / safe_std
+    return (
+        z.join(F.broadcast(base), ["dw", "hr"])
+        .select("h", "c", F.round(zs, 3).alias("zscore"))
+        .orderBy(F.abs(F.col("zscore")).desc(), F.asc("h"))
+        .limit(10)
+    )
+
+
+@q(
+    "q_changepoint_cusum",
+    oracle="""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                                    CAST(COUNT(*) AS BIGINT) AS c
+                             FROM events GROUP BY d),
+                   m AS (SELECT AVG(c) AS mu FROM daily),
+                   s AS (SELECT d, c,
+                                SUM(c - mu) OVER (ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cusum
+                         FROM daily, m)
+              SELECT d, c, ROUND(cusum, 2) AS cusum,
+                     ROUND(ABS(cusum), 2) AS mag
+              FROM s
+              ORDER BY ABS(cusum) DESC, d LIMIT 5""",
+)
+def q_changepoint_cusum(spark, sf):
+    """CUSUM changepoint localization: the day where the cumulative sum
+    of deviations from the series mean peaks in magnitude is the
+    maximum-likelihood single changepoint of a mean-shift model — the
+    classic page-one screen before heavier segmentation. The series is
+    already daily (one aggregate shrinks events to ~30 rows), so the
+    running sum's global window orders a DIMENSION-sized table — the
+    two-phase block trick (shard_plan_by_tokens) is unnecessary here and
+    would be the wrong trade; the top-5 compiles to
+    TakeOrderedAndProject. The 1-row mean broadcasts via crossJoin."""
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = daily.agg(F.avg("c").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(m)).withColumn(
+        "cusum", F.sum(F.col("c") - F.col("mu")).over(w)
+    )
+    return (
+        s.select(
+            "d",
+            "c",
+            F.round("cusum", 2).alias("cusum"),
+            F.round(F.abs("cusum"), 2).alias("mag"),
+        )
+        .orderBy(F.desc("mag"), F.asc("d"))
+        .limit(5)
+    )
+
+
+@q(
+    "embedding_dimension_stats",
+    oracle="""WITH dims AS (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                            FROM embeddings)
+              SELECT CAST(dim AS BIGINT) AS dim,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(AVG(x), 5) AS mean_x,
+                     ROUND(STDDEV_SAMP(x), 5) AS std_x,
+                     ROUND(MIN(x), 5) AS min_x,
+                     ROUND(MAX(x), 5) AS max_x
+              FROM dims GROUP BY dim ORDER BY dim""",
+)
+def embedding_dimension_stats(spark, sf):
+    """Per-dimension moment profile of the embedding matrix — the
+    statistics feature normalization / whitening / quantizer calibration
+    need (embedding_quantize_int8's scale factors and PCA's centering
+    both start here). posexplode turns the vector column into (dim,
+    value) pairs and ONE partial-aggregated groupBy on the
+    dimension index produces a d-row result: shuffle volume is
+    O(partitions × d), independent of row count, and no vector ever
+    reaches the driver. Dead/constant dimensions (std ≈ 0) and range
+    outliers fall straight out of the result."""
+    dims = _t(spark, sf, "embeddings").select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select((F.col("dim0") + 1).cast("long").alias("dim"), "x")
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("x"), 5).alias("mean_x"),
+            F.round(F.stddev_samp("x"), 5).alias("std_x"),
+            F.round(F.min("x"), 5).alias("min_x"),
+            F.round(F.max("x"), 5).alias("max_x"),
+        )
+        .orderBy("dim")
+    )
+
+
+@q("embedding_outlier_flags", tier="py")
+def embedding_outlier_flags(spark, sf):
+    """Embedding-space outlier screen — the OOD/noise filter an
+    embedding-curated training set runs after clustering: assign every
+    vector to its nearest centroid (broadcast k×d table), compute each
+    CLUSTER's exact 95th-percentile assignment distance, and flag
+    vectors beyond their OWN cluster's p95 (per-cluster thresholds — a
+    global cutoff would mislabel wide clusters; a mean+2σ rule
+    degenerates to zero flags on short-tailed cosine distributions like
+    this corpus's). Output is the per-cluster audit row (population,
+    flagged count, threshold). Two aggregates and two broadcast joins;
+    vectors shuffle once for the assignment, statistics are k-row
+    tables. tests/test_similarity.py checks the flags against a numpy
+    replay."""
+    from overseer_spark.operators.similarity import assign_cells, eager_cache
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = eager_cache(emb.orderBy("vec_id").limit(8))
+    assigned = assign_cells(emb, 8, "vec_id", "embedding", centroids)
+    # assignment distance: cosine distance to the chosen centroid
+    cents = centroids.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("_cvec")
+    )
+    with_d = assigned.join(F.broadcast(cents), "cell").select(
+        "cell",
+        "vec_id",
+        (1 - cosine_similarity(F.col("embedding"), F.col("_cvec"))).alias("dist"),
+    )
+    stats = with_d.groupBy("cell").agg(
+        F.expr("percentile(dist, 0.95)").alias("p95")
+    )
+    flagged = (
+        with_d.join(F.broadcast(stats), "cell")
+        .select(
+            "cell",
+            (F.col("dist") > F.col("p95")).cast("int").alias("is_out"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("is_out").cast("long").alias("n_flagged"),
+        )
+    )
+    return (
+        flagged.join(F.broadcast(stats), "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            "n_flagged",
+            F.round(F.col("p95"), 6).alias("threshold"),
+        )
+        .orderBy("cell")
+    )

@@ -414,6 +414,10 @@ _BNLJ_OK = {
     "ann_recall_eval",
     # two 1-row count aggregates crossed into the metric row
     "minhash_recall_eval",
+    # 1-row series-mean broadcast under the running CUSUM
+    "q_changepoint_cusum",
+    # k×d centroid-table broadcast for the cell assignment
+    "embedding_outlier_flags",
 }
 
 

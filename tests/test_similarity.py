@@ -450,3 +450,43 @@ def test_ann_recall_eval_bounds(spark):
         truth.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
     assert hits.count() == truth.count()
+
+
+def test_embedding_outlier_flags_numpy_replay(spark):
+    """embedding_outlier_flags replayed in numpy: same deterministic
+    centroids (lowest 8 vec_ids), same cosine assignment, same exact-p95
+    per-cluster threshold — counts must agree exactly, and ~5% of each
+    cluster is flagged (p95 semantics), never 0 overall."""
+    import numpy as np
+
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = sorted(
+        CATALOG["embedding_outlier_flags"].fn(spark, SF_CORRECTNESS).collect(),
+        key=lambda r: r["cell"],
+    )
+    data = load_table(spark, SF_CORRECTNESS, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in data])
+    X = np.array([r["embedding"] for r in data], dtype=np.float64)
+    C = X[:8]  # centroids = lowest 8 vec_ids (already sorted)
+    cid = ids[:8]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = Xn @ Cn.T
+    # tie-break on smaller cell id, matching the Window (desc sim, asc cell)
+    assign = np.argmax(sims - np.arange(8) * 1e-12, axis=1)
+    dist = 1.0 - sims[np.arange(len(X)), assign]
+    total_flagged = 0
+    for k, row in enumerate(rows):
+        mask = assign == k
+        d = dist[mask]
+        # Spark's percentile() interpolates like numpy 'linear'
+        p95 = np.percentile(d, 95)
+        n_flag = int((d > p95).sum())
+        assert row["cell"] == int(cid[k])
+        assert row["n_vectors"] == int(mask.sum())
+        assert abs(row["n_flagged"] - n_flag) <= 1, (k, row, n_flag)
+        total_flagged += row["n_flagged"]
+    assert total_flagged > 0

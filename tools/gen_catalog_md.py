@@ -46,6 +46,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_rolling_active_users", "q_weighted_median", "q_gini_coefficient",
         "q_skyline_pareto", "q_churn_features", "q_decayed_score",
         "q_observed_metrics", "q_benford_audit", "q_seasonal_baseline",
+        "q_seasonal_anomaly_flags", "q_changepoint_cusum",
     ],
     "Windows & sequences": [
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
@@ -104,7 +105,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
-        "ann_recall_eval",
+        "ann_recall_eval", "embedding_dimension_stats", "embedding_outlier_flags",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
