@@ -137,12 +137,19 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # apples-to-apples across rounds: the headline list GROWS each round,
+    # so also report the subtotal over the round-1 query set (the first 49
+    # entries, exactly BENCH_r01's list) for direct regression comparison
+    r01_set = HEADLINE[: HEADLINE.index("ewma_user_value") + 1]
+    r01_subtotal = round(sum(timings[n] for n in r01_set if n in timings), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "r01_subset_sec": r01_subtotal,
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
             }
