@@ -111,6 +111,8 @@ _PRIORITY = [
     "q_changepoint_cusum",
     "embedding_dimension_stats",
     "embedding_outlier_flags",
+    "multimodal_image_near_dup",
+    "q_psi_drift",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

