@@ -113,6 +113,9 @@ _PRIORITY = [
     "embedding_outlier_flags",
     "multimodal_image_near_dup",
     "q_psi_drift",
+    "q_diff_in_diff",
+    "q_survival_km",
+    "q_auc_rank",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -9718,50 +9718,61 @@ def multimodal_image_near_dup(spark, sf):
     media = synthesize_media(docs)
     corpus = media.unionByName(perturb_brightness(media, factor=0.8))
     hashed = image_ahash(corpus).where(F.col("ahash").isNotNull())
-    # 4 × 16-bit chunks as join keys
+    # decode the hex hash ONCE per row: 4 × 16-bit block values (join
+    # keys) plus the assembled signed int64 (verification key) — so the
+    # per-candidate cost in the hot path is a single xor+bit_count, not
+    # repeated string conversions (hot buckets on structured corpora can
+    # carry O(bucket²) candidates; the verify op must be one instruction)
+    blocks = [
+        F.conv(F.substring("ahash", 1 + 4 * i, 4), 16, 10).cast("long")
+        for i in range(4)
+    ]
+    hval = (
+        F.shiftleft(blocks[0], 48)
+        .bitwiseOR(F.shiftleft(blocks[1], 32))
+        .bitwiseOR(F.shiftleft(blocks[2], 16))
+        .bitwiseOR(blocks[3])
+    )
     chunks = hashed.select(
         "doc_id",
-        "ahash",
+        hval.alias("hval"),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.conv(F.substring("ahash", 1 + 4 * i, 4), 16, 10)
-                    .cast("long")
-                    .alias("v"),
-                )
+                F.struct(F.lit(i).alias("blk"), blocks[i].alias("v"))
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select("doc_id", "ahash", F.col("c.blk").alias("blk"), F.col("c.v").alias("v"))
+    ).select("doc_id", "hval", F.col("c.blk").alias("blk"), F.col("c.v").alias("v"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    xorv = F.col("a.hval").bitwiseXOR(F.col("b.hval"))
+    ham = F.bit_count(xorv)
+    # a pair agreeing on k blocks would surface k times; instead of an
+    # expensive DISTINCT over the (quadratic on dup-dense corpora) pair
+    # stream, keep each pair only at its FIRST equal block — computable
+    # from the xor alone, so dedup costs one expression, zero shuffles
+    def _mask(shift: int) -> int:  # 16-bit block mask as SIGNED int64
+        m = 0xFFFF << shift
+        return m - (1 << 64) if m >= 1 << 63 else m
+
+    first_eq = (
+        F.when(xorv.bitwiseAND(F.lit(_mask(48))) == 0, 0)
+        .when(xorv.bitwiseAND(F.lit(_mask(32))) == 0, 1)
+        .when(xorv.bitwiseAND(F.lit(_mask(16))) == 0, 2)
+        .otherwise(3)
+    )
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where((ham <= 3) & (F.col("a.blk") == first_eq))
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.col("a.ahash").alias("h1"),
-            F.col("b.ahash").alias("h2"),
+            ham.cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    ham = sum(
-        F.bit_count(
-            F.conv(F.substring("h1", 1 + 4 * i, 4), 16, 10).cast("long")
-            .bitwiseXOR(
-                F.conv(F.substring("h2", 1 + 4 * i, 4), 16, 10).cast("long")
-            )
-        )
-        for i in range(4)
-    )
-    return (
-        cand.select("d1", "d2", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= 3)
         .orderBy("d1", "d2")
     )
 
@@ -9831,4 +9842,219 @@ def q_psi_drift(spark, sf):
             F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_part"),
         )
         .orderBy("bin")
+    )
+
+
+@q(
+    "q_diff_in_diff",
+    oracle="""WITH cells AS (SELECT user_id % 2 AS treat,
+                     CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                       AS post,
+                     value
+                             FROM events),
+                   m AS (SELECT treat, post, AVG(value) AS mu,
+                                CAST(COUNT(*) AS BIGINT) AS n
+                         FROM cells GROUP BY treat, post)
+              SELECT CAST(MAX(CASE WHEN treat=1 AND post=1 THEN n END) AS BIGINT)
+                       AS n_treat_post,
+                     ROUND(MAX(CASE WHEN treat=1 AND post=1 THEN mu END), 4)
+                       AS mu_t_post,
+                     ROUND(MAX(CASE WHEN treat=1 AND post=0 THEN mu END), 4)
+                       AS mu_t_pre,
+                     ROUND(MAX(CASE WHEN treat=0 AND post=1 THEN mu END), 4)
+                       AS mu_c_post,
+                     ROUND(MAX(CASE WHEN treat=0 AND post=0 THEN mu END), 4)
+                       AS mu_c_pre,
+                     ROUND((MAX(CASE WHEN treat=1 AND post=1 THEN mu END)
+                            - MAX(CASE WHEN treat=1 AND post=0 THEN mu END))
+                           - (MAX(CASE WHEN treat=0 AND post=1 THEN mu END)
+                              - MAX(CASE WHEN treat=0 AND post=0 THEN mu END)),
+                           4) AS did
+              FROM m""",
+)
+def q_diff_in_diff(spark, sf):
+    """Difference-in-differences estimate — the causal-inference workhorse
+    for rollout analysis when randomization isn't available: (treated
+    post − pre) minus (control post − pre) cancels both group-level and
+    time-level confounds under parallel trends. Treatment = a
+    deterministic user-key split, period = a fixed cutover date (swap in
+    the real assignment/launch columns). One groupBy over four cells,
+    then the estimator's algebra runs on the 4-row aggregate —
+    the whole analysis is a single pass at any scale, the same
+    shrink-then-compute shape as q_ab_test_stats (its randomized
+    cousin)."""
+    ev = _t(spark, sf, "events")
+    cells = ev.select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        "value",
+    )
+    m = cells.groupBy("treat", "post").agg(
+        F.avg("value").alias("mu"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    did = (cell(1, 1, "mu") - cell(1, 0, "mu")) - (
+        cell(0, 1, "mu") - cell(0, 0, "mu")
+    )
+    return m.agg(
+        cell(1, 1, "n").cast("long").alias("n_treat_post"),
+        F.round(cell(1, 1, "mu"), 4).alias("mu_t_post"),
+        F.round(cell(1, 0, "mu"), 4).alias("mu_t_pre"),
+        F.round(cell(0, 1, "mu"), 4).alias("mu_c_post"),
+        F.round(cell(0, 0, "mu"), 4).alias("mu_c_pre"),
+        F.round(did, 4).alias("did"),
+    )
+
+
+@q(
+    "q_survival_km",
+    oracle="""WITH life AS (SELECT user_id,
+                                   MIN(epoch_us(ts)) AS born_us,
+                                   MIN(CASE WHEN event_type = 'signup'
+                                            THEN epoch_us(ts) END) AS sig_us
+                            FROM events GROUP BY user_id),
+                   obs AS (SELECT user_id,
+                                  CASE WHEN sig_us IS NOT NULL
+                                        AND (sig_us - born_us)
+                                            // 3600000000 <= 48
+                                       THEN (sig_us - born_us) // 3600000000
+                                       ELSE 48 END AS dur,
+                                  CASE WHEN sig_us IS NOT NULL
+                                        AND (sig_us - born_us)
+                                            // 3600000000 <= 48
+                                       THEN 1 ELSE 0 END AS died
+                           FROM life),
+                   tot AS (SELECT COUNT(*) AS n FROM obs),
+                   byd AS (SELECT dur, SUM(died) AS d, COUNT(*) AS leave
+                           FROM obs GROUP BY dur),
+                   risk AS (SELECT dur, d,
+                                   n - COALESCE(SUM(leave) OVER (ORDER BY dur
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS n_risk
+                            FROM byd, tot),
+                   km AS (SELECT dur, d, n_risk,
+                                 EXP(SUM(LN(1.0 - d * 1.0 / n_risk))
+                                     OVER (ORDER BY dur
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)) AS s
+                          FROM risk)
+              SELECT CAST(dur AS BIGINT) AS dur, CAST(d AS BIGINT) AS d,
+                     CAST(n_risk AS BIGINT) AS n_risk, ROUND(s, 5) AS s
+              FROM km WHERE d > 0 ORDER BY dur""",
+)
+def q_survival_km(spark, sf):
+    """Kaplan-Meier time-to-event curve — the estimator that handles
+    CENSORING correctly (naive conversion tables undercount slow
+    converters): time = hours from a user's first activity to their
+    first 'signup', right-censored at 48 h for users who hadn't signed
+    up by then; S(t) = Π(1 − dᵢ/nᵢ) over event times. Durations are
+    exact integer microsecond differences (unix_micros ↔ epoch_us) so
+    both engines bucket identically. The corpus shrinks to one row per
+    user in the first aggregate, then per-duration counts (≤ horizon
+    rows), so the KM product — a log-sum window — runs over a
+    DIMENSION-sized table; the at-risk set comes from a reverse
+    cumulative count, not a per-user scan; censored users leave the
+    risk set silently, exactly as the estimator requires."""
+    ev = _t(spark, sf, "events")
+    # ts may arrive as TIMESTAMP_NTZ — unix_micros needs TIMESTAMP; the
+    # session runs UTC so the cast is a pure type change, not a shift
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = ev.groupBy("user_id").agg(
+        F.min(us).alias("born_us"),
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("sig_us"),
+    )
+    dur_h = F.expr("(sig_us - born_us) div 3600000000")
+    died_cond = F.col("sig_us").isNotNull() & (dur_h <= 48)
+    obs = life.select(
+        F.when(died_cond, dur_h).otherwise(F.lit(48)).alias("dur"),
+        F.when(died_cond, 1).otherwise(0).alias("died"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n"))
+    byd = obs.groupBy("dur").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("leave")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byd.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.withColumn(
+        "s", F.exp(F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(w_cum))
+    )
+    return (
+        km.where(F.col("d") > 0)
+        .select(
+            F.col("dur").cast("long").alias("dur"),
+            F.col("d").cast("long").alias("d"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.round("s", 5).alias("s"),
+        )
+        .orderBy("dur")
+    )
+
+
+@q(
+    "q_auc_rank",
+    oracle="""WITH scored AS (SELECT vec_id,
+                     CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+                     embedding[1] AS score
+                              FROM embeddings),
+                   r AS (SELECT y,
+                                ROW_NUMBER() OVER (ORDER BY score, vec_id)
+                                  AS rnk
+                         FROM scored),
+                   agg AS (SELECT SUM(CASE WHEN y = 1 THEN rnk END) AS rsum,
+                                  SUM(y) AS np,
+                                  SUM(1 - y) AS nn
+                           FROM r)
+              SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+                     ROUND((rsum - np * (np + 1) / 2.0) / (np * nn), 4) AS auc
+              FROM agg""",
+)
+def q_auc_rank(spark, sf):
+    """ROC-AUC via the Mann-Whitney rank identity — the classifier eval
+    that needs NO threshold sweep: AUC = P(score⁺ > score⁻) =
+    (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺n⁻). One rank window and
+    three partial sums; here the 'model' is the first embedding
+    component against a binary label split (swap in any score column).
+    The global rank is the same single ordered pass every AUC
+    implementation needs — at extreme scale the two-phase block-rank
+    trick (shard_plan_by_tokens) applies verbatim, or bucket scores and
+    use the histogram approximation. Near-0.5 on this synthetic corpus
+    by design: the eval harness must report 'no signal' honestly."""
+    scored = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.element_at("embedding", 1).alias("score"),
+    )
+    r = scored.select(
+        "y", F.row_number().over(Window.orderBy("score", "vec_id")).alias("rnk")
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rnk"))).alias("rsum"),
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            4,
+        ).alias("auc"),
     )

@@ -416,6 +416,8 @@ _BNLJ_OK = {
     "minhash_recall_eval",
     # 1-row series-mean broadcast under the running CUSUM
     "q_changepoint_cusum",
+    # 1-row population-total broadcast into the at-risk computation
+    "q_survival_km",
     # k×d centroid-table broadcast for the cell assignment
     "embedding_outlier_flags",
 }

@@ -43,6 +43,8 @@ ENTRIES = [
     "shard_plan_by_tokens",
     "q_sequential_patterns",
     "ann_recall_eval",
+    "q_psi_drift",
+    "multimodal_image_near_dup",
 ]
 
 
