@@ -116,6 +116,8 @@ _PRIORITY = [
     "q_diff_in_diff",
     "q_survival_km",
     "q_auc_rank",
+    "text_fim_transform",
+    "text_instruction_format",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -10058,3 +10058,146 @@ def q_auc_rank(spark, sf):
             4,
         ).alias("auc"),
     )
+
+
+@q(
+    "text_fim_transform",
+    oracle="""WITH base AS (SELECT doc_id, text, length(text) AS n
+                            FROM documents),
+                   cuts AS (SELECT doc_id, text, n,
+                                   1 + (doc_id * 2654435761 % 9223372036854775807)
+                                         % GREATEST(n - 2, 1) AS c1
+                            FROM base),
+                   cuts2 AS (SELECT doc_id, text, n, c1,
+                                    c1 + 1 + (doc_id * 40503 % 9223372036854775807)
+                                          % GREATEST(n - c1 - 1, 1) AS c2
+                             FROM cuts),
+                   fim AS (SELECT doc_id,
+                                  substring(text, 1, c1) AS prefix,
+                                  substring(text, c1 + 1, c2 - c1) AS middle,
+                                  substring(text, c2 + 1) AS suffix
+                           FROM cuts2 WHERE n >= 20)
+              SELECT doc_id,
+                     CAST(length(prefix) AS BIGINT) AS n_pre,
+                     CAST(length(middle) AS BIGINT) AS n_mid,
+                     CAST(length(suffix) AS BIGINT) AS n_suf,
+                     md5('<PRE>' || prefix || '<SUF>' || suffix
+                         || '<MID>' || middle) AS sample_md5
+              FROM fim ORDER BY doc_id""",
+)
+def text_fim_transform(spark, sf):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022 — the
+    prep step behind code-infilling models): split each document at two
+    DETERMINISTIC hash-derived cut points into (prefix, middle, suffix)
+    and re-render in PSM order `<PRE>p<SUF>s<MID>m`, so the model learns
+    to generate the middle from both sides. The md5 of the rendered
+    sample proves byte-exact rendering against the oracle; cut points
+    derive from the doc_id (Knuth multiplicative hashing, modded into
+    the valid range) so both engines — and any re-run — split
+    identically, which is what makes the transform auditable. Pure
+    projection: zero shuffles before the output sort."""
+    base = _t(spark, sf, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    c1 = 1 + (F.col("doc_id") * 2654435761 % F.lit(9223372036854775807)) % F.greatest(
+        F.col("n") - 2, F.lit(1)
+    )
+    cuts = base.select("doc_id", "text", "n", c1.alias("c1"))
+    c2 = F.col("c1") + 1 + (
+        F.col("doc_id") * 40503 % F.lit(9223372036854775807)
+    ) % F.greatest(F.col("n") - F.col("c1") - 1, F.lit(1))
+    cuts2 = cuts.select("doc_id", "text", "n", "c1", c2.alias("c2"))
+    fim = cuts2.where(F.col("n") >= 20).select(
+        "doc_id",
+        F.substring(F.col("text"), F.lit(1), F.col("c1")).alias("prefix"),
+        F.col("text")
+        .substr(F.col("c1") + 1, F.col("c2") - F.col("c1"))
+        .alias("middle"),
+        F.col("text").substr(F.col("c2") + 1, F.col("n")).alias("suffix"),
+    )
+    return fim.select(
+        "doc_id",
+        F.length("prefix").cast("long").alias("n_pre"),
+        F.length("middle").cast("long").alias("n_mid"),
+        F.length("suffix").cast("long").alias("n_suf"),
+        F.md5(
+            F.concat(
+                F.lit("<PRE>"),
+                F.col("prefix"),
+                F.lit("<SUF>"),
+                F.col("suffix"),
+                F.lit("<MID>"),
+                F.col("middle"),
+            )
+        ).alias("sample_md5"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "text_instruction_format",
+    oracle="""WITH ranked AS (SELECT doc_id, lang, source, text,
+                     ROW_NUMBER() OVER (PARTITION BY lang, source
+                                        ORDER BY doc_id) AS rn
+                              FROM documents),
+                   pairs AS (SELECT u.lang, u.source,
+                                    u.doc_id AS prompt_id,
+                                    a.doc_id AS response_id,
+                                    '<|system|>corpus: ' || u.source
+                                    || '<|user|>' || u.text
+                                    || '<|assistant|>' || a.text
+                                    || '<|end|>' AS rendered
+                             FROM ranked u JOIN ranked a
+                               ON u.lang = a.lang AND u.source = a.source
+                              AND a.rn = u.rn + 1 AND u.rn % 2 = 1)
+              SELECT lang, source, prompt_id, response_id,
+                     CAST(length(rendered) AS BIGINT) AS n_chars,
+                     md5(rendered) AS render_md5
+              FROM pairs ORDER BY lang, source, prompt_id""",
+)
+def text_instruction_format(spark, sf):
+    """Chat-template rendering — the SFT data-prep step that serializes
+    (system, user, assistant) turns into the model's wire format:
+    documents pair up within (lang, source) by rank adjacency (odd rank
+    = prompt, its successor = response — swap in real conversation ids),
+    then render through a fixed special-token template. The md5 of each
+    rendered sample is hash-matched against the oracle, so template
+    drift — the classic silent SFT bug — fails loudly. One rank window
+    and a self-join on the SAME (lang, source, rn) partitioning; both
+    sides reuse one shuffle, and rendering is codegen'd string concat."""
+    ranked = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.row_number()
+        .over(Window.partitionBy("lang", "source").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    u, a = ranked.alias("u"), ranked.alias("a")
+    rendered = F.concat(
+        F.lit("<|system|>corpus: "),
+        F.col("u.source"),
+        F.lit("<|user|>"),
+        F.col("u.text"),
+        F.lit("<|assistant|>"),
+        F.col("a.text"),
+        F.lit("<|end|>"),
+    )
+    return (
+        u.join(
+            a,
+            (F.col("u.lang") == F.col("a.lang"))
+            & (F.col("u.source") == F.col("a.source"))
+            & (F.col("a.rn") == F.col("u.rn") + 1)
+            & (F.col("u.rn") % 2 == 1),
+        )
+        .select(
+            F.col("u.lang").alias("lang"),
+            F.col("u.source").alias("source"),
+            F.col("u.doc_id").alias("prompt_id"),
+            F.col("a.doc_id").alias("response_id"),
+            F.length(rendered).cast("long").alias("n_chars"),
+            F.md5(rendered).alias("render_md5"),
+        )
+        .orderBy("lang", "source", "prompt_id")
+    )

@@ -135,7 +135,7 @@ FAMILIES: dict[str, list[str]] = {
         "stratified_sample_counts", "stratified_fixed_k_sample", "r13_seeded_sample",
         "deterministic_shuffle_order", "weighted_sample_by_length",
         "contrastive_pairs_mining", "preference_pairs", "shard_plan_by_tokens",
-        "q_group_kfold_split",
+        "q_group_kfold_split", "text_fim_transform", "text_instruction_format",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
