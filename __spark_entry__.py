@@ -118,6 +118,7 @@ _PRIORITY = [
     "q_auc_rank",
     "text_fim_transform",
     "text_instruction_format",
+    "dag_critical_path",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

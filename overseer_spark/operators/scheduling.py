@@ -391,3 +391,52 @@ def job_runtime_stats(log_df: DataFrame) -> DataFrame:
         )
         .orderBy("type")
     )
+
+
+def critical_path(
+    jobs: DataFrame,
+    deps: DataFrame,
+    weight_col: str = "weight",
+    checkpoint_every: int = 4,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Weighted critical path to every job: ``cp(j) = w(j) +
+    max(cp(dep))`` over incoming dependencies (roots: ``cp = w``) — the
+    schedule-length analysis `topo_levels` can't give when job runtimes
+    differ (the wave count says how parallel the DAG is; the critical
+    path says how FAST it can possibly finish, and which predecessor is
+    the bottleneck). ``jobs`` must carry ``weight_col`` (estimated or
+    historical runtime, e.g. from job_runtime_stats).
+
+    Same level-synchronous relaxation as :func:`topo_levels` — one
+    distributed join per wave keeping the MAX accumulated weight per
+    job, ``localCheckpoint`` lineage cuts — so iterations = DAG depth.
+    A job may be relaxed in several waves (diamonds); the final groupBy
+    keeps the longest path, which is exactly the estimator's max-plus
+    semiring."""
+    w = jobs.select("id", F.col(weight_col).cast("long").alias("_w"))
+    roots = w.join(
+        deps.select(F.col("job_id").alias("id")), "id", "left_anti"
+    ).select("id", F.col("_w").alias("cp"))
+    frontier = roots
+    acc = frontier
+    for it in range(max_iterations):
+        nxt = (
+            deps.join(frontier, deps.dep_id == frontier.id)
+            .select(F.col("job_id").alias("id"), F.col("cp").alias("_base"))
+            .groupBy("id")
+            .agg(F.max("_base").alias("_base"))
+            .join(w, "id")
+            .select("id", (F.col("_base") + F.col("_w")).alias("cp"))
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            n = nxt.count()
+        else:
+            nxt = nxt.persist()
+            n = nxt.count()
+        if n == 0:
+            break
+        acc = acc.union(nxt)
+        frontier = nxt
+    return acc.groupBy("id").agg(F.max("cp").cast("long").alias("cp"))

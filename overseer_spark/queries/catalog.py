@@ -10201,3 +10201,36 @@ def text_instruction_format(spark, sf):
         )
         .orderBy("lang", "source", "prompt_id")
     )
+
+
+@q(
+    "dag_critical_path",
+    oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
+               {FX.jobs_values_cte()},
+               w AS (SELECT id, 10 + (length(id) * 7) % 20 AS w
+                     FROM overseer_jobs),
+               paths(id, total) AS (
+                 SELECT id, w FROM w
+                 WHERE id NOT IN (SELECT job_id FROM overseer_dependencies)
+                 UNION ALL
+                 SELECT d.job_id, p.total + w.w
+                 FROM overseer_dependencies d
+                 JOIN paths p ON d.dep_id = p.id
+                 JOIN w ON w.id = d.job_id)
+               SELECT id, CAST(MAX(total) AS BIGINT) AS cp
+               FROM paths GROUP BY id ORDER BY id""",
+)
+def dag_critical_path(spark, sf):
+    """Weighted critical path per job over the dependency DAG
+    (operators/scheduling.py: critical_path) — the 'how fast can this
+    pipeline possibly finish' analysis: cp(j) = w(j) + max(cp(dep)),
+    max-plus semiring over the DAG, vs the oracle's recursive
+    path-enumeration CTE. Weights are a deterministic function of the
+    job id here (swap in job_runtime_stats durations in production);
+    iterations = DAG depth with localCheckpoint lineage cuts, same
+    discipline as topo_levels/transitive closure. The job whose cp
+    equals the global max IS the bottleneck chain's endpoint."""
+    jobs = FX.jobs_df(spark).select(
+        "id", (10 + (F.length("id") * 7) % 20).alias("weight")
+    )
+    return S.critical_path(jobs, FX.deps_df(spark)).orderBy("id")
