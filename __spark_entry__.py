@@ -119,6 +119,7 @@ _PRIORITY = [
     "text_fim_transform",
     "text_instruction_format",
     "dag_critical_path",
+    "q_rolling_distinct_sketch",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

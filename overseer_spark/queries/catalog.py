@@ -10234,3 +10234,41 @@ def dag_critical_path(spark, sf):
         "id", (10 + (F.length("id") * 7) % 20).alias("weight")
     )
     return S.critical_path(jobs, FX.deps_df(spark)).orderBy("id")
+
+
+@q("q_rolling_distinct_sketch", tier="py")
+def q_rolling_distinct_sketch(spark, sf):
+    """Rolling 7-day distinct users from MERGEABLE daily sketches — the
+    production form of q_rolling_active_users: one HLL per day (a single
+    pass over events), then each day's sketch contributes to the 7
+    windows it falls in (explode of 7 offsets — sketch-count rows, not
+    event rows) and `hll_union_agg` merges per window. Appending a new
+    day re-touches only that day's sketch — the exact path re-scans 7
+    days — which is why every production rolling-distinct is built this
+    way. tests/test_text.py pins every window's estimate within 5% of
+    the exact rolling count."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    contrib = daily.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("off"), "d", "_sk"
+    ).select(F.date_add("d", F.col("off")).alias("w_end"), "_sk")
+    # keep only complete windows fully inside the observed range
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    return (
+        contrib.groupBy("w_end")
+        .agg(F.hll_union_agg("_sk").alias("_u"))
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("w_end") >= F.date_add("d0", 6))
+            & (F.col("w_end") <= F.col("d1"))
+        )
+        .select(
+            "w_end",
+            F.hll_sketch_estimate("_u").cast("long").alias("est_users_7d"),
+        )
+        .orderBy("w_end")
+    )

@@ -354,3 +354,29 @@ def test_hll_intersection_inclusion_exclusion_tolerance(spark, duck):
     ).fetchone()[0]
     assert row["est_union"] <= row["est_view"] + row["est_click"]
     assert abs(row["est_intersection"] - exact) <= max(3, 0.10 * exact)
+
+
+def test_rolling_distinct_sketch_within_tolerance(spark, duck):
+    """q_rolling_distinct_sketch: every 7-day window estimate within 5%
+    of the exact distinct count, and window keys match the exact path."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    est = {
+        r["w_end"]: r["est_users_7d"]
+        for r in CATALOG["q_rolling_distinct_sketch"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    exact = dict(
+        duck.execute(
+            """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+                    wins AS (SELECT d AS w_end FROM days
+                             WHERE d >= (SELECT MIN(d) FROM days) + 6)
+               SELECT w_end, COUNT(DISTINCT user_id)
+               FROM wins JOIN events
+                 ON CAST(ts AS DATE) BETWEEN w_end - 6 AND w_end
+               GROUP BY w_end"""
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for w, e in est.items():
+        assert abs(e - exact[w]) <= max(2, 0.05 * exact[w]), (w, e, exact[w])
