@@ -418,6 +418,8 @@ _BNLJ_OK = {
     "q_changepoint_cusum",
     # 1-row population-total broadcast into the at-risk computation
     "q_survival_km",
+    # 1-row date-bounds broadcast trimming incomplete windows
+    "q_rolling_distinct_sketch",
     # k×d centroid-table broadcast for the cell assignment
     "embedding_outlier_flags",
 }
