@@ -120,6 +120,7 @@ _PRIORITY = [
     "text_instruction_format",
     "dag_critical_path",
     "q_rolling_distinct_sketch",
+    "udtf_table_arg_topk",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

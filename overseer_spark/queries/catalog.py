@@ -10272,3 +10272,55 @@ def q_rolling_distinct_sketch(spark, sf):
         )
         .orderBy("w_end")
     )
+
+
+@q(
+    "udtf_table_arg_topk",
+    oracle="""WITH s AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY len(string_split(text, ' '))
+                                                 DESC, doc_id) AS rn
+                         FROM documents)
+              SELECT lang, doc_id, toks FROM s WHERE rn <= 2
+              ORDER BY lang, doc_id""",
+)
+def udtf_table_arg_topk(spark, sf):
+    """Python UDTF with a TABLE argument and PARTITION BY / ORDER BY —
+    the third leg of the UDTF contract (static schema, dynamic analyze,
+    and now table-valued input): the engine feeds each ``lang``
+    partition's rows IN ORDER to a stateful UDTF instance, which keeps
+    the top-2 longest documents with O(k) state and flushes them in
+    ``terminate()``. This is the API for per-group streaming algorithms
+    that don't fit a window function (sessionizers, CUSUM monitors,
+    online quantile trackers) while the engine still owns partitioning
+    and sort. Hash-matched against the plain rank-window oracle."""
+    from pyspark.sql.functions import udtf
+
+    class TopK:
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row):
+            # rows arrive ORDER BY toks DESC, doc_id — keep the first 2
+            if len(self._rows) < 2:
+                self._rows.append((row["lang"], row["doc_id"], row["toks"]))
+
+        def terminate(self):
+            yield from self._rows
+
+    spark.udtf.register(
+        "overseer_topk_tokens",
+        udtf(TopK, returnType="lang string, doc_id bigint, toks bigint"),
+    )
+    _t(spark, sf, "documents").createOrReplaceTempView("_docs_udtf_topk")
+    return spark.sql(
+        """SELECT t.lang, t.doc_id, t.toks
+           FROM overseer_topk_tokens(
+             TABLE(SELECT lang, doc_id,
+                          CAST(size(split(text, ' ')) AS BIGINT) AS toks
+                   FROM _docs_udtf_topk)
+             PARTITION BY lang
+             ORDER BY (toks DESC, doc_id)) t
+           ORDER BY t.lang, t.doc_id"""
+    )
