@@ -121,6 +121,7 @@ _PRIORITY = [
     "dag_critical_path",
     "q_rolling_distinct_sketch",
     "udtf_table_arg_topk",
+    "q_bootstrap_ci",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -10324,3 +10324,54 @@ def udtf_table_arg_topk(spark, sf):
              ORDER BY (toks DESC, doc_id)) t
            ORDER BY t.lang, t.doc_id"""
     )
+
+
+@q("q_bootstrap_ci", tier="py")
+def q_bootstrap_ci(spark, sf):
+    """Distributed Poisson bootstrap CI for the mean — the resampling
+    that works on data too big to resample: instead of drawing n rows
+    with replacement (a shuffle per replicate), each row contributes to
+    every replicate b with a Poisson(1) weight derived DETERMINISTICALLY
+    from xxhash64(event_id, b) — so the 100 replicates are one
+    explode + one groupBy over (replicate), weights are reproducible
+    across runs/cluster sizes, and no data ever moves (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', the
+    production-standard trick). Output: point estimate + percentile CI
+    bounds from the replicate distribution. tests/test_properties.py
+    pins coverage of the true mean and the 1/√n width scaling."""
+    ev = _t(spark, sf, "events")
+    B = 100
+    # Poisson(1) inverse-CDF lookup table: P(X>=k) thresholds, k=0..7
+    # (P(X>7) < 1e-5 — truncation is negligible and keeps the expr tiny)
+    import math
+
+    cdf = []
+    acc = 0.0
+    for k in range(8):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(acc)
+    u = (
+        F.pmod(F.xxhash64("event_id", F.col("b")), F.lit(1_000_003)).cast("double")
+        / 1_000_003.0
+    )
+    w = F.lit(8)
+    for k in range(7, -1, -1):
+        w = F.when(u < cdf[k], k).otherwise(w)
+    rep = (
+        ev.select("event_id", "value")
+        .select("event_id", "value", F.explode(F.expr(f"sequence(0, {B - 1})")).alias("b"))
+        .select("b", (F.col("value") * w).alias("wv"), w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum("wv") / F.sum("w")).alias("mean_b"))
+    )
+    q05, q50, q95 = (
+        F.expr("percentile(mean_b, 0.05)"),
+        F.expr("percentile(mean_b, 0.50)"),
+        F.expr("percentile(mean_b, 0.95)"),
+    )
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(q50, 4).alias("boot_median"),
+        F.round(q05, 4).alias("ci_lo"),
+        F.round(q95, 4).alias("ci_hi"),
+    )

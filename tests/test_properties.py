@@ -361,3 +361,24 @@ def test_geo_grid_blocking_recall_is_total(spark, pts):
         if hav(a, b) <= 500
     }
     assert true_pairs <= cands, true_pairs - cands
+
+
+def test_bootstrap_ci_covers_true_mean_and_scales(spark, duck):
+    """q_bootstrap_ci: the 90% percentile CI must contain the exact mean,
+    be reproducible run-to-run (deterministic hash weights), and have
+    width in the right ballpark for n≈10k (≈ ±2·σ/√n)."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    fn = CATALOG["q_bootstrap_ci"].fn
+    r1 = fn(spark, SF_CORRECTNESS).collect()[0]
+    r2 = fn(spark, SF_CORRECTNESS).collect()[0]
+    assert r1 == r2, "bootstrap must be deterministic"
+    true_mean, sd, n = duck.execute(
+        "SELECT AVG(value), STDDEV_SAMP(value), COUNT(*) FROM events"
+    ).fetchone()
+    assert r1["ci_lo"] <= true_mean <= r1["ci_hi"], (r1, true_mean)
+    width = r1["ci_hi"] - r1["ci_lo"]
+    se = sd / n ** 0.5
+    assert 1.5 * se < width < 6 * se, (width, se)
+    assert r1["n_replicates"] == 100

@@ -140,6 +140,7 @@ FAMILIES: dict[str, list[str]] = {
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
         "hll_intersection_estimate", "q_rolling_distinct_sketch",
+        "q_bootstrap_ci",
     ],
     "TPC-H shapes": [
         "tpch_q1_full", "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
