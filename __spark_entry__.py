@@ -122,6 +122,7 @@ _PRIORITY = [
     "q_rolling_distinct_sketch",
     "udtf_table_arg_topk",
     "q_bootstrap_ci",
+    "q_rolling_regression_slope",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

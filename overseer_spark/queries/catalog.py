@@ -10375,3 +10375,72 @@ def q_bootstrap_ci(spark, sf):
         F.round(q05, 4).alias("ci_lo"),
         F.round(q95, 4).alias("ci_hi"),
     )
+
+
+@q(
+    "q_rolling_regression_slope",
+    oracle="""WITH seq AS (SELECT user_id, value,
+                     ROW_NUMBER() OVER w AS x,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n_user
+                           FROM events
+                           WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY ts, event_id)),
+                   sums AS (SELECT user_id, x, n_user,
+                     SUM(value) OVER r AS sy,
+                     SUM(x * value) OVER r AS sxy,
+                     SUM(x) OVER r AS sx,
+                     SUM(x * x) OVER r AS sxx,
+                     COUNT(*) OVER r AS cnt
+                            FROM seq
+                            WINDOW r AS (PARTITION BY user_id
+                                         ORDER BY x
+                                         ROWS BETWEEN 9 PRECEDING
+                                         AND CURRENT ROW))
+              SELECT user_id,
+                     ROUND((cnt * sxy - sx * sy)
+                           / (cnt * sxx - sx * sx), 5) AS slope
+              FROM sums WHERE x = n_user AND cnt = 10
+              ORDER BY user_id""",
+)
+def q_rolling_regression_slope(spark, sf):
+    """Rolling OLS trend per entity — the 'is this metric drifting for
+    THIS user' feature: the regression slope of value against event
+    index over each user's trailing 10 events, evaluated at their
+    latest event. The closed form needs only four windowed sums
+    (Σy, Σxy, Σx, Σx²) over the SAME bounded frame, so the cost is one
+    per-user sort — no per-window refit, no UDF, and every frame is 10
+    rows regardless of history length. Users with fewer than 10 events
+    are excluded (a 2-point 'trend' is noise). The same four-sum
+    rewrite turns ANY rolling regression/correlation into window
+    algebra — the pattern matters more than this instance."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("x"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_user"),
+    )
+    r = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-9, 0)
+    )
+    sums = seq.select(
+        "user_id",
+        "x",
+        "n_user",
+        F.sum("value").over(r).alias("sy"),
+        F.sum(F.col("x") * F.col("value")).over(r).alias("sxy"),
+        F.sum("x").over(r).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(r).alias("sxx"),
+        F.count(F.lit(1)).over(r).alias("cnt"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.where((F.col("x") == F.col("n_user")) & (F.col("cnt") == 10))
+        .select("user_id", F.round(slope, 5).alias("slope"))
+        .orderBy("user_id")
+    )

@@ -53,7 +53,7 @@ FAMILIES: dict[str, list[str]] = {
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
         "q_rank_variants", "q_window_extras", "q_lead_nth_window",
         "q_range_frame_window", "q_sequence_islands", "q_forward_fill",
-        "q_loo_mean", "ewma_user_value",
+        "q_loo_mean", "ewma_user_value", "q_rolling_regression_slope",
         "q_event_transitions", "q_user_journeys", "q_dau_growth",
         "q_cumulative_distinct_users",
         "q_global_sort",
