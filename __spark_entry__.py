@@ -123,6 +123,7 @@ _PRIORITY = [
     "udtf_table_arg_topk",
     "q_bootstrap_ci",
     "q_rolling_regression_slope",
+    "q_entropy_by_user",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -10444,3 +10444,46 @@ def q_rolling_regression_slope(spark, sf):
         .select("user_id", F.round(slope, 5).alias("slope"))
         .orderBy("user_id")
     )
+
+
+@q(
+    "q_entropy_by_user",
+    oracle="""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                         FROM events GROUP BY user_id, event_type),
+                   t AS (SELECT user_id, SUM(n) AS tot FROM c
+                         GROUP BY user_id),
+                   h AS (SELECT c.user_id,
+                                -SUM((n * 1.0 / tot) * LN(n * 1.0 / tot))
+                                  AS ent
+                         FROM c JOIN t ON c.user_id = t.user_id
+                         GROUP BY c.user_id)
+              SELECT user_id, ROUND(ent, 5) AS entropy
+              FROM h ORDER BY entropy DESC, user_id LIMIT 20""",
+)
+def q_entropy_by_user(spark, sf):
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score (bots and single-purpose scripts sit near 0;
+    engaged users near ln|types|), the same statistic a corpus pipeline
+    uses for source-diversity weighting. Two cascaded aggregates (rows →
+    user×type → user) both partition on user_id, so the second reuses
+    the first's shuffle; the top-20 most-diverse users compile to
+    TakeOrderedAndProject. Completes the information-theory family
+    beside text_bigram_pmi (mutual information), text_chi2_terms, and
+    q_gini_coefficient."""
+    c = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    h = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log(p))).alias("ent"))
+    )
+    return (
+        h.select("user_id", F.round("ent", 5).alias("entropy"))
+        .orderBy(F.desc("entropy"), F.asc("user_id"))
+        .limit(20)
+    )
