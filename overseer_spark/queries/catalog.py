@@ -9279,8 +9279,12 @@ def q_csv_roundtrip(spark, sf):
     import tempfile
 
     o = _t(spark, sf, "orders")
+    # fixed per-SF path + overwrite mode: repeated runs (sweeps, benches)
+    # replace the staging dir instead of leaking a new tempdir each call
     path = os.path.join(
-        tempfile.mkdtemp(prefix="overseer_csv_"), "orders_csv"
+        tempfile.gettempdir(),
+        "overseer_roundtrip",
+        f"orders_csv_{os.path.basename(os.path.normpath(sf))}",
     )
     o.write.mode("overwrite").option("header", True).option(
         "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -9327,8 +9331,11 @@ def q_jsonl_roundtrip(spark, sf):
     ev = _t(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
     )
+    # fixed per-SF path + overwrite mode (see q_csv_roundtrip)
     path = os.path.join(
-        tempfile.mkdtemp(prefix="overseer_jsonl_"), "events_jsonl"
+        tempfile.gettempdir(),
+        "overseer_roundtrip",
+        f"events_jsonl_{os.path.basename(os.path.normpath(sf))}",
     )
     ev.write.mode("overwrite").json(path)
     back = spark.read.schema(ev.schema).json(path)
