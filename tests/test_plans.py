@@ -549,3 +549,42 @@ def test_aqe_splits_skewed_join_partitions_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fim_transform_is_pure_projection(spark):
+    """FIM rendering must be zero-shuffle compute: the ONLY exchange in
+    the plan is the presentation sort's range partitioning — cuts,
+    substrings, and md5 all stay inside codegen with no Python."""
+    s = explain_str(q("text_fim_transform", spark))
+    assert len(re.findall(r"\bExchange \(\d+\)", s)) == 1
+    assert s.count("rangepartitioning") == 1
+    assert "EvalPython" not in s
+
+
+def test_preference_pairs_bounded_exchanges(spark):
+    """Both rank windows and the group-count hash on (lang, source); the
+    chosen/rejected joins must broadcast the 1-row-per-group sides —
+    the whole pair miner is ≤3 hash exchanges + the final sort."""
+    df = q("preference_pairs", spark)
+    s = explain_str(df)
+    assert has_broadcast_join(df)
+    assert s.count("hashpartitioning") <= 3, s.count("hashpartitioning")
+
+
+def test_shard_plan_two_phase_no_global_data_sort(spark):
+    """The two-phase cumulative sum must never globally sort the data:
+    exactly one range partitioning (the 55-row manifest presentation
+    sort) and the block-carry table returns via broadcast."""
+    df = q("shard_plan_by_tokens", spark)
+    s = explain_str(df)
+    assert has_broadcast_join(df), "block carries must broadcast"
+    assert s.count("rangepartitioning") == 1, s.count("rangepartitioning")
+
+
+def test_instruction_format_reuses_group_partitioning(spark):
+    """The prompt/response self-join keys on the SAME (lang, source, rn)
+    ranking both sides share — at most 2 hash exchanges (one per window
+    input side) and string rendering stays in codegen."""
+    s = explain_str(q("text_instruction_format", spark))
+    assert s.count("hashpartitioning") <= 2
+    assert "EvalPython" not in s
