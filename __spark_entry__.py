@@ -124,6 +124,8 @@ _PRIORITY = [
     "q_bootstrap_ci",
     "q_rolling_regression_slope",
     "q_entropy_by_user",
+    "q_forecast_backtest_mape",
+    "q_dp_noisy_counts",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

