@@ -10035,21 +10035,33 @@ def q_survival_km(spark, sf):
 def q_auc_rank(spark, sf):
     """ROC-AUC via the Mann-Whitney rank identity — the classifier eval
     that needs NO threshold sweep: AUC = P(score⁺ > score⁻) =
-    (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺n⁻). One rank window and
-    three partial sums; here the 'model' is the first embedding
+    (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺n⁻). Three partial sums
+    over a global rank; here the 'model' is the first embedding
     component against a binary label split (swap in any score column).
-    The global rank is the same single ordered pass every AUC
-    implementation needs — at extreme scale the two-phase block-rank
-    trick (shard_plan_by_tokens) applies verbatim, or bucket scores and
-    use the histogram approximation. Near-0.5 on this synthetic corpus
-    by design: the eval harness must report 'no signal' honestly."""
+    The global rank is built with the TWO-PHASE block trick rather than
+    one unpartitioned window: coarse score blocks rank internally in
+    parallel (equal scores always share a block, so cross-block order
+    is total), and each block's carry-in is a cumulative count over the
+    tiny block-size table that broadcasts back — no single-partition
+    sort of the corpus, ever. Near-0.5 on this synthetic corpus by
+    design: the eval harness must report 'no signal' honestly."""
     scored = _t(spark, sf, "embeddings").select(
         "vec_id",
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
         F.element_at("embedding", 1).alias("score"),
     )
-    r = scored.select(
-        "y", F.row_number().over(Window.orderBy("score", "vec_id")).alias("rnk")
+    blocked = scored.withColumn(
+        "blk", F.floor(F.col("score") * 8).cast("long")
+    )
+    w_in = Window.partitionBy("blk").orderBy("score", "vec_id")
+    inner = blocked.withColumn("rn_in", F.row_number().over(w_in))
+    blk_n = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("bn"))
+    w_carry = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk_n.select(
+        "blk", F.coalesce(F.sum("bn").over(w_carry), F.lit(0)).alias("carry")
+    )
+    r = inner.join(F.broadcast(carry), "blk").select(
+        "y", (F.col("carry") + F.col("rn_in")).alias("rnk")
     )
     agg = r.agg(
         F.sum(F.when(F.col("y") == 1, F.col("rnk"))).alias("rsum"),
