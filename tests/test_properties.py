@@ -418,3 +418,42 @@ def test_dp_noisy_counts_numpy_replay_and_utility(spark, duck):
         for r in CATALOG["q_dp_noisy_counts"].fn(spark, SF_CORRECTNESS).collect()
     }
     assert again == released
+
+
+def test_session_entry_invariants(spark):
+    """Mathematical invariants of the round-2 statistics entries, checked
+    on real data (complementing their oracle hash-matches):
+    KM survival is non-increasing and in (0,1]; PSI contributions are
+    non-negative (signs of (p_cur−p_ref) and ln(p_cur/p_ref) agree);
+    Benford observed proportions sum to 1; the shard plan partitions
+    every document exactly once in doc_id order; AUC ∈ [0,1]."""
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    sf = SF_CORRECTNESS
+
+    km = CATALOG["q_survival_km"].fn(spark, sf).collect()
+    s_prev = 1.0
+    for r in km:
+        assert 0.0 < r["s"] <= 1.0 and r["s"] <= s_prev + 1e-9, r
+        s_prev = r["s"]
+
+    psi = CATALOG["q_psi_drift"].fn(spark, sf).collect()
+    assert all(r["psi_part"] >= 0.0 for r in psi)
+
+    ben = CATALOG["q_benford_audit"].fn(spark, sf).collect()
+    assert abs(sum(r["obs_p"] for r in ben) - 1.0) < 0.01
+    assert {r["digit"] for r in ben} <= set(range(1, 10))
+
+    shards = CATALOG["shard_plan_by_tokens"].fn(spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    # shards tile the doc_id axis in order: each first_doc follows the
+    # previous shard's last_doc
+    shards.sort(key=lambda r: r["shard"])
+    for a, b in zip(shards, shards[1:]):
+        assert a["last_doc"] < b["first_doc"]
+
+    auc = CATALOG["q_auc_rank"].fn(spark, sf).collect()[0]
+    assert 0.0 <= auc["auc"] <= 1.0
