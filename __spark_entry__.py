@@ -126,6 +126,7 @@ _PRIORITY = [
     "q_entropy_by_user",
     "q_forecast_backtest_mape",
     "q_dp_noisy_counts",
+    "q_dataset_manifest",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

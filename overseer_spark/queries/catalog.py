@@ -10602,3 +10602,39 @@ def q_dp_noisy_counts(spark, sf):
         )
         .orderBy("event_type", "d")
     )
+
+
+_MANIFEST_TABLES = (
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier",
+)
+
+
+@q(
+    "q_dataset_manifest",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in _MANIFEST_TABLES
+    )
+    + " ORDER BY tbl",
+)
+def q_dataset_manifest(spark, sf):
+    """Dataset manifest — the reproducibility record a training run
+    snapshots before it starts: one row per input table with its row
+    count (extend with schema hashes / file listings as needed). Ten
+    COUNT(*) scans that each read ZERO columns (parquet footer
+    metadata answers them), unioned into a 10-row artifact — the
+    cheapest possible integrity check, and the first thing to diff when
+    two runs disagree. Pairs with q_integrity_audit (content-level
+    checks) and deterministic_shuffle_order (order-level
+    reproducibility)."""
+    parts = [
+        _t(spark, sf, t).agg(
+            F.lit(t).alias("tbl"), F.count(F.lit(1)).cast("long").alias("n_rows")
+        )
+        for t in _MANIFEST_TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl")

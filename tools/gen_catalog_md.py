@@ -36,7 +36,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_percent_of_total", "q_abc_analysis", "q_pivot_status", "q_unpivot_melt",
         "q_rfm_segments", "q_basket_pairs",
         "q_cohort_retention", "time_rollup_hierarchy", "q_data_profile",
-        "q_integrity_audit", "dq_expectations_report",
+        "q_integrity_audit", "dq_expectations_report", "q_dataset_manifest",
         "q_outlier_counts", "q_mad_outliers",
         "q_join_key_skew_profile",
         "q_json_props_sum", "skew_salted_agg", "pandas_udaf_weighted_mean",
