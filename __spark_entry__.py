@@ -127,6 +127,7 @@ _PRIORITY = [
     "q_forecast_backtest_mape",
     "q_dp_noisy_counts",
     "q_dataset_manifest",
+    "text_js_divergence_by_source",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

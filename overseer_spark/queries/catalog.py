@@ -10638,3 +10638,74 @@ def q_dataset_manifest(spark, sf):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl")
+
+
+@q(
+    "text_js_divergence_by_source",
+    oracle="""WITH tok AS (SELECT source,
+                     unnest(string_split(lower(text), ' ')) AS term
+                           FROM documents),
+                   st AS (SELECT source, term, COUNT(*) AS n
+                          FROM tok GROUP BY source, term),
+                   stot AS (SELECT source, SUM(n) AS tot FROM st
+                            GROUP BY source),
+                   gt AS (SELECT term, SUM(n) AS gn FROM st GROUP BY term),
+                   gtot AS (SELECT SUM(gn) AS gtot FROM gt),
+                   probs AS (SELECT st.source,
+                                    st.n * 1.0 / stot.tot AS p,
+                                    gt.gn * 1.0 / gtot.gtot AS q
+                             FROM st
+                             JOIN stot ON st.source = stot.source
+                             JOIN gt ON st.term = gt.term, gtot),
+                   jsd AS (SELECT source,
+                             0.5 * SUM(p * LN(p / ((p + q) / 2)))
+                             + 0.5 * SUM(q * LN(q / ((p + q) / 2)))
+                               AS half_sum,
+                             SUM(q) AS q_cov
+                           FROM probs GROUP BY source)
+              SELECT source,
+                     ROUND(half_sum, 5) AS jsd_observed,
+                     ROUND(q_cov, 5) AS corpus_mass_covered
+              FROM jsd ORDER BY source""",
+)
+def text_js_divergence_by_source(spark, sf):
+    """Vocabulary drift per source vs the pooled corpus — the
+    Jensen-Shannon-style divergence a corpus-mixing pipeline watches to
+    spot a source going off-distribution (JSD is symmetric and bounded,
+    unlike raw KL; reported here over each source's observed vocabulary
+    with the corpus mass it covers, so a source missing corpus terms
+    shows as q_cov < 1 rather than a hidden infinity). Token stream →
+    (source, term) counts → two dimension-sized probability tables
+    joined back on the term key; completes the information-theory
+    family: entropy (q_entropy_by_user), PMI (text_bigram_pmi), χ²
+    (text_chi2_terms), PSI (q_psi_drift), LLR (text_dsir_scores)."""
+    tok = _t(spark, sf, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    stot = st.groupBy("source").agg(F.sum("n").alias("tot"))
+    gt = st.groupBy("term").agg(F.sum("n").alias("gn"))
+    gtot = gt.agg(F.sum("gn").alias("gtot"))
+    probs = (
+        st.join(stot, "source")
+        .join(F.broadcast(gt), "term")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            (F.col("n") / F.col("tot")).alias("p"),
+            (F.col("gn") / F.col("gtot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return (
+        probs.groupBy("source")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.col("p") * F.log(F.col("p") / m))
+                + 0.5 * F.sum(F.col("q") * F.log(F.col("q") / m)),
+                5,
+            ).alias("jsd_observed"),
+            F.round(F.sum("q"), 5).alias("corpus_mass_covered"),
+        )
+        .orderBy("source")
+    )

@@ -420,6 +420,8 @@ _BNLJ_OK = {
     "q_survival_km",
     # 1-row date-bounds broadcast trimming incomplete windows
     "q_rolling_distinct_sketch",
+    # 1-row corpus-total broadcast under the divergence probabilities
+    "text_js_divergence_by_source",
     # k×d centroid-table broadcast for the cell assignment
     "embedding_outlier_flags",
 }
