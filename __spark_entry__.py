@@ -128,6 +128,7 @@ _PRIORITY = [
     "q_dp_noisy_counts",
     "q_dataset_manifest",
     "text_js_divergence_by_source",
+    "multimodal_image_dedup_count",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

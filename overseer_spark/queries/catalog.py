@@ -10709,3 +10709,45 @@ def text_js_divergence_by_source(spark, sf):
         )
         .orderBy("source")
     )
+
+
+@q("multimodal_image_dedup_count", tier="py")
+def multimodal_image_dedup_count(spark, sf):
+    """The scalable OUTPUT shape for perceptual image dedup: the
+    multimodal_image_near_dup pair stream pipes into connected
+    components (operators/components.py) and collapses to per-cluster
+    survivor counts — the artifact a dup-dense corpus actually
+    materializes (the pair list is quadratic on such corpora; the
+    component summary is linear in images). Output: image count,
+    near-dup cluster count, surviving canonical images, and images
+    dropped. Every planted brightness copy must fall into its source's
+    component, which tests/test_multimodal.py asserts."""
+    from overseer_spark.operators.components import connected_components
+    from overseer_spark.operators.multimodal import (
+        image_ahash,
+        perturb_brightness,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
+    media = synthesize_media(docs)
+    corpus = media.unionByName(perturb_brightness(media, factor=0.8))
+    n_images = corpus.count()
+    pairs = CATALOG["multimodal_image_near_dup"].fn(spark, sf).select("d1", "d2")
+    comp = connected_components(pairs)
+    stats = comp.agg(
+        F.countDistinct("component").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_clustered"),
+    ).collect()[0]
+    survivors = n_images - stats["n_clustered"] + stats["n_clusters"]
+    return spark.createDataFrame(
+        [
+            (
+                n_images,
+                stats["n_clusters"],
+                survivors,
+                n_images - survivors,
+            )
+        ],
+        "n_images long, n_dup_clusters long, n_survivors long, n_dropped long",
+    )

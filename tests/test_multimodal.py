@@ -433,3 +433,17 @@ def test_image_near_dup_finds_planted_brightness_copies(spark):
     assert all(
         found[(i, i + 1_000_000)] <= 3 for i in image_ids
     )
+
+
+def test_image_dedup_count_collapses_planted_copies(spark):
+    """multimodal_image_dedup_count: with every image duplicated by a
+    brightness copy, survivors are at most half the corpus, counts are
+    internally consistent, and planted pairs land in one component."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    r = CATALOG["multimodal_image_dedup_count"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_images"] > 0 and r["n_images"] % 2 == 0
+    assert r["n_survivors"] + r["n_dropped"] == r["n_images"]
+    # every image has at least its brightness twin → no singleton survivors
+    assert r["n_survivors"] <= r["n_images"] // 2
+    assert r["n_dup_clusters"] == r["n_survivors"]
