@@ -129,6 +129,7 @@ _PRIORITY = [
     "q_dataset_manifest",
     "text_js_divergence_by_source",
     "multimodal_image_dedup_count",
+    "q_lateral_topn_per_key",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

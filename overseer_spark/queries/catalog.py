@@ -10751,3 +10751,42 @@ def multimodal_image_dedup_count(spark, sf):
         ],
         "n_images long, n_dup_clusters long, n_survivors long, n_dropped long",
     )
+
+
+@q(
+    "q_lateral_topn_per_key",
+    oracle="""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+              FROM customer c,
+              LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 2)
+                         AS o_totalprice
+                       FROM orders
+                       WHERE o_custkey = c.c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       LIMIT 2) o
+              WHERE c.c_custkey <= 50
+              ORDER BY c.c_custkey, o.o_orderkey""",
+)
+def q_lateral_topn_per_key(spark, sf):
+    """Correlated LATERAL subquery — the SQL spelling of top-N-per-key
+    that analysts actually write: for each customer, the 2 largest
+    orders via a LATERAL derived table referencing the outer row.
+    Catalyst decorrelates this into the SAME rank-window plan as the
+    explicit q_topk_per_group_agg formulation (no per-customer
+    re-execution — the plan is one partitioned window over orders, not
+    N subquery runs), which is exactly what makes LATERAL safe at
+    scale. Both engines support the syntax natively; the outer filter
+    keeps the checked result compact."""
+    _t(spark, sf, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM _lat_customer c,
+           LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 2)
+                      AS o_totalprice
+                    FROM _lat_orders
+                    WHERE o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    LIMIT 2) o
+           WHERE c.c_custkey <= 50
+           ORDER BY c.c_custkey, o.o_orderkey"""
+    )

@@ -74,7 +74,7 @@ FAMILIES: dict[str, list[str]] = {
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
         "q_union_by_name_evolution", "q_scalar_subquery", "q_exists_correlated",
-        "q_not_in_null_semantics",
+        "q_not_in_null_semantics", "q_lateral_topn_per_key",
     ],
     "Scalar functions & types": [
         "q27_string_funcs", "q28_datetime_funcs", "q29_math_funcs", "q_date_arith",
