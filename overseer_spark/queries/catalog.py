@@ -10483,10 +10483,13 @@ def q_entropy_by_user(spark, sf):
     """Shannon entropy of each user's event-type mix — the behavioral
     diversity score (bots and single-purpose scripts sit near 0;
     engaged users near ln|types|), the same statistic a corpus pipeline
-    uses for source-diversity weighting. Two cascaded aggregates (rows →
-    user×type → user) both partition on user_id, so the second reuses
-    the first's shuffle; the top-20 most-diverse users compile to
-    TakeOrderedAndProject. Completes the information-theory family
+    uses for source-diversity weighting. The corpus shrinks to the
+    user×type count table in one aggregate; the per-user totals are a
+    second, strictly smaller aggregate that returns by BROADCAST join,
+    and the entropy fold is a third aggregate over the already-tiny
+    joined table — every stage after the first is dimension-sized. The
+    top-20 most-diverse users compile to TakeOrderedAndProject.
+    Completes the information-theory family
     beside text_bigram_pmi (mutual information), text_chi2_terms, and
     q_gini_coefficient."""
     c = (
