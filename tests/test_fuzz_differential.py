@@ -1,0 +1,23 @@
+"""Seeded differential fuzzing: 40 random queries must agree between the
+Spark DataFrame build and DuckDB SQL generated from the same AST. Any
+failure message carries the seed + SQL for exact reproduction."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "tools")
+
+from fuzz_differential import TABLES, run_case  # noqa: E402
+from tests.conftest import SF_CORRECTNESS  # noqa: E402
+
+
+def test_forty_seeded_random_queries_agree(spark, duck):
+    import duckdb  # noqa: F401  (duck fixture already registered views)
+
+    failures = []
+    for seed in range(40):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed)
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)
