@@ -49,8 +49,22 @@ TABLES = {
 }
 
 
+JOINS = [
+    # (left, right, left_key, right_key) — real FK edges in the fixtures
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+# customer columns for the join path (not in the single-table pool — the
+# fixture has no c_mktsegment-free narrow set worth fuzzing alone here)
+CUSTOMER_COLS = {"num": ["c_acctbal"], "int": ["c_custkey", "c_nationkey"],
+                 "str": ["c_mktsegment"]}
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query as a tiny AST dict (engine-neutral)."""
+    if rng.random() < 0.35:
+        return gen_join_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -95,7 +109,79 @@ def gen_case(rng: random.Random) -> dict:
     }
 
 
+def gen_join_case(rng: random.Random) -> dict:
+    """Random FK equi-join: filter each side, group by a string column
+    from either side, aggregate. Exercises join ordering, null handling
+    on inner joins, and post-join aggregation — the plan space the
+    single-table generator can't reach."""
+    left, right, lk, rk = rng.choice(JOINS)
+    rcols = TABLES.get(right, CUSTOMER_COLS)
+    lcols = TABLES[left]
+    filters = []
+    if rng.random() < 0.7:
+        c = rng.choice(lcols["num"] + lcols["int"])
+        filters.append(("l", c, rng.choice([">", "<"]), rng.choice([1, 10, 1000, 50000])))
+    if rng.random() < 0.5 and rcols["str"]:
+        filters.append(("r", rng.choice(rcols["str"]), "LIKE",
+                        rng.choice("ABCFOP") + "%"))
+    gside, gcol = ("l", rng.choice(lcols["str"])) if (rng.random() < 0.5 and lcols["str"]) else (
+        ("r", rng.choice(rcols["str"])) if rcols["str"] else ("l", lcols["str"][0]))
+    aggs = [("count", "*")]
+    npool = lcols["num"] + lcols["int"]
+    if rng.random() < 0.7:
+        aggs.append((rng.choice(["sum", "min", "max"]), rng.choice(npool)))
+    return {"join": (left, right, lk, rk), "filters": filters,
+            "group": (gside, gcol), "aggs": aggs}
+
+
+def join_to_sql(case: dict) -> str:
+    left, right, lk, rk = case["join"]
+    where = " AND ".join(
+        f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
+        for _, c, op, v in case["filters"]
+    )
+    where = f" WHERE {where}" if where else ""
+    gcol = case["group"][1]
+    sel = [gcol]
+    for i, (fn, c) in enumerate(case["aggs"]):
+        expr = "COUNT(*)" if c == "*" else f"{fn.upper()}({c})"
+        sel.append(f"{expr} AS a{i}")
+    return (
+        f"SELECT {', '.join(sel)} FROM {left} JOIN {right} ON {lk} = {rk}"
+        f"{where} GROUP BY {gcol} ORDER BY {gcol}"
+    )
+
+
+def build_join_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    left, right, lk, rk = case["join"]
+    l = load_table(spark, sf_dir, left)
+    r = load_table(spark, sf_dir, right)
+    df = l.join(r, l[lk] == r[rk])
+    for _, c, op, v in case["filters"]:
+        col = F.col(c)
+        if op == "LIKE":
+            df = df.filter(col.like(v))
+        elif op == ">":
+            df = df.filter(col > v)
+        elif op == "<":
+            df = df.filter(col < v)
+    gcol = case["group"][1]
+    ag = []
+    for i, (fn, c) in enumerate(case["aggs"]):
+        if c == "*":
+            ag.append(F.count(F.lit(1)).alias(f"a{i}"))
+        else:
+            ag.append(getattr(F, fn)(c).alias(f"a{i}"))
+    return df.groupBy(gcol).agg(*ag).orderBy(gcol)
+
+
 def to_sql(case: dict) -> str:
+    if "join" in case:
+        return join_to_sql(case)
     where = " AND ".join(
         f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
         for c, op, v in case["filters"]
@@ -175,9 +261,12 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     rng = random.Random(seed)
     case = gen_case(rng)
     sql = to_sql(case)
-    srows = build_spark_df(spark, sf_dir, case).collect()
+    if "join" in case:
+        srows = build_join_spark_df(spark, sf_dir, case).collect()
+    else:
+        srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
-    if case["group"] is None:
+    if case.get("group") is None:
         # un-grouped projections: compare as sorted multisets
         s = sorted(tuple(str(x) for x in r) for r in srows)
         d = sorted(tuple(str(x) for x in r) for r in drows)
@@ -205,7 +294,7 @@ def main() -> None:
     spark = get_spark("fuzz-differential", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
+    for t in list(TABLES) + ["customer"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{ns.sf}/{t}.parquet'")
     bad = 0
     for i in range(ns.n):
