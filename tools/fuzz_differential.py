@@ -49,6 +49,18 @@ TABLES = {
 }
 
 
+# per-table UNIQUE ordering key (window determinism requires total order).
+# lineitem is EXCLUDED: the synthetic fixture has no unique key — even
+# (l_orderkey, l_linenumber) repeats — so any window over it is
+# tie-order-nondeterministic across engines (found by this fuzzer's own
+# seed 9063; the catalog's lineitem entries are safe because their
+# comparisons are order-insensitive aggregates).
+UNIQUE_KEYS = {
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+
 JOINS = [
     # (left, right, left_key, right_key) — real FK edges in the fixtures
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
@@ -63,8 +75,11 @@ CUSTOMER_COLS = {"num": ["c_acctbal"], "int": ["c_custkey", "c_nationkey"],
 
 def gen_case(rng: random.Random) -> dict:
     """One random query as a tiny AST dict (engine-neutral)."""
-    if rng.random() < 0.35:
+    roll = rng.random()
+    if roll < 0.3:
         return gen_join_case(rng)
+    if roll < 0.45:
+        return gen_window_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -134,6 +149,62 @@ def gen_join_case(rng: random.Random) -> dict:
             "group": (gside, gcol), "aggs": aggs}
 
 
+def gen_window_case(rng: random.Random) -> dict:
+    """Random window query: ROW_NUMBER/SUM/LAG over a string-partitioned
+    window ordered by a UNIQUE integer key (determinism across engines),
+    filtered to the first k rows per partition. Probes frame semantics,
+    partition pruning of window output, and rank-filter rewrites."""
+    table = rng.choice([t for t in UNIQUE_KEYS if TABLES[t]["str"]])
+    cols = TABLES[table]
+    part = rng.choice(cols["str"])
+    key = UNIQUE_KEYS[table]  # compound key → total order within partition
+    fn = rng.choice(["row_number", "sum", "lag"])
+    val = rng.choice(cols["num"] + cols["int"])
+    k = rng.choice([3, 5])
+    return {"window": (table, part, key, fn, val, k)}
+
+
+def window_to_sql(case: dict) -> str:
+    table, part, key, fn, val, k = case["window"]
+    ks = ", ".join(key)
+    if fn == "row_number":
+        expr = "ROW_NUMBER() OVER w"
+    elif fn == "sum":
+        expr = (f"SUM({val}) OVER (PARTITION BY {part} ORDER BY {ks} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    else:
+        expr = f"LAG({val}, 1) OVER w"
+    return (
+        f"SELECT {part}, {ks}, ROUND(CAST(v AS DOUBLE), 4) AS v FROM "
+        f"(SELECT {part}, {ks}, {expr} AS v, ROW_NUMBER() OVER w AS rn "
+        f"FROM {table} WINDOW w AS (PARTITION BY {part} ORDER BY {ks})) t "
+        f"WHERE rn <= {k} ORDER BY {part}, {ks}"
+    )
+
+
+def build_window_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, part, key, fn, val, k = case["window"]
+    w = Window.partitionBy(part).orderBy(*key)
+    df = load_table(spark, sf_dir, table)
+    if fn == "row_number":
+        v = F.row_number().over(w)
+    elif fn == "sum":
+        v = F.sum(val).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        v = F.lag(val, 1).over(w)
+    return (
+        df.select(part, *key, v.alias("v"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+        .select(part, *key, F.round(F.col("v").cast("double"), 4).alias("v"))
+        .orderBy(part, *key)
+    )
+
+
 def join_to_sql(case: dict) -> str:
     left, right, lk, rk = case["join"]
     where = " AND ".join(
@@ -182,6 +253,8 @@ def build_join_spark_df(spark, sf_dir: str, case: dict):
 def to_sql(case: dict) -> str:
     if "join" in case:
         return join_to_sql(case)
+    if "window" in case:
+        return window_to_sql(case)
     where = " AND ".join(
         f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
         for c, op, v in case["filters"]
@@ -263,9 +336,17 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     sql = to_sql(case)
     if "join" in case:
         srows = build_join_spark_df(spark, sf_dir, case).collect()
+    elif "window" in case:
+        srows = build_window_spark_df(spark, sf_dir, case).collect()
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
+    if "window" in case:
+        # deterministic unique-key rows: exact multiset compare with the
+        # rounded value column
+        s_ = sorted(tuple(str(x) for x in r) for r in srows)
+        d_ = sorted(tuple(str(x) for x in r) for r in drows)
+        return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
     if case.get("group") is None:
         # un-grouped projections: compare as sorted multisets
         s = sorted(tuple(str(x) for x in r) for r in srows)
