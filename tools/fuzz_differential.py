@@ -76,10 +76,12 @@ CUSTOMER_COLS = {"num": ["c_acctbal"], "int": ["c_custkey", "c_nationkey"],
 def gen_case(rng: random.Random) -> dict:
     """One random query as a tiny AST dict (engine-neutral)."""
     roll = rng.random()
-    if roll < 0.3:
+    if roll < 0.25:
         return gen_join_case(rng)
-    if roll < 0.45:
+    if roll < 0.4:
         return gen_window_case(rng)
+    if roll < 0.55:
+        return gen_expr_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -147,6 +149,68 @@ def gen_join_case(rng: random.Random) -> dict:
         aggs.append((rng.choice(["sum", "min", "max"]), rng.choice(npool)))
     return {"join": (left, right, lk, rk), "filters": filters,
             "group": (gside, gcol), "aggs": aggs}
+
+
+def gen_expr_case(rng: random.Random) -> dict:
+    """Random scalar-expression aggregation: string functions (LENGTH/
+    UPPER/SUBSTR) and arithmetic (+ * round) composed over a grouped
+    aggregate — probes expression semantics (unicode length, substr
+    bounds, numeric promotion) where engines historically differ."""
+    table = rng.choice([t for t in TABLES if TABLES[t]["str"]])
+    cols = TABLES[table]
+    sc = rng.choice(cols["str"])
+    nc = rng.choice(cols["num"] + cols["int"])
+    sfn = rng.choice(["length", "upper", "substr1_2", "concat_x"])
+    nexpr = rng.choice(["plus1", "times2", "half_round"])
+    return {"expr": (table, sc, nc, sfn, nexpr)}
+
+
+def expr_to_sql(case: dict) -> str:
+    table, sc, nc, sfn, nexpr = case["expr"]
+    skey = {
+        "length": f"LENGTH({sc})",
+        "upper": f"UPPER({sc})",
+        "substr1_2": f"SUBSTR({sc}, 1, 2)",
+        "concat_x": f"{sc} || '_x'",
+    }[sfn]
+    nval = {
+        "plus1": f"SUM({nc} + 1)",
+        "times2": f"SUM({nc} * 2)",
+        "half_round": f"ROUND(SUM({nc} / 2.0), 2)",
+    }[nexpr]
+    return (
+        f"SELECT {skey} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"ROUND(CAST({nval} AS DOUBLE), 2) AS v "
+        f"FROM {table} GROUP BY k ORDER BY k"
+    )
+
+
+def build_expr_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, sc, nc, sfn, nexpr = case["expr"]
+    skey = {
+        "length": F.length(sc),
+        "upper": F.upper(sc),
+        "substr1_2": F.substring(sc, 1, 2),
+        "concat_x": F.concat(F.col(sc), F.lit("_x")),
+    }[sfn]
+    nval = {
+        "plus1": F.sum(F.col(nc) + 1),
+        "times2": F.sum(F.col(nc) * 2),
+        "half_round": F.round(F.sum(F.col(nc) / 2.0), 2),
+    }[nexpr]
+    return (
+        load_table(spark, sf_dir, table)
+        .groupBy(skey.alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(nval.cast("double"), 2).alias("v"),
+        )
+        .orderBy("k")
+    )
 
 
 def gen_window_case(rng: random.Random) -> dict:
@@ -255,6 +319,8 @@ def to_sql(case: dict) -> str:
         return join_to_sql(case)
     if "window" in case:
         return window_to_sql(case)
+    if "expr" in case:
+        return expr_to_sql(case)
     where = " AND ".join(
         f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
         for c, op, v in case["filters"]
@@ -338,9 +404,19 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
         srows = build_join_spark_df(spark, sf_dir, case).collect()
     elif "window" in case:
         srows = build_window_spark_df(spark, sf_dir, case).collect()
+    elif "expr" in case:
+        srows = build_expr_spark_df(spark, sf_dir, case).collect()
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
+    if "expr" in case:
+        if len(srows) != len(drows):
+            return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
+        for sr, dr in zip(srows, drows):
+            for x, y in zip(tuple(sr), dr):
+                if not _close(x, y, tol=1e-9):
+                    return (False, f"seed={seed} sql={sql!r} value {x!r} != {y!r}")
+        return (True, f"seed={seed} sql={sql!r} rows={len(srows)}")
     if "window" in case:
         # deterministic unique-key rows: exact multiset compare with the
         # rounded value column
