@@ -130,6 +130,7 @@ _PRIORITY = [
     "text_js_divergence_by_source",
     "multimodal_image_dedup_count",
     "q_lateral_topn_per_key",
+    "store_time_travel",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -10793,3 +10793,50 @@ def q_lateral_topn_per_key(spark, sf):
            WHERE c.c_custkey <= 50
            ORDER BY c.c_custkey, o.o_orderkey"""
     )
+
+
+@q("store_time_travel", tier="py")
+def store_time_travel(spark, sf):
+    """Time travel over the engine's append-only transition log
+    (store/sparklog.py: jobs_df(as_of_seq)) — the audit query 'what did
+    the scheduler see at sequence N': a 3-stage chain is submitted and
+    driven extract→transform→load, and the job-status histogram is read
+    back AS OF each recorded sequence point plus the live head. The log
+    IS the time machine — as-of reads are a seq-bounded filter before
+    the last-row-per-id window, no snapshots to manage; the same
+    mechanism that makes compaction safe (retention documented on
+    jobs_df). Deterministic output: per-phase status counts."""
+    import tempfile
+
+    from overseer_spark.core import job_graph
+    from overseer_spark.store.sparklog import SparkLogStore
+
+    store = SparkLogStore(spark, tempfile.mkdtemp(prefix="overseer_tt_"))
+    store.install()
+    g = job_graph({"extract": [], "transform": ["extract"], "load": ["transform"]})
+    store.transact_graph(g)
+    by_type = {j.type: j.id for j in g.jobs}
+    seqs = [("submitted", store.current_seq())]
+    for t in ("extract", "transform", "load"):
+        store.reserve_job(by_type[t])
+        store.finish_job(by_type[t])
+        seqs.append((f"after_{t}", store.current_seq()))
+    rows = []
+    for phase, seq in seqs + [("live", None)]:
+        hist = {
+            r["status"]: r["n"]
+            for r in store.jobs_df(as_of_seq=seq)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows.append(
+            (
+                phase,
+                int(hist.get(0, 0)),  # unstarted
+                int(hist.get(2, 0)),  # finished
+            )
+        )
+    return spark.createDataFrame(
+        rows, "phase string, n_unstarted long, n_finished long"
+    )

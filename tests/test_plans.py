@@ -388,6 +388,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
     "er_match_clusters", "graph_kcore", "embedding_mmr_topk",
     "contrastive_pairs_mining", "multimodal_image_dedup_count",
+    "store_time_travel",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query

@@ -366,3 +366,17 @@ def test_bounded_cache_with_10k_job_graph(spark, tmp_path):
     assert s2.job_info("j00000").status == STATUS_FINISHED  # state survived
     assert s2.reserve_job("j00002") is not None
     assert len(s2._lru) <= 100
+
+
+def test_store_time_travel_catalog_entry(spark):
+    """store_time_travel: as-of reads must reconstruct every historical
+    status histogram exactly — the unstarted count steps 3→2→1→0 while
+    finished steps 0→1→2→3, and the live head equals the last as-of."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    rows = {r["phase"]: r for r in CATALOG["store_time_travel"].fn(spark, "").collect()}
+    order = ["submitted", "after_extract", "after_transform", "after_load"]
+    for i, phase in enumerate(order):
+        assert rows[phase]["n_unstarted"] == 3 - i
+        assert rows[phase]["n_finished"] == i
+    assert rows["live"]["n_finished"] == 3 and rows["live"]["n_unstarted"] == 0
