@@ -82,6 +82,10 @@ def gen_case(rng: random.Random) -> dict:
         return gen_window_case(rng)
     if roll < 0.55:
         return gen_expr_case(rng)
+    if roll < 0.65:
+        return gen_rollup_case(rng)
+    if roll < 0.72:
+        return gen_setop_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -213,6 +217,90 @@ def build_expr_spark_df(spark, sf_dir: str, case: dict):
     )
 
 
+def gen_rollup_case(rng: random.Random) -> dict:
+    """ROLLUP over two string columns with COALESCE'd null indicators —
+    grouping-set semantics (subtotal rows, null-vs-'ALL' collisions) are
+    a classic cross-engine divergence area."""
+    pool = [(t, TABLES[t]["str"]) for t in TABLES if len(TABLES[t]["str"]) >= 2]
+    table, strs = rng.choice(pool)
+    a, b = rng.sample(strs, 2)
+    nc = rng.choice(TABLES[table]["num"] + TABLES[table]["int"])
+    return {"rollup": (table, a, b, nc)}
+
+
+def rollup_to_sql(case: dict) -> str:
+    table, a, b, nc = case["rollup"]
+    return (
+        f"SELECT COALESCE({a}, '__all__') AS ka, "
+        f"COALESCE({b}, '__all__') AS kb, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"ROUND(CAST(SUM({nc}) AS DOUBLE), 2) AS s "
+        f"FROM {table} GROUP BY ROLLUP ({a}, {b}) ORDER BY ka, kb"
+    )
+
+
+def build_rollup_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, a, b, nc = case["rollup"]
+    return (
+        load_table(spark, sf_dir, table)
+        .rollup(a, b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(nc).cast("double"), 2).alias("s"),
+        )
+        .select(
+            F.coalesce(F.col(a), F.lit("__all__")).alias("ka"),
+            F.coalesce(F.col(b), F.lit("__all__")).alias("kb"),
+            "n",
+            "s",
+        )
+        .orderBy("ka", "kb")
+    )
+
+
+def gen_setop_case(rng: random.Random) -> dict:
+    """UNION / INTERSECT / EXCEPT of two filtered projections of the same
+    string column — distinct semantics and null handling of set ops."""
+    table = rng.choice([t for t in TABLES if TABLES[t]["str"] and TABLES[t]["int"]])
+    sc = rng.choice(TABLES[table]["str"])
+    ic = rng.choice(TABLES[table]["int"])
+    op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+    lo, hi = sorted(rng.sample([0, 10, 100, 1000, 50000], 2))
+    return {"setop": (table, sc, ic, op, lo, hi)}
+
+
+def setop_to_sql(case: dict) -> str:
+    table, sc, ic, op, lo, hi = case["setop"]
+    return (
+        f"SELECT {sc} FROM {table} WHERE {ic} > {lo} "
+        f"{op} "
+        f"SELECT {sc} FROM {table} WHERE {ic} < {hi} "
+        f"ORDER BY {sc}"
+    )
+
+
+def build_setop_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, sc, ic, op, lo, hi = case["setop"]
+    df = load_table(spark, sf_dir, table)
+    l = df.where(F.col(ic) > lo).select(sc)
+    r = df.where(F.col(ic) < hi).select(sc)
+    if op == "UNION":
+        out = l.union(r).distinct()
+    elif op == "INTERSECT":
+        out = l.intersect(r)
+    else:
+        out = l.subtract(r)  # EXCEPT (distinct semantics)
+    return out.orderBy(sc)
+
+
 def gen_window_case(rng: random.Random) -> dict:
     """Random window query: ROW_NUMBER/SUM/LAG over a string-partitioned
     window ordered by a UNIQUE integer key (determinism across engines),
@@ -321,6 +409,10 @@ def to_sql(case: dict) -> str:
         return window_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
+    if "rollup" in case:
+        return rollup_to_sql(case)
+    if "setop" in case:
+        return setop_to_sql(case)
     where = " AND ".join(
         f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
         for c, op, v in case["filters"]
@@ -406,9 +498,25 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
         srows = build_window_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
+    elif "rollup" in case:
+        srows = build_rollup_spark_df(spark, sf_dir, case).collect()
+    elif "setop" in case:
+        srows = build_setop_spark_df(spark, sf_dir, case).collect()
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
+    if "setop" in case:
+        s_ = sorted(str(r[0]) for r in srows)
+        d_ = sorted(str(r[0]) for r in drows)
+        return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
+    if "rollup" in case:
+        if len(srows) != len(drows):
+            return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
+        for sr, dr in zip(srows, drows):
+            for x, y in zip(tuple(sr), dr):
+                if not _close(x, y, tol=1e-9):
+                    return (False, f"seed={seed} sql={sql!r} value {x!r} != {y!r}")
+        return (True, f"seed={seed} sql={sql!r} rows={len(srows)}")
     if "expr" in case:
         if len(srows) != len(drows):
             return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
