@@ -131,6 +131,7 @@ _PRIORITY = [
     "multimodal_image_dedup_count",
     "q_lateral_topn_per_key",
     "store_time_travel",
+    "multimodal_png_decode",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -164,6 +164,7 @@ def decode_pgm(payload: bytes) -> tuple[dict, np.ndarray]:
 
 
 DECODERS = {"wav": decode_wav, "bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm}
+# decode_png is appended below and registers itself (zlib is stdlib)
 
 
 def sniff_codec(payload: bytes) -> str | None:
@@ -176,4 +177,137 @@ def sniff_codec(payload: bytes) -> str | None:
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
+
+
+# ---------------------------------------------------------------------------
+# PNG — the first COMPRESSED codec: zlib (stdlib) deflate/inflate + the
+# spec's per-scanline filters. 8-bit RGB (color type 2), non-interlaced.
+# This removes "compressed formats" from the documented seam for the one
+# format whose compression layer ships with Python itself.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit RGB PNG. ``filter_type`` 0 (None) or 2 (Up) — both emitted
+    spec-correctly so the decoder's unfiltering paths are exercised by
+    round-trip tests, not just the trivial filter."""
+    import zlib as _z
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects [h, w, 3] RGB")
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for row in px:
+        if filter_type == 0:
+            raw.append(0)
+            raw.extend(row.tobytes())
+        elif filter_type == 2:  # Up
+            raw.append(2)
+            raw.extend(((row.astype(np.int16) - prev) % 256).astype(np.uint8).tobytes())
+        else:
+            raise NotImplementedError("encoder emits filters 0 and 2")
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode 8-bit RGB/gray non-interlaced PNG: chunk walk, zlib
+    inflate, full unfiltering (filters 0-4: None/Sub/Up/Average/Paeth)."""
+    import zlib as _z
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = None
+    color_type = bit_depth = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color_type not in (0, 2):
+                raise NotImplementedError("8-bit gray/RGB PNG only")
+            if interlace != 0:
+                raise NotImplementedError("no Adam7 interlacing")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = 3 if color_type == 2 else 1
+    stride = w * ch
+    raw = _z.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        img = img[:, :, 0]
+    meta = {"kind": "image", "width": int(w), "height": int(h)}
+    return meta, img
+
+
+DECODERS["png"] = decode_png

@@ -36,7 +36,9 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
-_COMPRESSED_CODECS = frozenset({"jpeg", "png", "webp", "mp3", "flac", "h264", "vp9"})
+# png decodes for REAL now (zlib is stdlib — functions/media_codecs.py);
+# the remaining seam is codecs whose compression needs native libraries
+_COMPRESSED_CODECS = frozenset({"jpeg", "webp", "mp3", "flac", "h264", "vp9"})
 
 
 def with_binary_payload(
@@ -377,7 +379,7 @@ def image_ahash(
         for pdf in it:
             out_hash = []
             for codec, payload in zip(pdf[codec_col], pdf[payload_col]):
-                if codec not in ("bmp", "ppm", "pgm"):
+                if codec not in ("bmp", "ppm", "pgm", "png"):
                     out_hash.append(None)
                     continue
                 _, px = getattr(MC, f"decode_{codec}")(bytes(payload))
@@ -702,4 +704,43 @@ def perturb_brightness(
 
     return media.select(id_col, codec_col, payload_col).mapInPandas(
         batches, schema=f"{id_col} long, {codec_col} string, {payload_col} binary"
+    )
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG payloads (zlib-compressed, spec-correct CRCs) built
+    deterministically from the id: 12×10 RGB with id-keyed channel bases
+    plus a row gradient (so the Up filter actually has work to do), even
+    ids encoded with filter 0 (None), odd with filter 2 (Up). Channel
+    bases stay < 212, so per-channel means are closed-form — the oracle
+    tests/test_multimodal.py checks decoded features against:
+    mean_luma = 0.299(R₀+5.5) + 0.587(G₀+5.5) + 0.114·B₀."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                y = np.arange(12)[:, None, None]
+                px = np.concatenate(
+                    [
+                        np.broadcast_to(i * 11 % 200 + y, (12, 10, 1)),
+                        np.broadcast_to(i * 23 % 200 + y, (12, 10, 1)),
+                        np.broadcast_to(
+                            np.full((1, 1, 1), i * 5 % 200), (12, 10, 1)
+                        ),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(MC.encode_png(px, filter_type=(i % 2) * 2))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
     )

@@ -10840,3 +10840,34 @@ def store_time_travel(spark, sf):
     return spark.createDataFrame(
         rows, "phase string, n_unstarted long, n_finished long"
     )
+
+
+@q("multimodal_png_decode", tier="py")
+def multimodal_png_decode(spark, sf):
+    """Real COMPRESSED-codec decode: PNG payloads (zlib deflate +
+    spec filters, functions/media_codecs.py — pure stdlib+numpy) are
+    synthesized per document, sniffed by magic bytes, inflated,
+    unfiltered, and feature-extracted through the same media_features
+    stage as every other codec. This retires 'compressed formats' from
+    the multimodal seam for the one format whose compression layer
+    Python itself ships; the remaining seam (jpeg/mp3/h264) is purely
+    a native-library availability line, not a pipeline gap.
+    tests/test_multimodal.py closes the loop against the synthesis
+    formula and exercises all five PNG filter types."""
+    from overseer_spark.operators.multimodal import (
+        media_features,
+        synthesize_png_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 1)
+    return (
+        media_features(synthesize_png_media(docs))
+        .select(
+            "doc_id",
+            "codec",
+            "width",
+            "height",
+            F.round("mean_luma", 4).alias("mean_luma"),
+        )
+        .orderBy("doc_id")
+    )

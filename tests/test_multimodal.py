@@ -447,3 +447,85 @@ def test_image_dedup_count_collapses_planted_copies(spark):
     # every image has at least its brightness twin → no singleton survivors
     assert r["n_survivors"] <= r["n_images"] // 2
     assert r["n_dup_clusters"] == r["n_survivors"]
+
+
+def test_png_all_filter_types_decode():
+    """decode_png must invert every spec filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth): filter a known image per the spec by hand,
+    assemble the PNG manually, decode, and compare pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from overseer_spark.functions.media_codecs import decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = w * 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    flat = px.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = y % 5  # cycle through every filter type
+        line = flat[y]
+        raw.append(ft)
+        for x in range(stride):
+            a = int(line[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] - a
+            elif ft == 2:
+                v = line[x] - b
+            elif ft == 3:
+                v = line[x] - (a + b) // 2
+            else:
+                v = line[x] - paeth(a, b, c)
+            raw.append(int(v) % 256)
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    meta, back = decode_png(png)
+    assert meta == {"kind": "image", "width": w, "height": h}
+    assert (back == px).all()
+
+
+def test_png_decode_entry_matches_synthesis_formula(spark):
+    """multimodal_png_decode: every decoded PNG must report 12×10 and a
+    mean luma equal to the closed form of the synthesis gradient."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    rows = CATALOG["multimodal_png_decode"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no PNG payloads decoded"
+    for r in rows:
+        i = r["doc_id"]
+        assert (r["codec"], r["width"], r["height"]) == ("png", 10, 12)
+        expect = (
+            0.299 * (i * 11 % 200 + 5.5)
+            + 0.587 * (i * 23 % 200 + 5.5)
+            + 0.114 * (i * 5 % 200)
+        )
+        assert abs(r["mean_luma"] - round(expect, 4)) < 1e-3, (i, r)
