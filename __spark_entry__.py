@@ -132,6 +132,7 @@ _PRIORITY = [
     "q_lateral_topn_per_key",
     "store_time_travel",
     "multimodal_png_decode",
+    "q_gzip_jsonl_roundtrip",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

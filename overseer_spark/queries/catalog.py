@@ -10871,3 +10871,41 @@ def multimodal_png_decode(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q_gzip_jsonl_roundtrip",
+    oracle="""SELECT CAST(ts AS DATE) AS d,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 2) AS s
+              FROM events GROUP BY d ORDER BY d""",
+)
+def q_gzip_jsonl_roundtrip(spark, sf):
+    """Compressed text-format ingestion: events written as GZIP'd JSONL
+    (`option("compression", "gzip")`) and read back with an explicit
+    schema, aggregated against the parquet oracle. The operational
+    caveat this entry exists to document: gzip is NOT splittable — each
+    .json.gz file is one task, so the WRITER's partition count (not
+    maxPartitionBytes) sets read parallelism; land many medium files or
+    use a splittable codec (bzip2/zstd-framed) for archival feeds. The
+    round trip proves timestamps (ISO micros) and doubles survive the
+    serialize→deflate→inflate→parse cycle bit-exact."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "value")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "overseer_roundtrip",
+        f"events_jsonl_gz_{os.path.basename(os.path.normpath(sf))}",
+    )
+    ev.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(ev.schema).json(path)
+    return (
+        back.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .orderBy("d")
+    )
