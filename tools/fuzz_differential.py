@@ -86,6 +86,8 @@ def gen_case(rng: random.Random) -> dict:
         return gen_rollup_case(rng)
     if roll < 0.72:
         return gen_setop_case(rng)
+    if roll < 0.8:
+        return gen_subquery_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -214,6 +216,52 @@ def build_expr_spark_df(spark, sf_dir: str, case: dict):
             F.round(nval.cast("double"), 2).alias("v"),
         )
         .orderBy("k")
+    )
+
+
+def gen_subquery_case(rng: random.Random) -> dict:
+    """IN / NOT IN membership subqueries along FK edges — Catalyst must
+    decorrelate these to hash semi/anti joins, and NOT IN is the classic
+    null-semantics divergence trap (safe here: fixture FKs are non-null,
+    which is exactly the case engines must agree on)."""
+    left, right, lk, rk = rng.choice(JOINS)
+    rcols = TABLES.get(right, CUSTOMER_COLS)
+    neg = rng.random() < 0.5
+    rfilter = ""
+    if rcols["str"] and rng.random() < 0.8:
+        rfilter = f" WHERE {rng.choice(rcols['str'])} LIKE '{rng.choice('ABCFOP')}%'"
+    g = rng.choice(TABLES[left]["str"])
+    return {"subq": (left, right, lk, rk, neg, rfilter, g)}
+
+
+def subquery_to_sql(case: dict) -> str:
+    left, right, lk, rk, neg, rfilter, g = case["subq"]
+    op = "NOT IN" if neg else "IN"
+    return (
+        f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n FROM {left} "
+        f"WHERE {lk} {op} (SELECT {rk} FROM {right}{rfilter}) "
+        f"GROUP BY {g} ORDER BY {g}"
+    )
+
+
+def build_subquery_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    left, right, lk, rk, neg, rfilter, g = case["subq"]
+    l = load_table(spark, sf_dir, left)
+    r = load_table(spark, sf_dir, right)
+    if rfilter:
+        colname = rfilter.split("WHERE ")[1].split(" LIKE")[0]
+        pat = rfilter.split("LIKE '")[1].rstrip("'")
+        r = r.filter(F.col(colname).like(pat))
+    keys = r.select(F.col(rk).alias(lk))
+    joined = l.join(keys, lk, "left_anti" if neg else "left_semi")
+    return (
+        joined.groupBy(g)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(g)
     )
 
 
@@ -413,6 +461,8 @@ def to_sql(case: dict) -> str:
         return rollup_to_sql(case)
     if "setop" in case:
         return setop_to_sql(case)
+    if "subq" in case:
+        return subquery_to_sql(case)
     where = " AND ".join(
         f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
         for c, op, v in case["filters"]
@@ -502,12 +552,18 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
         srows = build_rollup_spark_df(spark, sf_dir, case).collect()
     elif "setop" in case:
         srows = build_setop_spark_df(spark, sf_dir, case).collect()
+    elif "subq" in case:
+        srows = build_subquery_spark_df(spark, sf_dir, case).collect()
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
     if "setop" in case:
         s_ = sorted(str(r[0]) for r in srows)
         d_ = sorted(str(r[0]) for r in drows)
+        return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
+    if "subq" in case:
+        s_ = sorted(tuple(str(x) for x in r) for r in srows)
+        d_ = sorted(tuple(str(x) for x in r) for r in drows)
         return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
     if "rollup" in case:
         if len(srows) != len(drows):
