@@ -133,6 +133,7 @@ _PRIORITY = [
     "store_time_travel",
     "multimodal_png_decode",
     "q_gzip_jsonl_roundtrip",
+    "text_lid_confusion_eval",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",
