@@ -134,6 +134,7 @@ _PRIORITY = [
     "multimodal_png_decode",
     "q_gzip_jsonl_roundtrip",
     "text_lid_confusion_eval",
+    "q_null_semantics_matrix",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -10940,3 +10940,60 @@ def text_lid_confusion_eval(spark, sf):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@q(
+    "q_null_semantics_matrix",
+    oracle="""WITH n AS (SELECT event_type,
+                                CASE WHEN value > 80 THEN NULL
+                                     ELSE value END AS v,
+                                NULLIF(user_id % 7, 0) AS grp
+                         FROM events)
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+                     CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_grp,
+                     ROUND(AVG(v), 4) AS avg_v,
+                     ROUND(SUM(v), 2) AS sum_v,
+                     ROUND(MIN(v), 2) AS min_v,
+                     CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(SUM(CASE WHEN grp IS NOT DISTINCT FROM NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_grp_null
+              FROM n GROUP BY event_type ORDER BY event_type""",
+)
+def q_null_semantics_matrix(spark, sf):
+    """NULL-semantics conformance matrix — one entry that pins every
+    aggregate/NULL interaction engines historically disagree on, over
+    NULLIF-injected nulls: COUNT(*) counts nulls, COUNT(col) and
+    COUNT(DISTINCT) don't; AVG/SUM/MIN ignore nulls (never contaminate);
+    explicit IS NULL tallies; and the null-safe comparator
+    (`IS NOT DISTINCT FROM` ↔ `<=>`) treats NULL as a value. These are
+    the rules the whole catalog silently relies on — stated once,
+    hash-matched, so any engine-upgrade regression in null handling
+    fails HERE with a readable name instead of as a mystery mismatch in
+    some composite query."""
+    ev = _t(spark, sf, "events")
+    n = ev.select(
+        "event_type",
+        F.when(F.col("value") > 80, None).otherwise(F.col("value")).alias("v"),
+        F.nullif(F.col("user_id") % 7, F.lit(0)).alias("grp"),
+    )
+    return (
+        n.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("v").cast("long").alias("n_nonnull"),
+            F.countDistinct("grp").cast("long").alias("n_grp"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.round(F.min("v"), 2).alias("min_v"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.when(F.col("grp").eqNullSafe(F.lit(None)), 1).otherwise(0))
+            .cast("long")
+            .alias("n_grp_null"),
+        )
+        .orderBy("event_type")
+    )

@@ -133,10 +133,10 @@ def gen_case(rng: random.Random) -> dict:
 
 
 def gen_join_case(rng: random.Random) -> dict:
-    """Random FK equi-join: filter each side, group by a string column
-    from either side, aggregate. Exercises join ordering, null handling
-    on inner joins, and post-join aggregation — the plan space the
-    single-table generator can't reach."""
+    """Random FK equi-join (INNER or LEFT): filter each side, group by a
+    string column, aggregate with COUNT(*) vs COUNT(col) — under LEFT
+    joins the unmatched rows carry NULLs, so the two counts diverge and
+    both engines must agree on exactly how."""
     left, right, lk, rk = rng.choice(JOINS)
     rcols = TABLES.get(right, CUSTOMER_COLS)
     lcols = TABLES[left]
@@ -150,11 +150,19 @@ def gen_join_case(rng: random.Random) -> dict:
     gside, gcol = ("l", rng.choice(lcols["str"])) if (rng.random() < 0.5 and lcols["str"]) else (
         ("r", rng.choice(rcols["str"])) if rcols["str"] else ("l", lcols["str"][0]))
     aggs = [("count", "*")]
+    how = "left" if rng.random() < 0.4 else "inner"
+    if how == "left":
+        # count a RIGHT-side column: NULL on unmatched rows, so
+        # COUNT(col) < COUNT(*) exactly where the join missed
+        rn = rcols["int"] + rcols["num"]
+        aggs.append(("count_col", rng.choice(rn)))
+        # left-side group key only (right side may be NULL)
+        gside, gcol = ("l", lcols["str"][0])
     npool = lcols["num"] + lcols["int"]
     if rng.random() < 0.7:
         aggs.append((rng.choice(["sum", "min", "max"]), rng.choice(npool)))
     return {"join": (left, right, lk, rk), "filters": filters,
-            "group": (gside, gcol), "aggs": aggs}
+            "group": (gside, gcol), "aggs": aggs, "how": how}
 
 
 def gen_expr_case(rng: random.Random) -> dict:
@@ -407,18 +415,32 @@ def build_window_spark_df(spark, sf_dir: str, case: dict):
 
 def join_to_sql(case: dict) -> str:
     left, right, lk, rk = case["join"]
-    where = " AND ".join(
-        f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
-        for _, c, op, v in case["filters"]
-    )
-    where = f" WHERE {where}" if where else ""
+    how = case.get("how", "inner")
+    # LEFT-join right-side filters must live in the ON clause, or they
+    # silently convert the join back to inner — a classic SQL footgun
+    # the generator sidesteps by only filtering the left side then
+    on_extra = ""
+    wh = []
+    for side, c, op, v in case["filters"]:
+        cond = f"{c} {op} '{v}'" if isinstance(v, str) else f"{c} {op} {v}"
+        if how == "left" and side == "r":
+            on_extra += f" AND {cond}"
+        else:
+            wh.append(cond)
+    where = f" WHERE {' AND '.join(wh)}" if wh else ""
     gcol = case["group"][1]
     sel = [gcol]
     for i, (fn, c) in enumerate(case["aggs"]):
-        expr = "COUNT(*)" if c == "*" else f"{fn.upper()}({c})"
-        sel.append(f"{expr} AS a{i}")
+        if c == "*":
+            expr = "COUNT(*)"
+        elif fn == "count_col":
+            expr = f"COUNT({c})"
+        else:
+            expr = f"{fn.upper()}({c})"
+        sel.append(f"CAST({expr} AS DOUBLE) AS a{i}" if fn in ("count_col",) else f"{expr} AS a{i}")
+    jw = "LEFT JOIN" if how == "left" else "JOIN"
     return (
-        f"SELECT {', '.join(sel)} FROM {left} JOIN {right} ON {lk} = {rk}"
+        f"SELECT {', '.join(sel)} FROM {left} {jw} {right} ON {lk} = {rk}{on_extra}"
         f"{where} GROUP BY {gcol} ORDER BY {gcol}"
     )
 
@@ -429,22 +451,30 @@ def build_join_spark_df(spark, sf_dir: str, case: dict):
     from overseer_spark.sources.tables import load_table
 
     left, right, lk, rk = case["join"]
+    how = case.get("how", "inner")
     l = load_table(spark, sf_dir, left)
     r = load_table(spark, sf_dir, right)
-    df = l.join(r, l[lk] == r[rk])
-    for _, c, op, v in case["filters"]:
+    cond = l[lk] == r[rk]
+    pre_where, on_extra = [], []
+    for side, c, op, v in case["filters"]:
         col = F.col(c)
-        if op == "LIKE":
-            df = df.filter(col.like(v))
-        elif op == ">":
-            df = df.filter(col > v)
-        elif op == "<":
-            df = df.filter(col < v)
+        expr = col.like(v) if op == "LIKE" else (col > v if op == ">" else col < v)
+        if how == "left" and side == "r":
+            on_extra.append(expr)
+        else:
+            pre_where.append(expr)
+    for e in on_extra:
+        cond = cond & e
+    df = l.join(r, cond, how)
+    for e in pre_where:
+        df = df.filter(e)
     gcol = case["group"][1]
     ag = []
     for i, (fn, c) in enumerate(case["aggs"]):
         if c == "*":
             ag.append(F.count(F.lit(1)).alias(f"a{i}"))
+        elif fn == "count_col":
+            ag.append(F.count(c).cast("double").alias(f"a{i}"))
         else:
             ag.append(getattr(F, fn)(c).alias(f"a{i}"))
     return df.groupBy(gcol).agg(*ag).orderBy(gcol)

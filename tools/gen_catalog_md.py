@@ -75,6 +75,7 @@ FAMILIES: dict[str, list[str]] = {
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
         "q_union_by_name_evolution", "q_scalar_subquery", "q_exists_correlated",
         "q_not_in_null_semantics", "q_lateral_topn_per_key",
+        "q_null_semantics_matrix",
     ],
     "Scalar functions & types": [
         "q27_string_funcs", "q28_datetime_funcs", "q29_math_funcs", "q_date_arith",
