@@ -135,6 +135,7 @@ _PRIORITY = [
     "q_gzip_jsonl_roundtrip",
     "text_lid_confusion_eval",
     "q_null_semantics_matrix",
+    "multimodal_gif_scene_cuts",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -179,6 +179,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "pgm"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -311,3 +313,198 @@ def decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
 
 
 DECODERS["png"] = decode_png
+
+
+# ---------------------------------------------------------------------------
+# GIF — animated GIF89a with REAL LZW compression (grayscale palette).
+# The second compressed codec, and the first real VIDEO container: frame
+# extraction / scene detection now run over an actual interchange format.
+# Pure Python: LZW with dynamic code table, little-endian bit packing,
+# 255-byte sub-blocks.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+        else:
+            emit(table[w])
+            table[wb] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            elif next_code >= 4096:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code_size + 1
+            w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < code_size and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """Animated GIF89a from grayscale frames [n, h, w] uint8 (identity
+    256-gray global palette, real LZW per frame, per-frame delay)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 3:
+        raise ValueError("encode_gif expects [n_frames, h, w] grayscale")
+    n, h, w = fr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for f in fr:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([8])  # LZW min code size
+        out += _gif_subblocks(_lzw_encode(f.tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode an animated GIF (grayscale-palette) to [n, h, w] uint8
+    frames. Handles LZW, sub-blocks, extensions, and per-frame regions
+    (frames must cover the full logical screen, as our encoder emits)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 7)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=size * 3, offset=pos
+        ).reshape(size, 3)
+        pos += size * 3
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            x0, y0, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += (2 << (iflags & 7)) * 3
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF frames")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(data), mcs), dtype=np.uint8)
+            if len(idx) != fw * fh:
+                raise ValueError("GIF frame pixel-count mismatch")
+            if (x0, y0, fw, fh) != (0, 0, w, h):
+                raise NotImplementedError("partial-region GIF frames")
+            frames.append(idx.reshape(fh, fw))
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    arr = np.stack(frames)
+    # identity gray palette → indices ARE luma; otherwise map via palette
+    if palette is not None and not (
+        palette[:, 0] == palette[:, 1]
+    ).all():
+        arr = palette[arr][..., 0]
+    meta = {
+        "kind": "video",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(arr.shape[0]),
+    }
+    return meta, arr
+
+
+DECODERS["gif"] = decode_gif

@@ -744,3 +744,81 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
+
+
+def synthesize_gif_media(
+    df: DataFrame, n_frames: int = 24, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL animated-GIF payloads (LZW-compressed, GIF89a) with the same
+    id-keyed 3-scene structure as synthesize_video_frames — cuts at
+    ``6 + id % 6`` and ``14 + id % 8``, per-scene luma ``(id*31)%100 +
+    75·scene`` — so shot-boundary detection over a genuine interchange
+    format has a closed-form oracle. 8×8 grayscale frames."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                c1, c2 = 6 + i % 6, 14 + i % 8
+                base = i * 31 % 100
+                frames = np.empty((n_frames, 8, 8), dtype=np.uint8)
+                for f in range(n_frames):
+                    scene = 0 if f < c1 else (1 if f < c2 else 2)
+                    frames[f, :, :] = base + 75 * scene
+                payloads.append(MC.encode_gif(frames))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def gif_scene_cuts(
+    df: DataFrame,
+    threshold: float = 30.0,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shot-boundary detection over REAL animated GIFs: decode (LZW),
+    mean absolute luma delta between consecutive frames, keyframe rows
+    at frame 0 and every cut — the raw-frame scene_cuts operator's
+    semantics on an actual container format. Payload bytes never
+    shuffle; output is keyframe rows only."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            out_ids, out_idx, out_luma = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                _, frames = MC.decode_gif(bytes(b))
+                fl = frames.reshape(frames.shape[0], -1).astype(np.float64)
+                deltas = np.abs(fl[1:] - fl[:-1]).mean(axis=1)
+                keyframes = [0] + [
+                    j + 1 for j in range(len(deltas)) if deltas[j] > threshold
+                ]
+                for k in keyframes:
+                    out_ids.append(int(i))
+                    out_idx.append(int(k))
+                    out_luma.append(float(fl[k].mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "keyframe_idx": out_idx,
+                    "mean_luma": out_luma,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} long, keyframe_idx int, mean_luma double"
+    )

@@ -10997,3 +10997,29 @@ def q_null_semantics_matrix(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@q("multimodal_gif_scene_cuts", tier="py")
+def multimodal_gif_scene_cuts(spark, sf):
+    """Shot-boundary detection over REAL animated GIFs — the raw-frame
+    scene-cut pipeline upgraded to an actual container format: GIF89a
+    payloads with real LZW compression (functions/media_codecs.py,
+    pure Python) are synthesized with id-keyed 3-scene structure,
+    decoded, and keyframed by luma delta. With PNG this makes two
+    compressed formats decoding for real; the closed-form cut oracle
+    is asserted in tests/test_multimodal.py."""
+    from overseer_spark.operators.multimodal import (
+        gif_scene_cuts,
+        synthesize_gif_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 2)
+    return (
+        gif_scene_cuts(synthesize_gif_media(docs))
+        .select(
+            "doc_id",
+            "keyframe_idx",
+            F.round("mean_luma", 2).alias("mean_luma"),
+        )
+        .orderBy("doc_id", "keyframe_idx")
+    )

@@ -529,3 +529,45 @@ def test_png_decode_entry_matches_synthesis_formula(spark):
             + 0.114 * (i * 5 % 200)
         )
         assert abs(r["mean_luma"] - round(expect, 4)) < 1e-3, (i, r)
+
+
+def test_gif_lzw_roundtrip_random_and_reset_paths():
+    """encode_gif/decode_gif round-trip: random frames (KwKwK + code-size
+    growth), a 40k-pixel random frame (forces the 4096-entry table RESET),
+    and constant frames (maximal compression)."""
+    import numpy as np
+
+    from overseer_spark.functions.media_codecs import (
+        decode_gif,
+        encode_gif,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(5)
+    small = rng.integers(0, 256, size=(7, 11, 13), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(1, 200, 200), dtype=np.uint8)
+    const = np.full((5, 16, 16), 129, dtype=np.uint8)
+    for frames in (small, big, const):
+        payload = encode_gif(frames)
+        assert sniff_codec(payload) == "gif"
+        meta, back = decode_gif(payload)
+        assert meta["n_frames"] == frames.shape[0]
+        assert (back == frames).all()
+
+
+def test_gif_scene_cuts_entry_matches_synthesis(spark):
+    """multimodal_gif_scene_cuts: keyframes at exactly [0, 6+id%6,
+    14+id%8] with scene luma base, base+75, base+150 — through a REAL
+    GIF encode/decode cycle."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    out = CATALOG["multimodal_gif_scene_cuts"].fn(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for i, rs in by_doc.items():
+        rs.sort(key=lambda r: r["keyframe_idx"])
+        base = float(i * 31 % 100)
+        expected = [(0, base), (6 + i % 6, base + 75.0), (14 + i % 8, base + 150.0)]
+        assert [(r["keyframe_idx"], r["mean_luma"]) for r in rs] == expected, i

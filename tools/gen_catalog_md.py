@@ -134,6 +134,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_resize_thumbnails", "multimodal_audio_vad",
         "multimodal_scene_cuts", "multimodal_image_near_dup",
         "multimodal_image_dedup_count", "multimodal_png_decode",
+        "multimodal_gif_scene_cuts",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
