@@ -272,6 +272,14 @@ def media_features(
                     out["n_samples"].append(meta["n_samples"])
                     out["rms"].append(float(np.sqrt(np.mean(norm**2))))
                     out["mean_luma"].append(None)
+                elif meta["kind"] == "video":
+                    # animated GIF: frames are already luma indices
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(meta["n_frames"])
+                    out["rms"].append(None)
+                    out["mean_luma"].append(float(arr.astype(np.float64).mean()))
                 else:
                     px = arr.astype(np.float64)
                     luma = (
