@@ -136,6 +136,7 @@ _PRIORITY = [
     "text_lid_confusion_eval",
     "q_null_semantics_matrix",
     "multimodal_gif_scene_cuts",
+    "q_try_arithmetic",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -11023,3 +11023,66 @@ def multimodal_gif_scene_cuts(spark, sf):
         )
         .orderBy("doc_id", "keyframe_idx")
     )
+
+
+@q(
+    "q_try_arithmetic",
+    oracle="""SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN CAST(TRUNC(value) AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_div_null,
+                     ROUND(SUM(CASE WHEN CAST(TRUNC(value) AS BIGINT) <> 0
+                               THEN user_id * 1.0
+                                    / CAST(TRUNC(value) AS BIGINT)
+                               END), 4) AS safe_div_sum,
+                     CAST(SUM(CASE WHEN user_id >= 8
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_add_null,
+                     CAST(MIN(CASE WHEN user_id < 8
+                              THEN user_id + 9223372036854775800 END)
+                          AS BIGINT) AS min_safe_add
+              FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q_try_arithmetic(spark, sf):
+    """ANSI-mode safe arithmetic: Spark 4 runs with strict ANSI semantics
+    (integer overflow and division-by-zero THROW — the correctness
+    default this whole repo relies on), and ``try_divide`` /
+    ``try_add`` are the sanctioned per-expression escape hatch that
+    returns NULL instead of failing the job on poisoned rows. The entry
+    exercises both: division where the truncated divisor hits zero, and
+    addition pushed against the int64 ceiling so ids ≥ 8 genuinely
+    overflow. The oracle computes the SAME results with explicit guards
+    — proving try_* is exactly 'guard then NULL', not a silent wrap —
+    and every NULL is counted so the poison-row population is visible,
+    never swallowed. (Writing this entry surfaced a third semantics
+    trap, now explicit in both engines: Spark's double→BIGINT cast
+    TRUNCATES while DuckDB's ROUNDS — the oracle says TRUNC() so the
+    divisor arithmetic is pinned, not assumed.)"""
+    ev = _t(spark, sf, "events")
+    tv = F.col("value").cast("long")
+    big = F.lit(9223372036854775800)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.try_divide(F.col("user_id"), tv).isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_div_null"),
+            F.round(F.sum(F.try_divide(F.col("user_id") * 1.0, tv)), 4).alias(
+                "safe_div_sum"
+            ),
+            F.sum(F.when(F.try_add(F.col("user_id"), big).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_add_null"),
+            # MIN, not SUM: aggregating several near-max values would
+            # overflow the AGGREGATE under ANSI — exactly the class of
+            # bug this entry documents
+            F.min(F.try_add(F.col("user_id"), big)).cast("long").alias(
+                "min_safe_add"
+            ),
+        )
+        .orderBy("event_type")
+    )

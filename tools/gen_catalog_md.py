@@ -83,6 +83,7 @@ FAMILIES: dict[str, list[str]] = {
         "q37_array_l2norm", "q_explode_outer_semantics", "udtf_tokenize_positions",
         "pandas_udf_scalar", "q_sql_function_surface", "q_array_functions_surface",
         "udtf_zip_explode_dynamic", "q_xml_roundtrip", "udtf_table_arg_topk",
+        "q_try_arithmetic",
     ],
     "Engine tables (scheduler queries)": [
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
