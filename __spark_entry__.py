@@ -137,6 +137,7 @@ _PRIORITY = [
     "q_null_semantics_matrix",
     "multimodal_gif_scene_cuts",
     "q_try_arithmetic",
+    "q_orc_roundtrip",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -11086,3 +11086,43 @@ def q_try_arithmetic(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q_orc_roundtrip",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(l_extendedprice), 2) AS s,
+                     ROUND(SUM(l_quantity), 2) AS q
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""",
+)
+def q_orc_roundtrip(spark, sf):
+    """ORC connector surface — the other columnar format Spark ships
+    natively: lineitem written to ORC (zstd-compressed stripes, column
+    statistics) and read back, aggregated against the parquet-side
+    oracle. Completes the format matrix (parquet / CSV / JSONL /
+    gzip-JSONL / XML / ORC + the custom Python DataSource): a user
+    landing ORC from a Hive-era pipeline ingests it with zero custom
+    code, and ORC's stripe statistics give the same predicate-pushdown
+    class as parquet row groups. Both legs per-partition parallel."""
+    import os
+    import tempfile
+
+    li = _t(spark, sf, "lineitem")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "overseer_roundtrip",
+        f"lineitem_orc_{os.path.basename(os.path.normpath(sf))}",
+    )
+    li.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("s"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

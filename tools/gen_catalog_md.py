@@ -17,7 +17,7 @@ FAMILIES: dict[str, list[str]] = {
         "q01_scan_count", "q02_projection_filter", "q03_string_filter",
         "q04_conjunctive_filter", "q05_in_list", "q06_like",
         "pyds_docs_scan", "layout_pruning_probe", "q_csv_roundtrip",
-        "q_jsonl_roundtrip", "q_gzip_jsonl_roundtrip",
+        "q_jsonl_roundtrip", "q_gzip_jsonl_roundtrip", "q_orc_roundtrip",
     ],
     "Joins": [
         "q07_inner_join", "q08_multiway_join", "q09_left_join", "q10_semi_join",
