@@ -138,6 +138,8 @@ _PRIORITY = [
     "multimodal_gif_scene_cuts",
     "q_try_arithmetic",
     "q_orc_roundtrip",
+    "embedding_matryoshka_eval",
+    "dag_slack_analysis",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -11126,3 +11126,107 @@ def q_orc_roundtrip(spark, sf):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@q("embedding_matryoshka_eval", tier="py")
+def embedding_matryoshka_eval(spark, sf):
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): how much
+    retrieval quality survives using only the FIRST d′ dimensions of the
+    embedding — the measurement behind serving-time dimension reduction
+    (a 4× shorter vector is 4× less ANN memory and bandwidth). For d′ ∈
+    {8, 16, 32}: recall@10 of truncated-vector brute-force retrieval vs
+    the full-64-dim ground truth, on the standard query set. These
+    synthetic embeddings are NOT Matryoshka-trained, so recall decays
+    fast — which is precisely the decision information the eval exists
+    to produce (ship truncation only when the curve says so). Reuses
+    cosine_topk on array-sliced vectors; output is one row per d′."""
+    from overseer_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    rows = []
+    n_true = truth.count()
+    for d in (8, 16, 32):
+        tr = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = queries.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = cosine_topk(tr, tq, k=10).select("query_id", "vec_id")
+        hits = truth.join(approx, ["query_id", "vec_id"]).count()
+        rows.append((d, int(n_true), int(hits), round(hits / n_true, 4)))
+    return spark.createDataFrame(
+        rows, "dim int, n_true long, n_hit long, recall_at_10 double"
+    )
+
+
+@q(
+    "dag_slack_analysis",
+    oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
+               {FX.jobs_values_cte()},
+               w AS (SELECT id, 10 + (length(id) * 7) % 20 AS w
+                     FROM overseer_jobs),
+               down(id, total) AS (
+                 SELECT id, w FROM w
+                 WHERE id NOT IN (SELECT job_id FROM overseer_dependencies)
+                 UNION ALL
+                 SELECT d.job_id, p.total + w.w
+                 FROM overseer_dependencies d
+                 JOIN down p ON d.dep_id = p.id
+                 JOIN w ON w.id = d.job_id),
+               up(id, total) AS (
+                 SELECT id, w FROM w
+                 WHERE id NOT IN (SELECT dep_id FROM overseer_dependencies)
+                 UNION ALL
+                 SELECT d.dep_id, p.total + w.w
+                 FROM overseer_dependencies d
+                 JOIN up p ON d.job_id = p.id
+                 JOIN w ON w.id = d.dep_id),
+               cp AS (SELECT id, MAX(total) AS cp_to FROM down GROUP BY id),
+               cf AS (SELECT id, MAX(total) AS cp_from FROM up GROUP BY id),
+               g AS (SELECT MAX(cp_to) AS total_cp FROM cp)
+              SELECT cp.id,
+                     CAST(cp.cp_to AS BIGINT) AS cp_to,
+                     CAST(cf.cp_from AS BIGINT) AS cp_from,
+                     CAST(g.total_cp - (cp.cp_to + cf.cp_from - w.w)
+                          AS BIGINT) AS slack
+              FROM cp JOIN cf ON cp.id = cf.id
+              JOIN w ON w.id = cp.id, g
+              ORDER BY cp.id""",
+)
+def dag_slack_analysis(spark, sf):
+    """Schedule slack per job — the 'which jobs can slip without delaying
+    the pipeline' analysis (CPM slack): slack(j) = total critical path −
+    (longest path INTO j + longest path OUT of j − w(j)). Zero-slack
+    jobs ARE the critical chain; everything else can be deprioritized
+    or preempted by exactly its slack. Both directional longest paths
+    come from the SAME max-plus relaxation (operators/scheduling.py:
+    critical_path), the second over reversed edges; the global max is a
+    1-row broadcast. Oracle: two recursive path-enumeration CTEs."""
+    jobs = FX.jobs_df(spark).select(
+        "id", (10 + (F.length("id") * 7) % 20).alias("weight")
+    )
+    deps = FX.deps_df(spark)
+    rdeps = deps.select(
+        F.col("dep_id").alias("job_id"), F.col("job_id").alias("dep_id")
+    )
+    cp_to = S.critical_path(jobs, deps).withColumnRenamed("cp", "cp_to")
+    cp_from = S.critical_path(jobs, rdeps).withColumnRenamed("cp", "cp_from")
+    g = cp_to.agg(F.max("cp_to").alias("total_cp"))
+    return (
+        cp_to.join(cp_from, "id")
+        .join(jobs, "id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "id",
+            F.col("cp_to").cast("long").alias("cp_to"),
+            F.col("cp_from").cast("long").alias("cp_from"),
+            (
+                F.col("total_cp")
+                - (F.col("cp_to") + F.col("cp_from") - F.col("weight"))
+            )
+            .cast("long")
+            .alias("slack"),
+        )
+        .orderBy("id")
+    )

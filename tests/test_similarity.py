@@ -490,3 +490,22 @@ def test_embedding_outlier_flags_numpy_replay(spark):
         assert abs(row["n_flagged"] - n_flag) <= 1, (k, row, n_flag)
         total_flagged += row["n_flagged"]
     assert total_flagged > 0
+
+
+def test_matryoshka_eval_monotone_and_bounded(spark):
+    """embedding_matryoshka_eval: recall must be monotone non-decreasing
+    in the truncation dimension and strictly below 1 at d'=8 on
+    untrained embeddings (8/64 of the signal can't reproduce full
+    rankings), and within (0, 1]."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = sorted(
+        CATALOG["embedding_matryoshka_eval"].fn(spark, SF_CORRECTNESS).collect(),
+        key=lambda r: r["dim"],
+    )
+    assert [r["dim"] for r in rows] == [8, 16, 32]
+    recalls = [r["recall_at_10"] for r in rows]
+    assert all(0.0 < r <= 1.0 for r in recalls)
+    assert recalls[0] <= recalls[1] <= recalls[2] + 1e-9
+    assert recalls[0] < 1.0

@@ -90,7 +90,7 @@ FAMILIES: dict[str, list[str]] = {
         "q33b_closure_recursive_cte", "q33c_closure_sql_scripting", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
         "graph_triangle_count", "graph_kcore", "dag_critical_path",
-        "store_time_travel",
+        "store_time_travel", "dag_slack_analysis",
     ],
     "Dedup family": [
         "q35_exact_dup_count", "dedup_exact_groups", "dedup_golden_record",
@@ -111,6 +111,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_pca_power", "kmeans_lloyd_iters",
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "embedding_dimension_stats", "embedding_outlier_flags",
+        "embedding_matryoshka_eval",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
