@@ -388,7 +388,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
     "er_match_clusters", "graph_kcore", "embedding_mmr_topk",
     "contrastive_pairs_mining", "multimodal_image_dedup_count",
-    "store_time_travel",
+    "store_time_travel", "embedding_matryoshka_eval",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
@@ -423,6 +423,8 @@ _BNLJ_OK = {
     "q_rolling_distinct_sketch",
     # 1-row corpus-total broadcast under the divergence probabilities
     "text_js_divergence_by_source",
+    # 1-row global-critical-path broadcast into the slack computation
+    "dag_slack_analysis",
     # k×d centroid-table broadcast for the cell assignment
     "embedding_outlier_flags",
 }
