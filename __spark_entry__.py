@@ -140,6 +140,7 @@ _PRIORITY = [
     "q_orc_roundtrip",
     "embedding_matryoshka_eval",
     "dag_slack_analysis",
+    "text_compression_ratio",
     "embedding_near_dup_exact",
     "embedding_quantize_int8",
     "embedding_centroids",

@@ -522,3 +522,33 @@ def heavy_hitters(
         .select("token", "freq")
         .orderBy(F.desc("freq"), "token")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap redundancy signal
+    corpus filters use beside repetition ratios (machine-generated and
+    template text compresses far better than natural prose; Gopher-class
+    pipelines threshold on exactly this). Deterministic for a fixed
+    zlib level; Arrow-batched pandas UDF (the one operator class where
+    Python is the right tool — zlib IS the feature)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):  # no hints: stringified annotations break inference
+        import zlib
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            out.append(
+                len(zlib.compress(raw, level)) / len(raw) if raw else 1.0
+            )
+        return pd.Series(out)
+
+    ratio_udf = pandas_udf(_ratio, returnType="double")
+    return df.select(
+        id_col, F.round(ratio_udf(F.col(text_col)), 5).alias("compression_ratio")
+    )

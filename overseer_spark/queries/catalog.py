@@ -11230,3 +11230,18 @@ def dag_slack_analysis(spark, sf):
         )
         .orderBy("id")
     )
+
+
+@q("text_compression_ratio", tier="py")
+def text_compression_ratio(spark, sf):
+    """zlib compression ratio per document (operators/text.py:
+    compression_ratio) — the redundancy-based quality signal production
+    corpus filters run beside text_repetition_ratio: highly-compressible
+    documents are boilerplate/template/generated text; incompressible
+    ones are natural (or already-encoded noise). Deterministic for the
+    fixed zlib level, so the driver's rows-only check is stable;
+    tests/test_text.py verifies values against direct zlib calls and
+    pins the discriminative property on planted boilerplate."""
+    from overseer_spark.operators.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf, "documents")).orderBy("doc_id")

@@ -430,3 +430,34 @@ def test_lid_confusion_eval_structure_and_planted_signal(spark):
     # marker's rank-weighted score — the harness is detecting exactly the
     # signal-to-noise ratio it should. Pin well above the 0.2 chance rate.
     assert hit / n_test > 0.8, hit / n_test
+
+
+def test_compression_ratio_matches_zlib_and_discriminates(spark):
+    """text_compression_ratio: values equal direct zlib computation, and
+    a planted highly-repetitive document scores far lower (more
+    compressible) than natural corpus text."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.text import compression_ratio
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = CATALOG["text_compression_ratio"].fn(spark, SF_SMOKE).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    for r in rows[:25]:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        expect = len(zlib.compress(raw, 6)) / len(raw)
+        # Spark rounds half-up, Python half-even — compare at tolerance
+        assert abs(r["compression_ratio"] - expect) < 6e-6
+
+    planted = docs.limit(2).select(
+        "doc_id", F.lit("spam " * 200).alias("text")
+    )
+    boiler = compression_ratio(planted).collect()
+    corpus_median = sorted(r["compression_ratio"] for r in rows)[len(rows) // 2]
+    assert all(b["compression_ratio"] < corpus_median / 2 for b in boiler)
