@@ -5,217 +5,48 @@ implemented operator from SURVEY.md §2.B (plus the LLM-pipeline extras);
 ``oracle_sql()`` provides the DuckDB-equivalent SQL for SQL-tier entries.
 
 Ordering: the driver's correctness gate samples a prefix of ``queries()``,
-so entries are ordered by verification priority — the LLM-data-pipeline
-family (dedup / ANN / text analysis) first, then everything not yet
-driver-checked, then the 50 entries already green in CORRECTNESS_r01.json.
-The local suite (tests/test_oracle_parity.py) still checks all entries.
+so entries are ordered by verification priority.  The ordering is
+*self-rotating*: at import time we read every committed
+``CORRECTNESS_r*.json`` in the repo root and front the SQL-tier entries the
+driver has never hash-checked, so each round's 50-entry prefix covers 50
+previously-unverified entries until the whole catalog carries independent
+driver signal.  PY-tier entries (no DuckDB oracle exists by design) and
+already-green entries sort last.  The local suite
+(tests/test_oracle_parity.py) still checks all entries every run.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from overseer_spark.queries.catalog import CATALOG, flagship
 
-# LLM-pipeline family the round-1 judge asked to see driver-verified
-# (VERDICT.md "Next round" item 2), plus the rest of the dedup/ANN/text
-# operators — placed first so the driver's checked prefix covers them.
-_PRIORITY = [
-    "minhash_near_dup_pairs",
-    "near_dup_components",
-    "near_dup_dedup_count",
-    "ngram_jaccard_pairs",
-    "ngram_containment_pairs",
-    "simhash_near_dup_pairs",
-    "simhash_signatures",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "semantic_dedup_clustered",
-    "text_quality",
-    "text_contamination_check",
-    # round-2 additions: incremental/index/layout/streaming dedup family
-    "incr_exact_survivor_count",
-    "incr_exact_flagged",
-    "incr_near_dup_vs_corpus",
-    "incr_dedup_survivor_ids",
-    "ann_ivf_index_topk",
-    "stream_incr_dedup_screen",
-    "layout_pruning_probe",
-    "text_gopher_rules",
-    "text_gopher_reject_stats",
-    # round-2 batch 2: soft-dedup weights, MG heavy hitters, fuzzy blocking,
-    # graph triangles, grid resampling, PQ-compressed ANN
-    "text_soft_dedup_weights",
-    "text_heavy_hitters",
-    "q_fuzzy_match_levenshtein",
-    "graph_triangle_count",
-    "q_resample_interpolate",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "er_match_pairs",
-    "er_match_clusters",
-    "q_interval_merge",
-    "q_array_functions_surface",
-    "stream_stream_join_pairs",
-    "q_time_weighted_avg",
-    "q_ab_test_stats",
-    "q_decimal_exact_money",
-    "multimodal_image_ahash",
-    "graph_kcore",
-    "q_regression_metrics",
-    "q_bitmask_funnel",
-    "q_k_anonymity",
-    "q_rolling_active_users",
-    "q_weighted_median",
-    "q_gini_coefficient",
-    "multimodal_audio_fingerprint",
-    "multimodal_resize_thumbnails",
-    "q33c_closure_sql_scripting",
-    "q_skyline_pareto",
-    "q_churn_features",
-    "q_point_in_time_join",
-    "text_bigram_pmi",
-    "embedding_mmr_topk",
-    "q_decayed_score",
-    "udtf_zip_explode_dynamic",
-    "text_span_corruption",
-    "contrastive_pairs_mining",
-    "docs_quality_ensemble",
-    "q_geo_nearby_pairs",
-    "q_xml_roundtrip",
-    "q_peak_concurrency",
-    # round-2 batch 3: forensic audit, seasonal baseline, bigram LM,
-    # preference mining, shard planning, agreement stats, sequence mining
-    "q_benford_audit",
-    "q_seasonal_baseline",
-    "text_perplexity_bigram",
-    "preference_pairs",
-    "shard_plan_by_tokens",
-    "q_cohens_kappa",
-    "q_sequential_patterns",
-    "stream_dedup_within_watermark",
-    "q_active_learning_batch",
-    "hll_intersection_estimate",
-    "multimodal_audio_vad",
-    "multimodal_scene_cuts",
-    "ann_recall_eval",
-    "q_csv_roundtrip",
-    "q_jsonl_roundtrip",
-    "q_group_kfold_split",
-    "minhash_recall_eval",
-    "q_markov_attribution",
-    "q_seasonal_anomaly_flags",
-    "q_changepoint_cusum",
-    "embedding_dimension_stats",
-    "embedding_outlier_flags",
-    "multimodal_image_near_dup",
-    "q_psi_drift",
-    "q_diff_in_diff",
-    "q_survival_km",
-    "q_auc_rank",
-    "text_fim_transform",
-    "text_instruction_format",
-    "dag_critical_path",
-    "q_rolling_distinct_sketch",
-    "udtf_table_arg_topk",
-    "q_bootstrap_ci",
-    "q_rolling_regression_slope",
-    "q_entropy_by_user",
-    "q_forecast_backtest_mape",
-    "q_dp_noisy_counts",
-    "q_dataset_manifest",
-    "text_js_divergence_by_source",
-    "multimodal_image_dedup_count",
-    "q_lateral_topn_per_key",
-    "store_time_travel",
-    "multimodal_png_decode",
-    "q_gzip_jsonl_roundtrip",
-    "text_lid_confusion_eval",
-    "q_null_semantics_matrix",
-    "multimodal_gif_scene_cuts",
-    "q_try_arithmetic",
-    "q_orc_roundtrip",
-    "embedding_matryoshka_eval",
-    "dag_slack_analysis",
-    "text_compression_ratio",
-    "embedding_near_dup_exact",
-    "embedding_quantize_int8",
-    "embedding_centroids",
-    "knn_label_predict",
-    "q36_json_extract",
-    "q37_array_l2norm",
-    "q38_cosine_top5",
-    "text_token_count",
-    "text_fingerprint_md5",
-    "text_normalize",
-    "text_quality_filter_count",
-    "text_language_id",
-    "text_fingerprint_rolling",
-    "text_top_terms",
-    "text_doc_freq_idf",
-    "text_redact_pii",
-    "text_chunk_overlap",
-    "text_repetition_ratio",
-    "text_bm25_search",
-    "text_zipf_slope",
-    "text_vocab_overlap",
-    "text_dsir_scores",
-    "text_chi2_terms",
-    "text_perplexity_unigram",
-    "text_ccnet_buckets",
-    "text_ngram_counts",
-    "text_dup_span_stats",
-    "text_top_terms_per_lang",
-    "dedup_golden_record",
-    "dedup_rate_by_source",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_dedup_bytes",
-    "multimodal_decode_features",
-    "pack_sequences",
-    "train_prep_pipeline",
-    "sessionize",
-    "kmeans_assign_step",
-    "q42_approx_aggs",
-    "cms_term_counts",
-    "hll_distinct_merge",
-    "stratified_sample_counts",
-    "train_test_split_counts",
-]
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Entries already hash-verified by the driver in round 1 — deprioritized so
-# the per-round checked prefix rotates through the catalog.
-_DRIVER_CHECKED = frozenset(
-    [
-        "q01_scan_count", "q02_projection_filter", "q03_string_filter",
-        "q04_conjunctive_filter", "q05_in_list", "q06_like", "q07_inner_join",
-        "q08_multiway_join", "q09_left_join", "q10_semi_join", "q11_anti_join",
-        "q12_theta_self_join", "q13_global_agg", "q14_grouped_agg",
-        "q15_count_distinct", "q16_distinct", "q17_having", "q18_rollup",
-        "q19_case_decode", "q20_rank_window", "q21_lag_window",
-        "q22_frame_window", "q23_topk", "q24_union_all", "q25_intersect",
-        "q26_except", "q27_string_funcs", "q28_datetime_funcs",
-        "q29_math_funcs", "q30_tumbling_window", "q31_ready_set",
-        "q32_dead_set", "q33_transitive_closure", "q33b_closure_recursive_cte",
-        "dag_degree_stats", "dag_topo_levels", "q_full_outer_join",
-        "q_right_outer_join", "q_cube", "asof_join_events",
-        "interval_join_events", "q_status_counts", "tpch_q3_shape",
-        "funnel_view_click_purchase", "time_rollup_hierarchy",
-        "r13_seeded_sample", "pandas_udf_scalar", "q34_lang_stats",
-        "q35_exact_dup_count", "dedup_exact_groups",
-    ]
-)
+
+def _driver_checked() -> set[str]:
+    """Entry names already covered by any prior round's driver gate."""
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY if n in CATALOG]
-    seen = set(pri)
-    mid = [n for n in CATALOG if n not in seen and n not in _DRIVER_CHECKED]
-    tail = [n for n in CATALOG if n in _DRIVER_CHECKED and n not in seen]
-    return pri + mid + tail
+    checked = _driver_checked()
+    sql_new = [n for n in CATALOG if CATALOG[n].oracle and n not in checked]
+    py_new = [n for n in CATALOG if not CATALOG[n].oracle and n not in checked]
+    done = [n for n in CATALOG if n in checked]
+    return sql_new + py_new + done
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -464,23 +464,33 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
             break
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF")
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF")
             x0, y0, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             if iflags & 0x80:  # local color table
                 pos += (2 << (iflags & 7)) * 3
             if iflags & 0x40:
                 raise NotImplementedError("interlaced GIF frames")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF")
             mcs = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("truncated GIF")
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("truncated GIF")
             pos += 1
             idx = np.frombuffer(_lzw_decode(bytes(data), mcs), dtype=np.uint8)
             if len(idx) != fw * fh:
@@ -493,10 +503,17 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
     if not frames:
         raise ValueError("GIF contains no frames")
     arr = np.stack(frames)
-    # identity gray palette → indices ARE luma; otherwise map via palette
+    # gray palette (R==G==B) → indices map straight to luma; otherwise
+    # map through the palette with a proper Rec.601 luma mix
     if palette is not None and not (
-        palette[:, 0] == palette[:, 1]
+        (palette[:, 0] == palette[:, 1]) & (palette[:, 1] == palette[:, 2])
     ).all():
+        rgb = palette[arr].astype(np.float64)
+        arr = np.clip(
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2],
+            0, 255,
+        ).astype(np.uint8)
+    elif palette is not None:
         arr = palette[arr][..., 0]
     meta = {
         "kind": "video",

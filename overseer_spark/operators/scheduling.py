@@ -420,6 +420,7 @@ def critical_path(
     ).select("id", F.col("_w").alias("cp"))
     frontier = roots
     acc = frontier
+    pinned: list[DataFrame] = []  # persisted frontiers awaiting release
     for it in range(max_iterations):
         nxt = (
             deps.join(frontier, deps.dep_id == frontier.id)
@@ -432,11 +433,26 @@ def critical_path(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
             n = nxt.count()
+            acc = acc.union(nxt).localCheckpoint(eager=True)
+            # acc's lineage is now cut, so the interim persisted
+            # frontiers can be dropped without forcing recompute —
+            # cached blocks stay O(checkpoint_every), not O(depth)
+            for p in pinned:
+                p.unpersist()
+            pinned.clear()
         else:
             nxt = nxt.persist()
             n = nxt.count()
+            if n:
+                pinned.append(nxt)
+                acc = acc.union(nxt)
         if n == 0:
+            nxt.unpersist()
             break
-        acc = acc.union(nxt)
         frontier = nxt
-    return acc.groupBy("id").agg(F.max("cp").cast("long").alias("cp"))
+    out = acc.groupBy("id").agg(F.max("cp").cast("long").alias("cp"))
+    if pinned:
+        out = out.localCheckpoint(eager=True)
+        for p in pinned:
+            p.unpersist()
+    return out

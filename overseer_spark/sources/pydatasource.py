@@ -140,7 +140,7 @@ class SyntheticDocsDataSource(DataSource):
 
 def register(spark) -> None:
     # runtime-set here (not in session.py) so the source works under ANY
-    # session, including the driver's plain one — see .claude/skills/verify
+    # session, including a plain default-config one
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
 

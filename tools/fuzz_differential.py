@@ -458,7 +458,14 @@ def build_join_spark_df(spark, sf_dir: str, case: dict):
     pre_where, on_extra = [], []
     for side, c, op, v in case["filters"]:
         col = F.col(c)
-        expr = col.like(v) if op == "LIKE" else (col > v if op == ">" else col < v)
+        if op == "LIKE":
+            expr = col.like(v)
+        elif op == ">":
+            expr = col > v
+        elif op == "<":
+            expr = col < v
+        else:  # keep Spark side in lockstep with the generated SQL
+            raise ValueError(f"unsupported join-filter op: {op!r}")
         if how == "left" and side == "r":
             on_extra.append(expr)
         else:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 
 MB = 1024 * 1024
 GB = 1024 * MB
@@ -57,7 +58,7 @@ def recommended_confs(
     # partitions: size-driven, rounded UP to a multiple of total cores so
     # every wave is full, capped by the scheduler ceiling
     size_driven = max(1, shuffle_bytes // TARGET_SHUFFLE_PARTITION_BYTES)
-    waves = max(1, round(size_driven / total_cores))
+    waves = max(1, math.ceil(size_driven / total_cores))
     partitions = min(waves * total_cores, MAX_PARTITIONS)
 
     # input splits: fill the cores on the scan stage; never above 256 MB
