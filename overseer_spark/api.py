@@ -48,6 +48,7 @@ __all__ = [
     "memory_store",
     "spark_store",
     "filecas_store",
+    "manifest_store",
     "missing_handlers",
     "validate_graph_handlers",
     "transact_graph",
@@ -75,6 +76,18 @@ def filecas_store(spark: SparkSession | None, path: str):
     from overseer_spark.store.filecas import FileCASStore
 
     store = FileCASStore(spark, path)
+    store.install()
+    return store
+
+
+def manifest_store(spark: SparkSession | None, path: str):
+    """Object-store-safe CAS store (store/manifest.py): optimistic commit
+    log over a conditional-write primitive (S3 ``If-None-Match: *`` /
+    GCS ``ifGenerationMatch=0``), for deployments whose job metadata
+    lives on an object store where ``link(2)`` does not exist."""
+    from overseer_spark.store.manifest import ManifestCASStore
+
+    store = ManifestCASStore(spark, path)
     store.install()
     return store
 

@@ -80,8 +80,17 @@ def build_store(spec: str):
         return api.filecas_store(get_spark("overseer-runner"), spec.split(":", 1)[1])
     if spec.startswith("filecas-nospark:"):
         return api.filecas_store(None, spec.split(":", 1)[1])
+    if spec.startswith("manifest:"):
+        # object-store-safe commit log (conditional writes, no link(2)):
+        # the store spec for metadata living on S3/GCS-style storage
+        from overseer_spark.session import get_spark
+
+        return api.manifest_store(get_spark("overseer-runner"), spec.split(":", 1)[1])
+    if spec.startswith("manifest-nospark:"):
+        return api.manifest_store(None, spec.split(":", 1)[1])
     raise SystemExit(
-        f"unknown store spec {spec!r} (memory | spark:<path> | filecas:<path>)"
+        f"unknown store spec {spec!r} "
+        "(memory | spark:<path> | filecas:<path> | manifest:<path>)"
     )
 
 
@@ -94,7 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type-graph", help="inline JSON adjacency map {type: [dep_types]}")
     p.add_argument("--args", help="inline JSON args for job_graph instantiation")
     p.add_argument(
-        "--store", default="memory", help="memory | spark:<path> | filecas:<path>"
+        "--store",
+        default="memory",
+        help="memory | spark:<path> | filecas:<path> | manifest:<path>",
     )
     p.add_argument("--config", help="JSON/YAML config file")
     p.add_argument("--once", action="store_true", help="drain the queue and exit")

@@ -23,7 +23,7 @@ from overseer_spark.store.base import IllegalTransition
 from overseer_spark.store.memory import MemoryStore
 
 
-@pytest.fixture(params=["memory", "sparklog", "filecas"])
+@pytest.fixture(params=["memory", "sparklog", "filecas", "manifest"])
 def store(request, spark, tmp_path):
     if request.param == "memory":
         s = MemoryStore()
@@ -31,6 +31,10 @@ def store(request, spark, tmp_path):
         from overseer_spark.store.filecas import FileCASStore
 
         s = FileCASStore(spark, str(tmp_path / "store"))
+    elif request.param == "manifest":
+        from overseer_spark.store.manifest import ManifestCASStore
+
+        s = ManifestCASStore(spark, str(tmp_path / "store"))
     else:
         from overseer_spark.store.sparklog import SparkLogStore
 
