@@ -181,6 +181,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -525,3 +527,535 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
 
 
 DECODERS["gif"] = decode_gif
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), pure numpy. The last and
+# most common real-world image format in the documented "compressed
+# codecs" seam: Huffman entropy coding + 8x8 DCT implemented from the
+# public spec, no native libraries. Encoder emits JFIF 4:4:4 (grayscale
+# or YCbCr) with the Annex-K quantization + typical Huffman tables;
+# decoder handles baseline SOF0 with 4:4:4 / 4:2:0 / 4:2:2 sampling,
+# restart intervals, and byte stuffing. Progressive (SOF2), arithmetic
+# coding, and 12-bit precision raise NotImplementedError explicitly.
+# ---------------------------------------------------------------------------
+
+# Annex K.1 base quantization tables (zigzag order NOT applied here —
+# these are in natural row-major order).
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], huffval)
+_JPEG_HUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+                [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+                 0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+                 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+                 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+                 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+                 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+                 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+                 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+                 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+                 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+                 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+                 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+                 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+                 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+                 0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+                 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                 0xF9, 0xFA]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+                [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+                 0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+                 0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+                 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+                 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+                 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+                 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+                 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+                 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+                 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+                 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+                 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+                 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+                 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+                 0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+                 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                 0xF9, 0xFA]),
+}
+
+# zigzag scan order (T.81 fig. 5): position k in the scan -> (row, col)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: forward F = T B T', inverse B = T' F T
+_DCT_T = np.zeros((8, 8))
+_DCT_T[0, :] = 1.0 / np.sqrt(8.0)
+for _k in range(1, 8):
+    for _n in range(8):
+        _DCT_T[_k, _n] = 0.5 * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _jpeg_qt(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex-K base tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def s(tbl):
+        return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int64)
+    return s(_JPEG_QT_LUMA), s(_JPEG_QT_CHROMA)
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman code assignment (T.81 C.2): val -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn — marker bytes bypass stuffing."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _mag_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one zigzagged 8x8 coefficient vector; returns DC."""
+    zz = coeffs.reshape(64)[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred_dc
+    size = _mag_category(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size = _mag_category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """[H,W] float plane (already level-shifted) -> [H/8, W/8, 8, 8]
+    quantized coefficients, vectorized over all blocks at once."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ij,abjk,lk->abil", _DCT_T, blocks, _DCT_T)
+    return np.round(f / qt).astype(np.int64)
+
+
+_JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: grayscale [h,w] or RGB [h,w,3] uint8.
+    ``subsample``: luma sampling relative to chroma — "444" (none),
+    "422" (horizontal 2:1), "420" (2:1 both; chroma is box-averaged).
+    ``restart_interval``: emit DRI + an RSTn marker every N MCUs (0 =
+    none) — the resync mechanism streaming decoders rely on. Annex-K
+    tables scaled by ``quality`` (IJG formula); edges are replicated to
+    MCU multiples (decoder crops back)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg expects [h,w] gray or [h,w,3] RGB")
+    if subsample not in _JPEG_SAMPLING:
+        raise ValueError(f"subsample must be one of {sorted(_JPEG_SAMPLING)}")
+    hs, vs = (1, 1) if gray else _JPEG_SAMPLING[subsample]
+    h, w = px.shape[:2]
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+    pad = np.pad(px, [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)]),
+                 mode="edge").astype(np.float64)
+    qt_l, qt_c = _jpeg_qt(quality)
+    if gray:
+        planes, samps, comp_q = [pad], [(1, 1)], [qt_l]
+    else:
+        r, g, b = pad[..., 0], pad[..., 1], pad[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if (hs, vs) != (1, 1):  # box-average chroma down to its grid
+            cb = cb.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+            cr = cr.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        samps = [(hs, vs), (1, 1), (1, 1)]
+        comp_q = [qt_l, qt_c, qt_c]
+    coeffs = [_fdct_quant(p - 128.0, q) for p, q in zip(planes, comp_q)]
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)            # APP0
+    for tid, qt in enumerate([qt_l] if gray else [qt_l, qt_c]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in qt.reshape(64)[_ZIGZAG])
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        chs, cvs = samps[ci]
+        out += struct.pack("BBB", ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1)
+    for (kind, tid), (bits, vals) in _JPEG_HUFF.items():
+        if gray and tid == 1:
+            continue
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (0x00 if kind == "dc" else 0x10) | tid
+        ) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al
+
+    dc_tabs = [_huff_codes(*_JPEG_HUFF[("dc", 0)]), _huff_codes(*_JPEG_HUFF[("dc", 1)])]
+    ac_tabs = [_huff_codes(*_JPEG_HUFF[("ac", 0)]), _huff_codes(*_JPEG_HUFF[("ac", 1)])]
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(mcu // restart_interval - 1)
+                preds = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                chs, cvs = samps[ci]
+                t = 0 if ci == 0 else 1
+                for by in range(cvs):
+                    for bx in range(chs):
+                        preds[ci] = _encode_block(
+                            bw,
+                            coeffs[ci][my * cvs + by, mx * chs + bx],
+                            preds[ci],
+                            dc_tabs[t],
+                            ac_tabs[t],
+                        )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    marker (0xFF xx, xx != 0) and exposes it for restart handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad past end
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn: consumed by reset()
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def reset_at_restart(self) -> None:
+        """Consume the next RSTn marker and byte-align (T.81 F.2.1.3.1).
+        Any buffered bits are padding; if the marker has not been reached
+        yet, scan forward past remaining pad bytes (skipping FF00 stuffed
+        pairs) to find it."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            while self.pos + 1 < len(self.data):
+                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                    self.marker = self.data[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+
+
+def _huff_decode_tables(bits: list, vals: list):
+    """(mincode, maxcode, valptr) per code length — T.81 F.2.2.3."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for ln in range(1, 17):
+        if bits[ln - 1] == 0:
+            maxcode[ln] = -1
+        else:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_read(br: _BitReader, tab) -> int:
+    mincode, maxcode, valptr, vals = tab
+    code = br.read_bit()
+    ln = 1
+    while code > maxcode[ln] or maxcode[ln] < 0:
+        ln += 1
+        if ln > 16:
+            raise ValueError("invalid JPEG Huffman code")
+        code = (code << 1) | br.read_bit()
+    return vals[valptr[ln] + code - mincode[ln]]
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a magnitude-category value (T.81 F.2.2.1)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Baseline sequential JPEG decoder (ITU-T T.81): SOF0, Huffman
+    entropy coding, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals.
+    Returns (meta, uint8 array — [h,w] grayscale or [h,w,3] RGB).
+    Progressive/arithmetic/12-bit variants raise NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[str, int], tuple] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, bpos + 1)
+                qts[tq] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                huffs[("dc" if tc == 0 else "ac", th)] = _huff_decode_tables(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision JPEG")
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"], comp["ta"] = tabs >> 4, tabs & 0x0F
+                scan_comps.append(comp)
+            scan_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if scan_pos is None or not comps:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks per row
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"], c["bw"], 8, 8), dtype=np.int64)
+        c["pred"] = 0
+
+    br = _BitReader(payload, scan_pos)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.reset_at_restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in scan_comps:
+                dc_tab = huffs[("dc", c["td"])]
+                ac_tab = huffs[("ac", c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_read(br, dc_tab)
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[_ZIGZAG] = zz
+                        c["coef"][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = blk.reshape(8, 8)
+            mcu += 1
+
+    planes = []
+    for c in comps:
+        deq = c["coef"] * qts[c["tq"]]
+        spatial = np.einsum("ji,abjk,kl->abil", _DCT_T, deq.astype(np.float64), _DCT_T)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8) + 128.0
+        # upsample to full resolution (nearest, per sampling factor)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return {"kind": "image", "width": int(w), "height": int(h)}, out
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"kind": "image", "width": int(w), "height": int(h)}, out
+
+
+DECODERS["jpeg"] = decode_jpeg

@@ -3,12 +3,14 @@
 Design (SURVEY.md Phase 4): media travels as a ``binary`` column with a
 struct of metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so each executor core streams record
-batches without ever materializing the whole partition. Uncompressed
-formats — WAV (RIFF PCM16), BMP, PPM/PGM — decode for REAL via the
+batches without ever materializing the whole partition. WAV (RIFF
+PCM16), BMP, PPM/PGM, PNG (zlib + spec filters), animated GIF (LZW) and
+baseline JPEG (Huffman + DCT, ITU-T T.81) all decode for REAL via the
 pure-numpy codecs in functions/media_codecs.py (``media_features`` sniffs
-magic bytes, decodes, and extracts rms/luma features). Compressed codecs
-(jpeg/mp3/h264...) need native libraries this container does not ship and
-remain a clearly-marked ``NotImplementedError`` seam in ``decode_media``.
+magic bytes, decodes, and extracts rms/luma features). The remaining
+compressed codecs (webp/mp3/h264...) need native libraries this container
+does not ship and stay a clearly-marked ``NotImplementedError`` seam in
+``decode_media``.
 
 At 100 TB: binary payloads dominate scan width, so metadata lives in its own
 columns (parquet column pruning skips the bytes for metadata-only queries),
@@ -36,9 +38,10 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
-# png decodes for REAL now (zlib is stdlib — functions/media_codecs.py);
-# the remaining seam is codecs whose compression needs native libraries
-_COMPRESSED_CODECS = frozenset({"jpeg", "webp", "mp3", "flac", "h264", "vp9"})
+# png (zlib is stdlib) and jpeg (baseline T.81 — Huffman + DCT in pure
+# numpy, functions/media_codecs.py) decode for REAL now; the remaining
+# seam is codecs whose compression needs native libraries
+_COMPRESSED_CODECS = frozenset({"webp", "mp3", "flac", "h264", "vp9"})
 
 
 def with_binary_payload(
@@ -62,11 +65,12 @@ def with_binary_payload(
 def decode_media(payload: bytes, codec: str):
     """Decode one media payload.
 
-    Uncompressed formats decode for real, in pure numpy (functions/
-    media_codecs.py): WAV (RIFF PCM16) -> (meta, int16 samples), BMP /
-    PPM / PGM -> (meta, uint8 pixel array). Compressed codecs remain a
-    deliberate seam — they need native libraries this container does not
-    ship; plug PIL/soundfile/av here."""
+    WAV / BMP / PPM / PGM / PNG / GIF / baseline JPEG decode for real,
+    in pure numpy (functions/media_codecs.py): audio -> (meta, int16
+    samples), still images -> (meta, uint8 pixel array), GIF -> (meta,
+    [n,h,w] frames). The remaining compressed codecs are a deliberate
+    seam — they need native libraries this container does not ship;
+    plug PIL/soundfile/av here."""
     from overseer_spark.functions import media_codecs as MC
 
     if codec == "raw-utf8":
@@ -829,4 +833,51 @@ def gif_scene_cuts(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=f"{id_col} long, keyframe_idx int, mean_luma double"
+    )
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline JPEG payloads (Huffman + DCT, ITU-T T.81 —
+    functions/media_codecs.py) built deterministically from the id:
+    16×16 RGB with id-keyed channel bases plus a row gradient, cycling
+    subsampling by id (444 / 422 / 420) and adding a restart interval
+    on every 5th id, so the decoder's interleaved-MCU, chroma-upsample
+    and RST-resync paths all see traffic. Channel bases stay < 224 and
+    the image is DCT-smooth, so the decoded mean_luma has a closed-form
+    oracle within quantization tolerance:
+    mean_luma ≈ 0.299(R₀+7.5) + 0.587·G₀ + 0.114·B₀ (±2.5)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        subs = ["444", "422", "420"]
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                y = np.arange(16)[:, None]
+                px = np.stack(
+                    [
+                        np.broadcast_to(i * 11 % 200 + y, (16, 16)),
+                        np.broadcast_to(np.full((1, 1), i * 23 % 200), (16, 16)),
+                        np.broadcast_to(np.full((1, 1), i * 5 % 200), (16, 16)),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    MC.encode_jpeg(
+                        px,
+                        quality=90,
+                        subsample=subs[i % 3],
+                        restart_interval=2 if i % 5 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
     )

@@ -10873,6 +10873,39 @@ def multimodal_png_decode(spark, sf):
     )
 
 
+@q("multimodal_jpeg_decode", tier="py")
+def multimodal_jpeg_decode(spark, sf):
+    """Real LOSSY-codec decode: baseline JPEG payloads (ITU-T T.81 —
+    Huffman entropy coding + 8×8 DCT, functions/media_codecs.py, pure
+    numpy) are synthesized per document cycling 4:4:4/4:2:2/4:2:0
+    subsampling and restart intervals, sniffed by magic bytes, entropy-
+    decoded, dequantized, IDCT'd, chroma-upsampled and feature-extracted
+    through the same media_features stage as every other codec. This
+    closes the most common real-world image format from the multimodal
+    seam; webp/mp3/h264 remain the (native-library) line.
+    tests/test_multimodal.py pins the decoded mean_luma against the
+    synthesis closed form within DCT-quantization tolerance (the
+    pixel-tolerance oracle a lossy codec owes) plus round-trip RMSE,
+    all-subsampling and restart-marker coverage."""
+    from overseer_spark.operators.multimodal import (
+        media_features,
+        synthesize_jpeg_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 2)
+    return (
+        media_features(synthesize_jpeg_media(docs))
+        .select(
+            "doc_id",
+            "codec",
+            "width",
+            "height",
+            F.round("mean_luma", 1).alias("mean_luma"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,

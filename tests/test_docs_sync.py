@@ -33,20 +33,32 @@ def test_entry_count_header_current():
     )
 
 
-def test_priority_list_names_exist_and_unique():
-    """__spark_entry__._PRIORITY drives which entries the driver checks
-    first — a typo'd name silently drops out of the checked prefix, so
-    every name must exist in CATALOG and appear exactly once."""
+def test_ordering_rotates_to_unchecked_sql_entries():
+    """__spark_entry__ orders queries() so the driver's checked prefix
+    rotates: SQL-tier entries with no row in any committed
+    CORRECTNESS_r*.json come first (they can hash-match and have never
+    been independently verified), then unchecked PY-tier, then entries
+    already driver-checked. The full ordering must cover the catalog
+    exactly once."""
+    import glob
     import importlib.util
+    import json
 
     spec = importlib.util.spec_from_file_location(
         "spark_entry", ROOT / "__spark_entry__.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    unknown = [n for n in mod._PRIORITY if n not in CATALOG]
-    assert not unknown, f"_PRIORITY references unknown entries: {unknown}"
-    assert len(mod._PRIORITY) == len(set(mod._PRIORITY)), "duplicate priority names"
-    # and the full ordering covers the whole catalog exactly once
     names = mod._ordered_names()
     assert sorted(names) == sorted(CATALOG)
+    checked = set()
+    for path in glob.glob(str(ROOT / "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked.update(json.load(f))
+    n_sql_new = sum(
+        1 for n in CATALOG if CATALOG[n].oracle and n not in checked
+    )
+    head = names[: min(50, n_sql_new)]
+    assert all(CATALOG[n].oracle and n not in checked for n in head), (
+        "checked prefix must be unchecked SQL-tier entries"
+    )

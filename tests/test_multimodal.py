@@ -42,10 +42,13 @@ def test_frame_sample_shapes(spark, media):
 
 
 def test_real_codec_is_explicit_stub():
+    # jpeg decodes for real now; webp remains the native-library seam
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\xff\xd8\xff", "jpeg")
+        MM.decode_media(b"RIFF....WEBP", "webp")
     with pytest.raises(ValueError):
         MM.decode_media(b"", "tiff9000")
+    with pytest.raises(ValueError):
+        MM.decode_media(b"not a jpeg", "jpeg")
     assert MM.decode_media(b"abc", "raw-utf8") == b"abc"
 
 
@@ -571,3 +574,107 @@ def test_gif_scene_cuts_entry_matches_synthesis(spark):
         base = float(i * 31 % 100)
         expected = [(0, base), (6 + i % 6, base + 75.0), (14 + i % 8, base + 150.0)]
         assert [(r["keyframe_idx"], r["mean_luma"]) for r in rs] == expected, i
+
+
+# -- JPEG (baseline T.81) ---------------------------------------------------
+
+def test_jpeg_gray_roundtrip_tolerance():
+    """Lossy round trip: a DCT-smooth grayscale image must survive
+    encode→decode within tight pixel tolerance at high quality."""
+    import numpy as np
+
+    from overseer_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = ((np.sin(yy / 7.0) + np.cos(xx / 9.0)) * 60 + 128).clip(0, 255)
+    img = img.astype(np.uint8)
+    meta, out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert meta == {"kind": "image", "width": 56, "height": 40}
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 4 and np.sqrt((err.astype(float) ** 2).mean()) < 1.5
+
+
+def test_jpeg_rgb_all_subsamplings_and_restart_markers():
+    """4:4:4 / 4:2:2 / 4:2:0 each round-trip within tolerance; adding a
+    restart interval must decode bit-identically to the same image
+    without restarts (RSTn is pure resync, not a coding change)."""
+    import numpy as np
+
+    from overseer_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = ((np.sin(yy / 5.0) * np.cos(xx / 6.0)) * 70 + 128).clip(0, 255)
+    base = base.astype(np.uint8)
+    rgb = np.stack([base, np.roll(base, 3, 1), 255 - base], -1)
+    for sub, rmse_cap in (("444", 3.0), ("422", 5.5), ("420", 6.5)):
+        payload = encode_jpeg(rgb, quality=90, subsample=sub)
+        meta, out = decode_jpeg(payload)
+        assert (meta["width"], meta["height"]) == (64, 48)
+        rmse = float(np.sqrt(((out.astype(float) - rgb) ** 2).mean()))
+        assert rmse < rmse_cap, (sub, rmse)
+        for ri in (1, 3):
+            _, o2 = decode_jpeg(
+                encode_jpeg(rgb, quality=90, subsample=sub, restart_interval=ri)
+            )
+            assert np.array_equal(o2, out), (sub, ri)
+
+
+def test_jpeg_quality_controls_size_and_error():
+    """IJG quality scaling: higher quality → more bytes and lower error
+    (monotone on a smooth fixture)."""
+    import numpy as np
+
+    from overseer_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = ((yy * 3 + xx * 2) % 200 + 20).astype(np.uint8)
+    sizes, errs = [], []
+    for q in (20, 60, 95):
+        p = encode_jpeg(img, quality=q)
+        _, o = decode_jpeg(p)
+        sizes.append(len(p))
+        errs.append(float(np.sqrt(((o.astype(float) - img) ** 2).mean())))
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert errs[0] > errs[2]
+
+
+def test_jpeg_rejects_progressive_and_truncation():
+    import numpy as np
+    import pytest
+
+    from overseer_spark.functions.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        sniff_codec,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    assert sniff_codec(bytes(payload)) == "jpeg"
+    # flip SOF0 (FFC0) to SOF2 (progressive) → explicit NotImplementedError
+    i = bytes(payload).find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x11not a jpeg")
+
+
+def test_jpeg_decode_entry_matches_synthesis_formula(spark):
+    """multimodal_jpeg_decode: every decoded JPEG must report 16×16 and
+    a mean luma within DCT-quantization tolerance of the synthesis
+    closed form — the pixel-tolerance oracle a lossy codec owes."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    rows = CATALOG["multimodal_jpeg_decode"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no JPEG payloads decoded"
+    for r in rows:
+        i = r["doc_id"]
+        assert (r["codec"], r["width"], r["height"]) == ("jpeg", 16, 16)
+        expect = (
+            0.299 * (i * 11 % 200 + 7.5)
+            + 0.587 * (i * 23 % 200)
+            + 0.114 * (i * 5 % 200)
+        )
+        assert abs(r["mean_luma"] - expect) < 2.5, (i, r["mean_luma"], expect)

@@ -136,7 +136,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_image_ahash", "multimodal_audio_fingerprint",
         "multimodal_resize_thumbnails", "multimodal_audio_vad",
         "multimodal_scene_cuts", "multimodal_image_near_dup",
-        "multimodal_image_dedup_count", "multimodal_png_decode",
+        "multimodal_image_dedup_count", "multimodal_png_decode", "multimodal_jpeg_decode",
         "multimodal_gif_scene_cuts",
     ],
     "Pipeline composites & packing": [
