@@ -55,7 +55,10 @@ class StreamingWorker:
         self.query = None
 
     def _tick(self, _batch_df, batch_id: int) -> None:
-        """One micro-batch = one detector pass + run of the ready set."""
+        """One micro-batch = one monitor pass + one detector pass + run
+        of the ready set."""
+        if self.config.heartbeat.enabled:
+            self._monitor_pass()
         ran = 0
         while True:
             ready = self.executor.handleable(self.store.jobs_ready())
@@ -68,7 +71,46 @@ class StreamingWorker:
         if ran:
             log.info("streaming tick %d ran %d job(s)", batch_id, ran)
 
+    def _monitor_pass(self) -> None:
+        """Reset dead jobs (stale heartbeat) for retry — the reference's
+        monitor loop (overseer/heartbeat.clj:45-68) run once per
+        micro-batch, so a pool of streaming workers self-heals after a
+        member is killed mid-job."""
+        import time as _t
+
+        try:
+            threshold = self.config.liveness_threshold(_t.time())
+            for job_id in self.store.jobs_dead(threshold):
+                self.store.reset_job(job_id)  # None on lost race is fine
+        except Exception:
+            log.exception("monitor pass error")
+
+    def _heartbeat_loop(self) -> None:
+        """Side thread: beat for the in-flight job while the micro-batch
+        runs it (overseer/heartbeat.clj:19-31). A thread, not a stream —
+        the job executes synchronously inside foreachBatch, so only an
+        independent thread can keep it alive past the tolerance."""
+        import time as _t
+
+        while not self._hb_stop.is_set():
+            job = self.executor.current_job
+            if job is not None:
+                try:
+                    self.store.heartbeat_job(job.id)
+                except Exception:
+                    log.exception("heartbeat loop error")
+            self._hb_stop.wait(self.config.heartbeat.sleep_time)
+
     def start(self) -> "StreamingWorker":
+        if self.config.heartbeat.enabled:
+            import threading
+
+            self._hb_stop = threading.Event()
+            t = threading.Thread(
+                target=self._heartbeat_loop, name="stream-heartbeat", daemon=True
+            )
+            t.start()
+            self._hb_thread = t
         stream = (
             self.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         )
@@ -98,6 +140,10 @@ class StreamingWorker:
         return False
 
     def stop(self) -> None:
+        if getattr(self, "_hb_thread", None) is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5)
+            self._hb_thread = None
         if self.query is not None:
             self.query.stop()
             self.query = None
