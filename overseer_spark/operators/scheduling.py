@@ -65,6 +65,37 @@ def direct_dependents(deps: DataFrame, ids: DataFrame) -> DataFrame:
     )
 
 
+# a hub key this many × the mean key size triggers edge declustering —
+# same order as AQE's skewedPartitionFactor default (5) with headroom
+_SKEW_FACTOR_THRESHOLD = 8.0
+
+
+def prepare_edges(deps: DataFrame, skew_mitigation: str = "auto") -> DataFrame:
+    """Hub-hardening for the wave-join family (closure / topo levels /
+    critical path / pagerank). Power-law DAGs have hub nodes with 1e5+
+    dependents; the per-wave joins broadcast the (small) frontier, so the
+    join itself never shuffles — but the hub's output rows materialize in
+    whichever edge-table partitions hold its edges, and ingest order
+    typically co-locates them into ONE partition: a 1e5-row straggler
+    task per wave while every other task emits ~nothing.
+
+    Decision is measured, not guessed: ``key_skew_factor`` (the
+    q_join_key_skew_profile ``skew_x`` metric) on ``dep_id``; above the
+    threshold the edge table is round-robin repartitioned — one bounded
+    shuffle that spreads every hub's edges across all partitions — and
+    cached, since the wave loop re-reads it once per DAG level. Uniform
+    graphs skip the shuffle entirely. ``skew_mitigation="off"`` bypasses
+    the probe (single-wave callers that cannot amortize it)."""
+    if skew_mitigation == "off":
+        return deps
+    from overseer_spark.operators.skew import key_skew_factor
+
+    if key_skew_factor(deps, "dep_id") <= _SKEW_FACTOR_THRESHOLD:
+        return deps
+    n = int(deps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return deps.repartition(n).persist()
+
+
 def transitive_dependents(
     deps: DataFrame,
     seed_ids: Iterable[str] | DataFrame,
@@ -72,6 +103,7 @@ def transitive_dependents(
     max_iterations: int = 1000,
     strategy: str = "auto",
     local_edge_cap: int = 100_000,
+    skew_mitigation: str = "auto",
 ) -> DataFrame:
     """All direct + transitive dependents of the seed jobs (R5/Q33).
 
@@ -134,6 +166,9 @@ def transitive_dependents(
                 f"edge table exceeds local_edge_cap={local_edge_cap}; "
                 "use strategy='recursive_cte' or 'bfs'"
             )
+    # beyond the local cap the graph is big enough for hub skew to
+    # matter — measure once, decluster if needed (see prepare_edges)
+    deps = prepare_edges(deps, skew_mitigation)
     if strategy in ("auto", "recursive_cte"):
         try:
             return _dependents_recursive_cte(deps, frontier)
@@ -188,6 +223,7 @@ def topo_levels(
     deps: DataFrame,
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
+    skew_mitigation: str = "auto",
 ) -> DataFrame:
     """Execution waves over the job DAG: ``level 0`` = jobs with no
     dependencies; ``level(j) = 1 + max(level(dep))`` — the longest path
@@ -204,6 +240,7 @@ def topo_levels(
     count — a 100 TB job table with a shallow DAG converges in a handful
     of passes.
     """
+    deps = prepare_edges(deps, skew_mitigation)
     roots = jobs.select("id").join(
         deps.select(F.col("job_id").alias("id")), "id", "left_anti"
     )
@@ -235,6 +272,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    skew_mitigation: str = "auto",
 ) -> DataFrame:
     """Criticality score per job: PageRank over the dependency edges
     (``job_id → dep_id`` — rank flows from a job to what it depends on, so
@@ -249,6 +287,7 @@ def pagerank(
     ``localCheckpoint`` every few rounds truncates lineage exactly like
     :func:`topo_levels`.
     """
+    deps = prepare_edges(deps, skew_mitigation)
     nodes = jobs.select("id")
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -399,6 +438,7 @@ def critical_path(
     weight_col: str = "weight",
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
+    skew_mitigation: str = "auto",
 ) -> DataFrame:
     """Weighted critical path to every job: ``cp(j) = w(j) +
     max(cp(dep))`` over incoming dependencies (roots: ``cp = w``) — the
@@ -414,6 +454,7 @@ def critical_path(
     A job may be relaxed in several waves (diamonds); the final groupBy
     keeps the longest path, which is exactly the estimator's max-plus
     semiring."""
+    deps = prepare_edges(deps, skew_mitigation)
     w = jobs.select("id", F.col(weight_col).cast("long").alias("_w"))
     roots = w.join(
         deps.select(F.col("job_id").alias("id")), "id", "left_anti"

@@ -75,3 +75,21 @@ def salted_join(
     dim_rep = dim.select("*", salts)
     fact_s = fact.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
     return fact_s.join(dim_rep, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def key_skew_factor(df: DataFrame, key: str) -> float:
+    """Hottest key's row count as a multiple of the mean key size — the
+    ``skew_x`` metric of the ``q_join_key_skew_profile`` diagnostic
+    (queries/catalog.py), reduced to the single number a planner needs.
+    One partial-aggregated count job (map-side combine, so the hot key
+    itself cannot straggle the measurement); 1.0 = perfectly uniform.
+    Empty input returns 0.0."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"), F.avg("_n").alias("_mean"))
+        .collect()[0]
+    )
+    if row["_mx"] is None or not row["_mean"]:
+        return 0.0
+    return float(row["_mx"]) / float(row["_mean"])
