@@ -4657,13 +4657,48 @@ def embedding_pca_power(spark, sf):
     return V.pca_top_component(_t(spark, sf, "embeddings"), dim=64)
 
 
-@q("dag_pagerank", tier="py")
+def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """The damped power iteration UNROLLED as a chain of plain CTEs —
+    r{k} from r{k-1} — so DuckDB replays the exact float arithmetic of
+    operators/scheduling.pagerank (same base/damping literals, same
+    ≤2-term contribution sums, so IEEE addition commutativity makes the
+    comparison bit-exact before the ROUND)."""
+    ctes = [
+        "nodes AS (SELECT id FROM overseer_jobs)",
+        "outd AS (SELECT job_id, CAST(COUNT(*) AS DOUBLE) AS d"
+        " FROM overseer_dependencies GROUP BY job_id)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+              SELECT nd.id,
+                     (1.0 - {damping}) / (SELECT n FROM nn)
+                     + {damping} * COALESCE(c.s, 0.0) AS rank
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dep_id AS id, SUM(r.rank / o.d) AS s
+                FROM overseer_dependencies e
+                JOIN r{k - 1} r ON e.job_id = r.id
+                JOIN outd o ON o.job_id = e.job_id
+                GROUP BY e.dep_id) c ON c.id = nd.id)"""
+        )
+    return (
+        f"WITH {FX.jobs_values_cte()}, {FX.deps_values_cte()}, "
+        + ", ".join(ctes)
+        + f" SELECT id, ROUND(rank, 6) AS rank FROM r{iterations} ORDER BY id"
+    )
+
+
+@q("dag_pagerank", oracle=_pagerank_oracle_sql())
 def dag_pagerank(spark, sf):
     """Job criticality via PageRank over the dependency DAG (rank flows to
     what a job depends on — the most-depended-on upstream jobs score
     highest). 10 damped iterations, each one edge-join + one id-keyed agg
     on a shared partitioning (operators/scheduling.py pagerank); verified
-    against a pure-pandas power iteration in tests/test_closure_strategies.py."""
+    against a pure-pandas power iteration in tests/test_closure_strategies.py
+    AND hash-checked against a DuckDB oracle that unrolls the same ten
+    iterations as chained CTEs (_pagerank_oracle_sql)."""
     return (
         S.pagerank(FX.jobs_df(spark), FX.deps_df(spark), iterations=10)
         .select("id", F.round("rank", 6).alias("rank"))
@@ -5456,7 +5491,27 @@ def snapshot_diff_cdc(spark, sf):
     )
 
 
-@q("dag_cycle_check", tier="py")
+@q(
+    "dag_cycle_check",
+    oracle=f"""WITH RECURSIVE {FX.jobs_values_cte()}, {FX.deps_values_cte()},
+               reach(src, dst) AS (
+                 SELECT job_id, dep_id FROM overseer_dependencies
+                 UNION
+                 SELECT r.src, d.dep_id FROM reach r
+                 JOIN overseer_dependencies d ON d.job_id = r.dst),
+               cyc AS (SELECT DISTINCT src AS id FROM reach WHERE src = dst),
+               stuck AS (SELECT id FROM cyc
+                         UNION
+                         SELECT DISTINCT s.src AS id FROM reach s
+                         WHERE s.dst IN (SELECT id FROM cyc))
+               SELECT CAST((SELECT COUNT(*) FROM overseer_jobs) AS BIGINT)
+                        AS total,
+                      CAST((SELECT COUNT(*) FROM stuck) AS BIGINT)
+                        AS deadlocked,
+                      CAST((SELECT COUNT(*) FROM overseer_jobs)
+                           - (SELECT COUNT(*) FROM stuck) AS BIGINT)
+                        AS schedulable""",
+)
 def dag_cycle_check(spark, sf):
     """DAG integrity audit: jobs that can NEVER become ready because they
     sit on (or behind) a dependency cycle — distributed Kahn peeling
@@ -5464,8 +5519,10 @@ def dag_cycle_check(spark, sf):
     so the deadlocked set is empty here (the summary proves it: total =
     schedulable, deadlocked = 0); the cyclic case — where the ready-set
     query R3 would silently strand jobs forever — is exercised with
-    crafted cyclic graphs in tests/test_closure_strategies.py. PY tier:
-    fixpoint iteration, not SQL-expressible."""
+    crafted cyclic graphs in tests/test_closure_strategies.py. The DuckDB
+    oracle computes the same set independently: set-semantics recursive
+    reachability (terminates even on cyclic input), self-reaching nodes =
+    cycle members, stuck = cycle members ∪ their transitive dependents."""
     jobs, deps = FX.jobs_df(spark), FX.deps_df(spark)
     stuck = S.detect_cycles(jobs, deps)
     return (
@@ -6443,7 +6500,20 @@ def ann_lsh_topk(spark, sf):
     return rp_lsh_topk(emb, queries, k=3).orderBy("query_id", "rank")
 
 
-@q("ewma_user_value", tier="py")
+@q(
+    "ewma_user_value",
+    oracle="""WITH o AS (SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+                   FROM events)
+              SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS n,
+                     ROUND(SUM(value * CASE WHEN rn = 1
+                                 THEN POWER(0.7, cnt - 1)
+                                 ELSE 0.3 * POWER(0.7, cnt - rn) END),
+                           4) AS level
+              FROM o GROUP BY user_id ORDER BY user_id""",
+)
 def ewma_user_value(spark, sf):
     """Exponentially-weighted moving average per user stream (α=0.3,
     adjust=False — the recursive y_t = αx_t + (1-α)y_{t-1}): inherently
@@ -6451,8 +6521,11 @@ def ewma_user_value(spark, sf):
     (operators/util.grouped_apply_batched — one Arrow round trip per ~10k
     rows, NOT per user; pandas' ewm kernel is Cython). The partitioning is
     the analysis key, state never crosses keys, so 1000 executors each own
-    their users. Python oracle in tests/test_grouped_apply.py; excluded
-    from SQL tier because no portable SQL expresses the recursion."""
+    their users. The SQL oracle unrolls the recursion into its closed
+    form — the last level is the weight-(1−α)^(T−t) sum of the stream,
+    with the full-mass (1−α)^(T−1) weight on the first element — so the
+    sequential pandas kernel is hash-checked against non-recursive SQL
+    (plus the Python oracle in tests/test_grouped_apply.py)."""
     import pandas as pd
 
     from overseer_spark.operators.util import grouped_apply_batched
@@ -10345,32 +10418,75 @@ def udtf_table_arg_topk(spark, sf):
     )
 
 
-@q("q_bootstrap_ci", tier="py")
+def _poisson1_cdf() -> list[float]:
+    """P(X ≤ k) for Poisson(1), k = 0..7 (P(X>7) < 1e-5 — truncation is
+    negligible and keeps the weight expression tiny)."""
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(8):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(acc)
+    return cdf
+
+
+def _bootstrap_oracle_sql(B: int = 100) -> str:
+    cdf = _poisson1_cdf()
+    cases = " ".join(f"WHEN u < {cdf[k]!r} THEN {k}" for k in range(8))
+    return f"""WITH e AS (SELECT event_id, value,
+                     unnest(generate_series(0, {B - 1})) AS b FROM events),
+        h AS (SELECT b, value,
+                (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                     || '|' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1000003) / 1000003.0 AS u FROM e),
+        w AS (SELECT b, value, CASE {cases} ELSE 8 END AS wgt FROM h),
+        rep AS (SELECT b, SUM(value * wgt) / SUM(wgt) AS mean_b
+                FROM w GROUP BY b)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+               ROUND(quantile_cont(mean_b, 0.50), 4) AS boot_median,
+               ROUND(quantile_cont(mean_b, 0.05), 4) AS ci_lo,
+               ROUND(quantile_cont(mean_b, 0.95), 4) AS ci_hi
+        FROM rep"""
+
+
+@q("q_bootstrap_ci", oracle=_bootstrap_oracle_sql())
 def q_bootstrap_ci(spark, sf):
     """Distributed Poisson bootstrap CI for the mean — the resampling
     that works on data too big to resample: instead of drawing n rows
     with replacement (a shuffle per replicate), each row contributes to
     every replicate b with a Poisson(1) weight derived DETERMINISTICALLY
-    from xxhash64(event_id, b) — so the 100 replicates are one
+    from an md5(event_id|b) uniform — so the 100 replicates are one
     explode + one groupBy over (replicate), weights are reproducible
-    across runs/cluster sizes, and no data ever moves (Chamandy et al.,
-    'Estimating Uncertainty for Massive Data Streams', the
-    production-standard trick). Output: point estimate + percentile CI
-    bounds from the replicate distribution. tests/test_properties.py
-    pins coverage of the true mean and the 1/√n width scaling."""
+    across runs/cluster sizes/ENGINES, and no data ever moves (Chamandy
+    et al., 'Estimating Uncertainty for Massive Data Streams', the
+    production-standard trick). The engine-portable hash is what lets
+    the DuckDB oracle replay the entire resampling bit-for-bit rather
+    than settling for a tolerance check. Output: point estimate +
+    percentile CI bounds from the replicate distribution.
+    tests/test_properties.py additionally pins coverage of the true mean
+    and the 1/√n width scaling."""
     ev = _t(spark, sf, "events")
     B = 100
-    # Poisson(1) inverse-CDF lookup table: P(X>=k) thresholds, k=0..7
-    # (P(X>7) < 1e-5 — truncation is negligible and keeps the expr tiny)
-    import math
-
-    cdf = []
-    acc = 0.0
-    for k in range(8):
-        acc += math.exp(-1.0) / math.factorial(k)
-        cdf.append(acc)
+    cdf = _poisson1_cdf()
     u = (
-        F.pmod(F.xxhash64("event_id", F.col("b")), F.lit(1_000_003)).cast("double")
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_003),
+        ).cast("double")
         / 1_000_003.0
     )
     w = F.lit(8)
@@ -10570,26 +10686,54 @@ def q_forecast_backtest_mape(spark, sf):
     )
 
 
-@q("q_dp_noisy_counts", tier="py")
+@q(
+    "q_dp_noisy_counts",
+    oracle="""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                     COUNT(*) AS true_n FROM events GROUP BY 1, 2),
+              u AS (SELECT event_type, d, true_n,
+                      ((CAST('0x' || substring(md5(event_type || '|'
+                            || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+                        % 1000003) + 0.5) / 1000003.0 - 0.5 AS uu
+                    FROM c)
+              SELECT event_type, d,
+                     CAST(true_n + ROUND(-1.0 * SIGN(uu)
+                          * LN(1.0 - 2.0 * ABS(uu))) AS BIGINT)
+                       AS released_n
+              FROM u ORDER BY event_type, d""",
+)
 def q_dp_noisy_counts(spark, sf):
     """Differential-privacy release mechanism for grouped counts:
     Laplace(Δf/ε) noise (Δf = 1 for counting queries, ε = 1) added to
     per-(event_type, day) counts before release — the standard
     protection when aggregate dashboards leave the trust boundary. The
-    noise is inverse-CDF Laplace over a hash-seeded uniform, which
-    makes the release REPRODUCIBLE for tests (tests/test_properties.py
-    replays it in numpy exactly and bounds the utility loss); a
-    production deployment swaps the seeded uniform for a CSPRNG — one
-    line — and everything else (sensitivity accounting, the plan shape,
-    the utility test) is unchanged. Pure map-side expression after one
-    aggregate; noise never touches row-level data."""
+    noise is inverse-CDF Laplace over a hash-seeded uniform — md5 of the
+    group key, portable across engines, so the DuckDB oracle replays the
+    released values EXACTLY (and tests/test_properties.py bounds the
+    utility loss); a production deployment swaps the seeded uniform for
+    a CSPRNG — one line — and everything else (sensitivity accounting,
+    the plan shape, the utility test) is unchanged. Pure map-side
+    expression after one aggregate; noise never touches row-level
+    data."""
     ev = _t(spark, sf, "events")
     c = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
     eps = 1.0
     u = (
-        F.pmod(F.xxhash64("event_type", "d"), F.lit(1_000_003)).cast("double")
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.col("event_type"), F.col("d").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_003),
+        ).cast("double")
         + 0.5
     ) / 1_000_003.0 - 0.5  # uniform in (-0.5, 0.5), never exactly ±0.5
     noise = (
