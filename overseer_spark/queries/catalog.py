@@ -7382,7 +7382,41 @@ def er_match_pairs(spark, sf):
     )
 
 
-@q("er_match_clusters", tier="py", oracle=None)
+@q(
+    "er_match_clusters",
+    oracle="""WITH RECURSIVE
+              t AS (SELECT p_partkey, p_brand, p_name, p_size,
+                           list_distinct(string_split(p_name, ' ')) AS tok,
+                           len(p_name) AS ln
+                    FROM part),
+              pr AS (SELECT a.p_partkey AS x, b.p_partkey AS y,
+                            0.5 * (1.0 - levenshtein(a.p_name, b.p_name)
+                                   * 1.0 / GREATEST(a.ln, b.ln))
+                            + 0.3 * (len(list_intersect(a.tok, b.tok)) * 1.0
+                                     / (len(a.tok) + len(b.tok)
+                                        - len(list_intersect(a.tok, b.tok))))
+                            + 0.2 * (CASE WHEN a.p_size = b.p_size
+                                     THEN 1.0 ELSE 0.0 END) AS score
+                     FROM t a JOIN t b
+                       ON a.p_brand = b.p_brand
+                      AND a.p_partkey < b.p_partkey),
+              pair AS (SELECT x AS d1, y AS d2 FROM pr WHERE score >= 0.8),
+              ed AS (SELECT d1 AS a, d2 AS b FROM pair
+                     UNION SELECT d2, d1 FROM pair),
+              reach(a, b) AS (
+                SELECT a, b FROM ed
+                UNION
+                SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+              nodes AS (SELECT DISTINCT a AS node FROM ed),
+              comp AS (SELECT n.node, LEAST(n.node, MIN(r.b)) AS component
+                       FROM nodes n JOIN reach r ON r.a = n.node
+                       GROUP BY n.node),
+              cs AS (SELECT component, COUNT(*) AS cluster_size
+                     FROM comp GROUP BY component)
+              SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                     CAST(COUNT(*) AS BIGINT) AS n_clusters
+              FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+)
 def er_match_clusters(spark, sf):
     """Entity clusters from the thresholded match pairs: connected
     components (operators/components.py — driver union-find under a
@@ -7390,7 +7424,9 @@ def er_match_clusters(spark, sf):
     er_match_pairs edge set, reported as a cluster-size histogram. The
     full MDM pipeline is blocking → scoring → clustering → golden record
     (dedup_golden_record); this entry is the clustering stage. Verified
-    against a pure-python union-find in tests/test_components.py."""
+    against a pure-python union-find in tests/test_components.py AND a
+    DuckDB oracle that recomputes scoring + recursive set-semantics
+    reachability components (the near_dup_components oracle pattern)."""
     from overseer_spark.operators.components import connected_components
 
     edges = _er_scored_pairs(spark, sf).select(
