@@ -11022,6 +11022,48 @@ def store_time_travel(spark, sf):
     )
 
 
+@q("store_manifest_time_travel", tier="py")
+def store_manifest_time_travel(spark, sf):
+    """Time travel over the OBJECT-STORE-SAFE commit-log backend
+    (store/manifest.py — Delta-style totally ordered log over a
+    conditional-write primitive): the same 3-stage audit as
+    store_time_travel, but as-of reads replay the manifest to a recorded
+    log VERSION (``jobs_df(as_of_version=N)``) instead of filtering an
+    append-only seq column. One engine semantics, two storage
+    substrates: link(2) hard-link CAS (FileCAS), put-if-absent commit
+    log (this) — the deployment picks by what its store supports.
+    Deterministic output: per-phase status counts, identical to the
+    SparkLog twin's."""
+    import tempfile
+
+    from overseer_spark.core import job_graph
+    from overseer_spark.store.manifest import ManifestCASStore
+
+    store = ManifestCASStore(spark, tempfile.mkdtemp(prefix="overseer_mtt_"))
+    store.install()
+    g = job_graph({"extract": [], "transform": ["extract"], "load": ["transform"]})
+    store.transact_graph(g)
+    by_type = {j.type: j.id for j in g.jobs}
+    versions = [("submitted", store.current_version())]
+    for t in ("extract", "transform", "load"):
+        store.reserve_job(by_type[t])
+        store.finish_job(by_type[t])
+        versions.append((f"after_{t}", store.current_version()))
+    rows = []
+    for phase, v in versions + [("live", None)]:
+        hist = {
+            r["status"]: r["n"]
+            for r in store.jobs_df(as_of_version=v)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows.append((phase, int(hist.get(0, 0)), int(hist.get(2, 0))))
+    return spark.createDataFrame(
+        rows, "phase string, n_unstarted long, n_finished long"
+    )
+
+
 @q("multimodal_png_decode", tier="py")
 def multimodal_png_decode(spark, sf):
     """Real COMPRESSED-codec decode: PNG payloads (zlib deflate +

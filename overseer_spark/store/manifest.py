@@ -326,9 +326,16 @@ class ManifestCASStore(Store):
                 return None
             time.sleep(0.01)
 
-    def _replay(self) -> _State:
+    def _replay(self, upto: int | None = None) -> _State:
+        """Deterministic replay of the commit log; ``upto`` bounds the
+        replay to log versions ≤ upto — time travel over the manifest
+        (available back to the newest checkpoint ≤ upto; compact()
+        truncates history below its checkpoint)."""
         for _ in range(_MAX_RETRIES):
             entries, ckpts = self._scan_log()
+            if upto is not None:
+                entries = [v for v in entries if v <= upto]
+                ckpts = [v for v in ckpts if v <= upto]
             state = _State()
             if ckpts:
                 data = self.client.get(self._ckpt_key(ckpts[-1]))
@@ -545,6 +552,11 @@ class ManifestCASStore(Store):
             lock_version=p["lock_version"],
         )
 
+    def current_version(self) -> int:
+        """Last committed log version (-1 on an empty store) — the
+        handle for as-of reads, like SparkLogStore.current_seq()."""
+        return self._replay().version
+
     def job_info(self, job_id: str) -> Job | None:
         cur = self._replay().jobs.get(job_id)
         return self._to_job(cur) if cur is not None else None
@@ -554,10 +566,12 @@ class ManifestCASStore(Store):
             p["id"] for p in self._replay().jobs.values() if p["status"] == status
         )
 
-    def jobs_df(self) -> DataFrame:
-        """Current state as a DataFrame (JOBS_SCHEMA) — replayed snapshot
+    def jobs_df(self, as_of_version: int | None = None) -> DataFrame:
+        """State as a DataFrame (JOBS_SCHEMA) — replayed snapshot
         parallelized from the driver, as a JDBC scan of the reference's
-        job table would be (metadata scale by design)."""
+        job table would be (metadata scale by design). ``as_of_version``
+        time-travels to that log version (Delta-style VERSION AS OF);
+        None reads the head."""
         assert self.spark is not None, "jobs_df requires a SparkSession"
         import datetime as _dt
 
@@ -569,7 +583,7 @@ class ManifestCASStore(Store):
             )
 
         rows = []
-        for p in self._replay().jobs.values():
+        for p in self._replay(upto=as_of_version).jobs.values():
             r = dict(p)
             r["created_at"] = _ts(r.get("created_at"))
             r["updated_at"] = _ts(r.get("updated_at"))

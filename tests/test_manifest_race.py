@@ -252,3 +252,33 @@ def test_compact_concurrent_with_drain(tmp_path):
 
     assert sorted(won) == sorted(ids)
     assert parent.jobs_with_status(STATUS_FINISHED) == sorted(ids)
+
+
+def test_time_travel_replays_historical_versions(tmp_path):
+    """jobs_with_status via _replay(upto): states at recorded versions
+    match what the store looked like then; compaction truncates history
+    below its checkpoint but keeps head reads exact."""
+    path = str(tmp_path / "store")
+    store = ManifestCASStore(None, path, checkpoint_every=1000)
+    store.install()
+    store.transact_graph(_graph(["a", "b", "c"]))
+    v0 = store.current_version()
+    assert v0 == 0
+    assert store.reserve_job("a") is not None
+    store.finish_job("a")
+    v2 = store.current_version()
+    assert v2 == 2
+    # as-of v0: everything unstarted
+    s0 = store._replay(upto=v0)
+    assert all(p["status"] == STATUS_UNSTARTED for p in s0.jobs.values())
+    # as-of v1: 'a' started
+    s1 = store._replay(upto=1)
+    assert s1.jobs["a"]["status"] == STATUS_STARTED
+    # head: 'a' finished
+    assert store.job_info("a").status == STATUS_FINISHED
+    # after compact, head reads still exact; pre-checkpoint history is
+    # replayed from the checkpoint alone (same head state)
+    store.compact()
+    fresh = ManifestCASStore(None, path)
+    assert fresh.job_info("a").status == STATUS_FINISHED
+    assert fresh.current_version() == v2
