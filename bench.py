@@ -84,6 +84,10 @@ HEADLINE = [
     "q_sequential_patterns",
     "q_benford_audit",
     "q_group_kfold_split",
+    # round-3 additions: unrolled-oracle promotions + lossy-codec decode
+    "dag_pagerank",
+    "q_bootstrap_ci",
+    "multimodal_jpeg_decode",
 ]
 
 
