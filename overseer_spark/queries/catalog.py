@@ -7823,6 +7823,152 @@ def q_k_anonymity(spark, sf):
 
 
 @q(
+    "q_l_diversity",
+    oracle="""SELECT o_orderpriority AS priority,
+                     CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+                     CAST(CASE WHEN COUNT(DISTINCT o_orderstatus) < 2
+                          THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+              FROM orders GROUP BY priority, yr ORDER BY priority, yr""",
+)
+def q_l_diversity(spark, sf):
+    """l-diversity audit — k-anonymity's necessary companion: a group can
+    be large (k-safe) yet still leak if every member shares the same
+    SENSITIVE value (homogeneity attack). Per quasi-identifier group
+    (priority, order year), count distinct sensitive values
+    (order status) and flag groups below l=2. Same single
+    grouped-distinct pass as q_k_anonymity; at 100 TB the distinct count
+    becomes the mergeable HLL sketch with l set above the error band.
+    Release gate = both audits pass."""
+    o = _t(spark, sf, "orders")
+    ldist = F.count_distinct("o_orderstatus")
+    return (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            ldist.cast("long").alias("l_distinct"),
+            F.when(ldist < 2, 1).otherwise(0).cast("long").alias("at_risk"),
+        )
+        .orderBy("priority", "yr")
+    )
+
+
+@q(
+    "q_id_gap_audit",
+    oracle="""WITH s AS (SELECT doc_id,
+                     LEAD(doc_id) OVER (ORDER BY doc_id) AS nxt
+                   FROM documents WHERE n_chars >= 250)
+              SELECT CAST(doc_id + 1 AS BIGINT) AS gap_start,
+                     CAST(nxt - 1 AS BIGINT) AS gap_end,
+                     CAST(nxt - doc_id - 1 AS BIGINT) AS missing_n
+              FROM s WHERE nxt - doc_id > 1
+              ORDER BY missing_n DESC, gap_start LIMIT 10""",
+)
+def q_id_gap_audit(spark, sf):
+    """Lineage gap audit: after a filter (here n_chars ≥ 250), which
+    CONTIGUOUS id ranges disappeared — a long dropped run means a
+    systemic ingest/filter failure, not random quality attrition; the
+    top-10 largest gaps are the triage list. The oracle's LEAD over a
+    global ORDER BY is a single-partition sort at scale, so the Spark
+    plan is the two-phase decomposition (PLANS.md pattern): per-block
+    gaps via a window PARTITIONED by doc_id DIV 1000, plus boundary
+    gaps from the 1000×-smaller per-block (min, max) summary windowed
+    over block order — the only serialized work is block-count rows."""
+    d = _t(spark, sf, "documents").where(F.col("n_chars") >= 250).select("doc_id")
+    blk = d.withColumn("_b", (F.col("doc_id") / 1000).cast("long"))
+    # within-block gaps: partitioned window, fully parallel
+    wb = Window.partitionBy("_b").orderBy("doc_id")
+    inner = (
+        blk.withColumn("_nxt", F.lead("doc_id").over(wb))
+        .where(F.col("_nxt") - F.col("doc_id") > 1)
+        .select(
+            (F.col("doc_id") + 1).alias("gap_start"),
+            (F.col("_nxt") - 1).alias("gap_end"),
+        )
+    )
+    # boundary gaps: per-block extremes (block-count rows), then one
+    # tiny window over the summary
+    summ = blk.groupBy("_b").agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    ws = Window.orderBy("_b")
+    outer = (
+        summ.withColumn("_nmn", F.lead("_mn").over(ws))
+        .where(F.col("_nmn") - F.col("_mx") > 1)
+        .select(
+            (F.col("_mx") + 1).alias("gap_start"),
+            (F.col("_nmn") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        inner.unionByName(outer)
+        .select(
+            F.col("gap_start").cast("long"),
+            F.col("gap_end").cast("long"),
+            (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("missing_n"),
+        )
+        .orderBy(F.desc("missing_n"), "gap_start")
+        .limit(10)
+    )
+
+
+@q(
+    "q_impute_median_by_group",
+    oracle="""WITH m AS (SELECT event_id, event_type,
+                     CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE value END AS v
+                   FROM events),
+              med AS (SELECT event_type,
+                             quantile_cont(v, 0.5) AS md
+                      FROM m WHERE v IS NOT NULL GROUP BY event_type)
+              SELECT m.event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_imputed,
+                     ROUND(MAX(med.md), 2) AS median_used,
+                     ROUND(SUM(COALESCE(m.v, med.md)), 2) AS sum_after
+              FROM m JOIN med USING (event_type)
+              GROUP BY m.event_type ORDER BY m.event_type""",
+)
+def q_impute_median_by_group(spark, sf):
+    """Group-median imputation — the standard missing-value repair before
+    feature pipelines (simulated dropouts: every 7th event id). Two
+    passes: exact per-group median over present values (percentile, a
+    single grouped agg), broadcast back onto the facts (group count is
+    dimension-sized), COALESCE fills. The audit columns (n_imputed,
+    median_used) are what a feature store logs so downstream can tell
+    imputed zeros from real ones. At 100 TB swap percentile for
+    approx_percentile (q42) — the plan shape is unchanged."""
+    ev = _t(spark, sf, "events")
+    m = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    med = (
+        m.where(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(v, 0.5)").alias("md"))
+    )
+    return (
+        m.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.round(F.max("md"), 2).alias("median_used"),
+            F.round(F.sum(F.coalesce("v", "md")), 2).alias("sum_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "q_rolling_active_users",
     oracle="""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
                              FROM events),
@@ -10466,16 +10612,25 @@ def _poisson1_cdf() -> list[float]:
     return cdf
 
 
+_BOOT_P = 1_000_003  # prime modulus for the per-replicate mix
+_BOOT_MUL = 2_654_435_761  # Knuth multiplicative constant
+_BOOT_STEP = 40_503
+
+
 def _bootstrap_oracle_sql(B: int = 100) -> str:
     cdf = _poisson1_cdf()
     cases = " ".join(f"WHEN u < {cdf[k]!r} THEN {k}" for k in range(8))
-    return f"""WITH e AS (SELECT event_id, value,
-                     unnest(generate_series(0, {B - 1})) AS b FROM events),
-        h AS (SELECT b, value,
-                (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)
-                     || '|' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
-                 % 1000003) / 1000003.0 AS u FROM e),
-        w AS (SELECT b, value, CASE {cases} ELSE 8 END AS wgt FROM h),
+    p, mul, st = _BOOT_P, _BOOT_MUL, _BOOT_STEP
+    return f"""WITH h0 AS (SELECT value,
+                     CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) % {p} AS hm
+                   FROM events),
+        e AS (SELECT value, hm,
+                unnest(generate_series(0, {B - 1})) AS b FROM h0),
+        u AS (SELECT b, value,
+                ((hm * (({mul} + b * {st}) % {p}) + b) % {p})
+                 / {p}.0 AS u FROM e),
+        w AS (SELECT b, value, CASE {cases} ELSE 8 END AS wgt FROM u),
         rep AS (SELECT b, SUM(value * wgt) / SUM(wgt) AS mean_b
                 FROM w GROUP BY b)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
@@ -10491,46 +10646,40 @@ def q_bootstrap_ci(spark, sf):
     that works on data too big to resample: instead of drawing n rows
     with replacement (a shuffle per replicate), each row contributes to
     every replicate b with a Poisson(1) weight derived DETERMINISTICALLY
-    from an md5(event_id|b) uniform — so the 100 replicates are one
-    explode + one groupBy over (replicate), weights are reproducible
-    across runs/cluster sizes/ENGINES, and no data ever moves (Chamandy
-    et al., 'Estimating Uncertainty for Massive Data Streams', the
-    production-standard trick). The engine-portable hash is what lets
-    the DuckDB oracle replay the entire resampling bit-for-bit rather
-    than settling for a tolerance check. Output: point estimate +
-    percentile CI bounds from the replicate distribution.
-    tests/test_properties.py additionally pins coverage of the true mean
-    and the 1/√n width scaling."""
+    from a per-row md5 seed mixed per-replicate by mod-p affine
+    arithmetic — ONE md5 per input row (not per row×replicate; the hash
+    is the expensive part at 100 replicates), then pure 64-bit integer
+    math that both engines evaluate identically (products stay < 2^63,
+    ANSI-safe). The 100 replicates are one explode + one groupBy,
+    weights are reproducible across runs/cluster sizes/ENGINES, and no
+    data ever moves (Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', the production-standard trick). The portable
+    derivation is what lets the DuckDB oracle replay the entire
+    resampling bit-for-bit rather than settling for a tolerance check.
+    Output: point estimate + percentile CI bounds from the replicate
+    distribution. tests/test_properties.py additionally pins coverage
+    of the true mean and the 1/√n width scaling."""
     ev = _t(spark, sf, "events")
     B = 100
     cdf = _poisson1_cdf()
+    p, mul, st = _BOOT_P, _BOOT_MUL, _BOOT_STEP
+    hm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(p),
+    )
+    a = F.pmod(F.lit(mul) + F.col("b") * F.lit(st), F.lit(p))
     u = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.col("event_id").cast("string"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1_000_003),
-        ).cast("double")
-        / 1_000_003.0
+        F.pmod(F.col("hm") * a + F.col("b"), F.lit(p)).cast("double") / float(p)
     )
     w = F.lit(8)
     for k in range(7, -1, -1):
-        w = F.when(u < cdf[k], k).otherwise(w)
+        w = F.when(F.col("u") < cdf[k], k).otherwise(w)
     rep = (
-        ev.select("event_id", "value")
-        .select("event_id", "value", F.explode(F.expr(f"sequence(0, {B - 1})")).alias("b"))
+        ev.select("value", hm.alias("hm"))
+        .select("value", "hm", F.explode(F.expr(f"sequence(0, {B - 1})")).alias("b"))
+        .select("b", "value", u.alias("u"))
         .select("b", (F.col("value") * w).alias("wv"), w.alias("w"))
         .groupBy("b")
         .agg((F.sum("wv") / F.sum("w")).alias("mean_b"))
