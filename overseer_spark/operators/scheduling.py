@@ -273,6 +273,8 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 4,
     skew_mitigation: str = "auto",
+    strategy: str = "auto",
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Criticality score per job: PageRank over the dependency edges
     (``job_id → dep_id`` — rank flows from a job to what it depends on, so
@@ -280,13 +282,42 @@ def pagerank(
     hurts most). Simplified formulation ``r = (1−d)/N + d·Σ r(in)/outdeg``
     with dangling mass dropped (no per-iteration driver collect).
 
-    Each iteration is ONE join (edges × current ranks on the out-node) +
-    one aggregation keyed by the in-node — both shuffles land on the same
-    id-hash partitioning, and AQE broadcasts the rank side while it is
-    dimension-sized. Iteration count is fixed, independent of graph size;
-    ``localCheckpoint`` every few rounds truncates lineage exactly like
-    :func:`topo_levels`.
+    Same adaptive strategy switch as :func:`transitive_dependents`: job
+    graphs are usually tiny relative to the data they move, and a
+    10-iteration distributed loop on a 13-node graph pays ~30 Spark jobs
+    of pure scheduling overhead — ``auto`` probes the edge count (one
+    bounded ``limit().count()``) and runs the identical float recurrence
+    driver-side under ``local_edge_cap``. Beyond the cap (``distributed``
+    forces it): each iteration is ONE join (edges × current ranks on the
+    out-node) + one aggregation keyed by the in-node — both shuffles
+    land on the same id-hash partitioning, and AQE broadcasts the rank
+    side while it is dimension-sized. Iteration count is fixed,
+    independent of graph size; ``localCheckpoint`` every few rounds
+    truncates lineage exactly like :func:`topo_levels`.
     """
+    spark = jobs.sparkSession
+    if strategy == "auto" and (
+        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
+    ):
+        ids = [r["id"] for r in jobs.select("id").collect()]
+        if not ids:
+            return jobs.select("id").withColumn("rank", F.lit(0.0))
+        edges = [(r["job_id"], r["dep_id"]) for r in deps.select("job_id", "dep_id").collect()]
+        outd: dict[str, int] = {}
+        for a, _ in edges:
+            outd[a] = outd.get(a, 0) + 1
+        n = len(ids)
+        base = (1.0 - damping) / n
+        rank = {i: 1.0 / n for i in ids}
+        for _ in range(iterations):
+            contrib: dict[str, float] = {}
+            for a, b in edges:
+                if a in rank:
+                    contrib[b] = contrib.get(b, 0.0) + rank[a] / outd[a]
+            rank = {i: base + damping * contrib.get(i, 0.0) for i in ids}
+        return spark.createDataFrame(
+            [(i, rank[i]) for i in sorted(ids)], schema="id string, rank double"
+        )
     deps = prepare_edges(deps, skew_mitigation)
     nodes = jobs.select("id")
     n_nodes = nodes.count()

@@ -149,12 +149,18 @@ def test_pagerank_matches_power_iteration(spark, dag):
             incoming[dep] += ranks[j] / outd[j]
         ranks = {x: (1.0 - d) / n + d * incoming[x] for x in nodes}
 
-    got = {r.id: r.rank for r in pagerank(jobs, df, iterations=10).collect()}
-    assert set(got) == set(ranks)
-    for x in nodes:
-        assert abs(got[x] - ranks[x]) < 1e-9, (x, got[x], ranks[x])
-    # ranks form a probability-mass-like vector (<=1 with dangling loss)
-    assert 0 < sum(got.values()) <= 1.0 + 1e-9
+    # BOTH physical strategies must match the reference recurrence: the
+    # driver-side fast path (auto, small graph) and the distributed loop
+    for strategy in ("auto", "distributed"):
+        got = {
+            r.id: r.rank
+            for r in pagerank(jobs, df, iterations=10, strategy=strategy).collect()
+        }
+        assert set(got) == set(ranks)
+        for x in nodes:
+            assert abs(got[x] - ranks[x]) < 1e-9, (strategy, x, got[x], ranks[x])
+        # ranks form a probability-mass-like vector (<=1 with dangling loss)
+        assert 0 < sum(got.values()) <= 1.0 + 1e-9
 
 
 def test_detect_cycles_kahn(spark):
