@@ -940,10 +940,14 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + seg_len > len(payload):
+            raise ValueError("truncated JPEG segment")
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
             bpos = 0
             while bpos < len(body):
+                if bpos + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT")
                 pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
@@ -954,16 +958,24 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
+                if bpos + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT")
                 tc, th = body[bpos] >> 4, body[bpos] & 0x0F
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
+                if bpos + 17 + n > len(body):
+                    raise ValueError("truncated JPEG DHT")
                 vals = list(body[bpos + 17 : bpos + 17 + n])
                 huffs[("dc" if tc == 0 else "ac", th)] = _huff_decode_tables(bits, vals)
                 bpos += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision JPEG")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF")
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
                 comps.append(
@@ -975,12 +987,20 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS")
             ns = body[0]
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next(
+                    (c for c in comps if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG SOS references unknown component")
                 comp["td"], comp["ta"] = tabs >> 4, tabs & 0x0F
                 scan_comps.append(comp)
             scan_pos = pos + 2 + seg_len
@@ -988,6 +1008,11 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
         pos += 2 + seg_len
     if scan_pos is None or not comps:
         raise ValueError("JPEG missing SOF/SOS")
+    for c in scan_comps:
+        if ("dc", c["td"]) not in huffs or ("ac", c["ta"]) not in huffs:
+            raise ValueError("JPEG scan references missing Huffman table")
+        if c["tq"] not in qts:
+            raise ValueError("JPEG scan references missing quant table")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -678,3 +678,54 @@ def test_jpeg_decode_entry_matches_synthesis_formula(spark):
             + 0.114 * (i * 5 % 200)
         )
         assert abs(r["mean_luma"] - expect) < 2.5, (i, r["mean_luma"], expect)
+
+
+def test_jpeg_property_roundtrip_random_sizes():
+    """Property sweep: random (non-multiple-of-MCU) sizes × subsamplings
+    × restart intervals round-trip a smooth gradient within tolerance,
+    and the decoder never returns a wrong shape."""
+    import numpy as np
+
+    from overseer_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    for _ in range(12):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((yy * 2 + xx * 3) % 180 + 30).astype(np.uint8)
+        sub = ["444", "422", "420"][int(rng.integers(0, 3))]
+        ri = int(rng.integers(0, 3))
+        gray = bool(rng.integers(0, 2))
+        img = base if gray else np.stack([base, 255 - base, base // 2], -1)
+        meta, out = decode_jpeg(
+            encode_jpeg(img, quality=92, subsample=sub, restart_interval=ri)
+        )
+        assert out.shape == img.shape, (h, w, sub, gray)
+        assert (meta["width"], meta["height"]) == (w, h)
+        rmse = float(np.sqrt(((out.astype(float) - img) ** 2).mean()))
+        assert rmse < 14.0, (h, w, sub, ri, gray, rmse)
+
+
+def test_jpeg_truncation_fuzz_raises_cleanly():
+    """Truncating a valid payload at any marker-ish prefix must raise
+    ValueError/NotImplementedError — never IndexError or a garbage
+    array (the contract all codecs in media_codecs follow)."""
+    import numpy as np
+    import pytest
+
+    from overseer_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    img = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    payload = encode_jpeg(img, quality=80)
+    rng = np.random.default_rng(5)
+    cuts = sorted(set(int(rng.integers(2, len(payload) - 1)) for _ in range(25)))
+    for cut in cuts:
+        trunc = payload[:cut]
+        try:
+            meta, out = decode_jpeg(trunc)
+            # a cut inside the entropy segment can still decode (zero
+            # padding past the end) — shape must then still be correct
+            assert out.shape == img.shape
+        except (ValueError, NotImplementedError):
+            pass
