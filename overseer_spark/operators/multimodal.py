@@ -14,8 +14,9 @@ does not ship and stay a clearly-marked ``NotImplementedError`` seam in
 
 At 100 TB: binary payloads dominate scan width, so metadata lives in its own
 columns (parquet column pruning skips the bytes for metadata-only queries),
-and media rows are repartitioned by size-bucket before decode so Arrow
-batches stay memory-bounded.
+and ``spread_by_payload_bytes`` repartitions media rows by TOTAL PAYLOAD
+BYTES (not row count) before decode so the Arrow transfer and pandas
+batches stay memory-bounded whatever the blob-size distribution.
 """
 
 from __future__ import annotations
@@ -881,3 +882,36 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
+
+
+def spread_by_payload_bytes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_partition_bytes: int = 256 * 1024 * 1024,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Byte-aware repartition before a decode stage: blob columns make
+    ROW counts meaningless — 10k rows of 10 MB video is 100 GB in one
+    task while 10k thumbnails is 40 MB — so partition count must come
+    from ``sum(length(payload))``, not from row counts or input splits
+    (a decode stage often follows a shuffle, where
+    ``spark.sql.files.maxPartitionBytes`` no longer applies).
+
+    One cheap aggregate (sum of lengths — column stats only, payload
+    bytes never move for the measurement), then a round-robin
+    repartition to ``ceil(total / target)`` partitions: every partition
+    carries ≈ target bytes in expectation, so the Arrow transfer and the
+    pandas batch stay memory-bounded regardless of blob-size drift. The
+    floor is the session's default parallelism so small corpora still
+    use every core. Single blobs larger than the target cannot be split
+    (one row is the atom) — cap payload size at ingest."""
+    spark = df.sparkSession
+    row = df.agg(
+        F.sum(F.length(F.col(payload_col))).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    total = int(row["b"] or 0)
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    n_parts = max(min_partitions, -(-total // target_partition_bytes))
+    return df.repartition(n_parts)

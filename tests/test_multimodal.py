@@ -729,3 +729,39 @@ def test_jpeg_truncation_fuzz_raises_cleanly():
             assert out.shape == img.shape
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_spread_by_payload_bytes_balances_partitions(spark):
+    """Byte-aware repartition: partition count derives from total payload
+    bytes / target, and the spread leaves every partition within a small
+    factor of the mean bytes — row counts alone would NOT balance this
+    fixture (one id-range carries 100x larger blobs)."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.multimodal import spread_by_payload_bytes
+
+    # 200 rows: ids < 20 carry 100 KB blobs, the rest 1 KB — heavy tail
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "CAST(repeat('x', CASE WHEN id < 20 THEN 102400 ELSE 1024 END)"
+            " AS BINARY)"
+        ).alias("payload"),
+    )
+    total = df.agg(F.sum(F.length("payload"))).collect()[0][0]
+    target = 256 * 1024
+    out = spread_by_payload_bytes(
+        df, target_partition_bytes=target, min_partitions=4
+    )
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts == max(4, -(-total // target))
+    per_part = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum(F.length("payload")).alias("b"))
+        .collect()
+    )
+    sizes = sorted(r["b"] for r in per_part)
+    mean = total / n_parts
+    # round-robin: no partition above ~3x the mean even with the heavy tail
+    assert sizes[-1] <= 3 * mean, (sizes, mean)
