@@ -274,6 +274,10 @@ class ManifestCASStore(Store):
             path, fsync=fsync
         )
         self._writer_id = uuid.uuid4().hex
+        # incremental-replay cache: snapshot of the last replayed head
+        # state; head replays list the log but only READ entries newer
+        # than the cache (object-store GETs are the expensive part)
+        self._cache_snap: dict | None = None
 
     # -- commit log --------------------------------------------------------
 
@@ -330,14 +334,29 @@ class ManifestCASStore(Store):
         """Deterministic replay of the commit log; ``upto`` bounds the
         replay to log versions ≤ upto — time travel over the manifest
         (available back to the newest checkpoint ≤ upto; compact()
-        truncates history below its checkpoint)."""
-        for _ in range(_MAX_RETRIES):
+        truncates history below its checkpoint).
+
+        Head replays (``upto=None``) are incremental: entries are
+        immutable once validly committed, so the previous replayed state
+        is a correct prefix and only entries newer than the cache are
+        fetched — a poll loop costs one LIST plus the delta, not
+        O(history) GETs. Any inconsistency (gap from compaction, a
+        quarantined slot) drops the cache and restarts from the newest
+        checkpoint."""
+        use_cache = upto is None
+        for attempt in range(_MAX_RETRIES):
             entries, ckpts = self._scan_log()
             if upto is not None:
                 entries = [v for v in entries if v <= upto]
                 ckpts = [v for v in ckpts if v <= upto]
             state = _State()
-            if ckpts:
+            if use_cache and self._cache_snap is not None:
+                state = _State.from_snapshot(self._cache_snap)
+                if state.version > (entries[-1] if entries else -1):
+                    # log truncated below the cache (foreign compact with
+                    # a newer checkpoint we haven't applied) — rebuild
+                    state = _State()
+            if state.version < 0 and ckpts:
                 data = self.client.get(self._ckpt_key(ckpts[-1]))
                 if data is not None:
                     snap = _decode_entry(data)
@@ -363,7 +382,13 @@ class ManifestCASStore(Store):
                 state.apply(entry)
                 state.version = v
             if not restart:
+                if use_cache:
+                    self._cache_snap = state.snapshot()
+                    # hand back a private copy so callers can't mutate
+                    # the cached prefix
+                    return _State.from_snapshot(self._cache_snap)
                 return state
+            self._cache_snap = None  # cache may straddle the anomaly
         raise RuntimeError("manifest replay livelock: log churning")
 
     def _maybe_checkpoint(self, state: _State) -> None:
