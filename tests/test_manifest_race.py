@@ -282,3 +282,22 @@ def test_time_travel_replays_historical_versions(tmp_path):
     fresh = ManifestCASStore(None, path)
     assert fresh.job_info("a").status == STATUS_FINISHED
     assert fresh.current_version() == v2
+
+
+def test_store_manifest_time_travel_entry_histograms(spark):
+    """Catalog entry store_manifest_time_travel: the 3-stage drive's
+    as-of-version histograms are fully determined by the FSM — pin them
+    exactly (the entry's Python oracle)."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    rows = [
+        (r["phase"], r["n_unstarted"], r["n_finished"])
+        for r in CATALOG["store_manifest_time_travel"].fn(spark, "unused").collect()
+    ]
+    assert rows == [
+        ("submitted", 3, 0),
+        ("after_extract", 2, 1),
+        ("after_transform", 1, 2),
+        ("after_load", 0, 3),
+        ("live", 0, 3),
+    ]
