@@ -6560,15 +6560,32 @@ def ewma_user_value(spark, sf):
     ).orderBy("user_id")
 
 
-@q("pyds_docs_scan", tier="py")
+@q(
+    "pyds_docs_scan",
+    oracle="""WITH ids AS (SELECT unnest(generate_series(0, 1499)) AS doc_id),
+              h AS (SELECT doc_id,
+                           (doc_id * 2654435761) % 4294967296 AS hh
+                    FROM ids),
+              d AS (SELECT CASE hh % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                       WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+                           5 + (hh % 20) AS n_tokens
+                    FROM h)
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tokens
+              FROM d GROUP BY lang ORDER BY lang""",
+)
 def pyds_docs_scan(spark, sf):
     """Custom Python DataSource (Spark 4 API) as a first-class source:
     the registered `synthetic_docs` connector plans its own partitions,
     accepts doc_id filter pushdown INTO the source (pruned rows are never
     generated), and feeds a normal DataFrame pipeline — per-language doc
-    counts + token sums. Python oracle in tests/test_pydatasource.py
-    recomputes the same rows from the pure generator function. sf_dir is
-    unused: the source IS the data (sources/pydatasource.py)."""
+    counts + token sums. The generator is a pure formula (Knuth
+    multiplicative hash), so the DuckDB oracle re-derives the identical
+    rows from generate_series — hash-checking the connector's
+    partition-planned, filter-pushed output end-to-end;
+    tests/test_pydatasource.py additionally recomputes rows from the
+    generator function. sf_dir is unused: the source IS the data
+    (sources/pydatasource.py)."""
     from overseer_spark.sources.pydatasource import register
 
     register(spark)
