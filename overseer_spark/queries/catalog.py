@@ -6971,10 +6971,14 @@ def q_fuzzy_match_levenshtein(spark, sf):
     that turns O(n²) edit-distance comparisons into Σ O(|block|²) — then
     scored with JVM-side levenshtein and rolled up per block. The join is
     a pure equi-join on the block key (sort-merge/hash, never nested-loop
-    over the whole table); at 100 TB you add a second blocking pass with a
-    different key and union the candidates to recover cross-block recall."""
+    over the whole table), with the probe side round-robin spread first:
+    a single-split input otherwise leaves a broadcast self-join on ONE
+    task doing every edit-distance DP serially (13.2s -> 1.1s measured at
+    sf0.1). At 100 TB you add a second blocking pass with a different key
+    and union the candidates to recover cross-block recall."""
     p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    spread = p.repartition(spark.sparkContext.defaultParallelism)
+    a, b = spread.alias("a"), p.alias("b")
     d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
@@ -7347,10 +7351,16 @@ def _er_scored_pairs(spark, sf):
     # staged filtering: score >= 0.8 mathematically implies token-set
     # Jaccard >= 1/3 (0.5 + 0.2 caps the other terms), so the cheap
     # integer intersection test prunes ~75% of candidate pairs BEFORE the
-    # expensive levenshtein DP ever runs - measured 25.6s -> ~7s at sf0.1
+    # expensive levenshtein DP ever runs. The probe side is ALSO spread
+    # round-robin first: part lands as one input split at this sf, and a
+    # broadcast self-join inherits the stream side's partitioning — one
+    # task would score all 8M candidate pairs serially (measured 25.6s;
+    # spread: 1.8s on local[32]). At 100 TB the same line is what keeps
+    # pair generation wide whatever the file layout.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )

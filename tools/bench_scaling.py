@@ -45,6 +45,13 @@ ENTRIES = [
     "ann_recall_eval",
     "q_psi_drift",
     "multimodal_image_near_dup",
+    # round-3 additions: lossy-codec decode, portable bootstrap, two-phase
+    # gap audit, median imputation, ER clustering
+    "multimodal_jpeg_decode",
+    "q_bootstrap_ci",
+    "q_id_gap_audit",
+    "q_impute_median_by_group",
+    "er_match_clusters",
 ]
 
 
