@@ -231,7 +231,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: ids, "codec": codecs, "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
         batches, schema=f"{id_col} long, codec string, payload binary"
     )
 
@@ -526,7 +531,12 @@ def synthesize_speechlike(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(MC.encode_wav(np.concatenate(parts), sr))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
@@ -623,7 +633,12 @@ def synthesize_video_frames(
                 payloads.append(frames.tobytes())
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
@@ -754,7 +769,12 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(MC.encode_png(px, filter_type=(i % 2) * 2))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
@@ -788,7 +808,12 @@ def synthesize_gif_media(
                 payloads.append(MC.encode_gif(frames))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
@@ -879,7 +904,12 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
