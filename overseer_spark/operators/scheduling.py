@@ -470,6 +470,8 @@ def critical_path(
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
     skew_mitigation: str = "auto",
+    strategy: str = "auto",
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Weighted critical path to every job: ``cp(j) = w(j) +
     max(cp(dep))`` over incoming dependencies (roots: ``cp = w``) — the
@@ -479,12 +481,51 @@ def critical_path(
     the bottleneck). ``jobs`` must carry ``weight_col`` (estimated or
     historical runtime, e.g. from job_runtime_stats).
 
-    Same level-synchronous relaxation as :func:`topo_levels` — one
-    distributed join per wave keeping the MAX accumulated weight per
-    job, ``localCheckpoint`` lineage cuts — so iterations = DAG depth.
-    A job may be relaxed in several waves (diamonds); the final groupBy
-    keeps the longest path, which is exactly the estimator's max-plus
-    semiring."""
+    Same adaptive strategy switch as :func:`pagerank`: ``auto`` probes
+    the edge count and runs the identical max-plus recurrence
+    driver-side under ``local_edge_cap`` (a wave loop on a
+    fixture-sized DAG is pure job-scheduling overhead). Distributed
+    path: same level-synchronous relaxation as :func:`topo_levels` —
+    one distributed join per wave keeping the MAX accumulated weight
+    per job, ``localCheckpoint`` lineage cuts — so iterations = DAG
+    depth. A job may be relaxed in several waves (diamonds); the final
+    groupBy keeps the longest path, which is exactly the estimator's
+    max-plus semiring."""
+    spark = jobs.sparkSession
+    if strategy == "auto" and (
+        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
+    ):
+        wt = {
+            r["id"]: int(r["_w"])
+            for r in jobs.select(
+                "id", F.col(weight_col).cast("long").alias("_w")
+            ).collect()
+        }
+        edges = [
+            (r["job_id"], r["dep_id"])
+            for r in deps.select("job_id", "dep_id").collect()
+        ]
+        indeg: dict[str, int] = {i: 0 for i in wt}
+        out_adj: dict[str, list[str]] = {}
+        for j, d in edges:
+            if j in indeg:
+                indeg[j] += 1
+                out_adj.setdefault(d, []).append(j)
+        # Kahn order; cp(j) = w(j) + max(cp(dep)) exactly as distributed
+        cp = {i: wt[i] for i, n in indeg.items() if n == 0}
+        queue = list(cp)
+        while queue:
+            d = queue.pop()
+            for j in out_adj.get(d, ()):
+                cand = wt[j] + cp[d]
+                if j not in cp or cand > cp[j]:
+                    cp[j] = cand
+                indeg[j] -= 1
+                if indeg[j] == 0:
+                    queue.append(j)
+        return spark.createDataFrame(
+            [(i, cp[i]) for i in sorted(cp)], schema="id string, cp long"
+        )
     deps = prepare_edges(deps, skew_mitigation)
     w = jobs.select("id", F.col(weight_col).cast("long").alias("_w"))
     roots = w.join(

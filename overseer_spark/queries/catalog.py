@@ -3588,10 +3588,13 @@ def explode_outer_semantics(spark, sf):
     with an EMPTY array, and a plain explode silently drops those rows —
     a classic pipeline bug (short docs vanish from downstream counts).
     explode_outer keeps them as one null row; the aggregate separates real
-    grams (COUNT(col) skips nulls) from empty-doc markers."""
+    grams (COUNT(col) skips nulls) from empty-doc markers. The input is
+    spread first: 40-gram string shingling is CPU-heavy per row and a
+    single-split source would run it on one task."""
     from overseer_spark.functions.textfns import shingles, tokens
+    from overseer_spark.operators.util import spread
 
-    d = _t(spark, sf, "documents")
+    d = spread(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     g = d.select(
         "doc_id",
         F.explode_outer(shingles(tokens("text"), k=40, distinct=False)).alias("g"),

@@ -181,3 +181,27 @@ def test_detect_cycles_kahn(spark):
     deps2 = spark.createDataFrame(edges[:2], schema="job_id string, dep_id string")
     jobs2 = spark.createDataFrame([("a",), ("b",), ("c",)], schema="id string")
     assert detect_cycles(jobs2, deps2).count() == 0
+
+
+def test_critical_path_strategies_agree(spark, dag):
+    """critical_path: the driver-side Kahn fast path and the distributed
+    wave relaxation produce identical max-plus longest paths on the
+    random DAG, with deterministic id-keyed weights."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.scheduling import critical_path
+
+    df, edges = dag
+    nodes = sorted({x for e in edges for x in e})
+    jobs = spark.createDataFrame(
+        [(n, 1 + (hash(n) % 7)) for n in nodes], schema="id string, weight long"
+    )
+    local = {
+        r.id: r.cp
+        for r in critical_path(jobs, df, strategy="auto").collect()
+    }
+    dist = {
+        r.id: r.cp
+        for r in critical_path(jobs, df, strategy="distributed").collect()
+    }
+    assert local == dist and len(local) == len(nodes)
