@@ -224,6 +224,8 @@ def topo_levels(
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
     skew_mitigation: str = "auto",
+    strategy: str = "auto",
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Execution waves over the job DAG: ``level 0`` = jobs with no
     dependencies; ``level(j) = 1 + max(level(dep))`` — the longest path
@@ -238,8 +240,41 @@ def topo_levels(
     ``localCheckpoint`` every few waves truncates lineage, same discipline
     as :func:`transitive_dependents`. Iteration count = DAG depth, not row
     count — a 100 TB job table with a shallow DAG converges in a handful
-    of passes.
+    of passes. Same adaptive switch as :func:`pagerank`: under
+    ``local_edge_cap`` edges the identical Kahn longest-path recurrence
+    runs driver-side (the wave loop is pure scheduling overhead there).
     """
+    spark = jobs.sparkSession
+    if strategy == "auto" and (
+        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
+    ):
+        ids = [r["id"] for r in jobs.select("id").collect()]
+        edges = [
+            (r["job_id"], r["dep_id"])
+            for r in deps.select("job_id", "dep_id").collect()
+        ]
+        known = set(ids)
+        indeg = {i: 0 for i in ids}
+        out_adj: dict[str, list[str]] = {}
+        for j, d in edges:
+            if j in known:
+                indeg[j] += 1
+                out_adj.setdefault(d, []).append(j)
+        # Kahn order, level(j) = 1 + max(level(dep)) — same max semantics
+        lvl = {i: 0 for i, n in indeg.items() if n == 0}
+        queue = list(lvl)
+        while queue:
+            d = queue.pop()
+            for j in out_adj.get(d, ()):
+                cand = lvl[d] + 1
+                if j not in lvl or cand > lvl[j]:
+                    lvl[j] = cand
+                indeg[j] -= 1
+                if indeg[j] == 0:
+                    queue.append(j)
+        return spark.createDataFrame(
+            [(i, lvl[i]) for i in sorted(lvl)], schema="id string, level long"
+        )
     deps = prepare_edges(deps, skew_mitigation)
     roots = jobs.select("id").join(
         deps.select(F.col("job_id").alias("id")), "id", "left_anti"
@@ -353,6 +388,8 @@ def detect_cycles(
     deps: DataFrame,
     checkpoint_every: int = 4,
     max_iterations: int = 1000,
+    strategy: str = "auto",
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Jobs trapped in dependency cycles — distributed Kahn's algorithm.
 
@@ -365,10 +402,41 @@ def detect_cycles(
     un-done dep), until fixpoint; whatever remains can never start = the
     set of jobs on or downstream-locked by a cycle. Iterations = DAG
     depth, not row count; lineage truncated on the same cadence as
-    :func:`topo_levels`. NOTE vs topo_levels: that op's longest-path
+    :func:`topo_levels`. Same adaptive switch as :func:`pagerank` —
+    under ``local_edge_cap`` edges the identical Kahn peel runs
+    driver-side. NOTE vs topo_levels: that op's longest-path
     frontier never terminates on a cyclic graph — this one always does
     (the fixpoint is monotone and bounded by |jobs|).
     """
+    spark = jobs.sparkSession
+    if strategy == "auto" and (
+        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
+    ):
+        id_list = [r["id"] for r in jobs.select("id").collect()]
+        edges = [
+            (r["job_id"], r["dep_id"])
+            for r in deps.select("job_id", "dep_id").collect()
+        ]
+        known = set(id_list)
+        indeg = {i: 0 for i in id_list}
+        out_adj: dict[str, list[str]] = {}
+        for j, d in edges:
+            if j in known and d in known:
+                indeg[j] += 1
+                out_adj.setdefault(d, []).append(j)
+        queue = [i for i, n in indeg.items() if n == 0]
+        emitted = set()
+        while queue:
+            d = queue.pop()
+            emitted.add(d)
+            for j in out_adj.get(d, ()):
+                indeg[j] -= 1
+                if indeg[j] == 0:
+                    queue.append(j)
+        stuck = sorted(set(id_list) - emitted)
+        return spark.createDataFrame(
+            [(i,) for i in stuck], schema="id string"
+        )
     ids = jobs.select("id")
     done = ids.join(
         deps.select(F.col("job_id").alias("id")), "id", "left_anti"

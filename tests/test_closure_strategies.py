@@ -124,8 +124,12 @@ def test_topo_levels_matches_python(spark, dag):
         return levels[n]
 
     expected = {n: level(n) for n in nodes}
-    got = {r.id: r.level for r in topo_levels(jobs, df).collect()}
-    assert got == expected
+    for strategy in ("auto", "distributed"):
+        got = {
+            r.id: r.level
+            for r in topo_levels(jobs, df, strategy=strategy).collect()
+        }
+        assert got == expected, strategy
 
 
 def test_pagerank_matches_power_iteration(spark, dag):
@@ -174,13 +178,17 @@ def test_detect_cycles_kahn(spark):
     nodes = sorted({n for e in edges for n in e})
     jobs = spark.createDataFrame([(n,) for n in nodes], schema="id string")
     deps = spark.createDataFrame(edges, schema="job_id string, dep_id string")
-    stuck = {r.id for r in detect_cycles(jobs, deps).collect()}
-    assert stuck == {"x", "y", "z", "w"}
+    for strategy in ("auto", "distributed"):
+        stuck = {
+            r.id for r in detect_cycles(jobs, deps, strategy=strategy).collect()
+        }
+        assert stuck == {"x", "y", "z", "w"}, strategy
 
-    # acyclic-only graph: nothing flagged
+    # acyclic-only graph: nothing flagged (both physical strategies)
     deps2 = spark.createDataFrame(edges[:2], schema="job_id string, dep_id string")
     jobs2 = spark.createDataFrame([("a",), ("b",), ("c",)], schema="id string")
-    assert detect_cycles(jobs2, deps2).count() == 0
+    for strategy in ("auto", "distributed"):
+        assert detect_cycles(jobs2, deps2, strategy=strategy).count() == 0
 
 
 def test_critical_path_strategies_agree(spark, dag):
