@@ -11201,6 +11201,52 @@ def store_time_travel(spark, sf):
     )
 
 
+@q("stream_store_transitions", tier="py")
+def stream_store_transitions(spark, sf):
+    """Engine telemetry as a STREAM: the manifest commit log is a
+    changelog, so job-transition CDC is a plain Structured Streaming
+    file source (streaming/store_cdc.py) — subscribe to transitions
+    instead of polling jobs-with-status (the reference's monitoring API,
+    doc/guide/Monitoring.md:5-7). A 3-stage chain is driven to
+    completion on a ManifestCASStore, then the transition feed is
+    drained via availableNow and rolled up per (op, new_status) — the
+    deterministic FSM trace: 3 inserts at unstarted, 3 cas→started,
+    3 cas→finished. tests/test_streaming.py pins the counts AND
+    stream/batch row-level parity."""
+    import tempfile
+    import uuid
+
+    from overseer_spark.core import job_graph
+    from overseer_spark.store.manifest import ManifestCASStore
+    from overseer_spark.streaming.store_cdc import transitions_stream
+
+    path = tempfile.mkdtemp(prefix="overseer_cdc_")
+    store = ManifestCASStore(None, path)
+    store.install()
+    g = job_graph({"extract": [], "transform": ["extract"], "load": ["transform"]})
+    store.transact_graph(g)
+    by_type = {j.type: j.id for j in g.jobs}
+    for t in ("extract", "transform", "load"):
+        store.reserve_job(by_type[t])
+        store.finish_job(by_type[t])
+
+    name = f"cdc_{uuid.uuid4().hex[:12]}"
+    q_ = (
+        transitions_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="overseer_cdc_ck_"))
+        .start()
+    )
+    q_.awaitTermination(120)
+    return spark.sql(
+        f"""SELECT op, new_status, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {name} GROUP BY op, new_status
+            ORDER BY op, new_status"""
+    )
+
+
 @q("store_manifest_time_travel", tier="py")
 def store_manifest_time_travel(spark, sf):
     """Time travel over the OBJECT-STORE-SAFE commit-log backend

@@ -275,3 +275,48 @@ def test_stateful_recovery_after_mid_stream_kill(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_store_cdc_stream_matches_batch_and_fsm_trace(spark, tmp_path):
+    """streaming/store_cdc.py: the manifest commit log drained as a
+    stream equals the batch read row-for-row, and the catalog entry's
+    rollup is the exact FSM trace of a 3-stage drive."""
+    import uuid
+
+    from overseer_spark.core import Job, JobGraph
+    from overseer_spark.queries.catalog import CATALOG
+    from overseer_spark.store.manifest import ManifestCASStore
+    from overseer_spark.streaming.store_cdc import (
+        transitions_batch,
+        transitions_stream,
+    )
+
+    path = str(tmp_path / "store")
+    s = ManifestCASStore(None, path)
+    s.install()
+    s.transact_graph(
+        JobGraph(jobs=[Job(id=f"j{i}", type="t") for i in range(4)], edges=[])
+    )
+    assert s.reserve_job("j0") is not None
+    s.finish_job("j0")
+    s.heartbeat_job("j1")  # heartbeat-only cas: new_status stays NULL
+
+    name = f"cdc_{uuid.uuid4().hex[:10]}"
+    q = (
+        transitions_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(map(str, r)) for r in spark.sql(f"SELECT * FROM {name}").collect())
+    want = sorted(tuple(map(str, r)) for r in transitions_batch(spark, path).collect())
+    assert got == want and len(got) == 4 + 3  # 4 inserts + 3 cas events
+
+    rows = [
+        (r["op"], r["new_status"], r["n"])
+        for r in CATALOG["stream_store_transitions"].fn(spark, "unused").collect()
+    ]
+    assert rows == [("cas", 1, 3), ("cas", 2, 3), ("insert", 0, 3)]
