@@ -88,6 +88,8 @@ def gen_case(rng: random.Random) -> dict:
         return gen_setop_case(rng)
     if roll < 0.8:
         return gen_subquery_case(rng)
+    if roll < 0.86:
+        return gen_having_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -130,6 +132,45 @@ def gen_case(rng: random.Random) -> dict:
         "proj": proj,
         "limit": limit,
     }
+
+
+def gen_having_case(rng: random.Random) -> dict:
+    """Grouped aggregate with COUNT(DISTINCT) and a HAVING cut — probes
+    distinct-aggregate planning (expand vs two-phase) and post-aggregate
+    filtering, neither of which the base grouped family exercises."""
+    table = rng.choice([t for t in TABLES if TABLES[t]["str"]])
+    cols = TABLES[table]
+    g = rng.choice(cols["str"])
+    d = rng.choice(cols["int"] + cols["str"])
+    thresh = rng.choice([0, 1, 2, 5, 50, 500])
+    fn = rng.choice(["sum", "min", "max", "avg"])
+    val = rng.choice(cols["num"] + cols["int"])
+    return {"having": (table, g, d, thresh, fn, val)}
+
+
+def having_to_sql(case: dict) -> str:
+    t, g, d, th, fn, v = case["having"]
+    return (
+        f"SELECT {g}, CAST(COUNT(DISTINCT {d}) AS BIGINT) AS nd, "
+        f"CAST({fn.upper()}({v}) AS DOUBLE) AS a FROM {t} "
+        f"GROUP BY {g} HAVING COUNT(DISTINCT {d}) > {th} ORDER BY {g}"
+    )
+
+
+def build_having_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    t, g, d, th, fn, v = case["having"]
+    nd = F.count_distinct(d).cast("long")
+    return (
+        load_table(spark, sf_dir, t)
+        .groupBy(g)
+        .agg(nd.alias("nd"), getattr(F, fn)(v).cast("double").alias("a"))
+        .where(F.col("nd") > th)
+        .orderBy(g)
+    )
 
 
 def gen_join_case(rng: random.Random) -> dict:
@@ -488,6 +529,8 @@ def build_join_spark_df(spark, sf_dir: str, case: dict):
 
 
 def to_sql(case: dict) -> str:
+    if "having" in case:
+        return having_to_sql(case)
     if "join" in case:
         return join_to_sql(case)
     if "window" in case:
@@ -579,7 +622,9 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     rng = random.Random(seed)
     case = gen_case(rng)
     sql = to_sql(case)
-    if "join" in case:
+    if "having" in case:
+        srows = build_having_spark_df(spark, sf_dir, case).collect()
+    elif "join" in case:
         srows = build_join_spark_df(spark, sf_dir, case).collect()
     elif "window" in case:
         srows = build_window_spark_df(spark, sf_dir, case).collect()
@@ -594,6 +639,14 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
+    if "having" in case:
+        if len(srows) != len(drows):
+            return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
+        for sr, dr in zip(srows, drows):
+            for x, y in zip(tuple(sr), dr):
+                if not _close(x, y):
+                    return (False, f"seed={seed} sql={sql!r} value {x!r} != {y!r}")
+        return (True, f"seed={seed} sql={sql!r} rows={len(srows)}")
     if "setop" in case:
         s_ = sorted(str(r[0]) for r in srows)
         d_ = sorted(str(r[0]) for r in drows)
