@@ -90,6 +90,8 @@ def gen_case(rng: random.Random) -> dict:
         return gen_subquery_case(rng)
     if roll < 0.86:
         return gen_having_case(rng)
+    if roll < 0.91:
+        return gen_datetime_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -146,6 +148,58 @@ def gen_having_case(rng: random.Random) -> dict:
     fn = rng.choice(["sum", "min", "max", "avg"])
     val = rng.choice(cols["num"] + cols["int"])
     return {"having": (table, g, d, thresh, fn, val)}
+
+
+def gen_datetime_case(rng: random.Random) -> dict:
+    """Event-time grouping over the ns-precision events.ts column —
+    date_trunc units, calendar field extraction, and a time-range
+    filter. This is the highest-portability-risk surface in the fixture
+    (parquet TIMESTAMP(NANOS) -> Spark µs conversion in sources/
+    tables.py must agree with DuckDB's own nanosecond truncation)."""
+    unit = rng.choice(["day", "month", "hour", "week"])
+    field = rng.choice(["year", "month", "hour", "minute"])
+    lo = rng.choice([None, "2024-02-01", "2024-03-15"])
+    agg = rng.choice(["count", "sum", "avg"])
+    return {"datetime": (unit, field, lo, agg)}
+
+
+def datetime_to_sql(case: dict) -> str:
+    unit, field, lo, agg = case["datetime"]
+    where = f"WHERE ts >= TIMESTAMP '{lo} 00:00:00'" if lo else ""
+    # raw aggregate, not ROUND(...): tolerance compare handles FP sum-order
+    # differences; rounding would turn a 1e-13 divergence at a .005
+    # boundary into a false positive
+    a = "CAST(COUNT(*) AS BIGINT)" if agg == "count" else f"{agg.upper()}(value)"
+    return (
+        f"SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS p, "
+        f"CAST({field}(ts) AS BIGINT) AS f, {a} AS a "
+        f"FROM events {where} GROUP BY p, f ORDER BY p, f"
+    )
+
+
+def build_datetime_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    unit, field, lo, agg = case["datetime"]
+    df = load_table(spark, sf_dir, "events")
+    if lo:
+        df = df.where(F.col("ts") >= F.lit(f"{lo} 00:00:00").cast("timestamp"))
+    field_fn = {"year": F.year, "month": F.month, "hour": F.hour,
+                "minute": F.minute}[field]
+    a = (
+        F.count(F.lit(1)).cast("long")
+        if agg == "count"
+        else getattr(F, agg)("value")
+    )
+    return (
+        df.groupBy(
+            F.date_trunc(unit, "ts").alias("p"), field_fn("ts").cast("long").alias("f")
+        )
+        .agg(a.alias("a"))
+        .orderBy("p", "f")
+    )
 
 
 def having_to_sql(case: dict) -> str:
@@ -529,6 +583,8 @@ def build_join_spark_df(spark, sf_dir: str, case: dict):
 
 
 def to_sql(case: dict) -> str:
+    if "datetime" in case:
+        return datetime_to_sql(case)
     if "having" in case:
         return having_to_sql(case)
     if "join" in case:
@@ -622,7 +678,9 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     rng = random.Random(seed)
     case = gen_case(rng)
     sql = to_sql(case)
-    if "having" in case:
+    if "datetime" in case:
+        srows = build_datetime_spark_df(spark, sf_dir, case).collect()
+    elif "having" in case:
         srows = build_having_spark_df(spark, sf_dir, case).collect()
     elif "join" in case:
         srows = build_join_spark_df(spark, sf_dir, case).collect()
@@ -639,7 +697,7 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
-    if "having" in case:
+    if "having" in case or "datetime" in case:
         if len(srows) != len(drows):
             return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
         for sr, dr in zip(srows, drows):
