@@ -96,6 +96,29 @@ def prepare_edges(deps: DataFrame, skew_mitigation: str = "auto") -> DataFrame:
     return deps.repartition(n).persist()
 
 
+def _release_edges(prepared: DataFrame, original: DataFrame) -> None:
+    """Drop the cache :func:`prepare_edges` may have pinned. ``prepared is
+    original`` exactly when no repartition+persist happened; otherwise the
+    wave loop that amortized the cache is over and a long-lived driver must
+    not accumulate one pinned edge copy per skewed-DAG call. Unpersist only
+    drops cached blocks — any still-lazy result recomputes from lineage."""
+    if prepared is not original:
+        prepared.unpersist()
+
+
+def _local_graph_ok(jobs: DataFrame, deps: DataFrame, cap: int) -> bool:
+    """Gate for the driver-side fast paths: BOTH the edge table and the
+    node table must be bounded. Probing edges alone is a scale hazard — an
+    edge-sparse 100 TB jobs table (millions of independent jobs, <100k
+    edges: a normal ingest shape) passes the edge probe and the subsequent
+    ``jobs.select("id").collect()`` OOMs the driver. Each probe is one
+    LocalLimit-bounded scan (cap+1 rows max per task), cheap at any size."""
+    return (
+        deps.select("job_id").limit(cap + 1).count() <= cap
+        and jobs.select("id").limit(cap + 1).count() <= cap
+    )
+
+
 def transitive_dependents(
     deps: DataFrame,
     seed_ids: Iterable[str] | DataFrame,
@@ -168,30 +191,34 @@ def transitive_dependents(
             )
     # beyond the local cap the graph is big enough for hub skew to
     # matter — measure once, decluster if needed (see prepare_edges)
+    raw_deps = deps
     deps = prepare_edges(deps, skew_mitigation)
-    if strategy in ("auto", "recursive_cte"):
-        try:
-            return _dependents_recursive_cte(deps, frontier)
-        except Exception:
-            if strategy == "recursive_cte":
-                raise
-    visited = frontier  # seeds excluded from result at the end
-    result = spark.createDataFrame([], schema="id string")
-    for it in range(max_iterations):
-        nxt = direct_dependents(deps, frontier).join(visited, "id", "left_anti")
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            # truncate lineage so the plan doesn't grow with graph depth
-            nxt = nxt.localCheckpoint(eager=True)
-            n = nxt.count()
-        else:
-            nxt = nxt.persist()
-            n = nxt.count()  # single action per iteration: populates cache
-        if n == 0:
-            break
-        result = result.union(nxt)
-        visited = visited.union(nxt)
-        frontier = nxt
-    return result.distinct()
+    try:
+        if strategy in ("auto", "recursive_cte"):
+            try:
+                return _dependents_recursive_cte(deps, frontier)
+            except Exception:
+                if strategy == "recursive_cte":
+                    raise
+        visited = frontier  # seeds excluded from result at the end
+        result = spark.createDataFrame([], schema="id string")
+        for it in range(max_iterations):
+            nxt = direct_dependents(deps, frontier).join(visited, "id", "left_anti")
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                # truncate lineage so the plan doesn't grow with graph depth
+                nxt = nxt.localCheckpoint(eager=True)
+                n = nxt.count()
+            else:
+                nxt = nxt.persist()
+                n = nxt.count()  # single action per iteration: populates cache
+            if n == 0:
+                break
+            result = result.union(nxt)
+            visited = visited.union(nxt)
+            frontier = nxt
+        return result.distinct()
+    finally:
+        _release_edges(deps, raw_deps)
 
 
 def _dependents_recursive_cte(deps: DataFrame, seeds: DataFrame) -> DataFrame:
@@ -245,9 +272,7 @@ def topo_levels(
     runs driver-side (the wave loop is pure scheduling overhead there).
     """
     spark = jobs.sparkSession
-    if strategy == "auto" and (
-        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
-    ):
+    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
         ids = [r["id"] for r in jobs.select("id").collect()]
         edges = [
             (r["job_id"], r["dep_id"])
@@ -275,30 +300,34 @@ def topo_levels(
         return spark.createDataFrame(
             [(i, lvl[i]) for i in sorted(lvl)], schema="id string, level long"
         )
+    raw_deps = deps
     deps = prepare_edges(deps, skew_mitigation)
-    roots = jobs.select("id").join(
-        deps.select(F.col("job_id").alias("id")), "id", "left_anti"
-    )
-    frontier = roots.withColumn("level", F.lit(0).cast("long"))
-    acc = frontier
-    for it in range(max_iterations):
-        nxt = (
-            deps.join(frontier, deps.dep_id == frontier.id)
-            .select(F.col("job_id").alias("id"), (F.col("level") + 1).alias("level"))
-            .groupBy("id")
-            .agg(F.max("level").alias("level"))
+    try:
+        roots = jobs.select("id").join(
+            deps.select(F.col("job_id").alias("id")), "id", "left_anti"
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            n = nxt.count()
-        else:
-            nxt = nxt.persist()
-            n = nxt.count()
-        if n == 0:
-            break
-        acc = acc.union(nxt)
-        frontier = nxt
-    return acc.groupBy("id").agg(F.max("level").cast("long").alias("level"))
+        frontier = roots.withColumn("level", F.lit(0).cast("long"))
+        acc = frontier
+        for it in range(max_iterations):
+            nxt = (
+                deps.join(frontier, deps.dep_id == frontier.id)
+                .select(F.col("job_id").alias("id"), (F.col("level") + 1).alias("level"))
+                .groupBy("id")
+                .agg(F.max("level").alias("level"))
+            )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+                n = nxt.count()
+            else:
+                nxt = nxt.persist()
+                n = nxt.count()
+            if n == 0:
+                break
+            acc = acc.union(nxt)
+            frontier = nxt
+        return acc.groupBy("id").agg(F.max("level").cast("long").alias("level"))
+    finally:
+        _release_edges(deps, raw_deps)
 
 
 def pagerank(
@@ -331,9 +360,7 @@ def pagerank(
     truncates lineage exactly like :func:`topo_levels`.
     """
     spark = jobs.sparkSession
-    if strategy == "auto" and (
-        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
-    ):
+    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
         ids = [r["id"] for r in jobs.select("id").collect()]
         if not ids:
             return jobs.select("id").withColumn("rank", F.lit(0.0))
@@ -353,34 +380,41 @@ def pagerank(
         return spark.createDataFrame(
             [(i, rank[i]) for i in sorted(ids)], schema="id string, rank double"
         )
+    raw_deps = deps
     deps = prepare_edges(deps, skew_mitigation)
-    nodes = jobs.select("id")
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = deps.groupBy("job_id").agg(F.count(F.lit(1)).alias("_outd"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    base = (1.0 - damping) / n_nodes
-    for it in range(iterations):
-        contribs = (
-            deps.join(ranks, deps.job_id == ranks.id)
-            .join(out_deg, "job_id")
-            .select(
-                F.col("dep_id").alias("id"),
-                (F.col("rank") / F.col("_outd")).alias("_c"),
+    try:
+        nodes = jobs.select("id")
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+        out_deg = deps.groupBy("job_id").agg(F.count(F.lit(1)).alias("_outd"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        base = (1.0 - damping) / n_nodes
+        for it in range(iterations):
+            contribs = (
+                deps.join(ranks, deps.job_id == ranks.id)
+                .join(out_deg, "job_id")
+                .select(
+                    F.col("dep_id").alias("id"),
+                    (F.col("rank") / F.col("_outd")).alias("_c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_in"))
             )
-            .groupBy("id")
-            .agg(F.sum("_c").alias("_in"))
-        )
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        # last localCheckpoint may be up to checkpoint_every-1 iterations
+        # stale — cut once more so the returned plan is flat and does not
+        # reference the (about-to-be-released) prepared edge cache
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        _release_edges(deps, raw_deps)
 
 
 def detect_cycles(
@@ -409,9 +443,7 @@ def detect_cycles(
     (the fixpoint is monotone and bounded by |jobs|).
     """
     spark = jobs.sparkSession
-    if strategy == "auto" and (
-        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
-    ):
+    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
         id_list = [r["id"] for r in jobs.select("id").collect()]
         edges = [
             (r["job_id"], r["dep_id"])
@@ -421,7 +453,11 @@ def detect_cycles(
         indeg = {i: 0 for i in id_list}
         out_adj: dict[str, list[str]] = {}
         for j, d in edges:
-            if j in known and d in known:
+            # d may be a dangling dep (not a job row): it is never emitted,
+            # so indeg[j] stays unsatisfied and j is reported stuck —
+            # matching the distributed leg, where an unknown dep_id is
+            # never in `done` and keeps its dependents blocked forever
+            if j in known:
                 indeg[j] += 1
                 out_adj.setdefault(d, []).append(j)
         queue = [i for i, n in indeg.items() if n == 0]
@@ -560,9 +596,7 @@ def critical_path(
     groupBy keeps the longest path, which is exactly the estimator's
     max-plus semiring."""
     spark = jobs.sparkSession
-    if strategy == "auto" and (
-        deps.select("job_id").limit(local_edge_cap + 1).count() <= local_edge_cap
-    ):
+    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
         wt = {
             r["id"]: int(r["_w"])
             for r in jobs.select(
@@ -594,46 +628,50 @@ def critical_path(
         return spark.createDataFrame(
             [(i, cp[i]) for i in sorted(cp)], schema="id string, cp long"
         )
+    raw_deps = deps
     deps = prepare_edges(deps, skew_mitigation)
-    w = jobs.select("id", F.col(weight_col).cast("long").alias("_w"))
-    roots = w.join(
-        deps.select(F.col("job_id").alias("id")), "id", "left_anti"
-    ).select("id", F.col("_w").alias("cp"))
-    frontier = roots
-    acc = frontier
-    pinned: list[DataFrame] = []  # persisted frontiers awaiting release
-    for it in range(max_iterations):
-        nxt = (
-            deps.join(frontier, deps.dep_id == frontier.id)
-            .select(F.col("job_id").alias("id"), F.col("cp").alias("_base"))
-            .groupBy("id")
-            .agg(F.max("_base").alias("_base"))
-            .join(w, "id")
-            .select("id", (F.col("_base") + F.col("_w")).alias("cp"))
-        )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            n = nxt.count()
-            acc = acc.union(nxt).localCheckpoint(eager=True)
-            # acc's lineage is now cut, so the interim persisted
-            # frontiers can be dropped without forcing recompute —
-            # cached blocks stay O(checkpoint_every), not O(depth)
+    try:
+        w = jobs.select("id", F.col(weight_col).cast("long").alias("_w"))
+        roots = w.join(
+            deps.select(F.col("job_id").alias("id")), "id", "left_anti"
+        ).select("id", F.col("_w").alias("cp"))
+        frontier = roots
+        acc = frontier
+        pinned: list[DataFrame] = []  # persisted frontiers awaiting release
+        for it in range(max_iterations):
+            nxt = (
+                deps.join(frontier, deps.dep_id == frontier.id)
+                .select(F.col("job_id").alias("id"), F.col("cp").alias("_base"))
+                .groupBy("id")
+                .agg(F.max("_base").alias("_base"))
+                .join(w, "id")
+                .select("id", (F.col("_base") + F.col("_w")).alias("cp"))
+            )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+                n = nxt.count()
+                acc = acc.union(nxt).localCheckpoint(eager=True)
+                # acc's lineage is now cut, so the interim persisted
+                # frontiers can be dropped without forcing recompute —
+                # cached blocks stay O(checkpoint_every), not O(depth)
+                for p in pinned:
+                    p.unpersist()
+                pinned.clear()
+            else:
+                nxt = nxt.persist()
+                n = nxt.count()
+                if n:
+                    pinned.append(nxt)
+                    acc = acc.union(nxt)
+            if n == 0:
+                nxt.unpersist()
+                break
+            frontier = nxt
+        out = acc.groupBy("id").agg(F.max("cp").cast("long").alias("cp"))
+        if pinned:
+            out = out.localCheckpoint(eager=True)
             for p in pinned:
                 p.unpersist()
-            pinned.clear()
-        else:
-            nxt = nxt.persist()
-            n = nxt.count()
-            if n:
-                pinned.append(nxt)
-                acc = acc.union(nxt)
-        if n == 0:
-            nxt.unpersist()
-            break
-        frontier = nxt
-    out = acc.groupBy("id").agg(F.max("cp").cast("long").alias("cp"))
-    if pinned:
-        out = out.localCheckpoint(eager=True)
-        for p in pinned:
-            p.unpersist()
-    return out
+        return out
+    finally:
+        _release_edges(deps, raw_deps)

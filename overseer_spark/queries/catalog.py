@@ -2463,7 +2463,7 @@ def string_agg(spark, sf):
 @q(
     "q_json_props_sum",
     oracle="""SELECT event_type,
-                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS s,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
                 CAST(COUNT(*) AS BIGINT) AS n
               FROM events GROUP BY event_type ORDER BY event_type""",
 )

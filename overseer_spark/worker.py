@@ -137,4 +137,9 @@ class Worker:
     def stop(self, timeout: float = 5.0) -> None:
         self._stop.set()
         for t in self._threads:
+            # the monitor's fatal path calls stop() from inside its own
+            # loop thread (reference heartbeat.clj:51-68 System/exit
+            # analogue) — joining the current thread raises RuntimeError
+            if t is threading.current_thread():
+                continue
             t.join(timeout)

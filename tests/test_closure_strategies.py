@@ -213,3 +213,84 @@ def test_critical_path_strategies_agree(spark, dag):
         for r in critical_path(jobs, df, strategy="distributed").collect()
     }
     assert local == dist and len(local) == len(nodes)
+
+
+def test_detect_cycles_dangling_dep_parity(spark):
+    """An edge to a dep_id that is not a job row (malformed graph — the
+    integrity-audit op's most likely input) must report the dependent as
+    stuck under BOTH strategies: the ghost dep is never done, so the job
+    can never start. Regression: the driver fast path used to drop such
+    edges entirely and silently diverge from the distributed leg."""
+    from overseer_spark.operators.scheduling import detect_cycles
+
+    jobs = spark.createDataFrame([("a",), ("b",)], schema="id string")
+    deps = spark.createDataFrame(
+        [("a", "ghost")], schema="job_id string, dep_id string"
+    )
+    for strategy in ("auto", "distributed"):
+        stuck = {r.id for r in detect_cycles(jobs, deps, strategy=strategy).collect()}
+        assert stuck == {"a"}, strategy
+
+
+@pytest.fixture(scope="module")
+def sparse_graph(spark):
+    """Edge-sparse, node-heavy: the 100 TB ingest shape that breaks an
+    edges-only probe — many independent jobs, a handful of edges."""
+    nodes = [f"n{i}" for i in range(60)]
+    edges = [("n1", "n0"), ("n2", "n1"), ("n3", "n2")]
+    jobs = spark.createDataFrame(
+        [(n, 1 + (i % 5)) for i, n in enumerate(nodes)],
+        schema="id string, weight long",
+    )
+    deps = spark.createDataFrame(edges, schema="job_id string, dep_id string")
+    return jobs, deps, nodes, edges
+
+
+def test_probe_bounds_nodes_not_just_edges(spark, sparse_graph):
+    """The auto-strategy probe must reject the driver fast path when the
+    JOBS table exceeds the cap even though the edge table is tiny —
+    otherwise jobs.select('id').collect() is unbounded on an edge-sparse
+    100 TB jobs table."""
+    from overseer_spark.operators.scheduling import _local_graph_ok
+
+    jobs, deps, nodes, _ = sparse_graph
+    assert not _local_graph_ok(jobs, deps, cap=10)  # 3 edges pass, 60 nodes don't
+    assert _local_graph_ok(jobs, deps, cap=100)  # both bounded -> local ok
+
+
+def test_edge_sparse_auto_routes_distributed_and_matches(spark, sparse_graph):
+    """With cap=10 the sparse graph (3 edges / 60 nodes) must take the
+    distributed leg (probe unit-tested above gates exactly this) and every
+    dag_* op must return the same result the local fast path computes."""
+    from overseer_spark.operators.scheduling import (
+        critical_path,
+        detect_cycles,
+        pagerank,
+        topo_levels,
+    )
+
+    jobs, deps, nodes, edges = sparse_graph
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for op, kw in (
+        (topo_levels, {}),
+        (detect_cycles, {}),
+        (critical_path, {}),
+    ):
+        small_cap = rows(op(jobs, deps, strategy="auto", local_edge_cap=10, **kw))
+        local = rows(op(jobs, deps, strategy="auto", local_edge_cap=10_000, **kw))
+        assert small_cap == local, op.__name__
+
+    pr_dist = {
+        r.id: r.rank
+        for r in pagerank(jobs, deps, strategy="auto", local_edge_cap=10).collect()
+    }
+    pr_local = {
+        r.id: r.rank
+        for r in pagerank(jobs, deps, strategy="auto", local_edge_cap=10_000).collect()
+    }
+    assert set(pr_dist) == set(pr_local) == set(nodes)
+    for n in nodes:
+        assert abs(pr_dist[n] - pr_local[n]) < 1e-9, n

@@ -8,7 +8,16 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from overseer_spark import api
+
+# monitor-initiated shutdown calls Worker.stop() from the monitor's own
+# thread; a self-join there escapes as an unhandled thread exception —
+# escalate so the regression fails loudly instead of warning
+pytestmark = pytest.mark.filterwarnings(
+    "error::pytest.PytestUnhandledThreadExceptionWarning"
+)
 from overseer_spark.config import Config, HeartbeatConfig
 from overseer_spark.core import (
     STATUS_ABORTED,

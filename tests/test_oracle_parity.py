@@ -70,6 +70,27 @@ def test_sql_tier_matches_duckdb(name, spark, duck):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.parametrize("name", SQL_TIER)
+def test_sql_tier_oracle_dtypes_are_hashable(name, duck):
+    """The driver hashes oracle results through a dtype-preserving pandas
+    path; DuckDB's HUGEINT/UHUGEINT (e.g. SUM over BIGINT) materializes as
+    float64/object there and hash-diverges from Spark's int64 even when
+    values are identical (the q_json_props_sum r03 failure). Unsigned ints
+    likewise map to u-dtypes pandas hashes differently from Spark's signed
+    longs. Gate: DESCRIBE every oracle and reject those column types — the
+    fix is always `CAST(<outer agg> AS BIGINT)` in the oracle itself."""
+    spec = CATALOG[name]
+    rows = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    banned = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+    offenders = [
+        (col, typ) for col, typ, *_ in rows if typ.upper().rstrip("[]") in banned
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits driver-unhashable column types {offenders}; "
+        f"wrap the outer aggregate in CAST(... AS BIGINT)"
+    )
+
+
 @pytest.mark.parametrize("name", PY_TIER)
 def test_py_tier_runs(name, spark):
     """PY-tier entries must at least run and return a stable schema.
