@@ -29,24 +29,44 @@ from overseer_spark.queries.catalog import CATALOG, flagship
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_checked() -> set[str]:
-    """Entry names already covered by any prior round's driver gate."""
+def _driver_checked() -> tuple[set[str], set[str]]:
+    """(all entry names ever covered, names whose LATEST driver row failed)
+    from the committed per-round driver gate results."""
     seen: set[str] = set()
+    failed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            seen.add(name)
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":  # PY-tier rows-only check: not a failure
+                continue
+            ok = (
+                row.get("rows_match", True) is not False
+                and row.get("schema_match", True) is not False
+                and row.get("hash_match", True) is not False
+                and not row.get("err")
+            )
+            if ok:
+                failed.discard(name)
+            else:
+                failed.add(name)
+    return seen, failed
 
 
 def _ordered_names() -> list[str]:
-    checked = _driver_checked()
+    checked, failed = _driver_checked()
+    # failed-last-round entries lead: their fix must re-green THIS round
+    redo = [n for n in CATALOG if n in failed]
     sql_new = [n for n in CATALOG if CATALOG[n].oracle and n not in checked]
     py_new = [n for n in CATALOG if not CATALOG[n].oracle and n not in checked]
-    done = [n for n in CATALOG if n in checked]
-    return sql_new + py_new + done
+    done = [n for n in CATALOG if n in checked and n not in failed]
+    return redo + sql_new + py_new + done
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1666,10 +1666,48 @@ def fingerprint_rolling(spark, sf):
     )
 
 
-@q("text_language_id", tier="py")
+_LID_GRAMS_SQL = """
+  grams AS (SELECT DISTINCT doc_id, lang, substring(text, i, 3) AS gram
+            FROM (SELECT doc_id, lang, text,
+                         unnest(generate_series(1, length(text) - 2)) AS i
+                  FROM documents {train_filter}))"""
+
+_LID_SCORE_SQL = """
+  prof AS (SELECT lang, gram,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY COUNT(*) DESC, gram) AS rank
+           FROM grams GROUP BY lang, gram QUALIFY rank <= 50),
+  doc_grams AS (SELECT DISTINCT doc_id, substring(text, i, 3) AS gram
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM documents {test_filter})),
+  scored AS (SELECT g.doc_id, p.lang,
+                    CAST(SUM(51 - p.rank) AS BIGINT) AS score
+             FROM doc_grams g JOIN prof p USING (gram)
+             GROUP BY g.doc_id, p.lang),
+  best AS (SELECT doc_id, lang AS pred_lang, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang) AS r
+           FROM scored)"""
+
+
+@q(
+    "text_language_id",
+    # full SQL replay of the Cavnar-Trenkle pipeline: distinct char
+    # trigrams per doc → per-lang top-50 rank profile (count desc, gram
+    # asc) → summed inverse rank per (doc, lang) → argmax (lang asc ties)
+    oracle="WITH "
+    + _LID_GRAMS_SQL.format(train_filter="")
+    + ","
+    + _LID_SCORE_SQL.format(test_filter="")
+    + "\n  SELECT doc_id, pred_lang, score FROM best WHERE r = 1 ORDER BY doc_id",
+)
 def language_id_q(spark, sf):
     """Cavnar-Trenkle rank-profile language ID (profiles learned from the
-    corpus itself; deterministic)."""
+    corpus itself; deterministic). The whole pipeline is relational —
+    distinct trigrams, rank windows, an integer score — so the DuckDB
+    oracle replays it end to end and the hash match covers profile
+    construction, broadcast join, and argmax tie-breaks."""
     docs = _t(spark, sf, "documents")
     profiles = TX.language_profiles(docs)
     return TX.language_id(docs, profiles).orderBy("doc_id")
@@ -9317,14 +9355,29 @@ def multimodal_audio_vad(spark, sf):
     )
 
 
-@q("multimodal_scene_cuts", tier="py", oracle=None)
+@q(
+    "multimodal_scene_cuts",
+    oracle="""WITH d AS (SELECT doc_id, (doc_id * 31) % 100 AS base,
+                     6 + doc_id % 6 AS c1, 14 + doc_id % 8 AS c2
+                 FROM documents WHERE doc_id % 2 = 1),
+              k AS (SELECT doc_id, 0 AS kf, base AS luma FROM d
+                    UNION ALL SELECT doc_id, c1, base + 75 FROM d
+                    UNION ALL SELECT doc_id, c2, base + 150 FROM d)
+              SELECT doc_id, CAST(kf AS INTEGER) AS keyframe_idx,
+                     ROUND(CAST(luma AS DOUBLE), 2) AS mean_luma
+              FROM k ORDER BY doc_id, keyframe_idx""",
+)
 def multimodal_scene_cuts(spark, sf):
     """Shot-boundary detection over raw-frame video payloads: id-keyed
     3-scene clips → consecutive-frame delta → keyframe rows
-    (operators/multimodal.py: scene_cuts). Cut positions derive from the
-    id, so tests/test_multimodal.py checks bit-exact agreement with the
-    synthesis formula; the keyframe set is the 10-100× decode-reduction
-    manifest a video pipeline feeds to feature extraction."""
+    (operators/multimodal.py: scene_cuts). Cut positions and per-scene
+    luma derive from the id (cuts at 6+id%6 and 14+id%8, luma
+    (id*31)%100 + 75·scene), so the DuckDB oracle replays the synthesis
+    formula in closed form — the decode→delta→keyframe pipeline must
+    recover it exactly; tests/test_multimodal.py additionally checks
+    bit-exact agreement in numpy. The keyframe set is the 10-100×
+    decode-reduction manifest a video pipeline feeds to feature
+    extraction."""
     from overseer_spark.operators.multimodal import scene_cuts, synthesize_video_frames
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") % 2 == 1)
@@ -11154,7 +11207,16 @@ def q_lateral_topn_per_key(spark, sf):
     )
 
 
-@q("store_time_travel", tier="py")
+@q(
+    "store_time_travel",
+    oracle="""WITH p AS (SELECT * FROM (VALUES
+                ('submitted', 0), ('after_extract', 1),
+                ('after_transform', 2), ('after_load', 3), ('live', 3))
+                AS t(phase, done))
+              SELECT phase, CAST(3 - done AS BIGINT) AS n_unstarted,
+                     CAST(done AS BIGINT) AS n_finished
+              FROM p ORDER BY phase""",
+)
 def store_time_travel(spark, sf):
     """Time travel over the engine's append-only transition log
     (store/sparklog.py: jobs_df(as_of_seq)) — the audit query 'what did
@@ -11164,7 +11226,9 @@ def store_time_travel(spark, sf):
     IS the time machine — as-of reads are a seq-bounded filter before
     the last-row-per-id window, no snapshots to manage; the same
     mechanism that makes compaction safe (retention documented on
-    jobs_df). Deterministic output: per-phase status counts."""
+    jobs_df). Deterministic output: per-phase status counts. The DuckDB
+    oracle is the closed-form FSM trace (3 submitted, one finished per
+    phase) — the as-of read path must reproduce it exactly."""
     import tempfile
 
     from overseer_spark.core import job_graph
@@ -11201,7 +11265,14 @@ def store_time_travel(spark, sf):
     )
 
 
-@q("stream_store_transitions", tier="py")
+@q(
+    "stream_store_transitions",
+    oracle="""SELECT * FROM (VALUES
+                ('cas', CAST(1 AS INTEGER), CAST(3 AS BIGINT)),
+                ('cas', CAST(2 AS INTEGER), CAST(3 AS BIGINT)),
+                ('insert', CAST(0 AS INTEGER), CAST(3 AS BIGINT)))
+              AS t(op, new_status, n) ORDER BY op, new_status""",
+)
 def stream_store_transitions(spark, sf):
     """Engine telemetry as a STREAM: the manifest commit log is a
     changelog, so job-transition CDC is a plain Structured Streaming
@@ -11211,8 +11282,9 @@ def stream_store_transitions(spark, sf):
     completion on a ManifestCASStore, then the transition feed is
     drained via availableNow and rolled up per (op, new_status) — the
     deterministic FSM trace: 3 inserts at unstarted, 3 cas→started,
-    3 cas→finished. tests/test_streaming.py pins the counts AND
-    stream/batch row-level parity."""
+    3 cas→finished — which IS the DuckDB oracle (closed form).
+    tests/test_streaming.py pins the counts AND stream/batch row-level
+    parity."""
     import tempfile
     import uuid
 
@@ -11247,7 +11319,16 @@ def stream_store_transitions(spark, sf):
     )
 
 
-@q("store_manifest_time_travel", tier="py")
+@q(
+    "store_manifest_time_travel",
+    oracle="""WITH p AS (SELECT * FROM (VALUES
+                ('submitted', 0), ('after_extract', 1),
+                ('after_transform', 2), ('after_load', 3), ('live', 3))
+                AS t(phase, done))
+              SELECT phase, CAST(3 - done AS BIGINT) AS n_unstarted,
+                     CAST(done AS BIGINT) AS n_finished
+              FROM p ORDER BY phase""",
+)
 def store_manifest_time_travel(spark, sf):
     """Time travel over the OBJECT-STORE-SAFE commit-log backend
     (store/manifest.py — Delta-style totally ordered log over a
@@ -11258,7 +11339,8 @@ def store_manifest_time_travel(spark, sf):
     substrates: link(2) hard-link CAS (FileCAS), put-if-absent commit
     log (this) — the deployment picks by what its store supports.
     Deterministic output: per-phase status counts, identical to the
-    SparkLog twin's."""
+    SparkLog twin's; the DuckDB oracle is the same closed-form FSM
+    trace, so manifest replay is hash-pinned against it."""
     import tempfile
 
     from overseer_spark.core import job_graph
@@ -11289,7 +11371,20 @@ def store_manifest_time_travel(spark, sf):
     )
 
 
-@q("multimodal_png_decode", tier="py")
+@q(
+    "multimodal_png_decode",
+    # channel formula: R=(i*11%200)+row, G=(i*23%200)+row, B=i*5%200 over a
+    # 12×10 image ⇒ mean_luma = .299(R0+5.5)+.587(G0+5.5)+.114·B0, an exact
+    # multiple of 0.001, so ROUND(...,4) is tie-free in both engines
+    oracle="""WITH d AS (SELECT doc_id, (doc_id * 11) % 200 AS r0,
+                     (doc_id * 23) % 200 AS g0, (doc_id * 5) % 200 AS b0
+                 FROM documents WHERE doc_id % 4 = 1)
+              SELECT doc_id, 'png' AS codec,
+                     CAST(10 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+                     CAST(ROUND(0.299 * (r0 + 5.5) + 0.587 * (g0 + 5.5)
+                                + 0.114 * b0, 4) AS DOUBLE) AS mean_luma
+              FROM d ORDER BY doc_id""",
+)
 def multimodal_png_decode(spark, sf):
     """Real COMPRESSED-codec decode: PNG payloads (zlib deflate +
     spec filters, functions/media_codecs.py — pure stdlib+numpy) are
@@ -11298,9 +11393,11 @@ def multimodal_png_decode(spark, sf):
     stage as every other codec. This retires 'compressed formats' from
     the multimodal seam for the one format whose compression layer
     Python itself ships; the remaining seam (jpeg/mp3/h264) is purely
-    a native-library availability line, not a pipeline gap.
-    tests/test_multimodal.py closes the loop against the synthesis
-    formula and exercises all five PNG filter types."""
+    a native-library availability line, not a pipeline gap. PNG is
+    lossless, so the decoded mean_luma has a closed-form oracle (the
+    synthesis gradient's channel means) that DuckDB replays exactly;
+    tests/test_multimodal.py additionally exercises all five PNG filter
+    types."""
     from overseer_spark.operators.multimodal import (
         media_features,
         synthesize_png_media,
@@ -11391,7 +11488,22 @@ def q_gzip_jsonl_roundtrip(spark, sf):
     )
 
 
-@q("text_lid_confusion_eval", tier="py")
+@q(
+    "text_lid_confusion_eval",
+    # same SQL replay as text_language_id, split into held-out halves:
+    # profiles from even ids, predictions on odd ids, confusion rollup
+    oracle="WITH "
+    + _LID_GRAMS_SQL.format(train_filter="WHERE doc_id % 2 = 0")
+    + ","
+    + _LID_SCORE_SQL.format(test_filter="WHERE doc_id % 2 = 1")
+    + """,
+  pred AS (SELECT doc_id, pred_lang FROM best WHERE r = 1)
+  SELECT d.lang AS true_lang, p.pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.doc_id % 2 = 1
+  GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang""",
+)
 def text_lid_confusion_eval(spark, sf):
     """Language-ID evaluation harness: train Cavnar-Trenkle n-gram
     profiles on the EVEN-id half of the corpus, predict the odd half,
@@ -11479,15 +11591,28 @@ def q_null_semantics_matrix(spark, sf):
     )
 
 
-@q("multimodal_gif_scene_cuts", tier="py")
+@q(
+    "multimodal_gif_scene_cuts",
+    oracle="""WITH d AS (SELECT doc_id, (doc_id * 31) % 100 AS base,
+                     6 + doc_id % 6 AS c1, 14 + doc_id % 8 AS c2
+                 FROM documents WHERE doc_id % 4 = 2),
+              k AS (SELECT doc_id, 0 AS kf, base AS luma FROM d
+                    UNION ALL SELECT doc_id, c1, base + 75 FROM d
+                    UNION ALL SELECT doc_id, c2, base + 150 FROM d)
+              SELECT doc_id, CAST(kf AS INTEGER) AS keyframe_idx,
+                     ROUND(CAST(luma AS DOUBLE), 2) AS mean_luma
+              FROM k ORDER BY doc_id, keyframe_idx""",
+)
 def multimodal_gif_scene_cuts(spark, sf):
     """Shot-boundary detection over REAL animated GIFs — the raw-frame
     scene-cut pipeline upgraded to an actual container format: GIF89a
     payloads with real LZW compression (functions/media_codecs.py,
     pure Python) are synthesized with id-keyed 3-scene structure,
     decoded, and keyframed by luma delta. With PNG this makes two
-    compressed formats decoding for real; the closed-form cut oracle
-    is asserted in tests/test_multimodal.py."""
+    compressed formats decoding for real. The DuckDB oracle replays the
+    synthesis formula in closed form (same shape as
+    multimodal_scene_cuts), so LZW encode→decode→delta must recover it
+    exactly; tests/test_multimodal.py asserts the same in numpy."""
     from overseer_spark.operators.multimodal import (
         gif_scene_cuts,
         synthesize_gif_media,
