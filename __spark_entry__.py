@@ -44,7 +44,11 @@ def _driver_checked() -> tuple[set[str], set[str]]:
             seen.add(name)
             if not isinstance(row, dict):
                 continue
-            if row.get("err") == "no_oracle":  # PY-tier rows-only check: not a failure
+            if row.get("err") == "no_oracle":
+                # PY-tier rows-only check: not a failure — and if the entry
+                # failed in an EARLIER round but has since reverted to the
+                # PY tier (oracle removed), the failure no longer applies.
+                failed.discard(name)
                 continue
             ok = (
                 row.get("rows_match", True) is not False

@@ -49,6 +49,7 @@ __all__ = [
     "spark_store",
     "filecas_store",
     "manifest_store",
+    "sqlite_store",
     "missing_handlers",
     "validate_graph_handlers",
     "transact_graph",
@@ -88,6 +89,18 @@ def manifest_store(spark: SparkSession | None, path: str):
     from overseer_spark.store.manifest import ManifestCASStore
 
     store = ManifestCASStore(spark, path)
+    store.install()
+    return store
+
+
+def sqlite_store(path: str):
+    """SQL-database store (store/sqlite.py): the reference's deployable
+    JDBC backend family (config.clj:49 ``#{:mysql :h2 :sqlite}``) via
+    Python's stdlib sqlite3 — same DDL, same ``lock_version`` optimistic
+    CAS (store/jdbc.clj:62-87)."""
+    from overseer_spark.store.sqlite import SqliteStore
+
+    store = SqliteStore(path)
     store.install()
     return store
 

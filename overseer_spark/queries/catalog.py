@@ -11262,7 +11262,7 @@ def store_time_travel(spark, sf):
         )
     return spark.createDataFrame(
         rows, "phase string, n_unstarted long, n_finished long"
-    )
+    ).orderBy("phase")
 
 
 @q(
@@ -11368,7 +11368,7 @@ def store_manifest_time_travel(spark, sf):
         rows.append((phase, int(hist.get(0, 0)), int(hist.get(2, 0))))
     return spark.createDataFrame(
         rows, "phase string, n_unstarted long, n_finished long"
-    )
+    ).orderBy("phase")
 
 
 @q(

@@ -88,9 +88,13 @@ def build_store(spec: str):
         return api.manifest_store(get_spark("overseer-runner"), spec.split(":", 1)[1])
     if spec.startswith("manifest-nospark:"):
         return api.manifest_store(None, spec.split(":", 1)[1])
+    if spec.startswith("sqlite:"):
+        # SQL-database deployment leg (reference adapter registry
+        # config.clj:49): many worker processes share one database file
+        return api.sqlite_store(spec.split(":", 1)[1])
     raise SystemExit(
         f"unknown store spec {spec!r} "
-        "(memory | spark:<path> | filecas:<path> | manifest:<path>)"
+        "(memory | spark:<path> | filecas:<path> | manifest:<path> | sqlite:<path>)"
     )
 
 
@@ -105,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--store",
         default="memory",
-        help="memory | spark:<path> | filecas:<path> | manifest:<path>",
+        help="memory | spark:<path> | filecas:<path> | manifest:<path> | sqlite:<path>",
     )
     p.add_argument("--config", help="JSON/YAML config file")
     p.add_argument("--once", action="store_true", help="drain the queue and exit")

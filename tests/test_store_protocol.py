@@ -23,10 +23,14 @@ from overseer_spark.store.base import IllegalTransition
 from overseer_spark.store.memory import MemoryStore
 
 
-@pytest.fixture(params=["memory", "sparklog", "filecas", "manifest"])
+@pytest.fixture(params=["memory", "sparklog", "filecas", "manifest", "sqlite"])
 def store(request, spark, tmp_path):
     if request.param == "memory":
         s = MemoryStore()
+    elif request.param == "sqlite":
+        from overseer_spark.store.sqlite import SqliteStore
+
+        s = SqliteStore(str(tmp_path / "store.db"))
     elif request.param == "filecas":
         from overseer_spark.store.filecas import FileCASStore
 
