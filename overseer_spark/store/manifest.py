@@ -177,10 +177,23 @@ def _now_micros() -> int:
     return time.time_ns() // 1_000
 
 
-def _encode_entry(entry: dict) -> bytes:
+def _entry_crc(entry: dict) -> str:
     body = json.dumps(entry, sort_keys=True)
-    crc = hashlib.sha256(body.encode()).hexdigest()[:16]
-    return json.dumps({"crc": crc, "entry": entry}, sort_keys=True).encode()
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def _encode_entry(entry: dict) -> bytes:
+    return json.dumps(
+        {"crc": _entry_crc(entry), "entry": entry}, sort_keys=True
+    ).encode()
+
+
+class TimeTravelUnavailable(ValueError):
+    """Requested as-of version precedes the retained history: compact()
+    deleted the entries and no checkpoint at-or-below that version
+    survives, so the state cannot be reconstructed. Raised instead of
+    silently returning empty state (which would be indistinguishable
+    from an actually-empty store)."""
 
 
 def _decode_entry(data: bytes) -> dict | None:
@@ -276,8 +289,13 @@ class ManifestCASStore(Store):
         self._writer_id = uuid.uuid4().hex
         # incremental-replay cache: snapshot of the last replayed head
         # state; head replays list the log but only READ entries newer
-        # than the cache (object-store GETs are the expensive part)
+        # than the cache (object-store GETs are the expensive part).
+        # _cache_head_crc pins the crc of the newest entry the cache
+        # applied so reuse can detect a quarantine-and-rewrite of that
+        # slot (TOCTOU: a slow writer's torn entry can be quarantined by
+        # another reader AFTER we read it whole and cached it).
         self._cache_snap: dict | None = None
+        self._cache_head_crc: str | None = None
 
     # -- commit log --------------------------------------------------------
 
@@ -334,21 +352,35 @@ class ManifestCASStore(Store):
         """Deterministic replay of the commit log; ``upto`` bounds the
         replay to log versions ≤ upto — time travel over the manifest
         (available back to the newest checkpoint ≤ upto; compact()
-        truncates history below its checkpoint).
+        truncates history below its checkpoint, and requesting a version
+        older than the retained history raises ``TimeTravelUnavailable``
+        rather than silently replaying to an empty state).
 
         Head replays (``upto=None``) are incremental: entries are
         immutable once validly committed, so the previous replayed state
         is a correct prefix and only entries newer than the cache are
-        fetched — a poll loop costs one LIST plus the delta, not
-        O(history) GETs. Any inconsistency (gap from compaction, a
-        quarantined slot) drops the cache and restarts from the newest
+        fetched — a poll loop costs one LIST + one head-verification GET
+        (``_cache_valid``) plus the delta, not O(history) GETs. Any
+        inconsistency (gap from compaction, a quarantined slot, a head
+        crc mismatch) drops the cache and restarts from the newest
         checkpoint."""
         use_cache = upto is None
         for attempt in range(_MAX_RETRIES):
-            entries, ckpts = self._scan_log()
+            all_entries, all_ckpts = self._scan_log()
+            entries, ckpts = all_entries, all_ckpts
             if upto is not None:
                 entries = [v for v in entries if v <= upto]
                 ckpts = [v for v in ckpts if v <= upto]
+                if (all_entries or all_ckpts) and not (
+                    ckpts or (entries and entries[0] == 0)
+                ):
+                    # history at/below `upto` is gone (compacted past it):
+                    # raise rather than silently replaying to empty state
+                    raise TimeTravelUnavailable(
+                        f"version {upto} not available for time travel: "
+                        f"history retained from version "
+                        f"{min(all_ckpts + all_entries)} onward"
+                    )
             state = _State()
             if use_cache and self._cache_snap is not None:
                 state = _State.from_snapshot(self._cache_snap)
@@ -356,12 +388,23 @@ class ManifestCASStore(Store):
                     # log truncated below the cache (foreign compact with
                     # a newer checkpoint we haven't applied) — rebuild
                     state = _State()
+                elif not self._cache_valid(state.version, entries, ckpts):
+                    # the cached head entry was quarantined (and possibly
+                    # rewritten by a new proposer) after we applied it —
+                    # the cache is a wrong prefix; rebuild from scratch
+                    self._cache_snap = None
+                    self._cache_head_crc = None
+                    state = _State()
+            head_crc = (
+                self._cache_head_crc if state.version >= 0 else None
+            )  # only a cache-sourced prefix carries a pinned head crc
             if state.version < 0 and ckpts:
                 data = self.client.get(self._ckpt_key(ckpts[-1]))
                 if data is not None:
                     snap = _decode_entry(data)
                     if snap is not None:
                         state = _State.from_snapshot(snap)
+                        head_crc = None  # checkpoint states are fence-verified
             restart = False
             for v in entries:
                 if v <= state.version:
@@ -381,15 +424,38 @@ class ManifestCASStore(Store):
                     break
                 state.apply(entry)
                 state.version = v
+                head_crc = _entry_crc(entry)
             if not restart:
                 if use_cache:
                     self._cache_snap = state.snapshot()
+                    self._cache_head_crc = head_crc
                     # hand back a private copy so callers can't mutate
                     # the cached prefix
                     return _State.from_snapshot(self._cache_snap)
                 return state
             self._cache_snap = None  # cache may straddle the anomaly
+            self._cache_head_crc = None
         raise RuntimeError("manifest replay livelock: log churning")
+
+    def _cache_valid(self, version: int, entries: list[int], ckpts: list[int]) -> bool:
+        """Re-verify the cached prefix's head slot before reusing it.
+
+        The TOCTOU this closes: under the local emulation a torn entry
+        can look complete to one reader (who caches it) while another
+        reader observes the torn prefix and quarantines the slot; a new
+        proposer then rewrites version N with a DIFFERENT entry.  An
+        incremental replay that trusted the cache would extend the wrong
+        version-N prefix.  One GET of the head slot per cached replay
+        re-verifies the applied entry's crc; any mismatch (or a vanished
+        slot not superseded by a checkpoint) drops the cache."""
+        if version < 0 or self._cache_head_crc is None:
+            return True
+        if version not in entries:
+            # entry gone: fine only if a checkpoint at/after it covers it
+            # (compaction); a bare disappearance means quarantine
+            return any(c >= version for c in ckpts)
+        entry = self._read_entry(version)
+        return entry is not None and _entry_crc(entry) == self._cache_head_crc
 
     def _maybe_checkpoint(self, state: _State) -> None:
         if state.version >= 0 and (state.version + 1) % self.checkpoint_every == 0:

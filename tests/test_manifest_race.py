@@ -294,10 +294,87 @@ def test_store_manifest_time_travel_entry_histograms(spark):
         (r["phase"], r["n_unstarted"], r["n_finished"])
         for r in CATALOG["store_manifest_time_travel"].fn(spark, "unused").collect()
     ]
+    # rows arrive ORDER BY phase (matching the entry's DuckDB oracle)
     assert rows == [
-        ("submitted", 3, 0),
         ("after_extract", 2, 1),
-        ("after_transform", 1, 2),
         ("after_load", 0, 3),
+        ("after_transform", 1, 2),
         ("live", 0, 3),
+        ("submitted", 3, 0),
     ]
+
+
+def test_time_travel_pre_compaction_version_raises(tmp_path):
+    """A version older than the retained history must raise an explicit
+    error, not silently replay to an empty state (which would be
+    indistinguishable from an actually-empty store)."""
+    import pytest
+
+    from overseer_spark.store.manifest import TimeTravelUnavailable
+
+    store = ManifestCASStore(None, str(tmp_path / "tt"), checkpoint_every=4)
+    store.install()
+    store.transact_graph(_graph(["a", "b", "c"]))
+    v_early = store.current_version()
+    for jid in ("a", "b", "c"):
+        store.reserve_job(jid)
+        store.finish_job(jid)
+    v_head = store.current_version()
+    # before compaction the early version is still reachable
+    assert store._replay(upto=v_early).jobs["a"]["status"] == STATUS_UNSTARTED
+
+    store.compact()  # truncates history below its checkpoint
+    with pytest.raises(TimeTravelUnavailable):
+        store._replay(upto=v_early)
+    # the head version stays reachable via the surviving checkpoint
+    st = store._replay(upto=v_head)
+    assert all(j["status"] == STATUS_FINISHED for j in st.jobs.values())
+
+
+def test_cached_head_quarantine_rewrite_drops_cache(tmp_path):
+    """TOCTOU (cache poisoning) regression: reader A reads + caches a
+    valid-looking entry N; another reader quarantines slot N (torn-write
+    recovery) and a new proposer rewrites it with a DIFFERENT entry.
+    A's next incremental replay must re-verify the cached head's crc,
+    drop the poisoned cache, and converge on the rewritten history."""
+    from overseer_spark.store.manifest import _encode_entry
+
+    path = str(tmp_path / "toctou")
+    a = ManifestCASStore(None, path)
+    a.install()
+    a.transact_graph(_graph(["a"]))  # version 0
+    a.reserve_job("a")  # version 1: cas unstarted→started
+    cached = a.job_info("a")  # populates the incremental-replay cache
+    assert cached.status == STATUS_STARTED
+
+    # simulate the recovery path winning against the cached entry: the
+    # slot is renamed away (quarantine) and reclaimed by a new proposer
+    assert a.client.rename_away(a._entry_key(1), "_log/.quarantine-1-test")
+    rewritten = {
+        "v": 1,
+        "writer": "someone-else",
+        "ts": 999_000,
+        "actions": [
+            {
+                "op": "cas",
+                "id": "a",
+                "expect": 0,
+                "set": {
+                    "status": STATUS_STARTED,
+                    "heartbeat": 424242,
+                    "updated_at": 999_000,
+                },
+            }
+        ],
+    }
+    assert a.client.put_if_absent(a._entry_key(1), _encode_entry(rewritten))
+
+    # head replay re-verifies the cached head crc, detects the rewrite,
+    # rebuilds from scratch, and reflects the REWRITTEN entry
+    job = a.job_info("a")
+    assert job.heartbeat == 424242
+    assert a._cache_head_crc is not None  # cache repinned on the new head
+
+    # and a subsequent incremental reuse of the (now-correct) cache is
+    # stable: same state, no spurious drops
+    assert a.job_info("a").heartbeat == 424242
