@@ -106,17 +106,37 @@ def _release_edges(prepared: DataFrame, original: DataFrame) -> None:
         prepared.unpersist()
 
 
-def _local_graph_ok(jobs: DataFrame, deps: DataFrame, cap: int) -> bool:
-    """Gate for the driver-side fast paths: BOTH the edge table and the
-    node table must be bounded. Probing edges alone is a scale hazard — an
+def _try_local_graph(
+    jobs: DataFrame, deps: DataFrame, cap: int
+) -> tuple[list, list] | None:
+    """Bounded probe-and-fetch for the driver-side fast paths: collect at
+    most cap+1 rows from EACH of the edge and node tables; None when
+    either exceeds the cap. Probing edges alone is a scale hazard — an
     edge-sparse 100 TB jobs table (millions of independent jobs, <100k
-    edges: a normal ingest shape) passes the edge probe and the subsequent
-    ``jobs.select("id").collect()`` OOMs the driver. Each probe is one
-    LocalLimit-bounded scan (cap+1 rows max per task), cheap at any size."""
-    return (
-        deps.select("job_id").limit(cap + 1).count() <= cap
-        and jobs.select("id").limit(cap + 1).count() <= cap
-    )
+    edges: a normal ingest shape) passes an edge probe and an unbounded
+    ``jobs.collect()`` then OOMs the driver, so BOTH tables are bounded.
+    Each fetch is one LocalLimit-bounded scan (cap+1 rows max per task),
+    cheap over an arbitrarily large table.
+
+    Returning the fetched rows is the amortization: a passing probe IS
+    the data the local leg needs, so the fast path pays two Spark jobs
+    total — the same count as an unprobed collect — instead of the two
+    probe counts + two collects it cost before (the dag_pagerank bench
+    regression in r4). ``jobs`` must be pre-projected to the columns the
+    caller wants back (``id`` [+ weight]); edge rows carry
+    (job_id, dep_id)."""
+    edge_rows = deps.select("job_id", "dep_id").limit(cap + 1).collect()
+    if len(edge_rows) > cap:
+        return None
+    job_rows = jobs.limit(cap + 1).collect()
+    if len(job_rows) > cap:
+        return None
+    return job_rows, edge_rows
+
+
+def _local_graph_ok(jobs: DataFrame, deps: DataFrame, cap: int) -> bool:
+    """Boolean view of :func:`_try_local_graph` (both tables under cap)."""
+    return _try_local_graph(jobs.select("id"), deps, cap) is not None
 
 
 def transitive_dependents(
@@ -202,21 +222,40 @@ def transitive_dependents(
                     raise
         visited = frontier  # seeds excluded from result at the end
         result = spark.createDataFrame([], schema="id string")
+        pinned: list[DataFrame] = []  # persisted frontiers awaiting release
         for it in range(max_iterations):
             nxt = direct_dependents(deps, frontier).join(visited, "id", "left_anti")
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
                 # truncate lineage so the plan doesn't grow with graph depth
                 nxt = nxt.localCheckpoint(eager=True)
                 n = nxt.count()
+                if n:
+                    result = result.union(nxt).localCheckpoint(eager=True)
+                    visited = visited.union(nxt).localCheckpoint(eager=True)
+                # result/visited lineage is cut past the interim persisted
+                # frontiers — release them so cached blocks stay
+                # O(checkpoint_every), not O(depth) (critical_path pattern)
+                for p in pinned:
+                    p.unpersist()
+                pinned.clear()
             else:
                 nxt = nxt.persist()
                 n = nxt.count()  # single action per iteration: populates cache
+                if n:
+                    pinned.append(nxt)
+                    result = result.union(nxt)
+                    visited = visited.union(nxt)
             if n == 0:
+                nxt.unpersist()
                 break
-            result = result.union(nxt)
-            visited = visited.union(nxt)
             frontier = nxt
-        return result.distinct()
+        out = result.distinct()
+        if pinned:
+            # cut once so dropping the last frontiers can't force recompute
+            out = out.localCheckpoint(eager=True)
+            for p in pinned:
+                p.unpersist()
+        return out
     finally:
         _release_edges(deps, raw_deps)
 
@@ -272,12 +311,15 @@ def topo_levels(
     runs driver-side (the wave loop is pure scheduling overhead there).
     """
     spark = jobs.sparkSession
-    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
-        ids = [r["id"] for r in jobs.select("id").collect()]
-        edges = [
-            (r["job_id"], r["dep_id"])
-            for r in deps.select("job_id", "dep_id").collect()
-        ]
+    probe = (
+        _try_local_graph(jobs.select("id"), deps, local_edge_cap)
+        if strategy == "auto"
+        else None
+    )
+    if probe is not None:
+        job_rows, edge_rows = probe
+        ids = [r["id"] for r in job_rows]
+        edges = [(r["job_id"], r["dep_id"]) for r in edge_rows]
         known = set(ids)
         indeg = {i: 0 for i in ids}
         out_adj: dict[str, list[str]] = {}
@@ -308,6 +350,7 @@ def topo_levels(
         )
         frontier = roots.withColumn("level", F.lit(0).cast("long"))
         acc = frontier
+        pinned: list[DataFrame] = []  # persisted frontiers awaiting release
         for it in range(max_iterations):
             nxt = (
                 deps.join(frontier, deps.dep_id == frontier.id)
@@ -318,14 +361,30 @@ def topo_levels(
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=True)
                 n = nxt.count()
+                if n:
+                    acc = acc.union(nxt).localCheckpoint(eager=True)
+                # acc's lineage is cut — release interim persisted
+                # frontiers (critical_path pattern: cached blocks stay
+                # O(checkpoint_every), not O(depth))
+                for p in pinned:
+                    p.unpersist()
+                pinned.clear()
             else:
                 nxt = nxt.persist()
                 n = nxt.count()
+                if n:
+                    pinned.append(nxt)
+                    acc = acc.union(nxt)
             if n == 0:
+                nxt.unpersist()
                 break
-            acc = acc.union(nxt)
             frontier = nxt
-        return acc.groupBy("id").agg(F.max("level").cast("long").alias("level"))
+        out = acc.groupBy("id").agg(F.max("level").cast("long").alias("level"))
+        if pinned:
+            out = out.localCheckpoint(eager=True)
+            for p in pinned:
+                p.unpersist()
+        return out
     finally:
         _release_edges(deps, raw_deps)
 
@@ -360,11 +419,17 @@ def pagerank(
     truncates lineage exactly like :func:`topo_levels`.
     """
     spark = jobs.sparkSession
-    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
-        ids = [r["id"] for r in jobs.select("id").collect()]
+    probe = (
+        _try_local_graph(jobs.select("id"), deps, local_edge_cap)
+        if strategy == "auto"
+        else None
+    )
+    if probe is not None:
+        job_rows, edge_rows = probe
+        ids = [r["id"] for r in job_rows]
         if not ids:
             return jobs.select("id").withColumn("rank", F.lit(0.0))
-        edges = [(r["job_id"], r["dep_id"]) for r in deps.select("job_id", "dep_id").collect()]
+        edges = [(r["job_id"], r["dep_id"]) for r in edge_rows]
         outd: dict[str, int] = {}
         for a, _ in edges:
             outd[a] = outd.get(a, 0) + 1
@@ -409,10 +474,16 @@ def pagerank(
             )
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-        # last localCheckpoint may be up to checkpoint_every-1 iterations
-        # stale — cut once more so the returned plan is flat and does not
-        # reference the (about-to-be-released) prepared edge cache
-        return ranks.localCheckpoint(eager=True)
+        if deps is not raw_deps:
+            # prepare_edges pinned a declustered edge cache that the
+            # finally-block is about to release: cut the returned plan
+            # loose so later actions reuse materialized ranks instead of
+            # recomputing the whole iteration chain (correct either way —
+            # lineage replays the repartition — but wastefully). NOTE this
+            # one path returns an EAGERLY materialized result; the
+            # uncached path stays lazy like the other graph ops.
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
     finally:
         _release_edges(deps, raw_deps)
 
@@ -443,12 +514,15 @@ def detect_cycles(
     (the fixpoint is monotone and bounded by |jobs|).
     """
     spark = jobs.sparkSession
-    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
-        id_list = [r["id"] for r in jobs.select("id").collect()]
-        edges = [
-            (r["job_id"], r["dep_id"])
-            for r in deps.select("job_id", "dep_id").collect()
-        ]
+    probe = (
+        _try_local_graph(jobs.select("id"), deps, local_edge_cap)
+        if strategy == "auto"
+        else None
+    )
+    if probe is not None:
+        job_rows, edge_rows = probe
+        id_list = [r["id"] for r in job_rows]
+        edges = [(r["job_id"], r["dep_id"]) for r in edge_rows]
         known = set(id_list)
         indeg = {i: 0 for i in id_list}
         out_adj: dict[str, list[str]] = {}
@@ -596,17 +670,19 @@ def critical_path(
     groupBy keeps the longest path, which is exactly the estimator's
     max-plus semiring."""
     spark = jobs.sparkSession
-    if strategy == "auto" and _local_graph_ok(jobs, deps, local_edge_cap):
-        wt = {
-            r["id"]: int(r["_w"])
-            for r in jobs.select(
-                "id", F.col(weight_col).cast("long").alias("_w")
-            ).collect()
-        }
-        edges = [
-            (r["job_id"], r["dep_id"])
-            for r in deps.select("job_id", "dep_id").collect()
-        ]
+    probe = (
+        _try_local_graph(
+            jobs.select("id", F.col(weight_col).cast("long").alias("_w")),
+            deps,
+            local_edge_cap,
+        )
+        if strategy == "auto"
+        else None
+    )
+    if probe is not None:
+        job_rows, edge_rows = probe
+        wt = {r["id"]: int(r["_w"]) for r in job_rows}
+        edges = [(r["job_id"], r["dep_id"]) for r in edge_rows]
         indeg: dict[str, int] = {i: 0 for i in wt}
         out_adj: dict[str, list[str]] = {}
         for j, d in edges:

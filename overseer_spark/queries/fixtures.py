@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from overseer_spark.core import DEPENDENCIES_SCHEMA, JOBS_SCHEMA
-
 # (id, type, args, status, failure, heartbeat, lock_version)
 JOB_ROWS: list[tuple[str, str, str | None, int, str | None, int | None, int]] = [
     ("j-unstarted-nodeps", "t", None, 0, None, None, 0),
@@ -48,31 +46,42 @@ DEAD_THRESHOLD = 1700000000
 CLOSURE_SEED = "j-root"
 
 
+def _sql_str(v: str | None) -> str:
+    return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+
 def jobs_df(spark: SparkSession) -> DataFrame:
-    rows = [
-        {
-            "id": r[0],
-            "type": r[1],
-            "args": r[2],
-            "status": r[3],
-            "failure": r[4],
-            "heartbeat": r[5],
-            "lock_version": r[6],
-            "created_at": None,
-            "updated_at": None,
-        }
+    """Fixture jobs as a JVM-side ``VALUES`` local relation.
+
+    Deliberately NOT ``createDataFrame(python_rows)``: that parallelizes
+    pickled Python data, so EVERY action on the fixture (the dag_* ops'
+    bounded size probes, the final collect) relaunches Python workers —
+    ~0.9 s per action for 13 rows. An inline SQL VALUES relation lives
+    entirely in the JVM (often folded to a driver-local result with no
+    tasks at all), which is also how a real deployment's jobs table
+    behaves (a parquet/JDBC scan, not a Python round-trip)."""
+    rows = ", ".join(
+        f"({_sql_str(r[0])}, {_sql_str(r[1])}, {_sql_str(r[2])}, {r[3]}, "
+        f"{_sql_str(r[4])}, "
+        f"{'CAST(NULL AS BIGINT)' if r[5] is None else f'CAST({r[5]} AS BIGINT)'}, "
+        f"{r[6]})"
         for r in JOB_ROWS
-    ]
-    return spark.createDataFrame(rows, schema=JOBS_SCHEMA)
+    )
+    return spark.sql(
+        f"""SELECT id, type, args, CAST(status AS INT) AS status, failure,
+                   heartbeat, CAST(lock_version AS INT) AS lock_version,
+                   CAST(NULL AS TIMESTAMP) AS created_at,
+                   CAST(NULL AS TIMESTAMP) AS updated_at
+            FROM (VALUES {rows})
+            AS t(id, type, args, status, failure, heartbeat, lock_version)"""
+    )
 
 
 def deps_df(spark: SparkSession) -> DataFrame:
-    rows = [{"job_id": a, "dep_id": b} for a, b in DEP_ROWS]
-    return spark.createDataFrame(rows, schema=DEPENDENCIES_SCHEMA)
-
-
-def _sql_str(v: str | None) -> str:
-    return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+    rows = ", ".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in DEP_ROWS)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(job_id, dep_id)"
+    )
 
 
 def jobs_values_cte() -> str:
