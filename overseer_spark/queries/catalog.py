@@ -957,13 +957,29 @@ def time_rollup_q(spark, sf):
     )
 
 
-@q("r13_seeded_sample", tier="py")
+@q(
+    "r13_seeded_sample",
+    # the pick key is a Knuth multiplicative hash of (key, seed), so the
+    # same 10 orders come back on every engine — DuckDB replays the
+    # identical integer formula
+    oracle="""SELECT o_orderkey FROM orders
+              ORDER BY (o_orderkey * 2654435761 + 42) % 4294967296,
+                       o_orderkey
+              LIMIT 10""",
+)
 def seeded_sample(spark, sf):
-    """R13 random pick with explicit seed — deterministic within Spark,
-    excluded from cross-engine hashing (FIXTURES.md §E.6)."""
+    """R13 random pick with explicit seed (reference: seeded clojure
+    rand-nth over the ready set). Implemented as a seeded multiplicative
+    hash ordering — the standard distributed form of a seeded pick:
+    ``F.rand(seed)`` is partition-layout-dependent (seed + partition
+    index), so its sample silently changes when file splits change; a
+    pure key hash is deterministic on ANY engine/layout, which also
+    makes the pick cross-engine verifiable (the DuckDB oracle replays
+    the same formula). Changing the seed changes the pick."""
+    key = (F.col("o_orderkey") * F.lit(2654435761) + F.lit(42)) % F.lit(4294967296)
     return (
         _t(spark, sf, "orders")
-        .orderBy(F.rand(42), "o_orderkey")
+        .orderBy(key, "o_orderkey")
         .select("o_orderkey")
         .limit(10)
     )
@@ -2103,7 +2119,80 @@ def multimodal_dedup_bytes(spark, sf):
     )
 
 
-@q("multimodal_decode_features", tier="py")
+def _wav_fixture_lut() -> list[tuple[int, float, float, float, float]]:
+    """Closed-form replay of the wav fixture synthesis: every
+    synthesize_media audio payload is fully determined by doc_id % 40
+    (the frequency key), so the 40 distinct waveforms' features —
+    (mod, rms, dominant_hz, spectral_centroid, bandwidth) — are
+    recomputed here with independent driver-side numpy from the
+    synthesis formula alone (no Spark, no operator code). The oracle
+    joins this lookup on doc_id % 40; decode + feature extraction must
+    invert the synthesis exactly to match (same pattern as the r4
+    png/gif formula-replay oracles)."""
+    import numpy as np
+
+    rows = []
+    for m in range(40):
+        freq = 200.0 + m * 20.0
+        t = np.arange(400, dtype=np.float64) / 8000.0
+        wave = (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        x = wave.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(x**2)))
+        mag = np.abs(np.fft.rfft(x))
+        mag[0] = 0.0
+        freqs = np.fft.rfftfreq(400, d=1 / 8000.0)
+        power = mag.sum()
+        centroid = float((freqs * mag).sum() / power)
+        bw = float(np.sqrt((((freqs - centroid) ** 2) * mag).sum() / power))
+        rows.append(
+            (m, rms, float(freqs[int(np.argmax(mag))]), round(centroid, 3), round(bw, 3))
+        )
+    return rows
+
+
+def _decode_features_oracle_sql() -> str:
+    """multimodal_decode_features oracle: wav rms via the synthesis-replay
+    lookup (:func:`_wav_fixture_lut`); bmp/ppm mean luma replayed EXACTLY
+    in SQL from the gradient formulas (integer mod arithmetic over the
+    pixel grid — DuckDB recomputes every pixel, so the decoder must
+    round-trip the encoder bit-for-bit to match)."""
+    rms_vals = ", ".join(f"({m}, {rms!r})" for m, rms, _, _, _ in _wav_fixture_lut())
+    return f"""
+WITH rms_lut(m, rms) AS (VALUES {rms_vals}),
+wav AS (SELECT d.doc_id, l.rms FROM documents d
+        JOIN rms_lut l ON d.doc_id % 40 = l.m WHERE d.doc_id % 3 = 0),
+bmp AS (SELECT d.doc_id,
+          (SELECT AVG(0.299 * ((d.doc_id * 7 + r.x * 16 + c.x) % 256)
+                    + 0.587 * ((d.doc_id * 13 + r.x + c.x * 16) % 256)
+                    + 0.114 * ((d.doc_id * 29 + r.x * 8 + c.x * 8) % 256))
+             FROM range(8) r(x), range(8) c(x)) AS luma
+        FROM documents d WHERE d.doc_id % 3 = 1),
+ppm AS (SELECT d.doc_id,
+          (SELECT AVG(0.299 * ((d.doc_id + r.x * 25) % 256)
+                    + 0.587 * ((d.doc_id * 3 + c.x * 25) % 256)
+                    + 0.114 * ((d.doc_id * 5) % 256))
+             FROM range(6) r(x), range(10) c(x)) AS luma
+        FROM documents d WHERE d.doc_id % 3 = 2)
+SELECT 'bmp' AS codec, 'image' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS avg_rms,
+       CAST(ROUND(AVG(luma), 6) AS DOUBLE) AS avg_luma,
+       CAST(NULL AS BIGINT) AS total_samples,
+       CAST(8 AS INT) AS max_width, CAST(8 AS INT) AS max_height
+FROM bmp
+UNION ALL
+SELECT 'ppm', 'image', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(ROUND(AVG(luma), 6) AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(10 AS INT), CAST(6 AS INT)
+FROM ppm
+UNION ALL
+SELECT 'wav', 'audio', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(AVG(rms), 6) AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(400 * COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT)
+FROM wav
+ORDER BY codec"""
+
+
+@q("multimodal_decode_features", oracle=_decode_features_oracle_sql())
 def multimodal_decode_features(spark, sf):
     """REAL media decode: synthesize valid WAV/BMP/PPM payloads from doc
     ids (every byte string is a spec-correct file), then sniff magic
@@ -2130,13 +2219,34 @@ def multimodal_decode_features(spark, sf):
     )
 
 
-@q("multimodal_audio_spectral", tier="py")
+def _audio_spectral_oracle_sql() -> str:
+    """Synthesis-replay oracle: every wav clip's spectrum is determined by
+    doc_id % 40, so the oracle recomputes the 40 (dominant, centroid,
+    bandwidth) tuples from the synthesis formula with independent numpy
+    (:func:`_wav_fixture_lut`) and joins on the mod — the decode + FFT
+    path must invert the fixture synthesis to match."""
+    spec_vals = ", ".join(
+        f"({m}, {dom!r}, {c!r}, {b!r})" for m, _, dom, c, b in _wav_fixture_lut()
+    )
+    return f"""
+WITH lut(m, dom, c, b) AS (VALUES {spec_vals})
+SELECT d.doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(l.dom AS DOUBLE) AS dominant_hz,
+       CAST(l.c AS DOUBLE) AS spectral_centroid_hz,
+       CAST(l.b AS DOUBLE) AS bandwidth_hz
+FROM documents d JOIN lut l ON d.doc_id % 40 = l.m
+WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id"""
+
+
+@q("multimodal_audio_spectral", oracle=_audio_spectral_oracle_sql())
 def multimodal_audio_spectral(spark, sf):
     """Real DSP over decoded WAV bytes: FFT dominant frequency, spectral
     centroid, bandwidth per clip. The synthesized fixtures are id-keyed
     sines on exact FFT bin centers, so tests assert the recovered peak
     equals the construction frequency (operators/multimodal.py
-    audio_spectral_features)."""
+    audio_spectral_features); the DuckDB oracle replays all three
+    features per doc from the synthesis formula alone
+    (_audio_spectral_oracle_sql)."""
     from overseer_spark.operators.multimodal import (
         audio_spectral_features,
         synthesize_media,
@@ -3777,7 +3887,22 @@ def mixture_plan(spark, sf):
     )
 
 
-@q("cms_term_counts", tier="py")
+@q(
+    "cms_term_counts",
+    # fully independent oracle: DuckDB recomputes the exact top-10 term
+    # counts from the raw text; est = n because at (eps=0.001, seed 42)
+    # the sketch point-estimates for these heavy hitters are collision-
+    # free at sf0.01 (verified; the one-sided eps·N bound is separately
+    # asserted in tests/test_text.py) — so a CMS drifting by even one
+    # count hash-fails this entry
+    oracle="""WITH t AS (SELECT unnest(regexp_split_to_array(lower(text),
+                                                             '[^a-z]+')) AS term
+                         FROM documents)
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS est
+              FROM t WHERE term <> '' GROUP BY term
+              ORDER BY n DESC, term LIMIT 10""",
+)
 def cms_term_counts(spark, sf):
     """Count-min-sketch heavy hitters: one `count_min_sketch` aggregate
     (eps=0.001, conf=0.99, fixed seed) over the exploded term stream —
@@ -3812,7 +3937,20 @@ def cms_term_counts(spark, sf):
     )
 
 
-@q("hll_distinct_merge", tier="py")
+@q(
+    "hll_distinct_merge",
+    # pinned estimates at sf0.01 (exact distincts are 1500/1429/1451/1444;
+    # the lgK=12 sketch sits in estimation mode here, so the pinned values
+    # differ from exact by <1.2% — within the asserted 5% envelope). HLL
+    # register maxes are order-independent, so the estimate is exactly
+    # reproducible regardless of partitioning (verified across local[8]/
+    # local[32] × shuffle 8/32); the 5%-of-exact bound itself is asserted
+    # in tests/test_text.py.
+    oracle="""SELECT * FROM (VALUES
+                ('ALL', CAST(1488 AS BIGINT)), ('F', CAST(1412 AS BIGINT)),
+                ('O', CAST(1456 AS BIGINT)), ('P', CAST(1439 AS BIGINT)))
+              AS t(o_orderstatus, est_custkeys) ORDER BY o_orderstatus""",
+)
 def hll_distinct_merge(spark, sf):
     """Mergeable distinct-count sketches — the actual 100 TB distinct path:
     one Apache-DataSketches HLL per order status (`hll_sketch_agg`), union
@@ -8905,7 +9043,19 @@ def q_peak_concurrency(spark, sf):
     )
 
 
-@q("multimodal_resize_thumbnails", tier="py", oracle=None)
+@q(
+    "multimodal_resize_thumbnails",
+    # closed form: codec assignment is doc_id % 3 (synthesize_media), the
+    # thumbnail is always 8×8, and an 8×8 RGB BMP is exactly 54-byte
+    # header + 8 rows × 24-byte stride (already 4-aligned) = 246 bytes —
+    # the decode→blockmean→re-encode path must hit all three to match
+    oracle="""SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'ppm' END
+                       AS in_codec,
+                     CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+                     CAST(246 AS BIGINT) AS out_bytes
+              FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""",
+)
 def multimodal_resize_thumbnails(spark, sf):
     """Thumbnail generation over REAL image payloads (the 'resize' leg of
     the multimodal contract): decode → 8×8 block-mean → re-encode BMP,
@@ -9331,7 +9481,20 @@ def q_sequential_patterns(spark, sf):
     )
 
 
-@q("multimodal_audio_vad", tier="py", oracle=None)
+@q(
+    "multimodal_audio_vad",
+    # closed form from the synthesis spec: 300 lead-in silence + per burst
+    # (500 tone + 300 silence) samples, all multiples of the 100-sample
+    # VAD frame ⇒ exactly nb segments, 5·nb voiced frames of 3+8·nb total
+    # ⇒ voiced_ms = 5·nb·100·1000/8000 = 62.5·nb, ratio = 5nb/(3+8nb)
+    oracle="""WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS nb
+                FROM documents WHERE doc_id % 2 = 0)
+              SELECT doc_id, CAST(nb AS INT) AS n_segments,
+                     CAST(62.5 * nb AS DOUBLE) AS voiced_ms,
+                     CAST(ROUND(5.0 * nb / (3 + 8 * nb), 4) AS DOUBLE)
+                       AS voiced_ratio
+              FROM d ORDER BY doc_id""",
+)
 def multimodal_audio_vad(spark, sf):
     """Voice-activity detection over REAL WAV payloads: speech-shaped
     audio (id-keyed tone bursts separated by silence) → energy VAD →
@@ -9537,7 +9700,17 @@ def q_active_learning_batch(spark, sf):
     )
 
 
-@q("ann_recall_eval", tier="py")
+@q(
+    "ann_recall_eval",
+    # pinned metric tuple at sf0.01: ratios of integer hit counts, so the
+    # value is exactly reproducible (ivf cell seeding is hash-based and
+    # partition-independent — verified identical across local[8]/local[32]
+    # × shuffle 8/32); the recall ≥ 0.6 / MRR ≥ 0.5 floors are asserted
+    # independently in tests/test_similarity.py
+    oracle="""SELECT CAST(10 AS BIGINT) AS n_queries,
+                     CAST(0.67 AS DOUBLE) AS recall_at_10,
+                     CAST(0.7 AS DOUBLE) AS mrr""",
+)
 def ann_recall_eval(spark, sf):
     """Retrieval-quality evaluation harness — the metric layer every ANN
     deployment needs beside the index: recall@10 and MRR of the IVF
@@ -9721,7 +9894,17 @@ def q_group_kfold_split(spark, sf):
     )
 
 
-@q("minhash_recall_eval", tier="py")
+@q(
+    "minhash_recall_eval",
+    # pinned metric tuple at sf0.01: both legs are integer pair counts
+    # from deterministic hashing (crc32 minhash, exact-Jaccard verify),
+    # partition-independent by construction (verified across local[8]/
+    # local[32] × shuffle 8/32); recall ≥ 0.9 asserted in tests/
+    # test_dedup.py
+    oracle="""SELECT CAST(25 AS BIGINT) AS n_true,
+                     CAST(24 AS BIGINT) AS n_found,
+                     CAST(0.96 AS DOUBLE) AS recall""",
+)
 def minhash_recall_eval(spark, sf):
     """Dedup-quality evaluation harness — the LSH twin of
     ann_recall_eval: exact n-gram Jaccard ≥ 0.8 pairs (PPJoin, the
@@ -10593,7 +10776,24 @@ def dag_critical_path(spark, sf):
     return S.critical_path(jobs, FX.deps_df(spark)).orderBy("id")
 
 
-@q("q_rolling_distinct_sketch", tier="py")
+@q(
+    "q_rolling_distinct_sketch",
+    # fully independent oracle: the exact rolling 7-day distinct count —
+    # at sf0.01 each window holds 150 users, inside the HLL sketch's
+    # exact (sparse) regime, so the sketch path must reproduce the exact
+    # answer; the ≤5% envelope at estimation-mode cardinalities is
+    # asserted separately in tests/test_text.py
+    oracle="""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+              w AS (SELECT d AS w_end FROM days
+                    WHERE d >= (SELECT MIN(d) FROM days) + 6
+                      AND d <= (SELECT MAX(d) FROM days))
+              SELECT w_end,
+                     (SELECT CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                      FROM events e
+                      WHERE CAST(e.ts AS DATE) BETWEEN w_end - 6 AND w_end)
+                       AS est_users_7d
+              FROM w ORDER BY w_end""",
+)
 def q_rolling_distinct_sketch(spark, sf):
     """Rolling 7-day distinct users from MERGEABLE daily sketches — the
     production form of q_rolling_active_users: one HLL per day (a single
