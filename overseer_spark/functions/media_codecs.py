@@ -1,10 +1,14 @@
-"""Real media codecs in pure Python/numpy: WAV (RIFF PCM), BMP, PPM/PGM.
+"""Real media codecs in pure Python/numpy: WAV (RIFF PCM), BMP, PPM/PGM,
+PNG (zlib inflate + all five spec filters), GIF (LZW, animation frames),
+and baseline sequential JPEG (T.81 huffman + dequant + IDCT —
+``decode_jpeg`` below).
 
-These are complete, spec-faithful implementations of three genuinely
-parseable formats — header + samples, no native libraries — so the
-multimodal pipeline (operators/multimodal.py) decodes *real* payload
-bytes, not a stand-in. Compressed codecs (jpeg/mp3/h264...) remain the
-documented seam: they need native libs this environment does not ship.
+These are complete, spec-faithful implementations — header + samples,
+no native libraries — so the multimodal pipeline
+(operators/multimodal.py) decodes *real* payload bytes, not a stand-in.
+The remaining documented seam is narrower: progressive JPEG, MP3, and
+MP4/H.264 need native libs this environment does not ship (each scope
+guard raises NotImplementedError naming the boundary).
 
 Each decoder returns (metadata dict, numpy array):
 - WAV  -> {kind: audio, sample_rate, n_channels, n_samples}, int16 [n, ch]

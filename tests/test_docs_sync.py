@@ -62,3 +62,40 @@ def test_ordering_rotates_to_unchecked_sql_entries():
     assert all(CATALOG[n].oracle and n not in checked for n in head), (
         "checked prefix must be unchecked SQL-tier entries"
     )
+
+
+def test_scaling_md_round_cited_timing_claims_match_bench():
+    """Performance numbers in SCALING.md that cite a driver-bench round
+    ("X s → Y s per the rNN driver bench") must agree with that round's
+    committed BENCH_rNN.json within 15% — the drift class the round-4
+    review caught (a claimed 1.0 s vs a measured 1.395 s). Claims
+    without a round citation are historical prose and aren't checked."""
+    import json
+    import re
+
+    text = (ROOT / "SCALING.md").read_text()
+    # e.g. "jpeg decode 1.9 s → 1.4 s\n  per the r04 driver bench"
+    claim_re = re.compile(
+        r"(?P<label>[a-z0-9_ ]+?)\s+[\d.]+\s*s\s*→\s*(?P<after>[\d.]+)\s*s\s+"
+        r"per the r(?P<round>\d+) driver bench",
+        re.IGNORECASE | re.DOTALL,
+    )
+    label_to_query = {
+        "jpeg decode": "multimodal_jpeg_decode",
+        "gif scene cuts": "multimodal_gif_scene_cuts",
+    }
+    claims = list(claim_re.finditer(" ".join(text.split())))
+    assert claims, "expected at least one round-cited timing claim"
+    for m in claims:
+        label = m.group("label").strip().split(", ")[-1]
+        query = label_to_query.get(label)
+        assert query is not None, f"unmapped SCALING.md claim label: {label!r}"
+        bench_path = ROOT / f"BENCH_r{int(m.group('round')):02d}.json"
+        raw = bench_path.read_text()
+        got = re.search(rf"{query}\\?\": ([\d.]+)", raw)
+        assert got, f"{query} not in {bench_path.name}"
+        measured, claimed = float(got.group(1)), float(m.group("after"))
+        assert abs(claimed - measured) <= 0.15 * measured + 0.05, (
+            f"SCALING.md claims {claimed} s for {query}; "
+            f"{bench_path.name} measured {measured} s"
+        )
