@@ -73,25 +73,36 @@ CUSTOMER_COLS = {"num": ["c_acctbal"], "int": ["c_custkey", "c_nationkey"],
                  "str": ["c_mktsegment"]}
 
 
-def gen_case(rng: random.Random) -> dict:
-    """One random query as a tiny AST dict (engine-neutral)."""
+def gen_case(rng: random.Random, family: str | None = None) -> dict:
+    """One random query as a tiny AST dict (engine-neutral). ``family``
+    forces a specific generator (dedicated per-family sweeps)."""
+    if family == "gsets":
+        return gen_gsets_case(rng)
+    if family == "asofjoin":
+        return gen_asof_case(rng) if rng.random() < 0.5 else gen_interval_case(rng)
     roll = rng.random()
-    if roll < 0.25:
+    if roll < 0.22:
         return gen_join_case(rng)
-    if roll < 0.4:
+    if roll < 0.36:
         return gen_window_case(rng)
-    if roll < 0.55:
+    if roll < 0.49:
         return gen_expr_case(rng)
-    if roll < 0.65:
+    if roll < 0.57:
         return gen_rollup_case(rng)
-    if roll < 0.72:
+    if roll < 0.63:
         return gen_setop_case(rng)
-    if roll < 0.8:
+    if roll < 0.7:
         return gen_subquery_case(rng)
-    if roll < 0.86:
+    if roll < 0.76:
         return gen_having_case(rng)
-    if roll < 0.91:
+    if roll < 0.81:
         return gen_datetime_case(rng)
+    if roll < 0.86:
+        return gen_gsets_case(rng)
+    if roll < 0.9:
+        return gen_asof_case(rng)
+    if roll < 0.94:
+        return gen_interval_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -225,6 +236,145 @@ def build_having_spark_df(spark, sf_dir: str, case: dict):
         .where(F.col("nd") > th)
         .orderBy(g)
     )
+
+
+EVENT_TYPES = ["click", "signup", "error", "view", "purchase"]
+
+
+def gen_gsets_case(rng: random.Random) -> dict:
+    """GROUPING-SETS NULL semantics: one group key is artificially
+    nullified (CASE prefix match → NULL) so NATURAL NULLs collide with
+    super-aggregate NULLs, then disambiguated via GROUPING() flags —
+    rollup vs cube, COUNT(*) vs COUNT(nullable), and an exact integer
+    SUM. The classic dialect seam (Spark grouping() vs DuckDB
+    GROUPING(); indicator-bit conventions) the curated rollup entry
+    does not probe with natural NULLs present."""
+    pool = [(t, TABLES[t]["str"]) for t in TABLES if len(TABLES[t]["str"]) >= 2]
+    table, strs = rng.choice(pool)
+    a, b = rng.sample(strs, 2)
+    ic = rng.choice(TABLES[table]["int"])
+    letter = rng.choice("abcdefoprs")
+    mode = rng.choice(["rollup", "cube"])
+    return {"gsets": (table, a, b, ic, letter, mode)}
+
+
+def gsets_to_sql(case: dict) -> str:
+    t, a, b, ic, letter, mode = case["gsets"]
+    ka = f"CASE WHEN {a} LIKE '{letter}%' THEN NULL ELSE {a} END"
+    fn = "ROLLUP" if mode == "rollup" else "CUBE"
+    return (
+        f"SELECT {ka} AS ka, {b} AS kb, "
+        f"CAST(GROUPING({ka}) AS BIGINT) AS ga, "
+        f"CAST(GROUPING({b}) AS BIGINT) AS gb, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT({ka}) AS BIGINT) AS nn, "
+        f"CAST(SUM({ic}) AS BIGINT) AS s "
+        f"FROM {t} GROUP BY {fn} ({ka}, {b})"
+    )
+
+
+def build_gsets_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    t, a, b, ic, letter, mode = case["gsets"]
+    df = load_table(spark, sf_dir, t).withColumn(
+        "ka",
+        F.when(F.col(a).startswith(letter), F.lit(None)).otherwise(F.col(a)),
+    )
+    g = df.rollup("ka", b) if mode == "rollup" else df.cube("ka", b)
+    return g.agg(
+        F.grouping("ka").cast("long").alias("ga"),
+        F.grouping(b).cast("long").alias("gb"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("ka").cast("long").alias("nn"),
+        F.sum(ic).cast("long").alias("s"),
+    ).select("ka", F.col(b).alias("kb"), "ga", "gb", "n", "nn", "s")
+
+
+def gen_asof_case(rng: random.Random) -> dict:
+    """Backward as-of join: our window-based asof_join operator
+    (operators/joins.py) vs DuckDB's NATIVE ASOF LEFT JOIN — per
+    user_id, each left event picks the newest right event at-or-before
+    (or strictly-before) its timestamp. The right side is deduped to
+    one row per (user_id, ts) with a MAX(event_id) payload so tie
+    resolution is deterministic on both engines."""
+    lt, rt = rng.sample(EVENT_TYPES, 2)
+    return {"asof": (lt, rt, rng.random() < 0.5)}
+
+
+def asof_to_sql(case: dict) -> str:
+    lt, rt, exact = case["asof"]
+    cmp_ = ">=" if exact else ">"
+    return (
+        f"WITH l AS (SELECT event_id, user_id, ts FROM events "
+        f"           WHERE event_type = '{lt}'), "
+        f"r AS (SELECT user_id, ts, MAX(event_id) AS rid FROM events "
+        f"      WHERE event_type = '{rt}' GROUP BY user_id, ts) "
+        f"SELECT l.event_id, r.rid "
+        f"FROM l ASOF LEFT JOIN r "
+        f"ON l.user_id = r.user_id AND l.ts {cmp_} r.ts"
+    )
+
+
+def build_asof_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.joins import asof_join
+    from overseer_spark.sources.tables import load_table
+
+    lt, rt, exact = case["asof"]
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == lt).select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == rt)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("rid"))
+    )
+    return asof_join(
+        left, right, on="ts", by=["user_id"], allow_exact_matches=exact
+    ).select("event_id", F.col("rid_right").alias("rid"))
+
+
+def gen_interval_case(rng: random.Random) -> dict:
+    """Interval (tolerance-band) join: our bucketed interval_join
+    operator vs a plain DuckDB theta join on |Δts| ≤ tolerance within
+    user_id — validates the bucket-replicate-residual rewrite emits
+    exactly the theta-join pair set, including bucket-boundary pairs."""
+    lt, rt = rng.sample(EVENT_TYPES, 2)
+    tol_s = rng.choice([2, 5, 15, 60])
+    return {"interval": (lt, rt, tol_s)}
+
+
+def interval_to_sql(case: dict) -> str:
+    lt, rt, tol_s = case["interval"]
+    return (
+        f"WITH l AS (SELECT event_id, user_id, ts FROM events "
+        f"           WHERE event_type = '{lt}'), "
+        f"r AS (SELECT event_id AS rid, user_id, ts AS rts FROM events "
+        f"      WHERE event_type = '{rt}') "
+        f"SELECT l.event_id, r.rid FROM l JOIN r "
+        f"ON l.user_id = r.user_id "
+        f"AND ABS(epoch_us(l.ts) - epoch_us(r.rts)) <= {tol_s * 1_000_000}"
+    )
+
+
+def build_interval_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.joins import interval_join
+    from overseer_spark.sources.tables import load_table
+
+    lt, rt, tol_s = case["interval"]
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == lt).select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == rt).select(
+        "user_id", "ts", F.col("event_id").alias("rid")
+    )
+    return interval_join(
+        left, right, on="ts", tolerance_us=tol_s * 1_000_000, by=["user_id"]
+    ).select("event_id", F.col("rid_right").alias("rid"))
 
 
 def gen_join_case(rng: random.Random) -> dict:
@@ -583,6 +733,12 @@ def build_join_spark_df(spark, sf_dir: str, case: dict):
 
 
 def to_sql(case: dict) -> str:
+    if "gsets" in case:
+        return gsets_to_sql(case)
+    if "asof" in case:
+        return asof_to_sql(case)
+    if "interval" in case:
+        return interval_to_sql(case)
     if "datetime" in case:
         return datetime_to_sql(case)
     if "having" in case:
@@ -674,11 +830,19 @@ def _close(a, b, tol=1e-6) -> bool:
     return abs(fa - fb) <= tol * max(1.0, abs(fa), abs(fb))
 
 
-def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
+def run_case(
+    spark, con, sf_dir: str, seed: int, family: str | None = None
+) -> tuple[bool, str]:
     rng = random.Random(seed)
-    case = gen_case(rng)
+    case = gen_case(rng, family)
     sql = to_sql(case)
-    if "datetime" in case:
+    if "gsets" in case:
+        srows = build_gsets_spark_df(spark, sf_dir, case).collect()
+    elif "asof" in case:
+        srows = build_asof_spark_df(spark, sf_dir, case).collect()
+    elif "interval" in case:
+        srows = build_interval_spark_df(spark, sf_dir, case).collect()
+    elif "datetime" in case:
         srows = build_datetime_spark_df(spark, sf_dir, case).collect()
     elif "having" in case:
         srows = build_having_spark_df(spark, sf_dir, case).collect()
@@ -697,6 +861,17 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[bool, str]:
     else:
         srows = build_spark_df(spark, sf_dir, case).collect()
     drows = con.execute(sql).fetchall()
+    if "gsets" in case or "asof" in case or "interval" in case:
+        # exact integer/string rows: order-insensitive multiset compare
+        s_ = sorted(tuple(str(x) for x in r) for r in srows)
+        d_ = sorted(tuple(str(x) for x in r) for r in drows)
+        if s_ != d_:
+            diff = next((p for p in zip(s_, d_) if p[0] != p[1]), None)
+            return (
+                False,
+                f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)} first_diff={diff}",
+            )
+        return (True, f"seed={seed} sql={sql!r} rows={len(s_)}")
     if "having" in case or "datetime" in case:
         if len(srows) != len(drows):
             return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
@@ -754,6 +929,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--family",
+        choices=["gsets", "asofjoin"],
+        help="force every case into one generator (dedicated family sweeps)",
+    )
     ns = ap.parse_args()
 
     import duckdb
@@ -767,7 +947,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{ns.sf}/{t}.parquet'")
     bad = 0
     for i in range(ns.n):
-        ok, detail = run_case(spark, con, ns.sf, ns.seed + i)
+        ok, detail = run_case(spark, con, ns.sf, ns.seed + i, ns.family)
         print(("PASS " if ok else "FAIL ") + detail)
         bad += 0 if ok else 1
     print(f"{ns.n - bad}/{ns.n} passed")
