@@ -324,20 +324,24 @@ def test_tpch_q21_single_fact_shuffle_no_self_join(spark):
     assert has_broadcast_join(df), "supplier dim must broadcast"
 
 
-def test_semantic_dedup_pair_join_is_hash_not_nested_loop(spark):
-    """SemDeDup stage 2 must be an equi hash join ON cluster (plus the
-    intentional k-row centroid broadcast nested loop in stage 1) — a full
-    BroadcastNestedLoopJoin over the vector table itself would be the
-    O(n²) plan the operator exists to avoid."""
+def test_semantic_dedup_stage2_is_grouped_matmul_not_pair_join(spark):
+    """SemDeDup stage 2 must be ONE Arrow-batched group map per cluster
+    (FlatMapGroupsInPandas: the chunked BLAS U·Uᵀ) — no pair join over
+    the vector table at all, and in particular no nested-loop/cartesian
+    pairing (the O(n²)-materialization plan the operator exists to
+    avoid). The only nested loop allowed is the intentional k-row
+    centroid broadcast in the stage-1 assignment."""
     df = q("semantic_dedup_clustered", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, (
+        f"stage 2 should be a grouped Arrow matmul:\n{plan}"
+    )
     pair_joins = [
-        ln for ln in plan.splitlines() if "Join" in ln and "vec_id" in ln
+        ln
+        for ln in plan.splitlines()
+        if ("Join" in ln or "CartesianProduct" in ln) and "vec_id" in ln
     ]
-    assert any(
-        "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
-        for ln in pair_joins
-    ), f"pair join not a hash join:\n{plan}"
+    assert not pair_joins, f"unexpected pair join over vectors:\n{pair_joins}"
 
 
 def test_tpch_q11_rollup_persisted_and_threshold_broadcast(spark):
