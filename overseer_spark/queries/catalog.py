@@ -1284,11 +1284,174 @@ def embedding_near_dup_exact(spark, sf):
     ).orderBy("d1", "d2")
 
 
-@q("simhash_near_dup_pairs", tier="py")
+# ---------------------------------------------------------------------------
+# Python-replay oracle generators: DuckDB cannot compute crc32/zlib, so
+# these oracles are generated AT IMPORT by an independent pure-Python
+# replay over the raw sf0.01 parquet bytes (the same independence the
+# pytest oracles have — zlib.crc32 vs the JVM's CRC32 — now visible to
+# the driver's hash gate). Guarded: if the fixed-corpus testdata is
+# absent the entry degrades to the rows-only PY tier instead of failing
+# import.
+# ---------------------------------------------------------------------------
+
+
+def _gen_oracle(fn):
+    try:
+        return fn()
+    except Exception:
+        return None  # no testdata in this environment: stay rows-only
+
+
+def _docs_sf001_text():
+    """(doc_id, text) rows of the driver's correctness corpus, read
+    directly from parquet (no Spark)."""
+    global _DOCS_TEXT_CACHE
+    try:
+        return _DOCS_TEXT_CACHE
+    except NameError:
+        pass
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    _DOCS_TEXT_CACHE = list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    return _DOCS_TEXT_CACHE
+
+
+def _simhash_py(text: str, bits: int = 32) -> int:
+    """Independent SimHash replay: zlib.crc32 (NOT the JVM CRC32 the
+    operator uses — same polynomial, different implementation), python
+    bit-majority. Must agree bit-for-bit with operators/dedup.simhash."""
+    import zlib
+
+    hs = [zlib.crc32(t.encode("utf-8")) & 0xFFFFFFFF for t in text.split(" ")]
+    sig = 0
+    for b in range(bits):
+        if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+            sig |= 1 << b
+    return sig
+
+
+def _simhash_sig_values() -> str:
+    return ", ".join(
+        f"({i}, CAST({_simhash_py(t)} AS BIGINT))" for i, t in _docs_sf001_text()
+    )
+
+
+def _simhash_sigs_oracle() -> str:
+    return (
+        f"SELECT * FROM (VALUES {_simhash_sig_values()})"
+        " AS t(doc_id, simhash) ORDER BY doc_id"
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    """ALL-PAIRS Hamming ≤ 3 over the replayed signatures — DuckDB scans
+    every pair, so this independently proves the pigeonhole blocking's
+    recall-1.0 claim on the driver corpus, not just in pytest."""
+    return f"""
+WITH sig(doc_id, sh) AS (VALUES {_simhash_sig_values()})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY d1, d2"""
+
+
+def _rolling_oracle() -> str:
+    """Polynomial rolling hash replay (zlib.crc32, same recurrence as
+    operators/text.fingerprint)."""
+    import zlib
+
+    mod = (1 << 31) - 1
+
+    def roll(text: str) -> int:
+        acc = 0
+        for t in text.split(" "):
+            acc = (acc * 31 + (zlib.crc32(t.encode("utf-8")) & 0xFFFFFFFF)) % mod
+        return acc
+
+    rows = ", ".join(
+        f"({i}, CAST({roll(t)} AS BIGINT))" for i, t in _docs_sf001_text()
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(doc_id, rolling_hash) ORDER BY doc_id"
+
+
+def _compression_ratio_oracle() -> str:
+    """zlib level-6 replay; Spark ROUND is HALF_UP on the double's exact
+    binary expansion (python round() is banker's — diverges when the
+    ratio is an exact power-of-two fraction like 33/64)."""
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def ratio(text: str) -> float:
+        raw = (text or "").encode("utf-8")
+        if not raw:
+            return 1.0
+        x = len(zlib.compress(raw, 6)) / len(raw)
+        return float(Decimal(x).quantize(Decimal("0.00001"), ROUND_HALF_UP))
+
+    rows = ", ".join(
+        f"({i}, CAST({ratio(t)!r} AS DOUBLE))" for i, t in _docs_sf001_text()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows})"
+        " AS t(doc_id, compression_ratio) ORDER BY doc_id"
+    )
+
+
+def _image_ahash_oracle() -> str:
+    """aHash replay from the synthesize_media gradient formulas alone
+    (independent numpy; the decode path must round-trip the encoder
+    bit-for-bit for the Spark side to match)."""
+    import numpy as np
+
+    def ahash(i: int) -> tuple[str, str]:
+        if i % 3 == 1:
+            r, c = np.mgrid[0:8, 0:8]
+            px = np.stack(
+                [(i * 7 + r * 16 + c) % 256, (i * 13 + r + c * 16) % 256,
+                 (i * 29 + r * 8 + c * 8) % 256], axis=-1
+            ).astype(np.float64)
+            codec = "bmp"
+        else:
+            r, c = np.mgrid[0:6, 0:10]
+            px = np.stack(
+                [(i + r * 25) % 256, (i * 3 + c * 25) % 256,
+                 np.full((6, 10), (i * 5) % 256)], axis=-1
+            ).astype(np.float64)
+            codec = "ppm"
+        gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        h, w = gray.shape
+        ri = (np.arange(h) * 8) // h
+        ci = (np.arange(w) * 8) // w
+        cells = np.zeros((8, 8))
+        counts = np.zeros((8, 8))
+        np.add.at(cells, (ri[:, None], ci[None, :]), gray)
+        np.add.at(counts, (ri[:, None], ci[None, :]), 1.0)
+        cells /= np.maximum(counts, 1.0)
+        bits = (cells >= cells.mean()).flatten()
+        val = 0
+        for bit in bits:
+            val = (val << 1) | int(bit)
+        return codec, f"{val & 0xFFFFFFFFFFFFFFFF:016x}"
+
+    rows = ", ".join(
+        f"({i}, '{ahash(i)[0]}', '{ahash(i)[1]}')"
+        for i, _ in _docs_sf001_text()
+        if i % 3 != 0
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(doc_id, codec, ahash) ORDER BY doc_id"
+
+
+@q("simhash_near_dup_pairs", oracle=_gen_oracle(_simhash_pairs_oracle))
 def simhash_near_dup(spark, sf):
     """SimHash Hamming ≤ 3 pairs, pigeonhole-blocked into max_hamming+1
     bit blocks (recall 1.0 by construction — proven exhaustively in
-    tests/test_dedup.py)."""
+    tests/test_dedup.py, and independently against the DuckDB oracle's
+    ALL-PAIRS scan of python-replayed signatures)."""
     return D.simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=3).orderBy(
         "d1", "d2"
     )
@@ -1427,7 +1590,7 @@ def minhash_pairs(spark, sf):
     )
 
 
-@q("simhash_signatures", tier="py")
+@q("simhash_signatures", oracle=_gen_oracle(_simhash_sigs_oracle))
 def simhash_sigs(spark, sf):
     """32-bit SimHash per doc (crc32 bit-majority; zlib-oracle in tests)."""
     return D.simhash(_t(spark, sf, "documents")).orderBy("doc_id")
@@ -1671,7 +1834,7 @@ def quality_filter_q(spark, sf):
     )
 
 
-@q("text_fingerprint_rolling", tier="py")
+@q("text_fingerprint_rolling", oracle=_gen_oracle(_rolling_oracle))
 def fingerprint_rolling(spark, sf):
     """Order-sensitive polynomial rolling hash over token crc32s
     (zlib-oracle in tests/test_text.py)."""
@@ -1833,7 +1996,15 @@ def zscore(spark, sf):
     ).orderBy("event_id")
 
 
-@q("q42_approx_aggs", tier="py")
+@q(
+    "q42_approx_aggs",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(1400 AS BIGINT), CAST(251477.71 AS DOUBLE), CAST(1500 AS BIGINT))) AS t(approx_custkeys, approx_median_price, exact_custkeys)""",
+)
 def q42(spark, sf):
     """Q42 sketch aggregates (HLL++ / quantile sketch); ≤5% relative error
     vs exact asserted in tests/test_text.py."""
@@ -2042,7 +2213,15 @@ def stream_incr_dedup_screen(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@q("layout_pruning_probe", tier="py")
+@q(
+    "layout_pruning_probe",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES ('range_clustered', TRUE), ('round_robin', FALSE), ('zorder_partkey', TRUE), ('zorder_suppkey', TRUE)) AS t(scheme, prunes) ORDER BY scheme""",
+)
 def layout_pruning_probe(spark, sf):
     """Data-layout effectiveness probe (sources/layout.py): writes lineitem
     three ways — round-robin, range-clustered on l_partkey, Z-ordered on
@@ -5541,7 +5720,15 @@ def not_in_null_semantics(spark, sf):
     )
 
 
-@q("kmeans_lloyd_iters", tier="py")
+@q(
+    "kmeans_lloyd_iters",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS INTEGER), CAST(53 AS BIGINT), CAST(0.922661 AS DOUBLE)), (CAST(1 AS INTEGER), CAST(63 AS BIGINT), CAST(0.922704 AS DOUBLE)), (CAST(2 AS INTEGER), CAST(56 AS BIGINT), CAST(0.924499 AS DOUBLE)), (CAST(3 AS INTEGER), CAST(66 AS BIGINT), CAST(0.932928 AS DOUBLE)), (CAST(4 AS INTEGER), CAST(55 AS BIGINT), CAST(0.927496 AS DOUBLE)), (CAST(5 AS INTEGER), CAST(73 AS BIGINT), CAST(0.931901 AS DOUBLE)), (CAST(6 AS INTEGER), CAST(74 AS BIGINT), CAST(0.932146 AS DOUBLE)), (CAST(7 AS INTEGER), CAST(60 AS BIGINT), CAST(0.922856 AS DOUBLE))) AS t(cluster, n, avg_dist2) ORDER BY cluster""",
+)
 def kmeans_lloyd_iters(spark, sf):
     """Full Lloyd k-means (5 iterations, k=8, lowest-id init) — the
     iterative extension of kmeans_assign_step's single E-step: each round
@@ -7871,7 +8058,7 @@ def q_decimal_exact_money(spark, sf):
     )
 
 
-@q("multimodal_image_ahash", tier="py", oracle=None)
+@q("multimodal_image_ahash", oracle=_gen_oracle(_image_ahash_oracle))
 def multimodal_image_ahash(spark, sf):
     """Perceptual image dedup: REAL bmp/ppm payloads (synthesize_media →
     pure-numpy decode) hash to a 64-bit average-hash (8×8 grayscale
@@ -7889,7 +8076,15 @@ def multimodal_image_ahash(spark, sf):
     return image_ahash(media).orderBy("doc_id")
 
 
-@q("graph_kcore", tier="py", oracle=None)
+@q(
+    "graph_kcore",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(1055 AS BIGINT), CAST(2 AS BIGINT), CAST(1998 AS BIGINT))) AS t(n_core_nodes, min_node, max_node)""",
+)
 def graph_kcore(spark, sf):
     """k-core decomposition (k=3) of the part co-occurrence graph by
     iterative peeling: repeatedly drop vertices with degree < k until a
@@ -8317,7 +8512,16 @@ def q_gini_coefficient(spark, sf):
     return r.groupBy("g").agg(F.round(gini, 4).alias("gini")).orderBy("g")
 
 
-@q("multimodal_audio_fingerprint", tier="py", oracle=None)
+@q(
+    "multimodal_audio_fingerprint",
+    # closed form from the synthesis spec: dominant_hz = 200 + (i%40)*20
+    # (exact FFT bin center), so fp = round(dominant/5) = 40 + 4*(i%40)
+    oracle="""WITH w AS (SELECT doc_id, CAST(40 + (doc_id % 40) * 4 AS BIGINT) AS fp
+                         FROM documents WHERE doc_id % 3 = 0)
+              SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                     CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+              FROM w GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""",
+)
 def multimodal_audio_fingerprint(spark, sf):
     """Audio near-dup fingerprinting: REAL WAV payloads decode (pure-numpy
     codec) to an FFT dominant-frequency fingerprint (5 Hz quantized) — the
@@ -9572,7 +9776,15 @@ def multimodal_scene_cuts(spark, sf):
     )
 
 
-@q("hll_intersection_estimate", tier="py")
+@q(
+    "hll_intersection_estimate",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(150 AS BIGINT))) AS t(est_view, est_click, est_union, est_intersection)""",
+)
 def hll_intersection_estimate(spark, sf):
     """Audience-overlap estimation from MERGEABLE sketches: HLL sketches
     of viewer and clicker user sets, |A∩B| ≈ est(A) + est(B) − est(A∪B)
@@ -9955,7 +10167,15 @@ def minhash_recall_eval(spark, sf):
     )
 
 
-@q("q_markov_attribution", tier="py")
+@q(
+    "q_markov_attribution",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES ('click', CAST(0.941883 AS DOUBLE), CAST(0.449576 AS DOUBLE), CAST(0.2438 AS DOUBLE)), ('error', CAST(0.941883 AS DOUBLE), CAST(0.481831 AS DOUBLE), CAST(0.2612 AS DOUBLE)), ('signup', CAST(0.941883 AS DOUBLE), CAST(0.433961 AS DOUBLE), CAST(0.2353 AS DOUBLE)), ('view', CAST(0.941883 AS DOUBLE), CAST(0.478964 AS DOUBLE), CAST(0.2597 AS DOUBLE))) AS t(event_type, base_conversion, removal_effect, credit)""",
+)
 def q_markov_attribution(spark, sf):
     """Markov removal-effect attribution — the data-driven alternative
     to last-touch credit: model each user's event sequence as a
@@ -10187,7 +10407,15 @@ def embedding_dimension_stats(spark, sf):
     )
 
 
-@q("embedding_outlier_flags", tier="py")
+@q(
+    "embedding_outlier_flags",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(56 AS BIGINT), CAST(3 AS BIGINT), CAST(0.923975 AS DOUBLE)), (CAST(1 AS BIGINT), CAST(67 AS BIGINT), CAST(4 AS BIGINT), CAST(0.932491 AS DOUBLE)), (CAST(2 AS BIGINT), CAST(66 AS BIGINT), CAST(4 AS BIGINT), CAST(0.949437 AS DOUBLE)), (CAST(3 AS BIGINT), CAST(66 AS BIGINT), CAST(4 AS BIGINT), CAST(0.905443 AS DOUBLE)), (CAST(4 AS BIGINT), CAST(48 AS BIGINT), CAST(3 AS BIGINT), CAST(0.960457 AS DOUBLE)), (CAST(5 AS BIGINT), CAST(70 AS BIGINT), CAST(4 AS BIGINT), CAST(0.928734 AS DOUBLE)), (CAST(6 AS BIGINT), CAST(61 AS BIGINT), CAST(3 AS BIGINT), CAST(0.923809 AS DOUBLE)), (CAST(7 AS BIGINT), CAST(66 AS BIGINT), CAST(4 AS BIGINT), CAST(0.942281 AS DOUBLE))) AS t(cell, n_vectors, n_flagged, threshold) ORDER BY cell""",
+)
 def embedding_outlier_flags(spark, sf):
     """Embedding-space outlier screen — the OOD/noise filter an
     embedding-curated training set runs after clustering: assign every
@@ -11343,7 +11571,15 @@ def text_js_divergence_by_source(spark, sf):
     )
 
 
-@q("multimodal_image_dedup_count", tier="py")
+@q(
+    "multimodal_image_dedup_count",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(666 AS BIGINT), CAST(92 AS BIGINT), CAST(92 AS BIGINT), CAST(574 AS BIGINT))) AS t(n_images, n_dup_clusters, n_survivors, n_dropped)""",
+)
 def multimodal_image_dedup_count(spark, sf):
     """The scalable OUTPUT shape for perceptual image dedup: the
     multimodal_image_near_dup pair stream pipes into connected
@@ -11950,7 +12186,15 @@ def q_orc_roundtrip(spark, sf):
     )
 
 
-@q("embedding_matryoshka_eval", tier="py")
+@q(
+    "embedding_matryoshka_eval",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(8 AS INTEGER), CAST(100 AS BIGINT), CAST(10 AS BIGINT), CAST(0.1 AS DOUBLE)), (CAST(16 AS INTEGER), CAST(100 AS BIGINT), CAST(19 AS BIGINT), CAST(0.19 AS DOUBLE)), (CAST(32 AS INTEGER), CAST(100 AS BIGINT), CAST(36 AS BIGINT), CAST(0.36 AS DOUBLE))) AS t(dim, n_true, n_hit, recall_at_10) ORDER BY dim""",
+)
 def embedding_matryoshka_eval(spark, sf):
     """Matryoshka truncation evaluation (Kusupati et al. 2022): how much
     retrieval quality survives using only the FIRST d′ dimensions of the
@@ -11979,7 +12223,7 @@ def embedding_matryoshka_eval(spark, sf):
         rows.append((d, int(n_true), int(hits), round(hits / n_true, 4)))
     return spark.createDataFrame(
         rows, "dim int, n_true long, n_hit long, recall_at_10 double"
-    )
+    ).orderBy("dim")
 
 
 @q(
@@ -12054,7 +12298,7 @@ def dag_slack_analysis(spark, sf):
     )
 
 
-@q("text_compression_ratio", tier="py")
+@q("text_compression_ratio", oracle=_gen_oracle(_compression_ratio_oracle))
 def text_compression_ratio(spark, sf):
     """zlib compression ratio per document (operators/text.py:
     compression_ratio) — the redundancy-based quality signal production
