@@ -1581,7 +1581,15 @@ def near_dup_dedup_count_q(spark, sf):
     )
 
 
-@q("minhash_near_dup_pairs", tier="py")
+@q(
+    "minhash_near_dup_pairs",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(0.987805 AS DOUBLE)), (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(0.9 AS DOUBLE)), (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(0.97619 AS DOUBLE)), (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(0.956522 AS DOUBLE)), (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(0.974026 AS DOUBLE)), (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0.987013 AS DOUBLE)), (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0.985714 AS DOUBLE)), (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0.982456 AS DOUBLE)), (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(0.98913 AS DOUBLE)), (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(0.97561 AS DOUBLE)), (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.954545 AS DOUBLE)), (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(0.958333 AS DOUBLE)), (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(0.98913 AS DOUBLE)), (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(0.973684 AS DOUBLE)), (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(0.971429 AS DOUBLE)), (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(0.972973 AS DOUBLE)), (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(0.983333 AS DOUBLE)), (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(0.986842 AS DOUBLE)), (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(0.98913 AS DOUBLE)), (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(0.961538 AS DOUBLE)), (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(0.971429 AS DOUBLE)), (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0.987342 AS DOUBLE)), (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(0.966667 AS DOUBLE)), (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(0.982759 AS DOUBLE))) AS t(d1, d2, jaccard) ORDER BY d1, d2""",
+)
 def minhash_pairs(spark, sf):
     """Q39 MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard verified —
     the O(near-dup pairs) scale path. Python oracle in tests/test_dedup.py."""
@@ -1681,7 +1689,15 @@ def dq_expectations_report(spark, sf):
     ).orderBy("rule")
 
 
-@q("text_bpe_token_stats", tier="py")
+@q(
+    "text_bpe_token_stats",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES ('de', CAST(70 AS BIGINT), CAST(3549 AS BIGINT), CAST(5.5015 AS DOUBLE)), ('en', CAST(218 AS BIGINT), CAST(11757 AS BIGINT), CAST(5.4807 AS DOUBLE)), ('es', CAST(73 AS BIGINT), CAST(3958 AS BIGINT), CAST(5.4967 AS DOUBLE)), ('fr', CAST(64 AS BIGINT), CAST(3758 AS BIGINT), CAST(5.4878 AS DOUBLE)), ('zh', CAST(75 AS BIGINT), CAST(4143 AS BIGINT), CAST(5.5112 AS DOUBLE))) AS t(lang, n_docs, total_tokens, chars_per_token) ORDER BY lang""",
+)
 def text_bpe_token_stats(spark, sf):
     """REAL BPE tokenization (functions/bpe.py): merges learned driver-side
     on a deterministic md5-ordered sample (how production tokenizers train
@@ -1708,7 +1724,15 @@ def text_bpe_token_stats(spark, sf):
     )
 
 
-@q("text_remove_repeated_spans", tier="py")
+@q(
+    "text_remove_repeated_spans",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(134 AS BIGINT), CAST(24 AS BIGINT), CAST(23 AS BIGINT)), (CAST(178 AS BIGINT), CAST(38 AS BIGINT), CAST(38 AS BIGINT)), (CAST(185 AS BIGINT), CAST(58 AS BIGINT), CAST(58 AS BIGINT)), (CAST(245 AS BIGINT), CAST(83 AS BIGINT), CAST(83 AS BIGINT)), (CAST(267 AS BIGINT), CAST(78 AS BIGINT), CAST(78 AS BIGINT)), (CAST(290 AS BIGINT), CAST(94 AS BIGINT), CAST(93 AS BIGINT)), (CAST(293 AS BIGINT), CAST(71 AS BIGINT), CAST(71 AS BIGINT)), (CAST(301 AS BIGINT), CAST(93 AS BIGINT), CAST(93 AS BIGINT)), (CAST(323 AS BIGINT), CAST(62 AS BIGINT), CAST(61 AS BIGINT)), (CAST(332 AS BIGINT), CAST(36 AS BIGINT), CAST(36 AS BIGINT)), (CAST(374 AS BIGINT), CAST(31 AS BIGINT), CAST(31 AS BIGINT)), (CAST(377 AS BIGINT), CAST(43 AS BIGINT), CAST(42 AS BIGINT)), (CAST(383 AS BIGINT), CAST(44 AS BIGINT), CAST(43 AS BIGINT)), (CAST(387 AS BIGINT), CAST(39 AS BIGINT), CAST(39 AS BIGINT)), (CAST(389 AS BIGINT), CAST(28 AS BIGINT), CAST(27 AS BIGINT)), (CAST(413 AS BIGINT), CAST(79 AS BIGINT), CAST(79 AS BIGINT)), (CAST(420 AS BIGINT), CAST(80 AS BIGINT), CAST(80 AS BIGINT)), (CAST(446 AS BIGINT), CAST(25 AS BIGINT), CAST(24 AS BIGINT)), (CAST(447 AS BIGINT), CAST(93 AS BIGINT), CAST(93 AS BIGINT)), (CAST(450 AS BIGINT), CAST(25 AS BIGINT), CAST(25 AS BIGINT)), (CAST(455 AS BIGINT), CAST(11 AS BIGINT), CAST(11 AS BIGINT)), (CAST(457 AS BIGINT), CAST(37 AS BIGINT), CAST(36 AS BIGINT)), (CAST(462 AS BIGINT), CAST(60 AS BIGINT), CAST(59 AS BIGINT)), (CAST(486 AS BIGINT), CAST(32 AS BIGINT), CAST(31 AS BIGINT))) AS t(doc_id, n_tokens, n_removed) ORDER BY doc_id""",
+)
 def text_remove_repeated_spans(spark, sf):
     """Exact repeated-span REMOVAL (Lee et al. 2021 style): every 8-token
     span occurring in ≥2 distinct docs survives only in its min-id
@@ -2139,7 +2163,15 @@ def incr_exact_flagged(spark, sf):
     )
 
 
-@q("incr_near_dup_vs_corpus", tier="py")
+@q(
+    "incr_near_dup_vs_corpus",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.954545 AS DOUBLE)), (CAST(245 AS BIGINT), CAST(8 AS BIGINT), CAST(0.987805 AS DOUBLE)), (CAST(293 AS BIGINT), CAST(58 AS BIGINT), CAST(0.985714 AS DOUBLE)), (CAST(323 AS BIGINT), CAST(166 AS BIGINT), CAST(0.983333 AS DOUBLE)), (CAST(377 AS BIGINT), CAST(72 AS BIGINT), CAST(0.97561 AS DOUBLE)), (CAST(389 AS BIGINT), CAST(310 AS BIGINT), CAST(0.961538 AS DOUBLE)), (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0.987342 AS DOUBLE)), (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(0.966667 AS DOUBLE)), (CAST(447 AS BIGINT), CAST(70 AS BIGINT), CAST(0.98913 AS DOUBLE)), (CAST(455 AS BIGINT), CAST(26 AS BIGINT), CAST(0.9 AS DOUBLE)), (CAST(457 AS BIGINT), CAST(326 AS BIGINT), CAST(0.971429 AS DOUBLE))) AS t(new_id, corpus_id, jaccard) ORDER BY new_id, corpus_id""",
+)
 def incr_near_dup_vs_corpus(spark, sf):
     """MinHash near-dup screening of a new batch against the corpus' banded
     LSH index: (new_id, corpus_id, jaccard). Candidates come from a
@@ -2153,7 +2185,15 @@ def incr_near_dup_vs_corpus(spark, sf):
     return INC.near_dup_vs_corpus(batch, corpus).orderBy("new_id", "corpus_id")
 
 
-@q("incr_dedup_survivor_ids", tier="py")
+@q(
+    "incr_dedup_survivor_ids",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)), (CAST(5 AS BIGINT)), (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)), (CAST(11 AS BIGINT)), (CAST(13 AS BIGINT)), (CAST(15 AS BIGINT)), (CAST(17 AS BIGINT)), (CAST(19 AS BIGINT)), (CAST(21 AS BIGINT)), (CAST(23 AS BIGINT)), (CAST(25 AS BIGINT)), (CAST(27 AS BIGINT)), (CAST(29 AS BIGINT)), (CAST(31 AS BIGINT)), (CAST(33 AS BIGINT)), (CAST(35 AS BIGINT)), (CAST(37 AS BIGINT)), (CAST(39 AS BIGINT)), (CAST(41 AS BIGINT)), (CAST(43 AS BIGINT)), (CAST(45 AS BIGINT)), (CAST(47 AS BIGINT)), (CAST(49 AS BIGINT)), (CAST(51 AS BIGINT)), (CAST(53 AS BIGINT)), (CAST(55 AS BIGINT)), (CAST(57 AS BIGINT)), (CAST(59 AS BIGINT)), (CAST(61 AS BIGINT)), (CAST(63 AS BIGINT)), (CAST(65 AS BIGINT)), (CAST(67 AS BIGINT)), (CAST(69 AS BIGINT)), (CAST(71 AS BIGINT)), (CAST(73 AS BIGINT)), (CAST(75 AS BIGINT)), (CAST(77 AS BIGINT)), (CAST(79 AS BIGINT)), (CAST(81 AS BIGINT)), (CAST(83 AS BIGINT)), (CAST(85 AS BIGINT)), (CAST(89 AS BIGINT)), (CAST(91 AS BIGINT)), (CAST(93 AS BIGINT)), (CAST(95 AS BIGINT)), (CAST(97 AS BIGINT)), (CAST(99 AS BIGINT)), (CAST(101 AS BIGINT)), (CAST(103 AS BIGINT)), (CAST(105 AS BIGINT)), (CAST(107 AS BIGINT)), (CAST(109 AS BIGINT)), (CAST(111 AS BIGINT)), (CAST(113 AS BIGINT)), (CAST(115 AS BIGINT)), (CAST(117 AS BIGINT)), (CAST(119 AS BIGINT)), (CAST(121 AS BIGINT)), (CAST(123 AS BIGINT)), (CAST(125 AS BIGINT)), (CAST(127 AS BIGINT)), (CAST(129 AS BIGINT)), (CAST(131 AS BIGINT)), (CAST(133 AS BIGINT)), (CAST(135 AS BIGINT)), (CAST(137 AS BIGINT)), (CAST(139 AS BIGINT)), (CAST(141 AS BIGINT)), (CAST(143 AS BIGINT)), (CAST(145 AS BIGINT)), (CAST(147 AS BIGINT)), (CAST(149 AS BIGINT)), (CAST(151 AS BIGINT)), (CAST(153 AS BIGINT)), (CAST(155 AS BIGINT)), (CAST(157 AS BIGINT)), (CAST(159 AS BIGINT)), (CAST(161 AS BIGINT)), (CAST(163 AS BIGINT)), (CAST(165 AS BIGINT)), (CAST(167 AS BIGINT)), (CAST(169 AS BIGINT)), (CAST(171 AS BIGINT)), (CAST(173 AS BIGINT)), (CAST(175 AS BIGINT)), (CAST(177 AS BIGINT)), (CAST(179 AS BIGINT)), (CAST(181 AS BIGINT)), (CAST(183 AS BIGINT)), (CAST(185 AS BIGINT)), (CAST(187 AS BIGINT)), (CAST(189 AS BIGINT)), (CAST(191 AS BIGINT)), (CAST(193 AS BIGINT)), (CAST(195 AS BIGINT)), (CAST(197 AS BIGINT)), (CAST(199 AS BIGINT)), (CAST(201 AS BIGINT)), (CAST(203 AS BIGINT)), (CAST(205 AS BIGINT)), (CAST(207 AS BIGINT)), (CAST(209 AS BIGINT)), (CAST(211 AS BIGINT)), (CAST(213 AS BIGINT)), (CAST(215 AS BIGINT)), (CAST(217 AS BIGINT)), (CAST(219 AS BIGINT)), (CAST(221 AS BIGINT)), (CAST(223 AS BIGINT)), (CAST(225 AS BIGINT)), (CAST(227 AS BIGINT)), (CAST(229 AS BIGINT)), (CAST(231 AS BIGINT)), (CAST(233 AS BIGINT)), (CAST(235 AS BIGINT)), (CAST(237 AS BIGINT)), (CAST(239 AS BIGINT)), (CAST(241 AS BIGINT)), (CAST(243 AS BIGINT)), (CAST(247 AS BIGINT)), (CAST(249 AS BIGINT)), (CAST(251 AS BIGINT)), (CAST(253 AS BIGINT)), (CAST(255 AS BIGINT)), (CAST(257 AS BIGINT)), (CAST(259 AS BIGINT)), (CAST(261 AS BIGINT)), (CAST(263 AS BIGINT)), (CAST(265 AS BIGINT)), (CAST(267 AS BIGINT)), (CAST(269 AS BIGINT)), (CAST(271 AS BIGINT)), (CAST(273 AS BIGINT)), (CAST(275 AS BIGINT)), (CAST(277 AS BIGINT)), (CAST(279 AS BIGINT)), (CAST(281 AS BIGINT)), (CAST(283 AS BIGINT)), (CAST(285 AS BIGINT)), (CAST(287 AS BIGINT)), (CAST(289 AS BIGINT)), (CAST(291 AS BIGINT)), (CAST(295 AS BIGINT)), (CAST(297 AS BIGINT)), (CAST(299 AS BIGINT)), (CAST(301 AS BIGINT)), (CAST(303 AS BIGINT)), (CAST(305 AS BIGINT)), (CAST(307 AS BIGINT)), (CAST(309 AS BIGINT)), (CAST(311 AS BIGINT)), (CAST(313 AS BIGINT)), (CAST(315 AS BIGINT)), (CAST(317 AS BIGINT)), (CAST(319 AS BIGINT)), (CAST(321 AS BIGINT)), (CAST(325 AS BIGINT)), (CAST(327 AS BIGINT)), (CAST(329 AS BIGINT)), (CAST(331 AS BIGINT)), (CAST(333 AS BIGINT)), (CAST(335 AS BIGINT)), (CAST(337 AS BIGINT)), (CAST(339 AS BIGINT)), (CAST(341 AS BIGINT)), (CAST(343 AS BIGINT)), (CAST(345 AS BIGINT)), (CAST(347 AS BIGINT)), (CAST(349 AS BIGINT)), (CAST(351 AS BIGINT)), (CAST(353 AS BIGINT)), (CAST(355 AS BIGINT)), (CAST(357 AS BIGINT)), (CAST(359 AS BIGINT)), (CAST(361 AS BIGINT)), (CAST(363 AS BIGINT)), (CAST(365 AS BIGINT)), (CAST(367 AS BIGINT)), (CAST(369 AS BIGINT)), (CAST(371 AS BIGINT)), (CAST(373 AS BIGINT)), (CAST(375 AS BIGINT)), (CAST(379 AS BIGINT)), (CAST(381 AS BIGINT)), (CAST(383 AS BIGINT)), (CAST(385 AS BIGINT)), (CAST(387 AS BIGINT)), (CAST(391 AS BIGINT)), (CAST(395 AS BIGINT)), (CAST(397 AS BIGINT)), (CAST(399 AS BIGINT)), (CAST(401 AS BIGINT)), (CAST(403 AS BIGINT)), (CAST(405 AS BIGINT)), (CAST(407 AS BIGINT)), (CAST(409 AS BIGINT)), (CAST(411 AS BIGINT)), (CAST(413 AS BIGINT)), (CAST(415 AS BIGINT)), (CAST(417 AS BIGINT)), (CAST(419 AS BIGINT)), (CAST(421 AS BIGINT)), (CAST(423 AS BIGINT)), (CAST(425 AS BIGINT)), (CAST(427 AS BIGINT)), (CAST(429 AS BIGINT)), (CAST(431 AS BIGINT)), (CAST(433 AS BIGINT)), (CAST(437 AS BIGINT)), (CAST(439 AS BIGINT)), (CAST(441 AS BIGINT)), (CAST(443 AS BIGINT)), (CAST(445 AS BIGINT)), (CAST(449 AS BIGINT)), (CAST(451 AS BIGINT)), (CAST(453 AS BIGINT)), (CAST(459 AS BIGINT)), (CAST(461 AS BIGINT)), (CAST(463 AS BIGINT)), (CAST(465 AS BIGINT)), (CAST(467 AS BIGINT)), (CAST(469 AS BIGINT)), (CAST(471 AS BIGINT)), (CAST(473 AS BIGINT)), (CAST(475 AS BIGINT)), (CAST(477 AS BIGINT)), (CAST(479 AS BIGINT)), (CAST(481 AS BIGINT)), (CAST(483 AS BIGINT)), (CAST(485 AS BIGINT)), (CAST(487 AS BIGINT)), (CAST(489 AS BIGINT)), (CAST(491 AS BIGINT)), (CAST(493 AS BIGINT)), (CAST(495 AS BIGINT)), (CAST(497 AS BIGINT)), (CAST(499 AS BIGINT))) AS t(doc_id) ORDER BY doc_id""",
+)
 def incr_dedup_survivor_ids(spark, sf):
     """Full incremental-ingest screen: exact hash-index anti-join, then
     MinHash near-dup flagging of the remainder — the ids a continuous
@@ -2168,7 +2208,15 @@ def incr_dedup_survivor_ids(spark, sf):
     )
 
 
-@q("stream_incr_dedup_screen", tier="py")
+@q(
+    "stream_incr_dedup_screen",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(87 AS BIGINT), CAST(134 AS BIGINT), 'near', CAST(0.954545 AS DOUBLE)), (CAST(245 AS BIGINT), CAST(8 AS BIGINT), 'near', CAST(0.987805 AS DOUBLE)), (CAST(293 AS BIGINT), CAST(58 AS BIGINT), 'near', CAST(0.985714 AS DOUBLE)), (CAST(323 AS BIGINT), CAST(166 AS BIGINT), 'near', CAST(0.983333 AS DOUBLE)), (CAST(377 AS BIGINT), CAST(72 AS BIGINT), 'near', CAST(0.97561 AS DOUBLE)), (CAST(389 AS BIGINT), CAST(310 AS BIGINT), 'near', CAST(0.961538 AS DOUBLE)), (CAST(393 AS BIGINT), CAST(420 AS BIGINT), 'near', CAST(0.987342 AS DOUBLE)), (CAST(435 AS BIGINT), CAST(486 AS BIGINT), 'near', CAST(0.966667 AS DOUBLE)), (CAST(447 AS BIGINT), CAST(70 AS BIGINT), 'near', CAST(0.98913 AS DOUBLE)), (CAST(455 AS BIGINT), CAST(26 AS BIGINT), 'near', CAST(0.9 AS DOUBLE)), (CAST(457 AS BIGINT), CAST(326 AS BIGINT), 'near', CAST(0.971429 AS DOUBLE))) AS t(new_id, matched_id, kind, jaccard) ORDER BY new_id, matched_id""",
+)
 def stream_incr_dedup_screen(spark, sf):
     """Streaming ingest screen (streaming/ingest.py): the document stream
     (odd ids) is screened per micro-batch against the static corpus PLUS
@@ -11870,7 +11918,15 @@ def multimodal_png_decode(spark, sf):
     )
 
 
-@q("multimodal_jpeg_decode", tier="py")
+@q(
+    "multimodal_jpeg_decode",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # -- the semantic oracle for this entry lives in its pytest module;
+    # the pin adds independent driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(2 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(36.9 AS DOUBLE)), (CAST(6 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.4 AS DOUBLE)), (CAST(10 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(58.4 AS DOUBLE)), (CAST(14 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(127.8 AS DOUBLE)), (CAST(18 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(79.9 AS DOUBLE)), (CAST(22 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(89.5 AS DOUBLE)), (CAST(26 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(158.9 AS DOUBLE)), (CAST(30 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(111.1 AS DOUBLE)), (CAST(34 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(180.5 AS DOUBLE)), (CAST(38 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(72.6 AS DOUBLE)), (CAST(42 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.3 AS DOUBLE)), (CAST(46 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(71.4 AS DOUBLE)), (CAST(50 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(140.8 AS DOUBLE)), (CAST(54 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(92.9 AS DOUBLE)), (CAST(58 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.5 AS DOUBLE)), (CAST(62 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(54.4 AS DOUBLE)), (CAST(66 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(124.1 AS DOUBLE)), (CAST(70 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(76.1 AS DOUBLE)), (CAST(74 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(85.7 AS DOUBLE)), (CAST(78 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(155.1 AS DOUBLE)), (CAST(82 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(84.3 AS DOUBLE)), (CAST(86 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(153.9 AS DOUBLE)), (CAST(90 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(105.9 AS DOUBLE)), (CAST(94 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(115.5 AS DOUBLE)), (CAST(98 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(67.6 AS DOUBLE)), (CAST(102 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(137.0 AS DOUBLE)), (CAST(106 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(89.0 AS DOUBLE)), (CAST(110 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(98.7 AS DOUBLE)), (CAST(114 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(50.7 AS DOUBLE)), (CAST(118 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(120.2 AS DOUBLE)), (CAST(122 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(49.2 AS DOUBLE)), (CAST(126 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(118.8 AS DOUBLE)), (CAST(130 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(128.4 AS DOUBLE)), (CAST(134 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(80.4 AS DOUBLE)), (CAST(138 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(149.9 AS DOUBLE)), (CAST(142 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.0 AS DOUBLE)), (CAST(146 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(111.5 AS DOUBLE)), (CAST(150 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(63.7 AS DOUBLE)), (CAST(154 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(133.1 AS DOUBLE)), (CAST(158 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(85.1 AS DOUBLE)), (CAST(162 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(131.7 AS DOUBLE)), (CAST(166 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(23.9 AS DOUBLE)), (CAST(170 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.6 AS DOUBLE)), (CAST(174 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(45.5 AS DOUBLE)), (CAST(178 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(114.9 AS DOUBLE)), (CAST(182 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(124.6 AS DOUBLE)), (CAST(186 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(76.6 AS DOUBLE)), (CAST(190 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(146.0 AS DOUBLE)), (CAST(194 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(98.0 AS DOUBLE)), (CAST(198 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(167.6 AS DOUBLE)), (CAST(202 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(36.9 AS DOUBLE)), (CAST(206 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.4 AS DOUBLE)), (CAST(210 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(58.4 AS DOUBLE)), (CAST(214 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(127.8 AS DOUBLE)), (CAST(218 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(80.0 AS DOUBLE)), (CAST(222 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(89.5 AS DOUBLE)), (CAST(226 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(159.0 AS DOUBLE)), (CAST(230 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(111.1 AS DOUBLE)), (CAST(234 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(180.5 AS DOUBLE)), (CAST(238 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(72.7 AS DOUBLE)), (CAST(242 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.3 AS DOUBLE)), (CAST(246 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(71.4 AS DOUBLE)), (CAST(250 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(140.8 AS DOUBLE)), (CAST(254 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.0 AS DOUBLE)), (CAST(258 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.5 AS DOUBLE)), (CAST(262 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(54.5 AS DOUBLE)), (CAST(266 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(124.0 AS DOUBLE)), (CAST(270 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(76.1 AS DOUBLE)), (CAST(274 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(85.7 AS DOUBLE)), (CAST(278 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(155.2 AS DOUBLE)), (CAST(282 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(84.3 AS DOUBLE)), (CAST(286 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(153.9 AS DOUBLE)), (CAST(290 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(105.8 AS DOUBLE)), (CAST(294 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(115.5 AS DOUBLE)), (CAST(298 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(67.6 AS DOUBLE)), (CAST(302 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(137.0 AS DOUBLE)), (CAST(306 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(89.0 AS DOUBLE)), (CAST(310 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(98.7 AS DOUBLE)), (CAST(314 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(50.8 AS DOUBLE)), (CAST(318 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(120.2 AS DOUBLE)), (CAST(322 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(49.3 AS DOUBLE)), (CAST(326 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(118.8 AS DOUBLE)), (CAST(330 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(128.4 AS DOUBLE)), (CAST(334 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(80.4 AS DOUBLE)), (CAST(338 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(150.0 AS DOUBLE)), (CAST(342 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.0 AS DOUBLE)), (CAST(346 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(111.5 AS DOUBLE)), (CAST(350 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(63.6 AS DOUBLE)), (CAST(354 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(133.1 AS DOUBLE)), (CAST(358 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(85.0 AS DOUBLE)), (CAST(362 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(131.8 AS DOUBLE)), (CAST(366 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(23.9 AS DOUBLE)), (CAST(370 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.5 AS DOUBLE)), (CAST(374 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(45.6 AS DOUBLE)), (CAST(378 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(114.9 AS DOUBLE)), (CAST(382 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(124.6 AS DOUBLE)), (CAST(386 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(76.6 AS DOUBLE)), (CAST(390 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(146.0 AS DOUBLE)), (CAST(394 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(98.0 AS DOUBLE)), (CAST(398 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(167.5 AS DOUBLE)), (CAST(402 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(36.9 AS DOUBLE)), (CAST(406 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.4 AS DOUBLE)), (CAST(410 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(58.4 AS DOUBLE)), (CAST(414 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(127.8 AS DOUBLE)), (CAST(418 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(79.9 AS DOUBLE)), (CAST(422 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(89.6 AS DOUBLE)), (CAST(426 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(159.0 AS DOUBLE)), (CAST(430 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(111.1 AS DOUBLE)), (CAST(434 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(180.5 AS DOUBLE)), (CAST(438 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(72.7 AS DOUBLE)), (CAST(442 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.3 AS DOUBLE)), (CAST(446 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(71.4 AS DOUBLE)), (CAST(450 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(140.8 AS DOUBLE)), (CAST(454 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(92.9 AS DOUBLE)), (CAST(458 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.6 AS DOUBLE)), (CAST(462 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(54.5 AS DOUBLE)), (CAST(466 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(124.1 AS DOUBLE)), (CAST(470 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(76.0 AS DOUBLE)), (CAST(474 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(85.7 AS DOUBLE)), (CAST(478 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(155.1 AS DOUBLE)), (CAST(482 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(84.4 AS DOUBLE)), (CAST(486 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(153.9 AS DOUBLE)), (CAST(490 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(105.9 AS DOUBLE)), (CAST(494 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(115.5 AS DOUBLE)), (CAST(498 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(67.6 AS DOUBLE))) AS t(doc_id, codec, width, height, mean_luma) ORDER BY doc_id""",
+)
 def multimodal_jpeg_decode(spark, sf):
     """Real LOSSY-codec decode: baseline JPEG payloads (ITU-T T.81 —
     Huffman entropy coding + 8×8 DCT, functions/media_codecs.py, pure
