@@ -88,6 +88,8 @@ HEADLINE = [
     "dag_pagerank",
     "q_bootstrap_ci",
     "multimodal_jpeg_decode",
+    # round-5 addition: progressive (SOF2) multi-scan decode
+    "multimodal_progressive_decode",
 ]
 
 

@@ -1,14 +1,16 @@
 """Real media codecs in pure Python/numpy: WAV (RIFF PCM), BMP, PPM/PGM,
 PNG (zlib inflate + all five spec filters), GIF (LZW, animation frames),
-and baseline sequential JPEG (T.81 huffman + dequant + IDCT —
-``decode_jpeg`` below).
+and JPEG — baseline sequential (SOF0) and progressive (SOF2, spectral
+selection + successive approximation), T.81 huffman + dequant + IDCT —
+``decode_jpeg`` / ``encode_jpeg`` below.
 
 These are complete, spec-faithful implementations — header + samples,
 no native libraries — so the multimodal pipeline
 (operators/multimodal.py) decodes *real* payload bytes, not a stand-in.
-The remaining documented seam is narrower: progressive JPEG, MP3, and
-MP4/H.264 need native libs this environment does not ship (each scope
-guard raises NotImplementedError naming the boundary).
+The remaining documented seam is narrower still: MP3 and MP4/H.264 need
+native libs this environment does not ship, and JPEG's rare variants
+(arithmetic coding, hierarchical, 12-bit) stay behind explicit
+NotImplementedError scope guards naming the boundary.
 
 Each decoder returns (metadata dict, numpy array):
 - WAV  -> {kind: audio, sample_rate, n_channels, n_samples}, int16 [n, ch]
@@ -534,14 +536,17 @@ DECODERS["gif"] = decode_gif
 
 
 # ---------------------------------------------------------------------------
-# JPEG — baseline sequential DCT (ITU-T T.81), pure numpy. The last and
-# most common real-world image format in the documented "compressed
-# codecs" seam: Huffman entropy coding + 8x8 DCT implemented from the
-# public spec, no native libraries. Encoder emits JFIF 4:4:4 (grayscale
-# or YCbCr) with the Annex-K quantization + typical Huffman tables;
-# decoder handles baseline SOF0 with 4:4:4 / 4:2:0 / 4:2:2 sampling,
-# restart intervals, and byte stuffing. Progressive (SOF2), arithmetic
-# coding, and 12-bit precision raise NotImplementedError explicitly.
+# JPEG — baseline sequential (SOF0) AND progressive (SOF2) DCT modes
+# (ITU-T T.81), pure numpy. The most common real-world image format in
+# the documented "compressed codecs" seam: Huffman entropy coding + 8x8
+# DCT implemented from the public spec, no native libraries. Encoder
+# emits JFIF (grayscale or YCbCr) with the Annex-K quantization +
+# typical Huffman tables, as one baseline scan or the conventional
+# progressive scan script (spectral selection + successive
+# approximation); decoder handles both modes with 4:4:4 / 4:2:0 / 4:2:2
+# sampling, restart intervals, byte stuffing, and multi-scan streams.
+# Arithmetic coding, hierarchical mode, and 12-bit precision raise
+# NotImplementedError explicitly.
 # ---------------------------------------------------------------------------
 
 # Annex K.1 base quantization tables (zigzag order NOT applied here —
@@ -685,10 +690,10 @@ def _mag_category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred_dc: int,
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred_dc: int,
                   dc_codes: dict, ac_codes: dict) -> int:
-    """Huffman-encode one zigzagged 8x8 coefficient vector; returns DC."""
-    zz = coeffs.reshape(64)[_ZIGZAG]
+    """Huffman-encode one zigzag-order length-64 coefficient vector
+    (sequential DC+AC); returns the block's DC for prediction."""
     dc = int(zz[0])
     diff = dc - pred_dc
     size = _mag_category(diff)
@@ -718,6 +723,80 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred_dc: int,
     return dc
 
 
+def _enc_ac_first(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                  al: int, ac_codes: dict) -> None:
+    """Progressive AC first scan for one block (T.81 §G.1.2.2).  The AC
+    point transform divides toward zero.  EOB runs are flushed per block
+    (EOB0) so the Annex-K code set — which lacks the longer EOBn
+    symbols — suffices; spec-valid, marginally less compact."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size = _mag_category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB0
+        bw.write(code, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                   al: int, ac_codes: dict) -> None:
+    """Progressive AC refinement for one block (T.81 §G.1.2.3, fig G.7):
+    newly-significant coefficients (|v|>>Al == 1) emit (run,1)+sign;
+    already-nonzero ones contribute correction bits, buffered and flushed
+    after each emitted symbol so the decoder reads them in band order
+    while advancing.  Pending ZRLs are emitted before buffering a
+    correction bit, which keeps every buffered bit inside the symbol
+    window the decoder replays.  EOB runs flushed per block (EOB0)."""
+    absv = [0] * (se + 1 - ss)
+    eob = ss - 1  # position of the last newly-significant coefficient
+    for i, k in enumerate(range(ss, se + 1)):
+        t = abs(int(zz[k])) >> al
+        absv[i] = t
+        if t == 1:
+            eob = k
+    run = 0
+    corr: list[int] = []
+    for i, k in enumerate(range(ss, se + 1)):
+        t = absv[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:  # ZRLs not foldable into the EOB
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in corr:
+                bw.write(b, 1)
+            corr = []
+        if t > 1:
+            corr.append(t & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in corr:
+            bw.write(b, 1)
+        corr = []
+        run = 0
+    if run or corr:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+        for b in corr:
+            bw.write(b, 1)
+
+
 def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """[H,W] float plane (already level-shifted) -> [H/8, W/8, 8, 8]
     quantized coefficients, vectorized over all blocks at once."""
@@ -735,14 +814,20 @@ def encode_jpeg(
     quality: int = 85,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encoder: grayscale [h,w] or RGB [h,w,3] uint8.
+    """JFIF encoder: grayscale [h,w] or RGB [h,w,3] uint8.
     ``subsample``: luma sampling relative to chroma — "444" (none),
     "422" (horizontal 2:1), "420" (2:1 both; chroma is box-averaged).
     ``restart_interval``: emit DRI + an RSTn marker every N MCUs (0 =
     none) — the resync mechanism streaming decoders rely on. Annex-K
     tables scaled by ``quality`` (IJG formula); edges are replicated to
-    MCU multiples (decoder crops back)."""
+    MCU multiples (decoder crops back).  ``progressive``: emit SOF2 with
+    the conventional spectral-selection + successive-approximation scan
+    script (DC first at Al=1, split AC bands, then one refinement pass
+    per bit-plane) instead of a single baseline SOF0 scan.  The quantized
+    coefficients transmitted are identical either way, so both modes
+    decode to the same pixels bit-for-bit."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -770,6 +855,8 @@ def encode_jpeg(
         samps = [(hs, vs), (1, 1), (1, 1)]
         comp_q = [qt_l, qt_c, qt_c]
     coeffs = [_fdct_quant(p - 128.0, q) for p, q in zip(planes, comp_q)]
+    # zigzag-order coefficient vectors per block, shared by both modes
+    zcs = [c.reshape(c.shape[0], c.shape[1], 64)[:, :, _ZIGZAG] for c in coeffs]
 
     out = bytearray(b"\xff\xd8")                      # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
@@ -778,7 +865,8 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(x) for x in qt.reshape(64)[_ZIGZAG])
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         chs, cvs = samps[ci]
         out += struct.pack("BBB", ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1)
@@ -790,35 +878,112 @@ def encode_jpeg(
         ) + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for ci in range(ncomp):
-        out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
-    out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al
 
     dc_tabs = [_huff_codes(*_JPEG_HUFF[("dc", 0)]), _huff_codes(*_JPEG_HUFF[("dc", 1)])]
     ac_tabs = [_huff_codes(*_JPEG_HUFF[("ac", 0)]), _huff_codes(*_JPEG_HUFF[("ac", 1)])]
-    bw = _BitWriter()
-    preds = [0] * ncomp
-    mcu = 0
-    for my in range(ph // mcu_h):
-        for mx in range(pw // mcu_w):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.restart(mcu // restart_interval - 1)
-                preds = [0] * ncomp
-            mcu += 1
-            for ci in range(ncomp):
-                chs, cvs = samps[ci]
+    mcus_y, mcus_x = ph // mcu_h, pw // mcu_w
+
+    if not progressive:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for ci in range(ncomp):
+            out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+        out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.restart(mcu // restart_interval - 1)
+                    preds = [0] * ncomp
+                mcu += 1
+                for ci in range(ncomp):
+                    chs, cvs = samps[ci]
+                    t = 0 if ci == 0 else 1
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            preds[ci] = _encode_block(
+                                bw,
+                                zcs[ci][my * cvs + by, mx * chs + bx],
+                                preds[ci],
+                                dc_tabs[t],
+                                ac_tabs[t],
+                            )
+        out += bw.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- progressive scan script (the conventional libjpeg shape) -----
+    # Non-interleaved AC scans cover each component's own sample grid,
+    # not the MCU-padded one (T.81 A.2.2) — mirrored by the decoder.
+    bwn = [-(-(-(-w * samps[ci][0] // hs)) // 8) for ci in range(ncomp)]
+    bhn = [-(-(-(-h * samps[ci][1] // vs)) // 8) for ci in range(ncomp)]
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 0, 0, 1, 0), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 2, 1),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+
+    def scan_units(comp_ids):
+        if len(comp_ids) > 1:  # interleaved: MCU order, padded blocks too
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for ci in comp_ids:
+                        chs, cvs = samps[ci]
+                        for by in range(cvs):
+                            for bx in range(chs):
+                                unit.append((ci, my * cvs + by, mx * chs + bx))
+                    yield unit
+        else:
+            ci = comp_ids[0]
+            for by in range(bhn[ci]):
+                for bx in range(bwn[ci]):
+                    yield [(ci, by, bx)]
+
+    for comp_ids, sss, sse, ah, al in script:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                         len(comp_ids))
+        for ci in comp_ids:
+            out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+        out += struct.pack("BBB", sss, sse, (ah << 4) | al)
+        bw = _BitWriter()
+        preds = {ci: 0 for ci in comp_ids}
+        unit_i = 0
+        for unit in scan_units(comp_ids):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                bw.restart(unit_i // restart_interval - 1)
+                preds = {ci: 0 for ci in comp_ids}
+            unit_i += 1
+            for ci, by, bx in unit:
+                zz = zcs[ci][by, bx]
                 t = 0 if ci == 0 else 1
-                for by in range(cvs):
-                    for bx in range(chs):
-                        preds[ci] = _encode_block(
-                            bw,
-                            coeffs[ci][my * cvs + by, mx * chs + bx],
-                            preds[ci],
-                            dc_tabs[t],
-                            ac_tabs[t],
-                        )
-    out += bw.flush()
+                if sss == 0 and ah == 0:  # DC first (point transform >> Al)
+                    v = int(zz[0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = _mag_category(diff)
+                    code, ln = dc_tabs[t][size]
+                    bw.write(code, ln)
+                    if size:
+                        bw.write(diff if diff >= 0 else diff + (1 << size) - 1,
+                                 size)
+                elif sss == 0:  # DC refinement: one raw bit per block
+                    bw.write((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(bw, zz, sss, sse, al, ac_tabs[t])
+                else:
+                    _enc_ac_refine(bw, zz, sss, sse, al, ac_tabs[t])
+        out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -887,6 +1052,19 @@ class _BitReader:
             self.pos += 2
             self.marker = None
 
+    def scan_end(self) -> int:
+        """Byte offset of the next non-RST marker after the entropy data
+        (skipping stuffed FF00 pairs and any stray restart markers)."""
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                if 0xD0 <= self.data[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        return len(self.data)
+
 
 def _huff_decode_tables(bits: list, vals: list):
     """(mincode, maxcode, valptr) per code length — T.81 F.2.2.3."""
@@ -922,11 +1100,166 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_jpeg_scan(
+    payload: bytes,
+    pos: int,
+    scan_comps: list[dict],
+    huffs: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    progressive: bool,
+    mcus_x: int,
+    mcus_y: int,
+) -> int:
+    """Entropy-decode one scan into each component's zigzag-order ``coef``
+    array and return the byte offset of the next marker.  Sequential scans
+    carry DC+AC per block; progressive scans carry one band/bit-plane per
+    T.81 §G.2 (DC first/refine when Ss=0, AC first/refine with EOB-run and
+    in-band correction bits when Ss>0).  Restart markers reset both the DC
+    predictors and the EOB run."""
+    br = _BitReader(payload, pos)
+    interleaved = len(scan_comps) > 1
+    eobrun = 0
+    for c in scan_comps:
+        c["pred"] = 0
+
+    def block_seq(c: dict, zz: np.ndarray) -> None:
+        size = _huff_read(br, huffs[("dc", c["td"])])
+        diff = _extend(br.read_bits(size), size) if size else 0
+        c["pred"] += diff
+        zz[0] = c["pred"]
+        k = 1
+        ac_tab = huffs[("ac", c["ta"])]
+        while k < 64:
+            rs = _huff_read(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _extend(br.read_bits(s), s)
+            k += 1
+
+    def block_dc_first(c: dict, zz: np.ndarray) -> None:
+        size = _huff_read(br, huffs[("dc", c["td"])])
+        diff = _extend(br.read_bits(size), size) if size else 0
+        c["pred"] += diff
+        zz[0] = c["pred"] << al
+
+    def block_dc_refine(c: dict, zz: np.ndarray) -> None:
+        if br.read_bit():
+            zz[0] |= 1 << al
+
+    def block_ac_first(c: dict, zz: np.ndarray) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        ac_tab = huffs[("ac", c["ta"])]
+        k = ss
+        while k <= se:
+            rs = _huff_read(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block + 2^r-1(+bits) more
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def block_ac_refine(c: dict, zz: np.ndarray) -> None:
+        # T.81 §G.2 / fig. G.7: newly-significant coefficients arrive as
+        # ±1<<Al; coefficients already nonzero from earlier scans receive
+        # one correction bit each, read in band order while advancing.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        ac_tab = huffs[("ac", c["ta"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_read(br, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                new_val = 0
+                if s:
+                    new_val = p1 if br.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break  # rest of band handled by the EOB-run logic
+                # advance over r still-zero coefficients, appending a
+                # correction bit to each already-nonzero one passed
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read_bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if new_val and k <= se:
+                    zz[k] = new_val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits only, to the end of the band
+                if zz[k] != 0:
+                    if br.read_bit() and not (zz[k] & p1):
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    if not progressive:
+        block = block_seq
+    elif ss == 0:
+        block = block_dc_first if ah == 0 else block_dc_refine
+    else:
+        block = block_ac_first if ah == 0 else block_ac_refine
+
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        c0 = scan_comps[0]
+        n_units = c0["bwn"] * c0["bhn"]
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.reset_at_restart()
+            eobrun = 0
+            for c in scan_comps:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for c in scan_comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block(c, c["coef"][my * c["v"] + by, mx * c["h"] + bx])
+        else:
+            by, bx = divmod(unit, c0["bwn"])
+            block(c0, c0["coef"][by, bx])
+    return br.scan_end()
+
+
 def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
-    """Baseline sequential JPEG decoder (ITU-T T.81): SOF0, Huffman
-    entropy coding, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals.
-    Returns (meta, uint8 array — [h,w] grayscale or [h,w,3] RGB).
-    Progressive/arithmetic/12-bit variants raise NotImplementedError."""
+    """JPEG decoder (ITU-T T.81): baseline sequential (SOF0/1) and
+    progressive (SOF2, spectral selection + successive approximation),
+    Huffman entropy coding, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+    intervals, multi-scan streams.  Returns (meta, uint8 array — [h,w]
+    grayscale or [h,w,3] RGB).  Arithmetic-coded, hierarchical and
+    12-bit variants raise NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -934,15 +1267,21 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
     huffs: dict[tuple[str, int], tuple] = {}
     comps: list[dict] = []
     h = w = 0
+    mcus_x = mcus_y = 0
     restart_interval = 0
-    scan_pos = None
-    scan_comps: list[dict] = []
-    while pos + 4 <= len(payload):
+    progressive = False
+    n_scans = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
         if pos + 2 + seg_len > len(payload):
             raise ValueError("truncated JPEG segment")
@@ -972,7 +1311,10 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
                 vals = list(body[bpos + 17 : bpos + 17 + n])
                 huffs[("dc" if tc == 0 else "ac", th)] = _huff_decode_tables(bits, vals)
                 bpos += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if comps:
+                raise ValueError("multiple JPEG SOF markers")
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -985,7 +1327,19 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]  # blocks per row, MCU-padded
+                c["bh"] = mcus_y * c["v"]
+                # non-interleaved scan dims: blocks of the component's own
+                # sample grid, NOT padded to MCU multiples (T.81 A.2.2)
+                c["bwn"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["bhn"] = -(-(-(-h * c["v"] // vmax)) // 8)
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
@@ -995,81 +1349,54 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
                 raise ValueError("truncated JPEG DRI")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
-            if not body or len(body) < 1 + 2 * body[0]:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if not body or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS")
             ns = body[0]
+            scan_comps = []
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(
-                    (c for c in comps if c["id"] == cs), None
-                )
+                comp = next((c for c in comps if c["id"] == cs), None)
                 if comp is None:
                     raise ValueError("JPEG SOS references unknown component")
                 comp["td"], comp["ta"] = tabs >> 4, tabs & 0x0F
                 scan_comps.append(comp)
-            scan_pos = pos + 2 + seg_len
-            break
+            sss, sse, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                sss, sse, ah, al = 0, 63, 0, 0
+            elif sss > sse or sse > 63 or (sss == 0) != (sse == 0):
+                raise ValueError("invalid JPEG progressive scan band")
+            elif sss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            for c in scan_comps:
+                need_dc = not progressive or (sss == 0 and ah == 0)
+                need_ac = not progressive or sss > 0
+                if need_dc and ("dc", c["td"]) not in huffs:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                if need_ac and ("ac", c["ta"]) not in huffs:
+                    raise ValueError("JPEG scan references missing Huffman table")
+            pos = _decode_jpeg_scan(
+                payload, pos + 2 + seg_len, scan_comps, huffs,
+                sss, sse, ah, al, restart_interval, progressive,
+                mcus_x, mcus_y,
+            )
+            n_scans += 1
+            continue
         pos += 2 + seg_len
-    if scan_pos is None or not comps:
+    if not comps or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
-    for c in scan_comps:
-        if ("dc", c["td"]) not in huffs or ("ac", c["ta"]) not in huffs:
-            raise ValueError("JPEG scan references missing Huffman table")
-        if c["tq"] not in qts:
-            raise ValueError("JPEG scan references missing quant table")
-
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]  # blocks per row
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"], c["bw"], 8, 8), dtype=np.int64)
-        c["pred"] = 0
-
-    br = _BitReader(payload, scan_pos)
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.reset_at_restart()
-                for c in comps:
-                    c["pred"] = 0
-            for c in scan_comps:
-                dc_tab = huffs[("dc", c["td"])]
-                ac_tab = huffs[("ac", c["ta"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _huff_read(br, dc_tab)
-                        diff = _extend(br.read_bits(size), size) if size else 0
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_read(br, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[_ZIGZAG] = zz
-                        c["coef"][
-                            my * c["v"] + by, mx * c["h"] + bx
-                        ] = blk.reshape(8, 8)
-            mcu += 1
 
     planes = []
     for c in comps:
-        deq = c["coef"] * qts[c["tq"]]
+        if c["tq"] not in qts:
+            raise ValueError("JPEG scan references missing quant table")
+        nat = np.zeros_like(c["coef"])
+        nat[:, :, _ZIGZAG] = c["coef"]
+        deq = nat.reshape(c["bh"], c["bw"], 8, 8) * qts[c["tq"]]
         spatial = np.einsum("ji,abjk,kl->abil", _DCT_T, deq.astype(np.float64), _DCT_T)
         plane = spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8) + 128.0
         # upsample to full resolution (nearest, per sampling factor)

@@ -862,8 +862,10 @@ def gif_scene_cuts(
     )
 
 
-def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL baseline JPEG payloads (Huffman + DCT, ITU-T T.81 —
+def synthesize_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
+    """REAL JPEG payloads (Huffman + DCT, ITU-T T.81 —
     functions/media_codecs.py) built deterministically from the id:
     16×16 RGB with id-keyed channel bases plus a row gradient, cycling
     subsampling by id (444 / 422 / 420) and adding a restart interval
@@ -871,7 +873,11 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and RST-resync paths all see traffic. Channel bases stay < 224 and
     the image is DCT-smooth, so the decoded mean_luma has a closed-form
     oracle within quantization tolerance:
-    mean_luma ≈ 0.299(R₀+7.5) + 0.587·G₀ + 0.114·B₀ (±2.5)."""
+    mean_luma ≈ 0.299(R₀+7.5) + 0.587·G₀ + 0.114·B₀ (±2.5).
+    ``progressive=True`` emits SOF2 multi-scan payloads instead — same
+    quantized coefficients, so decode output is bit-identical to the
+    baseline payloads' (the invariant tests/test_jpeg_progressive.py
+    pins)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -900,6 +906,7 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         quality=90,
                         subsample=subs[i % 3],
                         restart_interval=2 if i % 5 == 0 else 0,
+                        progressive=progressive,
                     )
                 )
             yield pd.DataFrame({id_col: ids, "payload": payloads})

@@ -11960,6 +11960,48 @@ def multimodal_jpeg_decode(spark, sf):
 
 
 @q(
+    "multimodal_progressive_decode",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run);
+    # the semantic oracle lives in tests/test_jpeg_progressive.py, which
+    # pins the far stricter invariant that progressive decode is
+    # bit-identical to baseline decode of the same image
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(54.3 AS DOUBLE)), (CAST(7 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(123.8 AS DOUBLE)), (CAST(11 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(75.8 AS DOUBLE)), (CAST(15 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(145.2 AS DOUBLE)), (CAST(19 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(37.4 AS DOUBLE)), (CAST(23 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(107.0 AS DOUBLE)), (CAST(27 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(59.0 AS DOUBLE)), (CAST(31 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(128.4 AS DOUBLE)), (CAST(35 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(80.3 AS DOUBLE)), (CAST(39 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(90.1 AS DOUBLE)), (CAST(43 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(136.7 AS DOUBLE)), (CAST(47 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(88.8 AS DOUBLE)), (CAST(51 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(158.2 AS DOUBLE)), (CAST(55 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(50.4 AS DOUBLE)), (CAST(59 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.9 AS DOUBLE)), (CAST(63 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(71.9 AS DOUBLE)), (CAST(67 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(141.3 AS DOUBLE)), (CAST(71 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.5 AS DOUBLE)), (CAST(75 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(103.1 AS DOUBLE)), (CAST(79 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(55.0 AS DOUBLE)), (CAST(83 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(101.7 AS DOUBLE)), (CAST(87 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(53.7 AS DOUBLE)), (CAST(91 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(63.5 AS DOUBLE)), (CAST(95 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(132.8 AS DOUBLE)), (CAST(99 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(84.9 AS DOUBLE)), (CAST(103 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(154.3 AS DOUBLE)), (CAST(107 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.3 AS DOUBLE)), (CAST(111 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(116.0 AS DOUBLE)), (CAST(115 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(68.0 AS DOUBLE)), (CAST(119 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(137.4 AS DOUBLE)), (CAST(123 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(66.7 AS DOUBLE)), (CAST(127 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(136.2 AS DOUBLE)), (CAST(131 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(28.4 AS DOUBLE)), (CAST(135 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(97.8 AS DOUBLE)), (CAST(139 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(167.3 AS DOUBLE)), (CAST(143 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.3 AS DOUBLE)), (CAST(147 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(129.0 AS DOUBLE)), (CAST(151 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(81.0 AS DOUBLE)), (CAST(155 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(150.5 AS DOUBLE)), (CAST(159 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.4 AS DOUBLE)), (CAST(163 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(149.2 AS DOUBLE)), (CAST(167 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(41.3 AS DOUBLE)), (CAST(171 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(110.8 AS DOUBLE)), (CAST(175 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(62.8 AS DOUBLE)), (CAST(179 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(132.3 AS DOUBLE)), (CAST(183 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(24.6 AS DOUBLE)), (CAST(187 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.9 AS DOUBLE)), (CAST(191 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(163.5 AS DOUBLE)), (CAST(195 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(115.4 AS DOUBLE)), (CAST(199 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(184.8 AS DOUBLE)), (CAST(203 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(54.3 AS DOUBLE)), (CAST(207 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(123.8 AS DOUBLE)), (CAST(211 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(75.8 AS DOUBLE)), (CAST(215 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(145.3 AS DOUBLE)), (CAST(219 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(37.4 AS DOUBLE)), (CAST(223 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.9 AS DOUBLE)), (CAST(227 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(59.0 AS DOUBLE)), (CAST(231 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(128.4 AS DOUBLE)), (CAST(235 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(80.4 AS DOUBLE)), (CAST(239 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(90.1 AS DOUBLE)), (CAST(243 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(136.7 AS DOUBLE)), (CAST(247 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(88.9 AS DOUBLE)), (CAST(251 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(158.2 AS DOUBLE)), (CAST(255 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(50.4 AS DOUBLE)), (CAST(259 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.9 AS DOUBLE)), (CAST(263 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(71.9 AS DOUBLE)), (CAST(267 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(141.3 AS DOUBLE)), (CAST(271 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.4 AS DOUBLE)), (CAST(275 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(103.1 AS DOUBLE)), (CAST(279 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(55.0 AS DOUBLE)), (CAST(283 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(101.7 AS DOUBLE)), (CAST(287 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(53.8 AS DOUBLE)), (CAST(291 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(63.5 AS DOUBLE)), (CAST(295 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(132.9 AS DOUBLE)), (CAST(299 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(84.8 AS DOUBLE)), (CAST(303 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(154.3 AS DOUBLE)), (CAST(307 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.3 AS DOUBLE)), (CAST(311 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(116.1 AS DOUBLE)), (CAST(315 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(68.0 AS DOUBLE)), (CAST(319 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(137.5 AS DOUBLE)), (CAST(323 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(66.6 AS DOUBLE)), (CAST(327 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(136.2 AS DOUBLE)), (CAST(331 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(28.4 AS DOUBLE)), (CAST(335 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(97.8 AS DOUBLE)), (CAST(339 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(167.3 AS DOUBLE)), (CAST(343 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.4 AS DOUBLE)), (CAST(347 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(128.9 AS DOUBLE)), (CAST(351 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(81.0 AS DOUBLE)), (CAST(355 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(150.4 AS DOUBLE)), (CAST(359 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(102.5 AS DOUBLE)), (CAST(363 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(149.2 AS DOUBLE)), (CAST(367 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(41.4 AS DOUBLE)), (CAST(371 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(110.8 AS DOUBLE)), (CAST(375 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(62.8 AS DOUBLE)), (CAST(379 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(132.4 AS DOUBLE)), (CAST(383 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(24.4 AS DOUBLE)), (CAST(387 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.9 AS DOUBLE)), (CAST(391 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(163.4 AS DOUBLE)), (CAST(395 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(115.4 AS DOUBLE)), (CAST(399 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(184.8 AS DOUBLE)), (CAST(403 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(54.3 AS DOUBLE)), (CAST(407 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(123.8 AS DOUBLE)), (CAST(411 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(75.8 AS DOUBLE)), (CAST(415 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(145.2 AS DOUBLE)), (CAST(419 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(37.5 AS DOUBLE)), (CAST(423 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(106.9 AS DOUBLE)), (CAST(427 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(59.0 AS DOUBLE)), (CAST(431 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(128.3 AS DOUBLE)), (CAST(435 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(80.4 AS DOUBLE)), (CAST(439 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(90.1 AS DOUBLE)), (CAST(443 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(136.6 AS DOUBLE)), (CAST(447 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(88.9 AS DOUBLE)), (CAST(451 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(158.2 AS DOUBLE)), (CAST(455 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(50.4 AS DOUBLE)), (CAST(459 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(119.9 AS DOUBLE)), (CAST(463 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(71.9 AS DOUBLE)), (CAST(467 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(141.3 AS DOUBLE)), (CAST(471 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(93.4 AS DOUBLE)), (CAST(475 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(103.1 AS DOUBLE)), (CAST(479 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(55.1 AS DOUBLE)), (CAST(483 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(101.7 AS DOUBLE)), (CAST(487 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(53.7 AS DOUBLE)), (CAST(491 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(63.5 AS DOUBLE)), (CAST(495 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(132.9 AS DOUBLE)), (CAST(499 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER), CAST(84.9 AS DOUBLE))) AS t(doc_id, codec, width, height, mean_luma) ORDER BY doc_id""",
+)
+def multimodal_progressive_decode(spark, sf):
+    """PROGRESSIVE JPEG (SOF2) decode end-to-end: multi-scan payloads
+    (spectral selection + successive approximation per ITU-T T.81 §G,
+    functions/media_codecs.py — DC first/refine, AC first/refine with
+    EOB-runs and in-band correction bits) are synthesized per document,
+    sniffed, entropy-decoded scan by scan, dequantized, IDCT'd and
+    feature-extracted through the same media_features stage as every
+    other codec.  The scan script transmits the identical quantized
+    coefficients as one baseline scan, so decoded pixels are
+    bit-identical to the baseline path's
+    (tests/test_jpeg_progressive.py pins exactly that); with this, the
+    remaining codec seam is native-lib-only (MP3/MP4) plus JPEG's rare
+    arithmetic/hierarchical/12-bit variants."""
+    from overseer_spark.operators.multimodal import (
+        media_features,
+        synthesize_jpeg_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 3)
+    return (
+        media_features(synthesize_jpeg_media(docs, progressive=True))
+        .select(
+            "doc_id",
+            "codec",
+            "width",
+            "height",
+            F.round("mean_luma", 1).alias("mean_luma"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,

@@ -639,7 +639,7 @@ def test_jpeg_quality_controls_size_and_error():
     assert errs[0] > errs[2]
 
 
-def test_jpeg_rejects_progressive_and_truncation():
+def test_jpeg_rejects_arithmetic_and_truncation():
     import numpy as np
     import pytest
 
@@ -652,10 +652,16 @@ def test_jpeg_rejects_progressive_and_truncation():
     img = np.zeros((8, 8), dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
     assert sniff_codec(bytes(payload)) == "jpeg"
-    # flip SOF0 (FFC0) to SOF2 (progressive) → explicit NotImplementedError
+    # flip SOF0 (FFC0) to SOF9 (arithmetic) → explicit NotImplementedError
     i = bytes(payload).find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # a baseline stream mislabeled SOF2: the sequential SOS header
+    # (Ss=0, Se=63) is an invalid progressive band → rejected, not
+    # misdecoded
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x11not a jpeg")

@@ -137,7 +137,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_resize_thumbnails", "multimodal_audio_vad",
         "multimodal_scene_cuts", "multimodal_image_near_dup",
         "multimodal_image_dedup_count", "multimodal_png_decode", "multimodal_jpeg_decode",
-        "multimodal_gif_scene_cuts",
+        "multimodal_gif_scene_cuts", "multimodal_progressive_decode",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
