@@ -88,8 +88,9 @@ HEADLINE = [
     "dag_pagerank",
     "q_bootstrap_ci",
     "multimodal_jpeg_decode",
-    # round-5 addition: progressive (SOF2) multi-scan decode
+    # round-5 additions: progressive (SOF2) multi-scan decode + MP4 demux
     "multimodal_progressive_decode",
+    "multimodal_mp4_scene_cuts",
 ]
 
 

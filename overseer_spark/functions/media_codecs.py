@@ -1,16 +1,19 @@
 """Real media codecs in pure Python/numpy: WAV (RIFF PCM), BMP, PPM/PGM,
 PNG (zlib inflate + all five spec filters), GIF (LZW, animation frames),
-and JPEG — baseline sequential (SOF0) and progressive (SOF2, spectral
+JPEG — baseline sequential (SOF0) and progressive (SOF2, spectral
 selection + successive approximation), T.81 huffman + dequant + IDCT —
-``decode_jpeg`` / ``encode_jpeg`` below.
+``decode_jpeg`` / ``encode_jpeg`` below — and MP4 (ISO BMFF container
+demux with the full stsc/stsz/stco sample walk; MJPEG tracks decode
+end-to-end through the JPEG codec).
 
 These are complete, spec-faithful implementations — header + samples,
 no native libraries — so the multimodal pipeline
 (operators/multimodal.py) decodes *real* payload bytes, not a stand-in.
-The remaining documented seam is narrower still: MP3 and MP4/H.264 need
-native libs this environment does not ship, and JPEG's rare variants
-(arithmetic coding, hierarchical, 12-bit) stay behind explicit
-NotImplementedError scope guards naming the boundary.
+The remaining documented seam is narrower still: compressed sample
+CODECS that need native libs this environment does not ship (H.264/AAC
+inside MP4, MP3), plus JPEG's rare variants (arithmetic coding,
+hierarchical, 12-bit) — each behind explicit NotImplementedError scope
+guards naming the boundary.
 
 Each decoder returns (metadata dict, numpy array):
 - WAV  -> {kind: audio, sample_rate, n_channels, n_samples}, int16 [n, ch]
@@ -189,6 +192,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -1415,3 +1420,278 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
 
 
 DECODERS["jpeg"] = decode_jpeg
+
+
+# ---------------------------------------------------------------------------
+# MP4 — ISO Base Media File Format container (ISO/IEC 14496-12), pure
+# Python.  Real box-structured demux: ftyp/moov/trak/mdia/minf/stbl with
+# the full stsc/stsz/stco sample-to-chunk walk (and co64), so per-sample
+# payload extraction works on genuinely chunked files.  Sample DECODE is
+# per-codec: MJPEG tracks (fourcc 'jpeg' — each sample a complete JPEG
+# image) decode end-to-end through decode_jpeg; compressed codecs that
+# need native libraries (avc1/H.264, hvc1, mp4a/AAC) raise
+# NotImplementedError naming the boundary — the container layer itself
+# is fully real either way (metadata, durations, sample table).
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"dinf", b"stbl",
+                   b"edts", b"udta"}
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def _mp4_children(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for the boxes in [start, end);
+    handles 64-bit largesize (size==1) and to-end boxes (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        tag = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("invalid MP4 box size")
+        yield tag, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, tag: bytes):
+    for t, b0, b1 in _mp4_children(data, start, end):
+        if t == tag:
+            return b0, b1
+    return None
+
+
+def encode_mp4_mjpeg(
+    frames: np.ndarray,
+    fps: int = 10,
+    quality: int = 90,
+    chunk_size: int = 5,
+    progressive: bool = False,
+) -> bytes:
+    """MJPEG-in-MP4 writer: each frame ([n,h,w] gray or [n,h,w,3] RGB
+    uint8) becomes one complete JPEG sample (fourcc 'jpeg', the classic
+    QuickTime motion-JPEG layout) in an ISO BMFF container —
+    ftyp + mdat + moov with a real sample table.  Samples are grouped
+    ``chunk_size`` per chunk so stsc/stco carry more than the trivial
+    single-chunk case and the reader's chunk walk is honestly
+    exercised."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim not in (3, 4):
+        raise ValueError("encode_mp4_mjpeg expects [n,h,w] or [n,h,w,3]")
+    n, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
+    if n == 0:
+        raise ValueError("encode_mp4_mjpeg needs at least one frame")
+    samples = [
+        encode_jpeg(fr[i], quality=quality, progressive=progressive)
+        for i in range(n)
+    ]
+    timescale = 1000
+    delta = max(1, timescale // max(1, fps))
+    duration = n * delta
+
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2" + b"mp41"
+    )
+    mdat = _mp4_box(b"mdat", b"".join(samples))
+
+    # sample table -----------------------------------------------------
+    vse = struct.pack(">6xH", 1)                     # data_reference_index
+    vse += struct.pack(">HH3I", 0, 0, 0, 0, 0)       # pre_defined/reserved
+    vse += struct.pack(">HH", w, h)
+    vse += struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)  # dpi, frames
+    vse += bytes(32)                                 # compressorname
+    vse += struct.pack(">Hh", 24, -1)                # depth, pre_defined
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"jpeg", vse))
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    n_chunks = -(-n // chunk_size)
+    stsc_entries = [(1, min(chunk_size, n), 1)]
+    last = n - (n_chunks - 1) * chunk_size
+    if n_chunks > 1 and last != chunk_size:
+        stsc_entries.append((n_chunks, last, 1))
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    offsets, off = [], len(ftyp) + 8  # absolute offset of mdat payload
+    si = 0
+    for _ in range(n_chunks):
+        offsets.append(off)
+        for _ in range(min(chunk_size, n - si)):
+            off += len(samples[si])
+            si += 1
+    stco = _mp4_full(
+        b"stco", 0, 0,
+        struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    # media / track / movie headers ------------------------------------
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, 0,
+                     struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
+    minf = _mp4_box(b"minf", vmhd + _mp4_box(b"dinf", dref) + stbl)
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + bytes(12) + b"VideoHandler\x00",
+    )
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd = _mp4_full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration) + bytes(8)
+        + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100) + bytes(10) + matrix
+        + bytes(24) + struct.pack(">I", 2),
+    )
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def demux_mp4(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Parse the ISO BMFF structure and extract the first video track's
+    raw sample payloads via the stsc/stsz/stco walk (chunk i takes its
+    samples-per-chunk from the stsc run with the largest first_chunk
+    ≤ i; samples are consecutive within a chunk).  Returns
+    ({codec, width, height, n_samples, duration_s, timescale}, samples);
+    no sample decoding happens here."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for tag, t0, t1 in _mp4_children(payload, *moov):
+        if tag != b"trak":
+            continue
+        mdia = _mp4_find(payload, t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_find(payload, t0, t1, b"tkhd")
+        if tkhd is None:
+            raise ValueError("MP4 video trak missing tkhd")
+        ver = payload[tkhd[0]]
+        # width/height are the last two 16.16 fixed-point fields
+        w16, h16 = struct.unpack_from(">II", payload, tkhd[1] - 8)
+        width, height = w16 >> 16, h16 >> 16
+        mdhd = _mp4_find(payload, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("MP4 video trak missing mdhd")
+        ver = payload[mdhd[0]]
+        if ver == 1:
+            timescale, duration = struct.unpack_from(">IQ", payload,
+                                                     mdhd[0] + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", payload,
+                                                     mdhd[0] + 12)
+        minf = _mp4_find(payload, *mdia, b"minf")
+        stbl = _mp4_find(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("MP4 video trak missing stbl")
+        stsd = _mp4_find(payload, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("MP4 missing stsd")
+        fourcc = next(_mp4_children(payload, stsd[0] + 8, stsd[1]))[0]
+        codec = fourcc.decode("ascii", "replace").strip()
+        stsz = _mp4_find(payload, *stbl, b"stsz")
+        stsc = _mp4_find(payload, *stbl, b"stsc")
+        stco = _mp4_find(payload, *stbl, b"stco")
+        co64 = _mp4_find(payload, *stbl, b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            raise ValueError("MP4 missing sample table boxes")
+        uniform, n = struct.unpack_from(">II", payload, stsz[0] + 4)
+        if uniform:
+            sizes = [uniform] * n
+        else:
+            sizes = list(struct.unpack_from(f">{n}I", payload, stsz[0] + 12))
+        n_ent = struct.unpack_from(">I", payload, stsc[0] + 4)[0]
+        runs = [
+            struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+            for i in range(n_ent)
+        ]
+        if co64 is not None:
+            n_ch = struct.unpack_from(">I", payload, co64[0] + 4)[0]
+            offsets = struct.unpack_from(f">{n_ch}Q", payload, co64[0] + 8)
+        else:
+            n_ch = struct.unpack_from(">I", payload, stco[0] + 4)[0]
+            offsets = struct.unpack_from(f">{n_ch}I", payload, stco[0] + 8)
+        samples: list[bytes] = []
+        ri = 0
+        for ci, off in enumerate(offsets, start=1):
+            while ri + 1 < len(runs) and runs[ri + 1][0] <= ci:
+                ri += 1
+            pos = off
+            for _ in range(runs[ri][1]):
+                if len(samples) >= n:
+                    break
+                size = sizes[len(samples)]
+                if pos + size > len(payload):
+                    raise ValueError("MP4 sample extends past end of file")
+                samples.append(payload[pos : pos + size])
+                pos += size
+        if len(samples) != n:
+            raise ValueError("MP4 sample count mismatch in chunk walk")
+        meta = {
+            "kind": "video",
+            "codec": codec,
+            "width": int(width),
+            "height": int(height),
+            "n_samples": int(n),
+            "timescale": int(timescale),
+            "duration_s": (duration / timescale) if timescale else 0.0,
+        }
+        return meta, samples
+    raise ValueError("MP4 has no video track")
+
+
+def decode_mp4(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Demux + per-sample decode.  MJPEG tracks (fourcc 'jpeg') decode
+    fully via decode_jpeg and return [n,h,w] (gray) or [n,h,w,3] (RGB)
+    frames; codecs that need native libraries raise NotImplementedError
+    naming the boundary."""
+    meta, samples = demux_mp4(payload)
+    if meta["codec"] != "jpeg":
+        raise NotImplementedError(
+            f"MP4 sample codec '{meta['codec']}' requires native libraries "
+            "(only MJPEG-in-MP4 decodes here)"
+        )
+    frames = [decode_jpeg(s)[1] for s in samples]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("MP4 MJPEG samples disagree on frame shape")
+    meta = dict(meta)
+    meta["n_frames"] = meta.pop("n_samples")
+    return meta, np.stack(frames)
+
+
+DECODERS["mp4"] = decode_mp4

@@ -862,6 +862,104 @@ def gif_scene_cuts(
     )
 
 
+def synthesize_mp4_media(
+    df: DataFrame, n_frames: int = 24, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL MP4 payloads (ISO BMFF container with MJPEG samples —
+    functions/media_codecs.py: ftyp/moov/trak/stbl sample table, each
+    frame a complete JPEG) with the same id-keyed 3-scene structure as
+    synthesize_gif_media — cuts at ``6 + id % 6`` and ``14 + id % 8``,
+    per-scene luma ``(id*31)%100 + 75·scene`` — so shot-boundary
+    detection over a real video container has a closed-form oracle.
+    16×16 grayscale frames at JPEG quality 90: flat frames round-trip
+    the lossy codec EXACTLY (DC-only blocks), so the oracle needs no
+    tolerance.  Every 3rd id uses progressive (SOF2) samples, every 4th
+    a different chunking — the demux walk and both JPEG modes all see
+    traffic."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                c1, c2 = 6 + i % 6, 14 + i % 8
+                base = i * 31 % 100
+                frames = np.empty((n_frames, 16, 16), dtype=np.uint8)
+                for f in range(n_frames):
+                    scene = 0 if f < c1 else (1 if f < c2 else 2)
+                    frames[f, :, :] = base + 75 * scene
+                payloads.append(
+                    MC.encode_mp4_mjpeg(
+                        frames,
+                        fps=10,
+                        quality=90,
+                        chunk_size=7 if i % 4 == 0 else 5,
+                        progressive=i % 3 == 0,
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def mp4_scene_cuts(
+    df: DataFrame,
+    threshold: float = 30.0,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shot-boundary detection over REAL MP4 video: demux the ISO BMFF
+    sample table (stsc/stsz/stco chunk walk), decode each MJPEG sample,
+    mean absolute luma delta between consecutive frames, keyframe rows
+    at frame 0 and every cut — gif_scene_cuts' semantics on the format
+    production video actually ships in.  Payload bytes never shuffle;
+    output is keyframe rows only."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        for pdf in it:
+            out_ids, out_idx, out_luma = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                _, frames = MC.decode_mp4(bytes(b))
+                fl = frames.reshape(frames.shape[0], -1).astype(np.float64)
+                deltas = np.abs(fl[1:] - fl[:-1]).mean(axis=1)
+                keyframes = [0] + [
+                    j + 1 for j in range(len(deltas)) if deltas[j] > threshold
+                ]
+                for k in keyframes:
+                    out_ids.append(int(i))
+                    out_idx.append(int(k))
+                    out_luma.append(float(fl[k].mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "keyframe_idx": out_idx,
+                    "mean_luma": out_luma,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} long, keyframe_idx int, mean_luma double"
+    )
+
+
 def synthesize_jpeg_media(
     df: DataFrame, id_col: str = "doc_id", progressive: bool = False
 ) -> DataFrame:

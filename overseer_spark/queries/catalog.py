@@ -12002,6 +12002,48 @@ def multimodal_progressive_decode(spark, sf):
 
 
 @q(
+    "multimodal_mp4_scene_cuts",
+    oracle="""WITH d AS (SELECT doc_id, (doc_id * 31) % 100 AS base,
+                     6 + doc_id % 6 AS c1, 14 + doc_id % 8 AS c2
+                 FROM documents WHERE doc_id % 4 = 1),
+              k AS (SELECT doc_id, 0 AS kf, base AS luma FROM d
+                    UNION ALL SELECT doc_id, c1, base + 75 FROM d
+                    UNION ALL SELECT doc_id, c2, base + 150 FROM d)
+              SELECT doc_id, CAST(kf AS INTEGER) AS keyframe_idx,
+                     ROUND(CAST(luma AS DOUBLE), 2) AS mean_luma
+              FROM k ORDER BY doc_id, keyframe_idx""",
+)
+def multimodal_mp4_scene_cuts(spark, sf):
+    """Shot-boundary detection over REAL MP4 video — the scene-cut
+    pipeline on the container format production video actually ships
+    in: ISO BMFF payloads (ftyp/moov/trak/stbl with a genuine
+    stsc/stsz/stco sample table, functions/media_codecs.py) carrying
+    MJPEG samples are synthesized with id-keyed 3-scene structure,
+    demuxed via the chunk walk, per-sample JPEG-decoded (a third of the
+    ids use progressive SOF2 samples), and keyframed by luma delta.
+    Flat 16×16 frames at quality 90 round-trip the lossy codec exactly
+    (DC-only blocks), so the DuckDB oracle replays the synthesis
+    formula in closed form with NO tolerance — same shape as
+    multimodal_gif_scene_cuts.  H.264/AAC sample decode remains the
+    documented native-lib seam; the container layer is fully real."""
+    from overseer_spark.operators.multimodal import (
+        mp4_scene_cuts,
+        synthesize_mp4_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 1)
+    return (
+        mp4_scene_cuts(synthesize_mp4_media(docs))
+        .select(
+            "doc_id",
+            "keyframe_idx",
+            F.round("mean_luma", 2).alias("mean_luma"),
+        )
+        .orderBy("doc_id", "keyframe_idx")
+    )
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,
