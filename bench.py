@@ -88,9 +88,10 @@ HEADLINE = [
     "dag_pagerank",
     "q_bootstrap_ci",
     "multimodal_jpeg_decode",
-    # round-5 additions: progressive (SOF2) multi-scan decode + MP4 demux
+    # round-5 additions: progressive (SOF2) decode, MP4 demux, FLAC decode
     "multimodal_progressive_decode",
     "multimodal_mp4_scene_cuts",
+    "multimodal_flac_decode",
 ]
 
 

@@ -862,6 +862,45 @@ def gif_scene_cuts(
     )
 
 
+def synthesize_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL FLAC payloads (fixed-prediction + Rice residuals,
+    functions/media_codecs.py) from the SAME sine synthesis as the wav
+    fixtures — frequency ``200 + (id%40)*20`` Hz, 400 samples at 8 kHz,
+    amplitude 12000 — so the wav formula-replay LUT is the oracle
+    verbatim: FLAC is lossless, decode must return the identical int16
+    samples.  Block size cycles 4096/256/192 by id so single-frame,
+    multi-frame and tiny-tail framing all see traffic."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from overseer_spark.functions import media_codecs as MC
+
+        sizes = [4096, 256, 192]
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                freq = 200.0 + (i % 40) * 20.0
+                t = np.arange(400, dtype=np.float64) / 8000.0
+                wave = (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                payloads.append(
+                    MC.encode_flac(wave, 8000, block_size=sizes[i % 3])
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    from overseer_spark.operators.util import spread
+
+    # spread the narrow id input first: synthesis + every downstream
+    # mapInPandas stage inherit its partitioning, and a single-split
+    # source would otherwise serialize all per-payload Python work
+    return spread(df.select(id_col), id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
 def synthesize_mp4_media(
     df: DataFrame, n_frames: int = 24, id_col: str = "doc_id"
 ) -> DataFrame:

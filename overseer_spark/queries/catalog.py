@@ -12001,6 +12001,56 @@ def multimodal_progressive_decode(spark, sf):
     )
 
 
+def _flac_decode_oracle_sql() -> str:
+    """multimodal_flac_decode oracle: the wav formula-replay LUT
+    (:func:`_wav_fixture_lut`) applies VERBATIM because FLAC is lossless
+    — prediction + Rice coding must hand back the identical int16
+    samples, so the rms of the decoded audio equals the synthesis
+    replay's with no tolerance."""
+    rms_vals = ", ".join(
+        f"({m}, {rms!r})" for m, rms, _, _, _ in _wav_fixture_lut()
+    )
+    return f"""
+WITH rms_lut(m, rms) AS (VALUES {rms_vals})
+SELECT d.doc_id, 'flac' AS codec, CAST(8000 AS INT) AS sample_rate,
+       CAST(400 AS BIGINT) AS n_samples,
+       CAST(ROUND(l.rms, 6) AS DOUBLE) AS rms
+FROM documents d JOIN rms_lut l ON d.doc_id % 40 = l.m
+WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id"""
+
+
+@q("multimodal_flac_decode", oracle=_flac_decode_oracle_sql())
+def multimodal_flac_decode(spark, sf):
+    """COMPRESSED-audio decode end-to-end: FLAC payloads (fixed linear
+    prediction + Rice-coded residuals per the public FLAC spec /
+    RFC 9639, functions/media_codecs.py — pure Python, CRC-8/CRC-16 and
+    stream-MD5 verified) are synthesized from the same sine formula as
+    the wav fixtures, sniffed by magic bytes, decoded, and
+    feature-extracted through the common media_features stage.  FLAC is
+    LOSSLESS, so the wav formula-replay LUT is the oracle verbatim —
+    the decoder must invert prediction and entropy coding bit-for-bit
+    or the rms diverges.  With WAV this completes the audio leg of the
+    codec matrix: uncompressed + lossless-compressed real, MP3/AAC the
+    documented native-lib seam."""
+    from overseer_spark.operators.multimodal import (
+        media_features,
+        synthesize_flac_media,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 0)
+    return (
+        media_features(synthesize_flac_media(docs))
+        .select(
+            "doc_id",
+            "codec",
+            "sample_rate",
+            "n_samples",
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "multimodal_mp4_scene_cuts",
     oracle="""WITH d AS (SELECT doc_id, (doc_id * 31) % 100 AS base,

@@ -138,7 +138,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_scene_cuts", "multimodal_image_near_dup",
         "multimodal_image_dedup_count", "multimodal_png_decode", "multimodal_jpeg_decode",
         "multimodal_gif_scene_cuts", "multimodal_progressive_decode",
-        "multimodal_mp4_scene_cuts",
+        "multimodal_mp4_scene_cuts", "multimodal_flac_decode",
     ],
     "Pipeline composites & packing": [
         "train_prep_pipeline", "pack_sequences", "train_test_split_counts",
