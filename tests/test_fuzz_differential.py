@@ -21,3 +21,16 @@ def test_forty_seeded_random_queries_agree(spark, duck):
         if not ok:
             failures.append(detail)
     assert not failures, "\n".join(failures)
+
+
+def test_rangewin_family_seeded_queries_agree(spark, duck):
+    """RANGE-frame windows: peer-inclusive value frames are deterministic
+    even over tied orderings, so this family may fuzz lineitem — the
+    table the ROWS-frame family excludes (determinism rule 7)."""
+    failures = []
+    for seed in range(1000, 1012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="rangewin")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)

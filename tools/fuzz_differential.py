@@ -80,11 +80,15 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_gsets_case(rng)
     if family == "asofjoin":
         return gen_asof_case(rng) if rng.random() < 0.5 else gen_interval_case(rng)
+    if family == "rangewin":
+        return gen_rangewin_case(rng)
     roll = rng.random()
     if roll < 0.22:
         return gen_join_case(rng)
-    if roll < 0.36:
+    if roll < 0.32:
         return gen_window_case(rng)
+    if roll < 0.36:
+        return gen_rangewin_case(rng)
     if roll < 0.49:
         return gen_expr_case(rng)
     if roll < 0.57:
@@ -602,6 +606,59 @@ def build_setop_spark_df(spark, sf_dir: str, case: dict):
     return out.orderBy(sc)
 
 
+def gen_rangewin_case(rng: random.Random) -> dict:
+    """RANGE-frame window: value-based frames over a (possibly tied)
+    integer ordering.  RANGE frames include ALL peers of the boundary
+    rows, so SUM/COUNT/MIN/MAX over them are deterministic even without
+    a unique ordering key — which is exactly why this family may fuzz
+    lineitem, the table the ROWS-frame family must exclude (tie-order
+    nondeterminism, determinism rule 7).  Probes the frame-boundary
+    dialect seam: inclusive numeric offsets, peers at the frame edge,
+    empty-frame semantics with FOLLOWING-only bounds."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    if not cols["str"] or not cols["int"]:
+        table = "lineitem"
+        cols = TABLES[table]
+    part = rng.choice(cols["str"])
+    ordc = rng.choice(cols["int"])
+    fn = rng.choice(["sum", "count", "min", "max"])
+    val = rng.choice(cols["num"] + cols["int"])
+    d1 = rng.choice([0, 1, 5, 100, 1000])
+    d2 = rng.choice([None, 0, 1, 100])  # None = CURRENT ROW upper bound
+    return {"rangewin": (table, part, ordc, fn, val, d1, d2)}
+
+
+def rangewin_to_sql(case: dict) -> str:
+    table, part, ordc, fn, val, d1, d2 = case["rangewin"]
+    upper = "CURRENT ROW" if d2 is None else f"{d2} FOLLOWING"
+    expr = "COUNT(*)" if fn == "count" else f"{fn.upper()}({val})"
+    return (
+        f"SELECT {part}, {ordc}, ROUND(CAST(v AS DOUBLE), 4) AS v FROM "
+        f"(SELECT {part}, {ordc}, {expr} OVER (PARTITION BY {part} "
+        f"ORDER BY {ordc} RANGE BETWEEN {d1} PRECEDING AND {upper}) AS v "
+        f"FROM {table}) t ORDER BY {part}, {ordc}"
+    )
+
+
+def build_rangewin_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, part, ordc, fn, val, d1, d2 = case["rangewin"]
+    upper = Window.currentRow if d2 is None else d2
+    w = Window.partitionBy(part).orderBy(ordc).rangeBetween(-d1, upper)
+    v = F.count(F.lit(1)).over(w) if fn == "count" else getattr(F, fn)(val).over(w)
+    return (
+        load_table(spark, sf_dir, table)
+        .select(part, ordc, v.alias("v"))
+        .select(part, ordc, F.round(F.col("v").cast("double"), 4).alias("v"))
+        .orderBy(part, ordc)
+    )
+
+
 def gen_window_case(rng: random.Random) -> dict:
     """Random window query: ROW_NUMBER/SUM/LAG over a string-partitioned
     window ordered by a UNIQUE integer key (determinism across engines),
@@ -747,6 +804,8 @@ def to_sql(case: dict) -> str:
         return join_to_sql(case)
     if "window" in case:
         return window_to_sql(case)
+    if "rangewin" in case:
+        return rangewin_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
     if "rollup" in case:
@@ -850,6 +909,8 @@ def run_case(
         srows = build_join_spark_df(spark, sf_dir, case).collect()
     elif "window" in case:
         srows = build_window_spark_df(spark, sf_dir, case).collect()
+    elif "rangewin" in case:
+        srows = build_rangewin_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
     elif "rollup" in case:
@@ -888,7 +949,9 @@ def run_case(
         s_ = sorted(tuple(str(x) for x in r) for r in srows)
         d_ = sorted(tuple(str(x) for x in r) for r in drows)
         return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
-    if "rollup" in case:
+    if "rollup" in case or "rangewin" in case:
+        # ORDER BY yields a total order up to identical rows (RANGE-frame
+        # peers share v by construction), so pairwise compare is sound
         if len(srows) != len(drows):
             return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
         for sr, dr in zip(srows, drows):
@@ -931,7 +994,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--family",
-        choices=["gsets", "asofjoin"],
+        choices=["gsets", "asofjoin", "rangewin"],
         help="force every case into one generator (dedicated family sweeps)",
     )
     ns = ap.parse_args()
