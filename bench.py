@@ -88,10 +88,12 @@ HEADLINE = [
     "dag_pagerank",
     "q_bootstrap_ci",
     "multimodal_jpeg_decode",
-    # round-5 additions: progressive (SOF2) decode, MP4 demux, FLAC decode
+    # round-5 additions: progressive (SOF2) decode, MP4 demux, FLAC
+    # decode, HTML extraction
     "multimodal_progressive_decode",
     "multimodal_mp4_scene_cuts",
     "multimodal_flac_decode",
+    "text_html_extract",
 ]
 
 

@@ -552,3 +552,154 @@ def compression_ratio(
     return df.select(
         id_col, F.round(ratio_udf(F.col(text_col)), 5).alias("compression_ratio")
     )
+
+
+def wrap_html(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 12,
+) -> DataFrame:
+    """Deterministic HTML wrapping of document text — the test-data
+    generator for the web-extraction path (the CommonCrawl-shaped step
+    every pretraining pipeline runs).  Each document becomes a full
+    page: head with <title>/<style>/<script>, a <nav> bar, an ad block,
+    an <article> holding the text as ``words_per_para``-word
+    <p> paragraphs (entity-escaped) with an id-keyed inline ad div
+    BETWEEN paragraphs, and a <footer> with entity references — so
+    extraction has real boilerplate, script/style payloads, and
+    entity-decoding work to do.  Arrow-batched; spread-first so the
+    per-doc Python work parallelizes off a narrow input."""
+
+    def batches(it):
+        import html as _html
+
+        import pandas as pd
+
+        for pdf in it:
+            out_ids, out_html = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                words = (t or "").split()
+                paras = [
+                    " ".join(words[k : k + words_per_para])
+                    for k in range(0, len(words), words_per_para)
+                ]
+                body = []
+                for pi, para in enumerate(paras):
+                    if pi == 1:
+                        body.append(
+                            f'<div class="ad">Buy now &amp; save {i % 7}0%!</div>'
+                        )
+                    body.append(f"<p>{_html.escape(para)}</p>")
+                page = (
+                    "<!DOCTYPE html><html><head>"
+                    f"<title>Doc {i}</title>"
+                    "<style>body{margin:0;font:14px sans-serif}</style>"
+                    f"<script>var docId={i};track(docId&&1);</script>"
+                    "</head><body>"
+                    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+                    f'<div class="ad">Sponsored &mdash; offer {i % 5}</div>'
+                    f"<article><h1>Doc {i}</h1>" + "".join(body) + "</article>"
+                    f"<footer>&copy; 2026 Example Corp &ndash; id {i}</footer>"
+                    "</body></html>"
+                )
+                out_ids.append(i)
+                out_html.append(page)
+            yield pd.DataFrame({id_col: out_ids, "html": out_html})
+
+    return spread(df.select(id_col, text_col), id_col).mapInPandas(
+        batches, schema=f"{id_col} long, html string"
+    )
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Main-content extraction from HTML — strip tags, drop script/style
+    and boilerplate elements (nav, footer, class="ad"), decode entity
+    references, and keep only <article> paragraph text (stdlib
+    html.parser; no native libs).  Emits (id, extracted, n_paragraphs).
+    On wrap_html pages the round trip is LOSSLESS: ``extracted`` equals
+    the original text column bit-for-bit, which is the catalog entry's
+    DuckDB oracle — no tolerance, no similarity threshold.  Real pages
+    obviously are not lossless; the operator's value there is the same
+    boilerplate-dropping traversal, and the synthetic round trip proves
+    the traversal loses nothing it should keep."""
+
+    def batches(it):
+        from html.parser import HTMLParser
+
+        import pandas as pd
+
+        class _Extract(HTMLParser):
+            _VOID = {"br", "img", "hr", "meta", "link", "input"}
+
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                # stack of (tag, effect) for every open element, where
+                # effect records what the OPEN actually did ("sup" /
+                # "article" / "p" / None) — suppression is decided at
+                # open time (class attrs are only visible there) and
+                # unwound exactly by the matching close
+                self.stack: list[tuple[str, str | None]] = []
+                self.suppress = 0
+                self.in_article = 0
+                self.in_p = 0
+                self.paras: list[str] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag in self._VOID:
+                    return
+                cls = dict(attrs).get("class") or ""
+                if tag in ("script", "style", "nav", "footer") or (
+                    "ad" in cls.split()
+                ):
+                    effect = "sup"
+                    self.suppress += 1
+                elif tag == "article":
+                    effect = "article"
+                    self.in_article += 1
+                elif tag == "p" and self.in_article and not self.suppress:
+                    effect = "p"
+                    self.in_p += 1
+                    self.paras.append("")
+                else:
+                    effect = None
+                self.stack.append((tag, effect))
+
+            def handle_endtag(self, tag):
+                # pop to the nearest matching open tag (tolerates the
+                # unclosed-tag soup real pages have)
+                for k in range(len(self.stack) - 1, -1, -1):
+                    if self.stack[k][0] == tag:
+                        for _t, effect in reversed(self.stack[k:]):
+                            if effect == "sup":
+                                self.suppress -= 1
+                            elif effect == "article":
+                                self.in_article -= 1
+                            elif effect == "p":
+                                self.in_p -= 1
+                        del self.stack[k:]
+                        break
+
+            def handle_data(self, data):
+                if self.in_p and not self.suppress:
+                    self.paras[-1] += data
+
+        for pdf in it:
+            out_ids, out_text, out_np = [], [], []
+            for i, page in zip(pdf[id_col], pdf[html_col]):
+                p = _Extract()
+                p.feed(page or "")
+                paras = [x.strip() for x in p.paras if x.strip()]
+                out_ids.append(int(i))
+                out_text.append(" ".join(paras))
+                out_np.append(len(paras))
+            yield pd.DataFrame(
+                {id_col: out_ids, "extracted": out_text, "n_paragraphs": out_np}
+            )
+
+    return df.select(id_col, html_col).mapInPandas(
+        batches, schema=f"{id_col} long, extracted string, n_paragraphs int"
+    )

@@ -12094,6 +12094,33 @@ def multimodal_mp4_scene_cuts(spark, sf):
 
 
 @q(
+    "text_html_extract",
+    oracle="""SELECT doc_id, text AS extracted,
+                 CAST(CEIL((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                            + 1) / 12.0) AS INTEGER) AS n_paragraphs
+              FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id""",
+)
+def text_html_extract(spark, sf):
+    """Web-content extraction — the CommonCrawl-shaped step every
+    pretraining pipeline runs: documents are wrapped into full HTML
+    pages (head/style/script, nav bar, ad blocks, entity references,
+    an <article> of 12-word <p> paragraphs with an inline ad between
+    them — operators/text.py wrap_html), then html_extract strips tags,
+    drops script/style/nav/footer/class="ad" subtrees via a
+    suppression-stack traversal, decodes entities, and reassembles the
+    paragraph text.  The round trip is LOSSLESS by construction, so the
+    DuckDB oracle is the original text column VERBATIM plus the
+    closed-form paragraph count — extraction must lose nothing it
+    should keep, bit-for-bit, or the driver hash diverges.  Real pages
+    aren't lossless; the operator's value there is the same traversal,
+    proven non-destructive here."""
+    from overseer_spark.operators.text import html_extract, wrap_html
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 2)
+    return html_extract(wrap_html(docs)).orderBy("doc_id")
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,
