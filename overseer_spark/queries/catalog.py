@@ -11767,6 +11767,71 @@ def store_time_travel(spark, sf):
 
 
 @q(
+    "store_sqlite_fsm_trace",
+    oracle="""SELECT * FROM (VALUES
+                ('extract', CAST(2 AS INTEGER), CAST(2 AS INTEGER)),
+                ('load', CAST(2 AS INTEGER), CAST(2 AS INTEGER)),
+                ('transform', CAST(2 AS INTEGER), CAST(4 AS INTEGER)))
+              AS t(job_type, status, lock_version) ORDER BY job_type""",
+)
+def store_sqlite_fsm_trace(spark, sf):
+    """The SQL-database store backend driven through the reference's own
+    deployment FSM (store/sqlite.py — the jdbc.clj ``lock_version``
+    optimistic-CAS port: every guarded transition is ``UPDATE ... WHERE
+    id=? AND lock_version=?`` and bumps the counter by exactly one, so
+    the final lock_version IS the audit of how many CAS writes each row
+    won): a 3-stage chain is scheduled via jobs_ready (anti-join
+    semantics on real SQL), extract and load each take reserve→finish
+    (2 CAS wins), transform takes reserve→reset→reserve→finish (a
+    worker-death rescue, 4 wins).  The DuckDB oracle is the closed-form
+    trace — deterministic statuses AND lock_versions.  The 5-backend
+    protocol suite and an 8-process race test cover this store in
+    pytest; this entry gives it independent driver-side signal like the
+    sparklog/manifest time-travel entries."""
+    import tempfile
+
+    from overseer_spark.core import job_graph
+    from overseer_spark.store.sqlite import SqliteStore
+
+    path = tempfile.mktemp(prefix="overseer_fsm_", suffix=".db")
+    store = SqliteStore(path)
+    store.install()
+    g = job_graph(
+        {"extract": [], "transform": ["extract"], "load": ["transform"]}
+    )
+    store.transact_graph(g)
+    by_id = {j.id: j.type for j in g.jobs}
+    by_type = {j.type: j.id for j in g.jobs}
+
+    ready = store.jobs_ready()
+    assert [by_id[j] for j in ready] == ["extract"], ready
+    store.reserve_job(by_type["extract"])
+    store.finish_job(by_type["extract"])
+
+    ready = store.jobs_ready()
+    assert [by_id[j] for j in ready] == ["transform"], ready
+    store.reserve_job(by_type["transform"])
+    store.reset_job(by_type["transform"])  # worker died: back to ready
+    assert [by_id[j] for j in store.jobs_ready()] == ["transform"]
+    store.reserve_job(by_type["transform"])
+    store.finish_job(by_type["transform"])
+
+    ready = store.jobs_ready()
+    assert [by_id[j] for j in ready] == ["load"], ready
+    store.reserve_job(by_type["load"])
+    store.finish_job(by_type["load"])
+
+    rows = []
+    for t in ("extract", "transform", "load"):
+        j = store.job_info(by_type[t])
+        rows.append((t, int(j.status), int(j.lock_version)))
+    store.close()
+    return spark.createDataFrame(
+        rows, "job_type string, status int, lock_version int"
+    ).orderBy("job_type")
+
+
+@q(
     "stream_store_transitions",
     oracle="""SELECT * FROM (VALUES
                 ('cas', CAST(1 AS INTEGER), CAST(3 AS BIGINT)),

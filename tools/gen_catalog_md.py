@@ -90,7 +90,8 @@ FAMILIES: dict[str, list[str]] = {
         "q33b_closure_recursive_cte", "q33c_closure_sql_scripting", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
         "graph_triangle_count", "graph_kcore", "dag_critical_path",
-        "store_time_travel", "store_manifest_time_travel", "dag_slack_analysis",
+        "store_time_travel", "store_manifest_time_travel",
+        "store_sqlite_fsm_trace", "dag_slack_analysis",
     ],
     "Dedup family": [
         "q35_exact_dup_count", "dedup_exact_groups", "dedup_golden_record",
