@@ -12186,6 +12186,95 @@ def text_html_extract(spark, sf):
 
 
 @q(
+    "url_normalize_dedup",
+    oracle="""WITH d AS (SELECT doc_id, doc_id % 20 AS m,
+                CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS proto,
+                CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port
+              FROM documents WHERE doc_id % 4 = 3),
+              c AS (SELECT doc_id, 'example' || m || '.com' AS domain,
+                proto || '://www.example' || m || '.com' || port
+                  || '/p/' || (doc_id % 10)
+                  || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 5) AS canon
+              FROM d)
+              SELECT domain, CAST(2 * COUNT(*) AS BIGINT) AS n_urls,
+                     CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+                     MIN(canon) AS sample_canonical
+              FROM c GROUP BY domain ORDER BY domain""",
+)
+def url_normalize_dedup(spark, sf):
+    """URL canonicalization + dedup — the step between crawl and fetch
+    dedup in every web pipeline: lowercase scheme and host, strip
+    default ports (keep non-default), sort query parameters, drop
+    fragments, then group by registrable domain (www. stripped) and
+    count raw vs canonical URLs.  ENTIRELY JVM built-ins — parse_url /
+    regexp / array_sort / concat, zero Python — in deliberate contrast
+    to the codec entries.  The synthesis emits two case/port/param-order
+    variants per document that must collapse to ONE canonical form; the
+    DuckDB oracle replays the closed form from id arithmetic, including
+    the exact canonical string (MIN per domain), so every normalization
+    rule is hash-checked, not just the collapse count."""
+    i = F.col("doc_id")
+    m = i % 20
+    proto_lc = F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    # explicit default port on id%3==0 (must strip), :8080 on id%3==1
+    # (must keep), none otherwise
+    port1 = (
+        F.when((i % 3 == 0) & (i % 2 == 0), F.lit(":443"))
+        .when((i % 3 == 0), F.lit(":80"))
+        .when(i % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/p/"), (i % 10).cast("string"))
+    qa = F.concat(F.lit("a="), (i % 7).cast("string"))
+    qb = F.concat(F.lit("b="), (i % 5).cast("string"))
+    raw1 = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("Http")),
+        F.lit("://WWW.Example"), m.cast("string"), F.lit(".COM"),
+        port1, path, F.lit("?"), qb, F.lit("&"), qa,
+        F.lit("#sec"), i.cast("string"),
+    )
+    raw2 = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://www.EXAMPLE"), m.cast("string"), F.lit(".com"),
+        port1, path, F.lit("?"), qa, F.lit("&"), qb,
+    )
+    urls = (
+        _t(spark, sf, "documents")
+        .where(i % 4 == 3)
+        .select("doc_id", F.explode(F.array(raw1, raw2)).alias("url"))
+    )
+    proto = F.lower(F.expr("parse_url(url, 'PROTOCOL')"))
+    host = F.lower(F.expr("parse_url(url, 'HOST')"))
+    auth = F.expr("parse_url(url, 'AUTHORITY')")
+    port = F.regexp_extract(auth, ":(\\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == F.lit("http")) & (port == F.lit("80")))
+        | ((proto == F.lit("https")) & (port == F.lit("443")))
+    )
+    qsorted = F.array_join(
+        F.array_sort(F.split(F.expr("parse_url(url, 'QUERY')"), "&")), "&"
+    )
+    canon = F.concat(
+        proto, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.expr("parse_url(url, 'PATH')"), F.lit("?"), qsorted,
+    )
+    return (
+        urls.select(
+            F.regexp_replace(host, "^www\\.", "").alias("domain"),
+            canon.alias("canon"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("canon").cast("long").alias("n_canonical"),
+            F.min("canon").alias("sample_canonical"),
+        )
+        .orderBy("domain")
+    )
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,
