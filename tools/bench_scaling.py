@@ -52,6 +52,12 @@ ENTRIES = [
     "q_id_gap_audit",
     "q_impute_median_by_group",
     "er_match_clusters",
+    # round-5 additions: new codec + web-pipeline entries
+    "multimodal_progressive_decode",
+    "multimodal_mp4_scene_cuts",
+    "multimodal_flac_decode",
+    "text_html_extract",
+    "url_normalize_dedup",
 ]
 
 
