@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_mp4_scene_cuts",
     "multimodal_flac_decode",
     "text_html_extract",
+    "warc_extract_pipeline",
 ]
 
 

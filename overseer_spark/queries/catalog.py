@@ -12275,6 +12275,43 @@ def url_normalize_dedup(spark, sf):
 
 
 @q(
+    "warc_extract_pipeline",
+    oracle="""SELECT doc_id, CAST(200 AS INTEGER) AS http_status,
+                'https://www.example' || (doc_id % 20) || '.com/p/'
+                  || (doc_id % 10) AS target_uri,
+                text AS extracted
+              FROM documents ORDER BY doc_id""",
+)
+def warc_extract_pipeline(spark, sf):
+    """The crawl→text pipeline on the container format web corpora
+    actually ship in (WARC / ISO 28500 — Common Crawl's wire format):
+    documents are wrapped into HTML pages, packed into per-source WARC
+    files (warcinfo + HTTP/1.1 response records; half the files use the
+    standard member-per-record .warc.gz layout — the property that
+    makes WARC splittable — sources/warc.py), then the reader walks the
+    gzip members and Content-Length framing, parses the HTTP blocks,
+    and html_extract drops boilerplate and reassembles the text.  FOUR
+    nested framings (gzip → WARC → HTTP → HTML) must each be inverted
+    losslessly: the DuckDB oracle is the original text column verbatim
+    plus the closed-form target URI and status — any off-by-one in any
+    layer's length accounting diverges the driver hash."""
+    from overseer_spark.operators.text import html_extract, wrap_html
+    from overseer_spark.sources.warc import build_warc, read_warc_records
+
+    docs = _t(spark, sf, "documents")
+    pages = wrap_html(docs).join(docs.select("doc_id", "source"), "doc_id")
+    recs = read_warc_records(build_warc(pages))
+    return (
+        html_extract(recs)
+        .join(
+            recs.select("doc_id", "http_status", "target_uri"), "doc_id"
+        )
+        .select("doc_id", "http_status", "target_uri", "extracted")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,
