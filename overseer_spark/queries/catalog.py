@@ -12312,6 +12312,70 @@ def warc_extract_pipeline(spark, sf):
 
 
 @q(
+    "url_robots_filter",
+    oracle="""WITH d AS (SELECT doc_id, doc_id % 20 AS m FROM documents)
+              SELECT 'example' || m || '.com' AS domain,
+                     CAST(COUNT(*) AS BIGINT) AS n_urls,
+                     CAST(CASE WHEN m % 3 = 0 OR m % 2 = 1
+                               THEN COUNT(*) ELSE 0 END AS BIGINT)
+                       AS n_allowed,
+                     CAST(1 + m % 5 AS INTEGER) AS crawl_delay
+              FROM d GROUP BY m ORDER BY domain""",
+)
+def url_robots_filter(spark, sf):
+    """Crawl-politeness compliance — the step between URL frontier and
+    fetch (and the re-check pipelines run before using a crawl): each
+    domain's robots.txt is synthesized declaratively (JVM concat/when —
+    an agent section whose Allow/Disallow rules vary by domain, a
+    Crawl-delay, and a deny-all fallback for other agents), then
+    operators/web.py robots_filter evaluates every URL with stdlib
+    urllib.robotparser semantics (agent-section matching,
+    first-match-wins rule lines), cached one parser per domain per
+    batch.  Output: per-domain URL/allowed counts + crawl delay.  The
+    DuckDB oracle replays the rule formula in closed form — allowed iff
+    the domain's agent section says so (m%3==0 via Allow-before-
+    Disallow, odd m via a non-matching Disallow), delay = 1+m%5 — so
+    the parser evaluation, not just the plumbing, is hash-checked."""
+    from overseer_spark.operators.web import robots_filter
+
+    i = F.col("doc_id")
+    m = i % 20
+    domain = F.concat(F.lit("example"), m.cast("string"), F.lit(".com"))
+    url = F.concat(
+        F.lit("https://www."), domain, F.lit("/p/"), (i % 10).cast("string")
+    )
+    rules = (
+        F.when(m % 3 == 0, F.lit("Allow: /p/\nDisallow: /"))
+        .when(m % 2 == 0, F.lit("Disallow: /p/"))
+        .otherwise(F.lit("Disallow: /static/"))
+    )
+    robots = F.concat(
+        F.lit("User-agent: overseer-bot\n"), rules,
+        F.lit("\nCrawl-delay: "), (m % 5 + 1).cast("string"),
+        F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+    )
+    frontier = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            domain.alias("domain"),
+            url.alias("url"),
+            robots.alias("robots_txt"),
+        )
+    )
+    return (
+        robots_filter(frontier)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.col("allowed").cast("long")).cast("long").alias("n_allowed"),
+            F.first("crawl_delay").alias("crawl_delay"),
+        )
+        .orderBy("domain")
+    )
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,
