@@ -12376,6 +12376,79 @@ def url_robots_filter(spark, sf):
 
 
 @q(
+    "stream_warc_ingest",
+    oracle="""SELECT 'www.example' || (doc_id % 20) || '.com' AS host,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+              FROM documents GROUP BY host ORDER BY host""",
+)
+def stream_warc_ingest(spark, sf):
+    """The crawl→text pipeline as a STREAM: WARC files land in a
+    directory (the way crawl output actually arrives) and a
+    binaryFile Structured Streaming source picks each file up as a
+    micro-batch; the SAME read_warc_records + html_extract
+    transformations the batch entry uses run unchanged on the streaming
+    DataFrame (one definition, both engines — the parity contract), and
+    a per-host rollup counts documents and extracted characters.  The
+    DuckDB oracle is the batch closed form over the original text —
+    gzip members, WARC framing, HTTP parsing, and HTML extraction must
+    all survive the streaming execution path too.  The driver-side file
+    write is bounded by the number of source groups (20), not corpus
+    size; at production scale the landing directory is written by the
+    crawler and this entry is just the reader."""
+    import os
+    import tempfile
+    import uuid
+
+    from overseer_spark.operators.text import html_extract, wrap_html
+    from overseer_spark.sources.warc import build_warc, read_warc_records
+
+    docs = _t(spark, sf, "documents")
+    pages = wrap_html(docs).join(docs.select("doc_id", "source"), "doc_id")
+    d = tempfile.mkdtemp(prefix="overseer_warc_stream_")
+    for r in build_warc(pages).collect():  # ≤ |sources| rows, bounded
+        payload = bytes(r["payload"])
+        ext = ".warc.gz" if payload[:2] == b"\x1f\x8b" else ".warc"
+        with open(os.path.join(d, r["group"] + ext), "wb") as f:
+            f.write(payload)
+
+    sdf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(d)
+    )
+    recs = read_warc_records(sdf.select(F.col("content").alias("payload")))
+    host = F.concat(
+        F.lit("www.example"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".com"),
+    )
+    agg = (
+        html_extract(recs)
+        .groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("extracted")).cast("long").alias("total_chars"),
+        )
+    )
+    name = f"warc_ingest_{uuid.uuid4().hex[:8]}"
+    q_ = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="overseer_warc_ck_")
+        )
+        .start()
+    )
+    q_.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name} ORDER BY host")
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,
