@@ -1037,10 +1037,25 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return bit
 
+    def peek(self, n: int) -> int:
+        """Look at the next ``n`` ≤ 24 bits without consuming (zero-padded
+        past stream/marker end, like read_bit)."""
+        if self.nbits < n:
+            self._fill()
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def reset_at_restart(self) -> None:
@@ -1074,33 +1089,52 @@ class _BitReader:
         return len(self.data)
 
 
+_HUFF_LUT_BITS = 8
+
+
 def _huff_decode_tables(bits: list, vals: list):
-    """(mincode, maxcode, valptr) per code length — T.81 F.2.2.3."""
+    """(mincode, maxcode, valptr, vals, lut) per T.81 F.2.2.3, plus an
+    8-bit prefix lookup table: codes of ≤8 bits (the overwhelming
+    majority of symbols in real streams) decode with ONE table index
+    instead of bit-by-bit tree walking — the standard libjpeg-style
+    fast path, worth ~2-3× on the Python decoder."""
     mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
     code, k = 0, 0
+    lut: list[tuple[int, int] | None] = [None] * (1 << _HUFF_LUT_BITS)
     for ln in range(1, 17):
         if bits[ln - 1] == 0:
             maxcode[ln] = -1
         else:
             valptr[ln] = k
             mincode[ln] = code
+            if ln <= _HUFF_LUT_BITS:
+                for j in range(bits[ln - 1]):
+                    lo = (code + j) << (_HUFF_LUT_BITS - ln)
+                    entry = (vals[k + j], ln)
+                    for idx in range(lo, lo + (1 << (_HUFF_LUT_BITS - ln))):
+                        lut[idx] = entry
             code += bits[ln - 1]
             k += bits[ln - 1]
             maxcode[ln] = code - 1
         code <<= 1
-    return mincode, maxcode, valptr, vals
+    return mincode, maxcode, valptr, vals, lut
 
 
 def _huff_read(br: _BitReader, tab) -> int:
-    mincode, maxcode, valptr, vals = tab
-    code = br.read_bit()
-    ln = 1
-    while code > maxcode[ln] or maxcode[ln] < 0:
+    mincode, maxcode, valptr, vals, lut = tab
+    v = br.peek(16)
+    e = lut[v >> (16 - _HUFF_LUT_BITS)]
+    if e is not None:
+        br.skip(e[1])
+        return e[0]
+    ln = _HUFF_LUT_BITS + 1
+    while ln <= 16:
+        code = v >> (16 - ln)
+        if maxcode[ln] >= code >= mincode[ln]:
+            br.skip(ln)
+            return vals[valptr[ln] + code - mincode[ln]]
         ln += 1
-        if ln > 16:
-            raise ValueError("invalid JPEG Huffman code")
-        code = (code << 1) | br.read_bit()
-    return vals[valptr[ln] + code - mincode[ln]]
+    raise ValueError("invalid JPEG Huffman code")
 
 
 def _extend(v: int, size: int) -> int:
@@ -1134,7 +1168,7 @@ def _decode_jpeg_scan(
     for c in scan_comps:
         c["pred"] = 0
 
-    def block_seq(c: dict, zz: np.ndarray) -> None:
+    def block_seq(c: dict, zz: list) -> None:
         size = _huff_read(br, huffs[("dc", c["td"])])
         diff = _extend(br.read_bits(size), size) if size else 0
         c["pred"] += diff
@@ -1155,17 +1189,17 @@ def _decode_jpeg_scan(
             zz[k] = _extend(br.read_bits(s), s)
             k += 1
 
-    def block_dc_first(c: dict, zz: np.ndarray) -> None:
+    def block_dc_first(c: dict, zz: list) -> None:
         size = _huff_read(br, huffs[("dc", c["td"])])
         diff = _extend(br.read_bits(size), size) if size else 0
         c["pred"] += diff
         zz[0] = c["pred"] << al
 
-    def block_dc_refine(c: dict, zz: np.ndarray) -> None:
+    def block_dc_refine(c: dict, zz: list) -> None:
         if br.read_bit():
             zz[0] |= 1 << al
 
-    def block_ac_first(c: dict, zz: np.ndarray) -> None:
+    def block_ac_first(c: dict, zz: list) -> None:
         nonlocal eobrun
         if eobrun > 0:
             eobrun -= 1
@@ -1189,7 +1223,7 @@ def _decode_jpeg_scan(
             zz[k] = _extend(br.read_bits(s), s) << al
             k += 1
 
-    def block_ac_refine(c: dict, zz: np.ndarray) -> None:
+    def block_ac_refine(c: dict, zz: list) -> None:
         # T.81 §G.2 / fig. G.7: newly-significant coefficients arrive as
         # ±1<<Al; coefficients already nonzero from earlier scans receive
         # one correction bit each, read in band order while advancing.
@@ -1254,10 +1288,10 @@ def _decode_jpeg_scan(
             for c in scan_comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        block(c, c["coef"][my * c["v"] + by, mx * c["h"] + bx])
+                        block(c, c["coef"][my * c["v"] + by][mx * c["h"] + bx])
         else:
             by, bx = divmod(unit, c0["bwn"])
-            block(c0, c0["coef"][by, bx])
+            block(c0, c0["coef"][by][bx])
     return br.scan_end()
 
 
@@ -1346,7 +1380,14 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
                 # sample grid, NOT padded to MCU multiples (T.81 A.2.2)
                 c["bwn"] = -(-(-(-w * c["h"] // hmax)) // 8)
                 c["bhn"] = -(-(-(-h * c["v"] // vmax)) // 8)
-                c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+                # zigzag-order coefficients as per-block PYTHON lists:
+                # entropy decode touches coefficients one at a time, and
+                # list get/set is ~3x cheaper than numpy scalar indexing;
+                # converted to one ndarray after the last scan
+                c["coef"] = [
+                    [[0] * 64 for _ in range(c["bw"])]
+                    for _ in range(c["bh"])
+                ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1402,8 +1443,9 @@ def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
     for c in comps:
         if c["tq"] not in qts:
             raise ValueError("JPEG scan references missing quant table")
-        nat = np.zeros_like(c["coef"])
-        nat[:, :, _ZIGZAG] = c["coef"]
+        zz_arr = np.array(c["coef"], dtype=np.int64)
+        nat = np.zeros_like(zz_arr)
+        nat[:, :, _ZIGZAG] = zz_arr
         deq = nat.reshape(c["bh"], c["bw"], 8, 8) * qts[c["tq"]]
         spatial = np.einsum("ji,abjk,kl->abil", _DCT_T, deq.astype(np.float64), _DCT_T)
         plane = spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8) + 128.0
