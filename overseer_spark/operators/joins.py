@@ -187,3 +187,87 @@ def bloom_semi_join(
         probe_key,
         "left_semi",
     )
+
+
+def geo_block_candidates(
+    df: DataFrame,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_km: float = 500.0,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Grid-blocked candidate pairs for a ≤``max_km`` proximity join —
+    the geohash-bucketing pattern as a pure EQUI-join (hash-partitionable
+    at any scale; a BETWEEN range join would be a nested loop).
+
+    Recall 1.0 by geometry, not by hope: latitude cells are 5°
+    (``max_km`` = 500 km ≤ 4.5° of latitude, so ±1 cell always covers
+    it), and longitude cells are 10° with ANTIMERIDIAN WRAPPING — at
+    |lat| ≤ 60° a 500 km pair can span up to 2·asin(sin(250/6371) /
+    cos 60°) ≈ 9.0° of longitude, which a ±1 ring of 5° cells does NOT
+    cover (the hazard a property test caught, along with ±180°
+    wrap-around pairs: lon 174.9 and −179.9 are the same 5° apart as
+    0 and 5).  Neighbor cells are exploded on the probe side and
+    wrapped mod 36, so (gy, gx) equality is exact.
+
+    Emits candidate pairs (x, y, alat, alon, blat, blon) with x < y;
+    callers verify with exact haversine.  Raises if the configuration
+    cannot guarantee total recall."""
+    import math
+
+    if max_km > 111.19 * 4.5 or max_abs_lat > 60.0:
+        # 5°/10° grid only guarantees recall for this envelope
+        raise ValueError(
+            "geo_block_candidates guarantees recall for max_km <= 500 "
+            "and |lat| <= 60 only; widen the grid for a larger radius"
+        )
+    lon_span = 2 * math.degrees(
+        math.asin(
+            min(
+                1.0,
+                math.sin(max_km / (2 * 6371.0))
+                / math.cos(math.radians(max_abs_lat)),
+            )
+        )
+    )
+    assert lon_span <= 10.0, "longitude cell must cover the worst-case span"
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+        F.floor(F.col(lat_col) / 5).cast("long").alias("gy"),
+        F.floor(F.col(lon_col) / 10).cast("long").alias("gx"),
+    )
+    # probe side replicates into its 9 neighbor cells; gx wraps mod 36
+    # (cells -18..17) so pairs straddling ±180° still meet on equality
+    probe = (
+        g.select(
+            "id", "lat", "lon",
+            F.explode(F.expr("sequence(gy - 1, gy + 1)")).alias("gy"),
+            "gx",
+        )
+        .select(
+            "id", "lat", "lon", "gy",
+            F.explode(F.expr("sequence(gx - 1, gx + 1)")).alias("gxr"),
+        )
+        .select(
+            "id", "lat", "lon", "gy",
+            (F.pmod(F.col("gxr") + 18, F.lit(36)) - 18).alias("gx"),
+        )
+    )
+    a, b = probe.alias("a"), g.alias("b")
+    return a.join(
+        b,
+        (F.col("a.gy") == F.col("b.gy"))
+        & (F.col("a.gx") == F.col("b.gx"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("x"),
+        F.col("b.id").alias("y"),
+        F.col("a.lat").alias("alat"),
+        F.col("a.lon").alias("alon"),
+        F.col("b.lat").alias("blat"),
+        F.col("b.lon").alias("blon"),
+    )

@@ -9140,13 +9140,13 @@ def docs_quality_ensemble(spark, sf):
                      -180.0 + (c_custkey * 104729 % 36000) / 100.0 AS lon
                            FROM customer),
                    g AS (SELECT *, CAST(FLOOR(lat / 5) AS BIGINT) AS gy,
-                                CAST(FLOOR(lon / 5) AS BIGINT) AS gx
+                                CAST(FLOOR(lon / 10) AS BIGINT) AS gx
                          FROM pts),
                    cand AS (SELECT a.id AS x, b.id AS y, a.lat AS alat,
                                    a.lon AS alon, b.lat AS blat, b.lon AS blon
                             FROM g a JOIN g b
                               ON b.gy BETWEEN a.gy - 1 AND a.gy + 1
-                             AND b.gx BETWEEN a.gx - 1 AND a.gx + 1
+                             AND (b.gx - a.gx + 36) % 36 IN (0, 1, 35)
                              AND a.id < b.id),
                    d AS (SELECT x, y,
                            2 * 6371.0 * asin(sqrt(
@@ -9159,51 +9159,27 @@ def docs_quality_ensemble(spark, sf):
 )
 def q_geo_nearby_pairs(spark, sf):
     """Geospatial proximity join: all point pairs within 500 km, via
-    5°-grid cell blocking (each point equi-joins only its own and the 8
-    neighboring cells — the geohash-bucketing pattern) and exact
-    haversine verification of candidates only. Cell width is chosen so
-    no qualifying pair can span more than one cell boundary at the data's
-    latitude range (±60°), making blocking recall 1.0 by construction —
-    the same block-then-verify shape as the LSH dedup family, on
-    coordinates. Synthetic-but-deterministic lat/lon derive from the
+    grid-cell blocking (operators/joins.py geo_block_candidates — each
+    point equi-joins only its own and the 8 neighboring cells, the
+    geohash-bucketing pattern) and exact haversine verification of
+    candidates only.  Cell geometry is chosen so recall is PROVABLY
+    1.0 on the ±60° band: 5° latitude cells (500 km ≤ 4.5° lat) and
+    10° longitude cells with antimeridian wrapping — at |lat| = 60 a
+    500 km pair spans up to ≈9.0° of longitude, and ±180°-straddling
+    pairs are as close as same-cell ones; a hypothesis property test
+    caught BOTH hazards in the original 5°-no-wrap grid (blocking
+    recall is exactly the kind of claim that needs an adversarial
+    oracle).  Same block-then-verify shape as the LSH dedup family, on
+    coordinates.  Synthetic-but-deterministic lat/lon derive from the
     customer key, so both engines see identical geometry."""
+    from overseer_spark.operators.joins import geo_block_candidates
+
     c = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("id"),
         (F.lit(-60.0) + (F.col("c_custkey") * 7919 % 12000) / 100.0).alias("lat"),
         (F.lit(-180.0) + (F.col("c_custkey") * 104729 % 36000) / 100.0).alias("lon"),
     )
-    g = c.select(
-        "*",
-        F.floor(F.col("lat") / 5).cast("long").alias("gy"),
-        F.floor(F.col("lon") / 5).cast("long").alias("gx"),
-    )
-    # probe side replicates into its 9 neighbor cells so candidate
-    # generation is a pure EQUI-join on (gy, gx) — hash-partitionable;
-    # the oracle's BETWEEN formulation would be a nested loop at scale
-    probe = g.select(
-        "id", "lat", "lon",
-        F.explode(
-            F.expr("sequence(gy - 1, gy + 1)")
-        ).alias("gy"),
-        "gx",
-    ).select(
-        "id", "lat", "lon", "gy",
-        F.explode(F.expr("sequence(gx - 1, gx + 1)")).alias("gx"),
-    )
-    a, b = probe.alias("a"), g.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.gy") == F.col("b.gy"))
-        & (F.col("a.gx") == F.col("b.gx"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("x"),
-        F.col("b.id").alias("y"),
-        F.col("a.lat").alias("alat"),
-        F.col("a.lon").alias("alon"),
-        F.col("b.lat").alias("blat"),
-        F.col("b.lon").alias("blon"),
-    )
+    cand = geo_block_candidates(c)
     km = (
         F.lit(2 * 6371.0)
         * F.asin(

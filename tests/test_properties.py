@@ -302,8 +302,11 @@ def test_heavy_hitters_exactness_law(spark, docs, k):
 
 _geo_pts = st.lists(
     st.tuples(
-        st.floats(min_value=-59.9, max_value=59.9, allow_nan=False),
-        st.floats(min_value=-179.9, max_value=174.9, allow_nan=False),
+        # the FULL supported envelope, poles of the two hazards included:
+        # |lat| -> 60 (a 500 km pair spans up to ~9 deg of longitude) and
+        # the +/-180 antimeridian (wrap-around adjacency)
+        st.floats(min_value=-60.0, max_value=60.0, allow_nan=False),
+        st.floats(min_value=-180.0, max_value=179.999, allow_nan=False),
     ),
     min_size=2,
     max_size=15,
@@ -313,32 +316,21 @@ _geo_pts = st.lists(
 @given(pts=_geo_pts)
 @settings(**_SETTINGS)
 def test_geo_grid_blocking_recall_is_total(spark, pts):
-    """Every true ≤500 km pair must appear among the 9-cell grid-blocked
+    """Every true ≤500 km pair must appear among the grid-blocked
     candidates (blocking recall 1.0) — checked against a brute-force
-    haversine over random points in the supported latitude band."""
+    haversine, through the SAME operator the catalog entry uses (this
+    test originally replicated the blocking inline and caught two real
+    recall bugs in it: antimeridian wrap-around and the >5° longitude
+    span near |lat|=60; it now drives operators/joins.py
+    geo_block_candidates so entry and test cannot drift)."""
     import math
+
+    from overseer_spark.operators.joins import geo_block_candidates
 
     data = [(i, float(lat), float(lon)) for i, (lat, lon) in enumerate(pts)]
     df = spark.createDataFrame(data, "id long, lat double, lon double")
-    g = df.select(
-        "*",
-        F.floor(F.col("lat") / 5).cast("long").alias("gy"),
-        F.floor(F.col("lon") / 5).cast("long").alias("gx"),
-    )
-    probe = g.select(
-        "id", F.explode(F.expr("sequence(gy - 1, gy + 1)")).alias("gy"), "gx"
-    ).select("id", "gy", F.explode(F.expr("sequence(gx - 1, gx + 1)")).alias("gx"))
     cands = {
-        (r.x, r.y)
-        for r in probe.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.gy") == F.col("b.gy"))
-            & (F.col("a.gx") == F.col("b.gx"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
-        .collect()
+        (r.x, r.y) for r in geo_block_candidates(df).select("x", "y").collect()
     }
 
     def hav(a, b):
