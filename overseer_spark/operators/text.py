@@ -703,3 +703,116 @@ def html_extract(
     return df.select(id_col, html_col).mapInPandas(
         batches, schema=f"{id_col} long, extracted string, n_paragraphs int"
     )
+
+
+def wrap_markdown(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 12,
+) -> DataFrame:
+    """Deterministic Markdown wrapping of document text — test-data
+    generator for the markdown-extraction path (the #2 interchange
+    format in real training corpora after HTML: GitHub, docs sites,
+    wikis).  Each document becomes a page: title heading, a blockquote
+    promo line, the text as ``words_per_para``-word paragraphs with
+    deterministic inline decoration (first word bolded, third word
+    emphasized, fifth word wrapped in a link), a fenced code block of
+    non-content between the first two paragraphs, and a trailing nav
+    list — so extraction has block-level AND inline-level work to do.
+    Arrow-batched, spread-first."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_ids, out_md = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                words = (t or "").split()
+                paras = []
+                for k in range(0, len(words), words_per_para):
+                    chunk = list(words[k : k + words_per_para])
+                    if len(chunk) >= 1:
+                        chunk[0] = f"**{chunk[0]}**"
+                    if len(chunk) >= 3:
+                        chunk[2] = f"_{chunk[2]}_"
+                    if len(chunk) >= 5:
+                        chunk[4] = f"[{chunk[4]}](https://example{i % 20}.com/)"
+                    paras.append(" ".join(chunk))
+                body = []
+                for pi, para in enumerate(paras):
+                    if pi == 1:
+                        body.append(f"```python\nboilerplate({i})\n```")
+                    body.append(para)
+                page = "\n\n".join(
+                    [
+                        f"# Doc {i}",
+                        f"> Sponsored — offer {i % 5}",
+                        *body,
+                        f"- [Home](/)\n- [About](/about?ref={i})",
+                    ]
+                )
+                out_ids.append(i)
+                out_md.append(page)
+            yield pd.DataFrame({id_col: out_ids, "markdown": out_md})
+
+    return spread(df.select(id_col, text_col), id_col).mapInPandas(
+        batches, schema=f"{id_col} long, markdown string"
+    )
+
+
+def markdown_extract(
+    df: DataFrame, md_col: str = "markdown", id_col: str = "doc_id"
+) -> DataFrame:
+    """Main-content extraction from Markdown: drop fenced code blocks,
+    headings, blockquotes, and list items at the BLOCK level, then strip
+    inline decoration — links keep their text, bold/emphasis markers
+    unwrap — and reassemble paragraph text.  On wrap_markdown pages the
+    round trip is LOSSLESS (the catalog entry's verbatim oracle); on
+    real markdown the same traversal is the content/boilerplate split.
+    Pure stdlib regex, Arrow-batched."""
+
+    def batches(it):
+        import re
+
+        import pandas as pd
+
+        link = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+        bold = re.compile(r"\*\*([^*]+)\*\*")
+        em = re.compile(r"(?<![\w_])_([^_]+)_(?![\w_])")
+
+        def extract(md: str) -> tuple[str, int]:
+            paras = []
+            in_fence = False
+            for line in (md or "").splitlines():
+                s = line.strip()
+                if s.startswith("```"):
+                    in_fence = not in_fence
+                    continue
+                if in_fence or not s:
+                    continue
+                if s.startswith(("#", ">", "- ", "* ")) or re.match(
+                    r"^\d+\.\s", s
+                ):
+                    continue
+                s = link.sub(r"\1", s)
+                s = bold.sub(r"\1", s)
+                s = em.sub(r"\1", s)
+                paras.append(s)
+            return " ".join(paras), len(paras)
+
+        for pdf in it:
+            out_ids, out_text, out_np = [], [], []
+            for i, md in zip(pdf[id_col], pdf[md_col]):
+                text, np_ = extract(md)
+                out_ids.append(int(i))
+                out_text.append(text)
+                out_np.append(np_)
+            yield pd.DataFrame(
+                {id_col: out_ids, "extracted": out_text, "n_paragraphs": out_np}
+            )
+
+    return df.select(id_col, md_col).mapInPandas(
+        batches, schema=f"{id_col} long, extracted string, n_paragraphs int"
+    )

@@ -12425,6 +12425,34 @@ def stream_warc_ingest(spark, sf):
 
 
 @q(
+    "text_markdown_extract",
+    oracle="""SELECT doc_id, text AS extracted,
+                 CAST(CEIL((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                            + 1) / 12.0) AS INTEGER) AS n_paragraphs
+              FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""",
+)
+def text_markdown_extract(spark, sf):
+    """Markdown main-content extraction — the #2 interchange format in
+    real training corpora after HTML (GitHub, docs sites, wikis):
+    documents are wrapped into full markdown pages (title heading,
+    blockquote promo, fenced code block, trailing nav list, paragraphs
+    with deterministic inline decoration — bolded/emphasized words and
+    a link wrapping one word per paragraph — operators/text.py
+    wrap_markdown), then markdown_extract drops the block-level
+    boilerplate (fences, headings, quotes, lists) and strips the inline
+    markers, keeping link text.  The round trip is LOSSLESS by
+    construction, so the DuckDB oracle is the original text column
+    VERBATIM plus the closed-form paragraph count — same contract as
+    text_html_extract and warc_extract_pipeline, on a third real
+    format with a genuinely different parser (line-state blocks +
+    regex inline spans vs a tag-tree traversal)."""
+    from overseer_spark.operators.text import markdown_extract, wrap_markdown
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 1)
+    return markdown_extract(wrap_markdown(docs)).orderBy("doc_id")
+
+
+@q(
     "q_gzip_jsonl_roundtrip",
     oracle="""SELECT CAST(ts AS DATE) AS d,
                      CAST(COUNT(*) AS BIGINT) AS n,

@@ -86,3 +86,56 @@ def test_html_extract_entry_matches_docs(spark):
     assert len(rows) == len(docs) > 0
     for r in rows:
         assert r["extracted"] == docs[r["doc_id"]]
+
+
+def test_markdown_roundtrip_lossless(spark):
+    from overseer_spark.operators.text import markdown_extract, wrap_markdown
+
+    texts = [
+        "key agg row scan slow fast table value part hash join sort group "
+        "limit filter window order data column spark batch stream",
+        "a b c d e",   # 5 words: bold + em + link all land
+        "one",         # single word: bold only
+        "x " * 29 + "x",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = {r["doc_id"]: r for r in
+           markdown_extract(wrap_markdown(df)).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["extracted"] == t.strip(), i
+    assert out[3]["n_paragraphs"] == 3
+
+
+def test_markdown_extract_block_and_inline_rules(spark):
+    from overseer_spark.operators.text import markdown_extract
+
+    md = "\n".join(
+        [
+            "# Title",
+            "",
+            "keep **bold** and _emph_ and [text](https://x/?a=1) here",
+            "",
+            "```",
+            "code line skipped",
+            "# not a heading, inside fence",
+            "```",
+            "",
+            "> quoted boilerplate",
+            "- item",
+            "* item2",
+            "3. numbered",
+            "",
+            "second para_with_snake_case stays",
+        ]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "markdown": [md]})
+    )
+    r = markdown_extract(df).collect()[0]
+    assert r["extracted"] == (
+        "keep bold and emph and text here "
+        "second para_with_snake_case stays"
+    )
+    assert r["n_paragraphs"] == 2
