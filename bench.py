@@ -95,6 +95,7 @@ HEADLINE = [
     "multimodal_flac_decode",
     "text_html_extract",
     "warc_extract_pipeline",
+    "text_markdown_extract",
 ]
 
 
