@@ -23,6 +23,19 @@ def test_forty_seeded_random_queries_agree(spark, duck):
     assert not failures, "\n".join(failures)
 
 
+def test_strfunc_family_seeded_queries_agree(spark, duck):
+    """Row-level string functions (SUBSTR bounds, REPLACE, STRPOS,
+    TRIM-over-concat, REVERSE, LPAD, LIKE wildcards) — the scalar
+    string dialect seam at row granularity."""
+    failures = []
+    for seed in range(2000, 2012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="strfunc")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)
+
+
 def test_rangewin_family_seeded_queries_agree(spark, duck):
     """RANGE-frame windows: peer-inclusive value frames are deterministic
     even over tied orderings, so this family may fuzz lineitem — the

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import random
+import re
 
 TABLES = {
     "lineitem": {
@@ -82,6 +83,8 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_asof_case(rng) if rng.random() < 0.5 else gen_interval_case(rng)
     if family == "rangewin":
         return gen_rangewin_case(rng)
+    if family == "strfunc":
+        return gen_strfunc_case(rng)
     roll = rng.random()
     if roll < 0.22:
         return gen_join_case(rng)
@@ -107,6 +110,8 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_asof_case(rng)
     if roll < 0.94:
         return gen_interval_case(rng)
+    if roll < 0.97:
+        return gen_strfunc_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -412,6 +417,103 @@ def gen_join_case(rng: random.Random) -> dict:
         aggs.append((rng.choice(["sum", "min", "max"]), rng.choice(npool)))
     return {"join": (left, right, lk, rk), "filters": filters,
             "group": (gside, gcol), "aggs": aggs, "how": how}
+
+
+_STRFUNC_OPS = ["substr", "replace", "instr", "trimpad", "reverse",
+                "lower", "lpad"]
+
+
+def gen_strfunc_case(rng: random.Random) -> dict:
+    """Row-level string-function projection over a unique-keyed table:
+    SUBSTR with in- and out-of-range bounds, REPLACE (including
+    empty-string replacement), STRPOS/INSTR (0 on miss), TRIM over
+    concat-padded input, REVERSE, LOWER, LPAD, and optional LIKE
+    filters with %/_ wildcards — the scalar string dialect seam at row
+    granularity (the grouped expr family only sees 4 ops through an
+    aggregate)."""
+    table = rng.choice(list(UNIQUE_KEYS))
+    cols = TABLES[table]
+    sc = rng.choice(cols["str"])
+    ops = rng.sample(_STRFUNC_OPS, k=rng.randint(1, 3))
+    params = {
+        "substr": (rng.choice([1, 2, 3, 5, 100]), rng.choice([1, 2, 3, 50])),
+        "replace": (rng.choice("aceiklnorst-_01"),
+                    rng.choice(["X", "", "zz"])),
+        "instr": rng.choice("aceiklnorst-_019"),
+        "lpad": (rng.choice([4, 10, 16]), rng.choice(["*", "ab"])),
+    }
+    like = None
+    if rng.random() < 0.5:
+        ch = rng.choice("aceiklnorst")
+        like = rng.choice([f"{ch}%", f"%{ch}", f"%{ch}%", f"_{ch}%"])
+    return {"strfunc": (table, sc, ops, params, like)}
+
+
+def _strfunc_sql_expr(op: str, sc: str, params: dict) -> str:
+    if op == "substr":
+        a, b = params["substr"]
+        return f"SUBSTR({sc}, {a}, {b})"
+    if op == "replace":
+        c, r = params["replace"]
+        return f"REPLACE({sc}, '{c}', '{r}')"
+    if op == "instr":
+        return f"CAST(STRPOS({sc}, '{params['instr']}') AS BIGINT)"
+    if op == "trimpad":
+        return f"TRIM('  ' || {sc} || ' ')"
+    if op == "reverse":
+        return f"REVERSE({sc})"
+    if op == "lower":
+        return f"LOWER({sc})"
+    a, p = params["lpad"]
+    return f"LPAD({sc}, {a}, '{p}')"
+
+
+def strfunc_to_sql(case: dict) -> str:
+    table, sc, ops, params, like = case["strfunc"]
+    key = UNIQUE_KEYS[table]
+    ks = ", ".join(key)
+    sel = ", ".join(
+        f"{_strfunc_sql_expr(op, sc, params)} AS c{i}"
+        for i, op in enumerate(ops)
+    )
+    where = f" WHERE {sc} LIKE '{like}'" if like else ""
+    return (
+        f"SELECT {ks}, {sel} FROM {table}{where} ORDER BY {ks}"
+    )
+
+
+def build_strfunc_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, sc, ops, params, like = case["strfunc"]
+    key = UNIQUE_KEYS[table]
+
+    def expr(op):
+        if op == "substr":
+            a, b = params["substr"]
+            return F.substring(sc, a, b)
+        if op == "replace":
+            c, r = params["replace"]
+            return F.regexp_replace(F.col(sc), re.escape(c), r.replace("\\", "\\\\"))
+        if op == "instr":
+            return F.instr(F.col(sc), params["instr"]).cast("long")
+        if op == "trimpad":
+            return F.trim(F.concat(F.lit("  "), F.col(sc), F.lit(" ")))
+        if op == "reverse":
+            return F.reverse(F.col(sc))
+        if op == "lower":
+            return F.lower(F.col(sc))
+        a, p = params["lpad"]
+        return F.lpad(F.col(sc), a, p)
+
+    df = load_table(spark, sf_dir, table)
+    if like:
+        df = df.where(F.col(sc).like(like))
+    return df.select(
+        *key, *[expr(op).alias(f"c{i}") for i, op in enumerate(ops)]
+    ).orderBy(*key)
 
 
 def gen_expr_case(rng: random.Random) -> dict:
@@ -806,6 +908,8 @@ def to_sql(case: dict) -> str:
         return window_to_sql(case)
     if "rangewin" in case:
         return rangewin_to_sql(case)
+    if "strfunc" in case:
+        return strfunc_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
     if "rollup" in case:
@@ -911,6 +1015,8 @@ def run_case(
         srows = build_window_spark_df(spark, sf_dir, case).collect()
     elif "rangewin" in case:
         srows = build_rangewin_spark_df(spark, sf_dir, case).collect()
+    elif "strfunc" in case:
+        srows = build_strfunc_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
     elif "rollup" in case:
@@ -949,6 +1055,17 @@ def run_case(
         s_ = sorted(tuple(str(x) for x in r) for r in srows)
         d_ = sorted(tuple(str(x) for x in r) for r in drows)
         return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
+    if "strfunc" in case:
+        # unique-keyed ORDER BY + exact strings/ints: compare in order
+        s_ = [tuple(str(x) for x in r) for r in srows]
+        d_ = [tuple(str(x) for x in r) for r in drows]
+        if s_ != d_:
+            diff = next((p for p in zip(s_, d_) if p[0] != p[1]), None)
+            return (
+                False,
+                f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)} first_diff={diff}",
+            )
+        return (True, f"seed={seed} sql={sql!r} rows={len(s_)}")
     if "rollup" in case or "rangewin" in case:
         # ORDER BY yields a total order up to identical rows (RANGE-frame
         # peers share v by construction), so pairwise compare is sound
@@ -994,7 +1111,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--family",
-        choices=["gsets", "asofjoin", "rangewin"],
+        choices=["gsets", "asofjoin", "rangewin", "strfunc"],
         help="force every case into one generator (dedicated family sweeps)",
     )
     ns = ap.parse_args()
