@@ -6916,14 +6916,25 @@ def q_basket_pairs(spark, sf):
     )
 
 
-@q("ann_lsh_topk", tier="py")
+@q(
+    "ann_lsh_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run) —
+    # the hyperplane tables are seeded constants, so approximate results
+    # are exactly reproducible; the semantic oracle (recall tripwire vs
+    # the exact brute-force top-k) lives in tests/test_similarity.py
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.322744 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(0.255043 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(0.298788 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.310987 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(316 AS BIGINT), CAST(0.291112 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(386 AS BIGINT), CAST(0.275196 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rank) ORDER BY query_id, rank""",
+)
 def ann_lsh_topk(spark, sf):
     """Random-hyperplane LSH approximate top-3 for 10 query vectors — the
     cosine-LSH alternative to ann_ivf_topk (operators/similarity.py
     rp_lsh_topk): deterministic hyperplane tables broadcast, signatures
     from one partial-agg shuffle of (id, table) longs, candidates from a
     bucket equi-join, exact re-score after. Recall tripwire + determinism
-    pinned in tests/test_similarity.py."""
+    pinned in tests/test_similarity.py; the driver pin above adds
+    independent hash-regression signal (seeded LSH is a pure function
+    of its inputs — "approximate" ≠ "nondeterministic")."""
     from overseer_spark.operators.similarity import rp_lsh_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -8869,7 +8880,16 @@ def text_bigram_pmi(spark, sf):
     )
 
 
-@q("embedding_mmr_topk", tier="py", oracle=None)
+@q(
+    "embedding_mmr_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32) — greedy MMR
+    # over the exact-top-k shortlist with vec_id tie-breaks is a pure
+    # function of its inputs; the semantic oracle (numpy reference
+    # replay) lives in tests/test_similarity.py
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.258996 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.195336 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.190379 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(0.186166 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.171287 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.170625 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.153864 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.133551 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(36 AS BIGINT), CAST(0.122723 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(165 AS BIGINT), CAST(0.113727 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.260039 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(300 AS BIGINT), CAST(0.210714 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.203039 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.172974 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.16843 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.15919 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.154314 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.153749 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(467 AS BIGINT), CAST(0.138308 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(312 AS BIGINT), CAST(0.134189 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.2227 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.184632 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.179939 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(97 AS BIGINT), CAST(0.162312 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(0.15499 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.145837 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.142042 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(459 AS BIGINT), CAST(0.126494 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(0.12462 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(198 AS BIGINT), CAST(0.119431 AS DOUBLE), CAST(10 AS BIGINT))) AS t(query_id, vec_id, mmr_score, rank) ORDER BY query_id, rank""",
+)
 def embedding_mmr_topk(spark, sf):
     """Maximal Marginal Relevance re-ranking — diversity-aware retrieval
     for RAG: greedily pick items maximizing λ·sim(query, c) −
@@ -8879,7 +8899,8 @@ def embedding_mmr_topk(spark, sf):
     shortlist driver-side (inherently sequential, k iterations over a
     candidate matrix that fits in L2 — shipping it to executors would
     only add latency). Deterministic: ties break on vec_id; pinned
-    against a numpy reference in tests/test_similarity.py."""
+    against a numpy reference in tests/test_similarity.py, with the
+    driver pin above adding independent hash-regression signal."""
     from overseer_spark.operators.similarity import mmr_topk
 
     emb = _t(spark, sf, "embeddings")
