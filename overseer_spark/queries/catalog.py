@@ -1226,7 +1226,17 @@ def embedding_quantize_int8(spark, sf):
     )
 
 
-@q("ann_ivf_topk", tier="py")
+@q(
+    "ann_ivf_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across three
+    # partition layouts (local[8]/local[32]/local[5] x shuffle 8/32/7,
+    # AQE on and off, double-run) — seeded training + vec_id tie-breaks
+    # make the approximate path a pure function of its inputs; the
+    # semantic oracles (recall/MRR evals vs exact brute force) live in
+    # the similarity/ann pytest modules
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk""",
+)
 def ann_ivf(spark, sf):
     """IVF-bucketed approximate top-3 for 10 queries — the 100 TB scale path
     (recall vs the exact baseline asserted in tests/test_similarity.py)."""
@@ -1238,7 +1248,17 @@ def ann_ivf(spark, sf):
     )
 
 
-@q("ann_ivf_index_topk", tier="py")
+@q(
+    "ann_ivf_index_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across three
+    # partition layouts (local[8]/local[32]/local[5] x shuffle 8/32/7,
+    # AQE on and off, double-run) — seeded training + vec_id tie-breaks
+    # make the approximate path a pure function of its inputs; the
+    # semantic oracles (recall/MRR evals vs exact brute force) live in
+    # the similarity/ann pytest modules
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk""",
+)
 def ann_ivf_index_topk(spark, sf):
     """Persisted-IVF ANN (operators/ann_index.py): build the cell-partitioned
     index once, then serve the query batch reading ONLY the probed cell
@@ -7604,7 +7624,17 @@ def q_resample_interpolate(spark, sf):
     )
 
 
-@q("ann_pq_topk", tier="py", oracle=None)
+@q(
+    "ann_pq_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across three
+    # partition layouts (local[8]/local[32]/local[5] x shuffle 8/32/7,
+    # AQE on and off, double-run) — seeded training + vec_id tie-breaks
+    # make the approximate path a pure function of its inputs; the
+    # semantic oracles (recall/MRR evals vs exact brute force) live in
+    # the similarity/ann pytest modules
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2818 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.2668 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(0.2586 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.2271 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(261 AS BIGINT), CAST(0.2271 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(232 AS BIGINT), CAST(0.2189 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(444 AS BIGINT), CAST(0.2156 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.2138 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.2136 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.2036 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(31 AS BIGINT), CAST(0.3032 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.2716 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.2491 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.2247 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(324 AS BIGINT), CAST(0.2127 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(294 AS BIGINT), CAST(0.2089 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.2084 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(198 AS BIGINT), CAST(0.1938 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(131 AS BIGINT), CAST(0.1926 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(181 AS BIGINT), CAST(0.1865 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(82 AS BIGINT), CAST(0.2275 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(97 AS BIGINT), CAST(0.2239 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(0.2181 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(327 AS BIGINT), CAST(0.2137 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(193 AS BIGINT), CAST(0.2106 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(209 AS BIGINT), CAST(0.2016 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.1978 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(259 AS BIGINT), CAST(0.1965 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.1776 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(21 AS BIGINT), CAST(0.1711 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.3136 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.2492 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.2487 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(463 AS BIGINT), CAST(0.2482 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.2463 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(226 AS BIGINT), CAST(0.2194 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(134 AS BIGINT), CAST(0.2125 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(419 AS BIGINT), CAST(0.2089 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(450 AS BIGINT), CAST(0.2087 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(403 AS BIGINT), CAST(0.2053 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.2927 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(341 AS BIGINT), CAST(0.2319 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.2316 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(228 AS BIGINT), CAST(0.2126 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2115 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(76 AS BIGINT), CAST(0.1956 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(343 AS BIGINT), CAST(0.195 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(474 AS BIGINT), CAST(0.1907 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(499 AS BIGINT), CAST(0.1842 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(201 AS BIGINT), CAST(0.1786 AS DOUBLE), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_pq, rank) ORDER BY query_id, rank""",
+)
 def ann_pq_topk(spark, sf):
     """Product-quantization ANN serving: 64-dim float vectors compress to
     8 one-byte codebook indices (32×), and each query scans the codes with
@@ -7620,7 +7650,17 @@ def ann_pq_topk(spark, sf):
     return V.pq_topk(emb, queries, books, k=10).orderBy("query_id", "rank")
 
 
-@q("ann_pq_rerank_topk", tier="py", oracle=None)
+@q(
+    "ann_pq_rerank_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across three
+    # partition layouts (local[8]/local[32]/local[5] x shuffle 8/32/7,
+    # AQE on and off, double-run) — seeded training + vec_id tie-breaks
+    # make the approximate path a pure function of its inputs; the
+    # semantic oracles (recall/MRR evals vs exact brute force) live in
+    # the similarity/ann pytest modules
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.295434 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.281795 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.276628 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(0.276301 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(0.2567 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(344 AS BIGINT), CAST(0.252487 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.322744 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.316374 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.268155 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(363 AS BIGINT), CAST(0.263306 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(353 AS BIGINT), CAST(0.246592 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(268 AS BIGINT), CAST(0.245542 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(0.255043 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.239829 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(0.231369 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(109 AS BIGINT), CAST(0.228351 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(198 AS BIGINT), CAST(0.226855 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(97 AS BIGINT), CAST(0.225009 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(0.298788 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.291702 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.290803 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(0.285192 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(0.280535 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(0.276738 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.260965 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.279631 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(0.272399 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(0.240413 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(346 AS BIGINT), CAST(0.231564 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(288 AS BIGINT), CAST(0.228625 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(237 AS BIGINT), CAST(0.218667 AS DOUBLE), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim, rank) ORDER BY query_id, rank""",
+)
 def ann_pq_rerank_topk(spark, sf):
     """PQ shortlist + exact rerank (operators/similarity.py:
     pq_rerank_topk): the compressed-code scan proposes 100 candidates per
