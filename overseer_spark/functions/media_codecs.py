@@ -1479,10 +1479,6 @@ DECODERS["jpeg"] = decode_jpeg
 # is fully real either way (metadata, durations, sample table).
 # ---------------------------------------------------------------------------
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"dinf", b"stbl",
-                   b"edts", b"udta"}
-
-
 def _mp4_box(tag: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + tag + body
 
