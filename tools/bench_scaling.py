@@ -58,6 +58,9 @@ ENTRIES = [
     "multimodal_flac_decode",
     "text_html_extract",
     "url_normalize_dedup",
+    "warc_extract_pipeline",
+    "text_markdown_extract",
+    "url_robots_filter",
 ]
 
 
