@@ -597,3 +597,13 @@ def test_instruction_format_reuses_group_partitioning(spark):
     s = explain_str(q("text_instruction_format", spark))
     assert s.count("hashpartitioning") <= 2
     assert "EvalPython" not in s
+
+
+def test_url_normalize_stays_jvm_side(spark):
+    """url_normalize_dedup's contract is zero Python: parse_url/regexp/
+    array_sort all run in the JVM (codegen or JVM expression eval), so
+    the plan must contain no Python evaluation nodes — the property that
+    makes it free at 100 TB while the codec entries pay the Arrow seam."""
+    text = explain_str(q("url_normalize_dedup", spark), "simple")
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "mapInPandas" not in text.lower()
