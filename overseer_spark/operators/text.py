@@ -554,6 +554,116 @@ def compression_ratio(
     )
 
 
+# Deterministic policy blocklist for the catalog entry / tests. Every
+# pattern is border-free (no proper prefix == suffix), so occurrences of
+# one pattern can never overlap each other and a greedy non-overlapping
+# count (the oracle's REPLACE-length formula) equals the all-match count
+# Aho–Corasick reports.
+DEFAULT_BLOCKLIST = (
+    "big table",
+    "fast merge",
+    "slow scan",
+    "stream customer",
+    "vector",
+)
+
+
+def _build_aho_corasick(patterns: tuple[str, ...]):
+    """Standard Aho–Corasick automaton as flat lists: goto dicts, failure
+    links, and per-node matched-pattern-id lists (outputs already merged
+    through the failure chain, so matching never walks fail links)."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pid, pat in enumerate(patterns):
+        node = 0
+        for ch in pat:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].append(pid)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    bfs = deque(goto[0].values())
+    while bfs:
+        node = bfs.popleft()
+        for ch, nxt in goto[node].items():
+            bfs.append(nxt)
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] = out[nxt] + out[fail[nxt]]  # merge suffix outputs
+    return goto, fail, out
+
+
+def blocklist_matches(
+    df: DataFrame,
+    patterns: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-pattern blocklist scan (policy/NSFW-term filtering): ONE
+    Aho–Corasick pass per document finds every occurrence of every
+    pattern — O(bytes + matches) regardless of pattern count, where the
+    per-pattern alternative (P LIKE scans or P regex passes) is
+    O(P × bytes) and falls over at the thousands-of-patterns blocklists
+    real corpus policy uses. The automaton is built once on the driver
+    (tiny: nodes ≤ total pattern chars) and rides to executors inside
+    the mapInPandas closure; each Arrow batch emits PARTIAL per-pattern
+    (docs_hit, n_matches) rows, so the shuffle is O(partitions ×
+    patterns) — document text never moves. Returns one row per pattern:
+    (pattern, docs_hit, n_matches).
+    """
+    patterns = tuple(patterns)
+    goto, fail, out = _build_aho_corasick(patterns)
+    n_pat = len(patterns)
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            docs_hit = [0] * n_pat
+            n_matches = [0] * n_pat
+            for t in pdf[text_col]:
+                if not t:
+                    continue
+                counts: dict[int, int] = {}
+                node = 0
+                for ch in t:
+                    while node and ch not in goto[node]:
+                        node = fail[node]
+                    node = goto[node].get(ch, 0)
+                    for pid in out[node]:
+                        counts[pid] = counts.get(pid, 0) + 1
+                for pid, c in counts.items():
+                    docs_hit[pid] += 1
+                    n_matches[pid] += c
+            yield pd.DataFrame(
+                {
+                    "pattern": list(patterns),
+                    "docs_hit": docs_hit,
+                    "n_matches": n_matches,
+                }
+            )
+
+    partials = df.select(id_col, text_col).mapInPandas(
+        _scan, schema="pattern string, docs_hit long, n_matches long"
+    )
+    return (
+        partials.groupBy("pattern")
+        .agg(
+            F.sum("docs_hit").cast("long").alias("docs_hit"),
+            F.sum("n_matches").cast("long").alias("n_matches"),
+        )
+        .orderBy("pattern")
+    )
+
+
 def wrap_html(
     df: DataFrame,
     text_col: str = "text",

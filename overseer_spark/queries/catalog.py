@@ -12943,3 +12943,40 @@ def text_compression_ratio(spark, sf):
     from overseer_spark.operators.text import compression_ratio
 
     return compression_ratio(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@q(
+    "text_blocklist_ac",
+    oracle="""WITH pats(pattern) AS (
+                VALUES ('big table'), ('fast merge'), ('slow scan'),
+                       ('stream customer'), ('vector')),
+              hits AS (
+                SELECT d.doc_id, p.pattern,
+                       CAST((LENGTH(d.text)
+                             - LENGTH(REPLACE(d.text, p.pattern, '')))
+                            / LENGTH(p.pattern) AS BIGINT) AS n
+                FROM documents d CROSS JOIN pats p)
+              SELECT pattern,
+                     CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_hit,
+                     CAST(SUM(n) AS BIGINT) AS n_matches
+              FROM hits GROUP BY pattern ORDER BY pattern""",
+)
+def text_blocklist_ac(spark, sf):
+    """Corpus policy blocklist scan via broadcast Aho–Corasick
+    (operators/text.py blocklist_matches): one automaton pass per
+    document counts every occurrence of every blocklist phrase —
+    O(bytes) regardless of pattern count, where the SQL-expressible
+    alternative (a REPLACE-length scan per pattern, which IS the
+    oracle) is O(patterns × bytes) and dies at the thousands-of-term
+    blocklists production corpus policy uses. mapInPandas emits partial
+    per-pattern (docs_hit, n_matches) rows per Arrow batch, so the
+    shuffle is O(partitions × patterns) and document text never moves.
+    The fixed blocklist is border-free (no pattern has a proper
+    prefix == suffix), making the oracle's greedy non-overlapping
+    count provably equal to the automaton's all-match count —
+    tests/test_text.py pins the overlap edge cases (she/he/hers,
+    self-overlapping 'aa') where the two formulas genuinely differ."""
+    from overseer_spark.operators.text import blocklist_matches
+
+    return blocklist_matches(_t(spark, sf, "documents"))

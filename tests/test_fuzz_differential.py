@@ -36,6 +36,31 @@ def test_strfunc_family_seeded_queries_agree(spark, duck):
     assert not failures, "\n".join(failures)
 
 
+def test_numfunc_family_seeded_queries_agree(spark, duck):
+    """Row-level numeric/JSON scalar seams: pmod-of-negative, bitwise
+    AND/OR/XOR/shift, TRY_CAST miss→NULL, TRY_DIVIDE with NULLIF'd
+    divisor, guarded LN, FLOOR division, JSON path hit/miss."""
+    failures = []
+    for seed in range(3000, 3012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="numfunc")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)
+
+
+def test_decagg_family_seeded_queries_agree(spark, duck):
+    """Exact DECIMAL grouped aggregation compared as exact strings —
+    money math must agree bit-for-bit, no float tolerance."""
+    failures = []
+    for seed in range(4000, 4012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="decagg")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)
+
+
 def test_rangewin_family_seeded_queries_agree(spark, duck):
     """RANGE-frame windows: peer-inclusive value frames are deterministic
     even over tied orderings, so this family may fuzz lineitem — the

@@ -461,3 +461,48 @@ def test_compression_ratio_matches_zlib_and_discriminates(spark):
     boiler = compression_ratio(planted).collect()
     corpus_median = sorted(r["compression_ratio"] for r in rows)[len(rows) // 2]
     assert all(b["compression_ratio"] < corpus_median / 2 for b in boiler)
+
+
+def test_aho_corasick_matches_python_count_oracle(spark, docs):
+    """AC counts on the real corpus == per-pattern str.count (valid as an
+    oracle because DEFAULT_BLOCKLIST patterns are border-free, so
+    occurrences cannot overlap themselves)."""
+    rows = {
+        r["pattern"]: (r["docs_hit"], r["n_matches"])
+        for r in TX.blocklist_matches(docs).collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect()]
+    for p in TX.DEFAULT_BLOCKLIST:
+        hits = [t.count(p) for t in texts]
+        expect = (sum(1 for h in hits if h), sum(hits))
+        assert rows[p] == expect, p
+    assert set(rows) == set(TX.DEFAULT_BLOCKLIST)
+
+
+def test_aho_corasick_overlap_edge_cases():
+    """The automaton reports ALL matches — including suffix-chained hits
+    (ushers -> she/he/hers) and self-overlapping ones (aa in aaaa -> 3,
+    where greedy non-overlapping counting says 2). These are exactly the
+    cases where the catalog oracle's REPLACE formula would be WRONG,
+    which is why the shipped blocklist is border-free."""
+
+    def count_all(patterns, s):
+        goto, fail, out = TX._build_aho_corasick(tuple(patterns))
+        counts = {}
+        node = 0
+        for ch in s:
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            for pid in out[node]:
+                counts[pid] = counts.get(pid, 0) + 1
+        return {patterns[k]: v for k, v in counts.items()}
+
+    assert count_all(["she", "he", "his", "hers"], "ushers") == {
+        "she": 1, "he": 1, "hers": 1
+    }
+    assert count_all(["aa"], "aaaa") == {"aa": 3}
+    assert count_all(["ab", "b", "bc"], "abc") == {"ab": 1, "b": 1, "bc": 1}
+    # border-free guarantee actually holds for the shipped list
+    for p in TX.DEFAULT_BLOCKLIST:
+        assert not any(p[:k] == p[-k:] for k in range(1, len(p))), p

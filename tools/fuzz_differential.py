@@ -85,6 +85,10 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_rangewin_case(rng)
     if family == "strfunc":
         return gen_strfunc_case(rng)
+    if family == "numfunc":
+        return gen_numfunc_case(rng)
+    if family == "decagg":
+        return gen_decagg_case(rng)
     roll = rng.random()
     if roll < 0.22:
         return gen_join_case(rng)
@@ -110,8 +114,12 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_asof_case(rng)
     if roll < 0.94:
         return gen_interval_case(rng)
-    if roll < 0.97:
+    if roll < 0.95:
         return gen_strfunc_case(rng)
+    if roll < 0.965:
+        return gen_numfunc_case(rng)
+    if roll < 0.98:
+        return gen_decagg_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -761,6 +769,184 @@ def build_rangewin_spark_df(spark, sf_dir: str, case: dict):
     )
 
 
+# numfunc op pool; per-table availability is resolved in the generator.
+_NUMFUNC_OPS = [
+    "pmod", "bitand", "bitor", "bitxor", "shiftl", "trycast_str",
+    "trydiv", "lnguard", "floordiv", "json_k", "json_miss",
+    "greatest", "abs_sign",
+]
+
+
+def gen_numfunc_case(rng: random.Random) -> dict:
+    """Row-level numeric / JSON scalar seams over a unique-keyed table:
+    pmod-of-negative (Spark PMOD vs the ((a%m)+m)%m identity), bitwise
+    AND/OR/XOR and left shift, TRY_CAST on digit- and letter-prefixed
+    strings (NULL-on-miss), TRY_DIVIDE with a NULLIF'd divisor, LN
+    behind a positivity guard, FLOOR division, JSON path extraction
+    (present and missing key) and GREATEST/ABS/SIGN around a shifted
+    zero — the integer/NULL edge semantics the grouped expr family
+    never reaches. Filter is a modulo-residue cut so the result stays
+    a few thousand rows and the filter itself probes % pushdown."""
+    table = rng.choice(["events", "orders"])
+    if table == "events":
+        ic, dc, sc = "user_id", "value", "event_type"
+        pool = list(_NUMFUNC_OPS)
+    else:
+        ic, dc, sc = "o_custkey", "o_totalprice", "o_orderpriority"
+        pool = [o for o in _NUMFUNC_OPS if not o.startswith("json_")]
+    ops = rng.sample(pool, k=rng.randint(2, 4))
+    params = {
+        "m": rng.choice([3, 5, 7, 11, 64, 255]),
+        "shift_k": rng.choice([1, 2, 4, 7]),
+        "sub_k": rng.choice([0, 37, 1000, 50000]),
+        "div_k": rng.choice([2, 3, 9]),
+        "substr_a": rng.choice([1, 2]),
+        "flo_d": rng.choice([7.0, 13.0, 2.5]),
+    }
+    pmodr = (rng.choice([2, 3, 5]), rng.randint(0, 1))
+    return {"numfunc": (table, ic, dc, sc, ops, params, pmodr)}
+
+
+def _numfunc_sql_expr(op: str, ic: str, dc: str, sc: str, p: dict) -> str:
+    m, k = p["m"], p["sub_k"]
+    if op == "pmod":
+        return f"((({ic} - {k}) % {m}) + {m}) % {m}"
+    if op == "bitand":
+        return f"{ic} & {m}"
+    if op == "bitor":
+        return f"{ic} | {m}"
+    if op == "bitxor":
+        return f"xor({ic}, {m})"
+    if op == "shiftl":
+        return f"{ic} << {p['shift_k']}"
+    if op == "trycast_str":
+        return f"TRY_CAST(SUBSTR({sc}, {p['substr_a']}, 1) AS INTEGER)"
+    if op == "trydiv":
+        return f"CAST({dc} AS DOUBLE) / NULLIF({ic} % {p['div_k']}, 0)"
+    if op == "lnguard":
+        return f"LN(CASE WHEN {dc} > 0.5 THEN {dc} END)"
+    if op == "floordiv":
+        return f"CAST(FLOOR({ic} / {p['flo_d']}) AS BIGINT)"
+    if op == "json_k":
+        return "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    if op == "json_miss":
+        return "json_extract_string(props, '$.zz')"
+    if op == "greatest":
+        return f"GREATEST({ic}, {m})"
+    return f"ABS({ic} - {k}) + SIGN({ic} - {k})"  # abs_sign
+
+
+def numfunc_to_sql(case: dict) -> str:
+    table, ic, dc, sc, ops, params, (pm, pr) = case["numfunc"]
+    key = UNIQUE_KEYS[table][0]
+    sel = ", ".join(
+        f"{_numfunc_sql_expr(op, ic, dc, sc, params)} AS c{i}"
+        for i, op in enumerate(ops)
+    )
+    return (
+        f"SELECT {key}, {sel} FROM {table} "
+        f"WHERE {key} % {pm} = {pr} ORDER BY {key}"
+    )
+
+
+def build_numfunc_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, ic, dc, sc, ops, params, (pm, pr) = case["numfunc"]
+    key = UNIQUE_KEYS[table][0]
+    m, k = params["m"], params["sub_k"]
+
+    def expr(op):
+        if op == "pmod":
+            return F.pmod(F.col(ic) - k, F.lit(m))
+        if op == "bitand":
+            return F.col(ic).bitwiseAND(F.lit(m))
+        if op == "bitor":
+            return F.col(ic).bitwiseOR(F.lit(m))
+        if op == "bitxor":
+            return F.col(ic).bitwiseXOR(F.lit(m))
+        if op == "shiftl":
+            return F.shiftleft(F.col(ic), params["shift_k"])
+        if op == "trycast_str":
+            return F.substring(sc, params["substr_a"], 1).try_cast("int")
+        if op == "trydiv":
+            d = F.col(ic) % params["div_k"]
+            return F.try_divide(F.col(dc).cast("double"), F.when(d != 0, d))
+        if op == "lnguard":
+            return F.ln(F.when(F.col(dc) > 0.5, F.col(dc)))
+        if op == "floordiv":
+            return F.floor(F.col(ic) / params["flo_d"]).cast("long")
+        if op == "json_k":
+            return F.get_json_object("props", "$.k").cast("long")
+        if op == "json_miss":
+            return F.get_json_object("props", "$.zz")
+        if op == "greatest":
+            return F.greatest(F.col(ic), F.lit(m))
+        return F.abs(F.col(ic) - k) + F.signum(F.col(ic) - k).cast("long")
+
+    return (
+        load_table(spark, sf_dir, table)
+        .where(F.col(key) % pm == pr)
+        .select(key, *[expr(op).alias(f"c{i}") for i, op in enumerate(ops)])
+        .orderBy(key)
+    )
+
+
+def gen_decagg_case(rng: random.Random) -> dict:
+    """Exact DECIMAL grouped aggregation: SUM / MIN / MAX over
+    CAST(num AS DECIMAL(18,2)) with a random residue filter — compared
+    as EXACT STRINGS, no float tolerance. Floating SUM divergence hides
+    behind the tolerance compare everywhere else; money math must be
+    bit-exact across engines or the engine is wrong."""
+    table = rng.choice(["lineitem", "orders"])
+    cols = TABLES[table]
+    g = rng.choice(cols["str"])
+    nc = rng.choice(cols["num"])
+    fns = rng.sample(["sum", "min", "max"], k=rng.randint(1, 3))
+    ic = rng.choice(cols["int"])
+    resid = (rng.choice([2, 3, 7]), rng.randint(0, 1))
+    return {"decagg": (table, g, nc, fns, ic, resid)}
+
+
+def decagg_to_sql(case: dict) -> str:
+    table, g, nc, fns, ic, (m, r) = case["decagg"]
+    sel = [g, "CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, fn in enumerate(fns):
+        # SUM widens differently per engine (Spark 28,2 / DuckDB 38,2);
+        # normalize to DECIMAL(28,2) so the textual form is identical
+        sel.append(
+            f"CAST({fn.upper()}(CAST({nc} AS DECIMAL(18,2))) "
+            f"AS DECIMAL(28,2)) AS a{i}"
+        )
+    return (
+        f"SELECT {', '.join(sel)} FROM {table} WHERE {ic} % {m} = {r} "
+        f"GROUP BY {g} ORDER BY {g}"
+    )
+
+
+def build_decagg_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    table, g, nc, fns, ic, (m, r) = case["decagg"]
+    dec = F.col(nc).cast("decimal(18,2)")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, fn in enumerate(fns):
+        aggs.append(
+            getattr(F, fn)(dec).cast("decimal(28,2)").alias(f"a{i}")
+        )
+    return (
+        load_table(spark, sf_dir, table)
+        .where(F.col(ic) % m == r)
+        .groupBy(g)
+        .agg(*aggs)
+        .orderBy(g)
+    )
+
+
 def gen_window_case(rng: random.Random) -> dict:
     """Random window query: ROW_NUMBER/SUM/LAG over a string-partitioned
     window ordered by a UNIQUE integer key (determinism across engines),
@@ -910,6 +1096,10 @@ def to_sql(case: dict) -> str:
         return rangewin_to_sql(case)
     if "strfunc" in case:
         return strfunc_to_sql(case)
+    if "numfunc" in case:
+        return numfunc_to_sql(case)
+    if "decagg" in case:
+        return decagg_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
     if "rollup" in case:
@@ -1017,6 +1207,10 @@ def run_case(
         srows = build_rangewin_spark_df(spark, sf_dir, case).collect()
     elif "strfunc" in case:
         srows = build_strfunc_spark_df(spark, sf_dir, case).collect()
+    elif "numfunc" in case:
+        srows = build_numfunc_spark_df(spark, sf_dir, case).collect()
+    elif "decagg" in case:
+        srows = build_decagg_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
     elif "rollup" in case:
@@ -1057,6 +1251,27 @@ def run_case(
         return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
     if "strfunc" in case:
         # unique-keyed ORDER BY + exact strings/ints: compare in order
+        s_ = [tuple(str(x) for x in r) for r in srows]
+        d_ = [tuple(str(x) for x in r) for r in drows]
+        if s_ != d_:
+            diff = next((p for p in zip(s_, d_) if p[0] != p[1]), None)
+            return (
+                False,
+                f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)} first_diff={diff}",
+            )
+        return (True, f"seed={seed} sql={sql!r} rows={len(s_)}")
+    if "numfunc" in case:
+        # unique-keyed ORDER BY; doubles (trydiv/lnguard) need tolerance,
+        # everything else is exact integers / strings / NULLs
+        if len(srows) != len(drows):
+            return (False, f"seed={seed} sql={sql!r} rowcount {len(srows)} != {len(drows)}")
+        for sr, dr in zip(srows, drows):
+            for x, y in zip(tuple(sr), dr):
+                if not _close(x, y, tol=1e-12):
+                    return (False, f"seed={seed} sql={sql!r} value {x!r} != {y!r}")
+        return (True, f"seed={seed} sql={sql!r} rows={len(srows)}")
+    if "decagg" in case:
+        # money math: EXACT decimal string compare, no float tolerance
         s_ = [tuple(str(x) for x in r) for r in srows]
         d_ = [tuple(str(x) for x in r) for r in drows]
         if s_ != d_:
@@ -1111,7 +1326,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--family",
-        choices=["gsets", "asofjoin", "rangewin", "strfunc"],
+        choices=["gsets", "asofjoin", "rangewin", "strfunc", "numfunc", "decagg"],
         help="force every case into one generator (dedicated family sweeps)",
     )
     ns = ap.parse_args()

@@ -132,7 +132,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_js_divergence_by_source", "text_lid_confusion_eval",
         "text_compression_ratio", "text_html_extract",
         "url_normalize_dedup", "warc_extract_pipeline", "url_robots_filter",
-        "text_markdown_extract",
+        "text_markdown_extract", "text_blocklist_ac",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
