@@ -449,3 +449,33 @@ def test_session_entry_invariants(spark):
 
     auc = CATALOG["q_auc_rank"].fn(spark, sf).collect()[0]
     assert 0.0 <= auc["auc"] <= 1.0
+
+
+_ac_alphabet = st.sampled_from("abc ")
+_ac_pattern = st.text(_ac_alphabet, min_size=1, max_size=4)
+_ac_patterns = st.lists(_ac_pattern, min_size=1, max_size=6, unique=True)
+_ac_text = st.text(_ac_alphabet, min_size=0, max_size=60)
+
+
+@given(patterns=_ac_patterns, text=_ac_text)
+@settings(max_examples=200, deadline=None)
+def test_aho_corasick_counts_equal_brute_force_all_matches(patterns, text):
+    """Automaton law: for ANY pattern set (including self-overlapping and
+    nested patterns over a tiny alphabet — the adversarial cases), the
+    AC match count per pattern equals the brute-force all-occurrence
+    count sum(text[i:].startswith(p)). No Spark involved: this pins the
+    automaton the blocklist operator broadcasts."""
+    from overseer_spark.operators.text import _build_aho_corasick
+
+    goto, fail, out = _build_aho_corasick(tuple(patterns))
+    counts = {}
+    node = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        for pid in out[node]:
+            counts[pid] = counts.get(pid, 0) + 1
+    for pid, p in enumerate(patterns):
+        brute = sum(1 for i in range(len(text)) if text.startswith(p, i))
+        assert counts.get(pid, 0) == brute, (p, text)
