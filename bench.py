@@ -96,6 +96,8 @@ HEADLINE = [
     "text_html_extract",
     "warc_extract_pipeline",
     "text_markdown_extract",
+    # round-6: multi-pattern blocklist scan (Aho-Corasick)
+    "text_blocklist_ac",
 ]
 
 

@@ -61,6 +61,8 @@ ENTRIES = [
     "warc_extract_pipeline",
     "text_markdown_extract",
     "url_robots_filter",
+    # round-6: multi-pattern blocklist scan (Aho-Corasick)
+    "text_blocklist_ac",
 ]
 
 
