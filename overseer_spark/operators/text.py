@@ -724,12 +724,20 @@ def wrap_html(
 
 
 def html_extract(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Main-content extraction from HTML — strip tags, drop script/style
     and boilerplate elements (nav, footer, class="ad"), decode entity
     references, and keep only <article> paragraph text (stdlib
-    html.parser; no native libs).  Emits (id, extracted, n_paragraphs).
+    html.parser; no native libs).  Emits (id, extracted, n_paragraphs,
+    *keep_cols).  ``keep_cols`` ride through the Arrow batch untouched so
+    a caller needing record metadata beside the extraction (the WARC
+    pipeline wants http_status/target_uri) gets it in the SAME pass — no
+    self-join back onto the upstream, which would both shuffle and
+    recompute the whole subtree once per branch.
     On wrap_html pages the round trip is LOSSLESS: ``extracted`` equals
     the original text column bit-for-bit, which is the catalog entry's
     DuckDB oracle — no tolerance, no similarity threshold.  Real pages
@@ -806,12 +814,18 @@ def html_extract(
                 out_ids.append(int(i))
                 out_text.append(" ".join(paras))
                 out_np.append(len(paras))
-            yield pd.DataFrame(
-                {id_col: out_ids, "extracted": out_text, "n_paragraphs": out_np}
-            )
+            cols = {id_col: out_ids, "extracted": out_text, "n_paragraphs": out_np}
+            for k in keep_cols:
+                cols[k] = list(pdf[k])
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, html_col).mapInPandas(
-        batches, schema=f"{id_col} long, extracted string, n_paragraphs int"
+    in_schema = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema]))
+    keep_schema = "".join(f", {k} {in_schema[k]}" for k in keep_cols)
+    return df.select(id_col, html_col, *keep_cols).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, extracted string, n_paragraphs int{keep_schema}"
+        ),
     )
 
 

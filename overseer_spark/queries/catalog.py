@@ -12355,15 +12355,22 @@ def warc_extract_pipeline(spark, sf):
     plus the closed-form target URI and status — any off-by-one in any
     layer's length accounting diverges the driver hash."""
     from overseer_spark.operators.text import html_extract, wrap_html
+    from overseer_spark.operators.util import spread
     from overseer_spark.sources.warc import build_warc, read_warc_records
 
     docs = _t(spark, sf, "documents")
     pages = wrap_html(docs).join(docs.select("doc_id", "source"), "doc_id")
     recs = read_warc_records(build_warc(pages))
+    # spread: the exploded records inherit the per-source group
+    # partitioning (≤ |sources| busy partitions, skewed by source size);
+    # rebalancing the small per-record rows lets the HTML parse use every
+    # core.  keep_cols carries the HTTP metadata through the SAME pass —
+    # the former self-join recomputed the whole gzip→WARC→HTTP subtree
+    # once per branch AND shuffled for the join.
     return (
-        html_extract(recs)
-        .join(
-            recs.select("doc_id", "http_status", "target_uri"), "doc_id"
+        html_extract(
+            spread(recs, "doc_id"),
+            keep_cols=("http_status", "target_uri"),
         )
         .select("doc_id", "http_status", "target_uri", "extracted")
         .orderBy("doc_id")
