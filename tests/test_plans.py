@@ -607,3 +607,23 @@ def test_url_normalize_stays_jvm_side(spark):
     text = explain_str(q("url_normalize_dedup", spark), "simple")
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     assert "mapInPandas" not in text.lower()
+
+
+def test_blocklist_ac_single_exchange_no_join(spark):
+    """The blocklist scan's shuffle is the per-pattern partial rollup
+    ONLY: one Exchange (partials → final agg over ~patterns×partitions
+    tiny rows), no join anywhere, and document text must not appear
+    past the mapInPandas stage (partials carry just pattern/counts)."""
+    from overseer_spark.operators.text import blocklist_matches
+    from overseer_spark.plans import has_cartesian_or_bnlj
+    from overseer_spark.plans.inspect import explain_str
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = blocklist_matches(docs)
+    text = explain_str(df, "simple")
+    assert not has_cartesian_or_bnlj(df)
+    assert "Join" not in text, text
+    n_exchanges = text.count("Exchange")
+    assert n_exchanges <= 2, f"unexpected extra shuffle:\n{text}"
+    assert "MapInPandas" in text or "mapInPandas" in text.lower(), text
