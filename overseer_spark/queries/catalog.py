@@ -4683,16 +4683,23 @@ def text_dsir_scores(spark, sf):
     tok = spread(d, "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
-    tgt = tok.filter(F.col("doc_id") < 50).groupBy("t").agg(
-        F.count(F.lit(1)).alias("gn")
+    # BOTH unigram LMs in ONE pass over the token stream (conditional
+    # sums keyed on the target cut), and all three smoothing scalars
+    # (ts, cs, nv) as ONE aggregate of that vocab-sized table — the
+    # former tgt/corp/distinct formulation re-derived the exploded token
+    # subtree from six plan branches, i.e. six corpus scans for an
+    # operator whose whole point is broadcast-LM-onto-one-scan. Now the
+    # corpus is scanned 3× total (lm for the join, lm for the scalars,
+    # the scoring pass) with one LM shuffle instead of two; no cache, so
+    # nothing stays pinned after the lazy return.
+    lm = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("doc_id") < 50, 1)).alias("gn"),
+        F.sum(F.when(F.col("doc_id") >= 50, 1)).alias("cn"),
     )
-    corp = tok.filter(F.col("doc_id") >= 50).groupBy("t").agg(
-        F.count(F.lit(1)).alias("cn")
-    )
-    scalars = (
-        tgt.agg(F.sum("gn").cast("double").alias("ts"))
-        .crossJoin(corp.agg(F.sum("cn").cast("double").alias("cs")))
-        .crossJoin(tok.select("t").distinct().agg(F.count(F.lit(1)).alias("nv")))
+    scalars = lm.agg(
+        F.sum("gn").cast("double").alias("ts"),
+        F.sum("cn").cast("double").alias("cs"),
+        F.count(F.lit(1)).alias("nv"),
     )
     llr = (
         F.log((F.coalesce("gn", F.lit(0)) + 1.0) / (F.col("ts") + F.col("nv")))
@@ -4700,8 +4707,7 @@ def text_dsir_scores(spark, sf):
     )
     return (
         tok.filter(F.col("doc_id") >= 50)
-        .join(F.broadcast(tgt), "t", "left")
-        .join(F.broadcast(corp), "t", "left")
+        .join(F.broadcast(lm), "t", "left")
         .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
         .agg(F.sum(llr).alias("llr"), F.count(F.lit(1)).alias("len"))
@@ -9525,28 +9531,29 @@ def text_perplexity_bigram(spark, sf):
     """Bigram-LM perplexity (add-k smoothed, k=0.5) — the next rung above
     text_perplexity_unigram toward the KenLM signal CCNet actually uses:
     per-document mean negative log-likelihood of each token given its
-    predecessor. Bigrams come from a posexplode + self-join on adjacent
-    positions that stays partitioned by doc_id (both sides hash the same
-    key — one shuffle, co-located), the bigram/context LM tables are
-    vocabulary²-bounded aggregates that broadcast back for scoring, and
-    the vocab size is a 1-row broadcast — so the corpus streams through
-    twice and nothing driver-side scales with data. The smoothing keeps
-    every observed bigram finite without a backoff join."""
+    predecessor. Bigrams come from zip-sliced adjacent array positions
+    (the text_bigram_pmi idiom) — pure per-row array ops, NO shuffle at
+    all for extraction, where the former posexplode + adjacent-position
+    self-join paid one co-located shuffle per plan branch reading it
+    (two in total). The bigram/context LM tables are vocabulary²-bounded
+    aggregates that broadcast back for scoring, and the vocab size is a
+    1-row broadcast — so the corpus streams through three times (LM
+    build, vocab count, scoring) and nothing driver-side scales with
+    data. The smoothing keeps every observed bigram finite without a
+    backoff join."""
     d = _t(spark, sf, "documents")
-    tok = d.select(
+    t = F.split(F.lower("text"), " ")
+    n = F.size(t)
+    big = d.select(
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "term"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    a, b = tok.alias("a"), tok.alias("b")
-    big = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("b.pos") == F.col("a.pos") + 1),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("a.term").alias("w1"),
-        F.col("b.term").alias("w2"),
-    )
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, n - 1).alias("w1"),
+                F.slice(t, 2, n - 1).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    tok = d.select("doc_id", F.explode(t).alias("term"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
     v = tok.agg(F.countDistinct("term").alias("vs"))
