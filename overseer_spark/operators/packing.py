@@ -85,6 +85,79 @@ def pack_greedy(
     )
 
 
+def pack_greedy_sharded(
+    df: DataFrame,
+    capacity: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing packing per EXPLICIT shard — the
+    layout-independent variant of :func:`pack_greedy`.
+
+    ``pack_greedy`` shards by physical partition (defaultParallelism +
+    TaskContext ids), so the same corpus packs differently on an 8-core
+    laptop and a 1000-executor cluster. Here the shard is a pure function
+    of the row: ``pmod(xxhash64(id), n_shards)``, packed via
+    groupBy(shard).applyInPandas — identical output for ANY partition
+    layout, core count, or input order. That reproducibility is the
+    point: packed sequences feed training, and a training run's data
+    order should not depend on the cluster that prepared it. Same
+    invariants (fill ≤ 1, every row packed once, oversize rows get
+    singleton packs); pack_id = shard * 2^32 + local index.
+    """
+    import pandas as pd
+
+    def ffd(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(key[0])
+        rows = pdf.sort_values([size_col, id_col], ascending=[False, True])
+        bins: list[int] = []
+        counts: list[int] = []
+        out_pack, out_slot = [], []
+        for sz in rows[size_col].to_list():
+            placed = -1
+            for j, rem in enumerate(bins):  # first fit
+                if sz <= rem:
+                    placed = j
+                    break
+            if placed < 0:
+                bins.append(max(capacity - sz, 0))
+                counts.append(1)
+                placed = len(bins) - 1
+                out_slot.append(0)
+            else:
+                bins[placed] -= sz
+                counts[placed] += 1
+                out_slot.append(counts[placed] - 1)
+            out_pack.append(shard * _PART_STRIDE + placed)
+        return pd.DataFrame(
+            {
+                id_col: rows[id_col].to_list(),
+                size_col: rows[size_col].to_list(),
+                "pack_id": out_pack,
+                "pack_slot": out_slot,
+            }
+        )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    sz_t = df.schema[size_col].dataType.simpleString()
+    return (
+        df.select(
+            id_col,
+            size_col,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
+        )
+        .groupBy("_shard")
+        .applyInPandas(
+            ffd,
+            schema=(
+                f"{id_col} {id_t}, {size_col} {sz_t}, "
+                "pack_id long, pack_slot int"
+            ),
+        )
+    )
+
+
 def packing_stats(packed: DataFrame, capacity: int, size_col: str = "n_tokens") -> DataFrame:
     """One-row packing report: packs, rows, mean fill ratio, waste."""
     per_pack = packed.groupBy("pack_id").agg(

@@ -3042,17 +3042,30 @@ def drop_duplicates_keyed(spark, sf):
     )
 
 
-@q("pack_sequences", tier="py")
+@q(
+    "pack_sequences",
+    # measured pin at sf0.01: output verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run)
+    # — the shard is pmod(xxhash64(doc_id), 64), a pure row function, so
+    # the packing is layout-independent by construction; invariants
+    # (fill ≤ 1, every doc packed once) carry the semantics in
+    # tests/test_packing.py and the pin adds driver-side hash regression
+    # signal
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(83 AS BIGINT), CAST(500 AS BIGINT), CAST(0.6392 AS DOUBLE), CAST(15331 AS BIGINT))) AS t(n_packs, n_rows, mean_fill, wasted_tokens)""",
+)
 def pack_sequences_q(spark, sf):
     """Greedy sequence packing of documents into 512-token context windows
-    (first-fit-decreasing per hash partition, zero coordination) — summary
-    stats row. Invariants (fill ≤ 1, every doc packed once) asserted in
+    (first-fit-decreasing per EXPLICIT hash shard — pack_greedy_sharded,
+    so the result is identical on any cluster layout: reproducible
+    packing means reproducible training batches) — summary stats row.
+    Invariants (fill ≤ 1, every doc packed once) asserted in
     tests/test_packing.py."""
-    from overseer_spark.operators.packing import pack_greedy, packing_stats
+    from overseer_spark.operators.packing import pack_greedy_sharded, packing_stats
     from overseer_spark.operators.text import token_count
 
     d = token_count(_t(spark, sf, "documents"))
-    return packing_stats(pack_greedy(d, capacity=512), capacity=512)
+    return packing_stats(pack_greedy_sharded(d, capacity=512), capacity=512)
 
 
 @q(
@@ -4004,21 +4017,32 @@ def explode_outer_semantics(spark, sf):
     )
 
 
-@q("train_prep_pipeline", tier="py")
+@q(
+    "train_prep_pipeline",
+    # measured pin at sf0.01: funnel verified DETERMINISTIC across
+    # partition layouts (local[8]/local[32] x shuffle 8/32, double-run) —
+    # every stage is layout-independent (min-id exact dedup, min-id
+    # component canonical, shard-keyed FFD packing); monotonicity and
+    # packing invariants live in tests/test_pipeline_composite.py and the
+    # pin adds driver-side hash regression signal
+    oracle="""\
+        SELECT * FROM (VALUES ('0_input', CAST(500 AS BIGINT)), ('1_quality', 500), ('2_exact_dedup', 500), ('3_near_dedup', 476), ('4_total_tokens', 25901), ('5_packs', 81)) AS t(stage, n) ORDER BY stage""",
+)
 def train_prep_pipeline(spark, sf):
     """End-to-end training-data prep, composed purely from this engine's
     operators: quality gates (Gopher/C4 thresholds) → exact dedup (keep
     min-id) → near-dup cluster dedup (3-gram Jaccard ≥ 0.8, connected-
     component canonical) → token counting → FFD packing into 512-token
-    context windows. Output: one (stage, n) funnel row per stage — the
-    whole report is ONE lazy plan (no driver-side collects between
-    stages); intermediate corpora are eager-cached because two consumers
-    (the stats row and the next stage) would otherwise recompute the full
-    upstream pipeline. Monotonicity + packing invariants are asserted in
-    tests/test_pipeline_composite.py."""
+    context windows (shard-keyed pack_greedy_sharded, so the funnel is
+    reproducible on any cluster layout). Output: one (stage, n) funnel
+    row per stage — the whole report is ONE lazy plan (no driver-side
+    collects between stages); intermediate corpora are eager-cached
+    because two consumers (the stats row and the next stage) would
+    otherwise recompute the full upstream pipeline. Monotonicity +
+    packing invariants are asserted in tests/test_pipeline_composite.py."""
     from overseer_spark.operators.components import dedup_keep_canonical
     from overseer_spark.operators.dedup import dedup_exact, jaccard_pairs
-    from overseer_spark.operators.packing import pack_greedy
+    from overseer_spark.operators.packing import pack_greedy_sharded
     from overseer_spark.operators.text import quality_filter, token_count
     from overseer_spark.operators.util import eager_cache
 
@@ -4029,7 +4053,7 @@ def train_prep_pipeline(spark, sf):
         dedup_keep_canonical(exact, jaccard_pairs(exact, threshold=0.8))
     )
     toks = eager_cache(token_count(near))
-    packed = pack_greedy(toks, capacity=512)
+    packed = pack_greedy_sharded(toks, capacity=512)
 
     def stage(name, df):
         return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(

@@ -51,3 +51,27 @@ def test_fill_quality_and_stats(spark):
     # FFD on ~100-token-mean docs should fill packs well past half
     assert stats["mean_fill"] > 0.6
     assert stats["wasted_tokens"] >= 0
+
+
+def test_sharded_packing_invariants_and_layout_independence(spark):
+    from overseer_spark.operators.packing import pack_greedy_sharded
+
+    df = _docs(spark, parts=4)
+    packed = pack_greedy_sharded(df, capacity=256)
+    rows = packed.collect()
+    # every row packed exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in df.collect()
+    )
+    # fill <= capacity per pack (oversize rows are singletons)
+    fills = {}
+    for r in rows:
+        fills.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for sizes in fills.values():
+        assert sum(sizes) <= 256 or len(sizes) == 1
+    # layout independence: different partitioning + input order, same packs
+    b = pack_greedy_sharded(
+        _docs(spark, parts=11).orderBy(F.desc("doc_id")), capacity=256
+    ).collect()
+    key = lambda r: (r["doc_id"], r["pack_id"], r["pack_slot"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, b))
