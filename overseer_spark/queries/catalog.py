@@ -4314,21 +4314,23 @@ def text_vocab_overlap(spark, sf):
         .filter(F.col("term") != "")
         .distinct()
     )
-    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = v.select(F.col("source").alias("s1"), "term")
-    b = v.select(F.col("source").alias("s2"), "term")
+    # per-source vocab size rides the rows as a WINDOW over the distinct
+    # (source, term) table, so the self-join carries nx/ny through and the
+    # former sz groupBy branch (a third full corpus scan + distinct
+    # shuffle, plus two broadcast joins back) disappears
+    vn = v.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    a = vn.select(F.col("source").alias("s1"), "term", F.col("n").alias("nx"))
+    b = vn.select(F.col("source").alias("s2"), "term", F.col("n").alias("ny"))
     inter = (
         a.join(b, "term")
         .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
+        .groupBy("s1", "s2", "nx", "ny")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    x = sz.select(F.col("source").alias("s1"), F.col("n").alias("nx"))
-    y = sz.select(F.col("source").alias("s2"), F.col("n").alias("ny"))
     return (
-        inter.join(F.broadcast(x), "s1")
-        .join(F.broadcast(y), "s2")
-        .select(
+        inter.select(
             "s1",
             "s2",
             F.col("i").cast("long").alias("inter"),
@@ -8940,8 +8942,14 @@ def text_bigram_pmi(spark, sf):
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     uni = docs.select(F.explode(t).alias("w"))
     uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    nb = bc.agg(F.sum("c").alias("nb"))
-    nu = uc.agg(F.sum("c").alias("nu"))
+    # corpus totals from token LENGTHS in one scalar scan: a doc with n
+    # tokens contributes n unigrams and n-1 bigrams, so nb/nu need no
+    # re-derivation of the exploded aggregates (each former nb/nu branch
+    # re-ran its whole explode+groupBy from a fresh corpus scan)
+    totals = docs.select(F.size(t).alias("_n")).agg(
+        (F.sum("_n") - F.count(F.lit(1))).alias("nb"),
+        F.sum("_n").alias("nu"),
+    )
     u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     pmi = F.log(
@@ -8952,8 +8960,7 @@ def text_bigram_pmi(spark, sf):
         bc.where(F.col("c") >= 30)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(totals))
         .select(
             "w1", "w2", F.col("c").cast("long").alias("c"), F.round(pmi, 4).alias("pmi")
         )
@@ -9579,10 +9586,13 @@ def text_perplexity_bigram(spark, sf):
     ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
     tok = d.select("doc_id", F.explode(t).alias("term"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    # context totals as a WINDOW over the vocab²-bounded LM table — the
+    # former groupBy(w1)+join referenced bc from two plan branches, each
+    # re-deriving the bigram extraction from its own corpus scan
+    cc_w = Window.partitionBy("w1")
     v = tok.agg(F.countDistinct("term").alias("vs"))
     lm = (
-        bc.join(cc, "w1")
+        bc.withColumn("cw", F.sum("cb").over(cc_w))
         .crossJoin(F.broadcast(v))
         .select(
             "w1",
@@ -11685,12 +11695,17 @@ def text_js_divergence_by_source(spark, sf):
         "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
-    stot = st.groupBy("source").agg(F.sum("n").alias("tot"))
-    gt = st.groupBy("term").agg(F.sum("n").alias("gn"))
-    gtot = gt.agg(F.sum("gn").alias("gtot"))
+    # per-source and per-term totals as WINDOWS over the one
+    # (source, term) aggregate — the former stot/gt groupBy+join branches
+    # each re-derived st (and with it the whole corpus explode+shuffle)
+    # from a fresh scan; windows shuffle only the dimension-sized table.
+    # The global total still needs one extra st evaluation (a global
+    # window would serialize the table to one partition), so the corpus
+    # is scanned twice, down from four.
+    gtot = st.agg(F.sum("n").alias("gtot"))
     probs = (
-        st.join(stot, "source")
-        .join(F.broadcast(gt), "term")
+        st.withColumn("tot", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn("gn", F.sum("n").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(gtot))
         .select(
             "source",
