@@ -1535,10 +1535,19 @@ def encode_mp4_mjpeg(
     n, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
     if n == 0:
         raise ValueError("encode_mp4_mjpeg needs at least one frame")
-    samples = [
-        encode_jpeg(fr[i], quality=quality, progressive=progressive)
-        for i in range(n)
-    ]
+    # content-hash memo: byte-identical frames (still scenes, test
+    # patterns, freeze frames) encode once and reuse the JPEG sample
+    # bytes — the container still lists every sample individually, the
+    # output stream is byte-for-byte what per-frame encoding produces
+    memo: dict[bytes, bytes] = {}
+    samples = []
+    for i in range(n):
+        key = fr[i].tobytes()
+        enc = memo.get(key)
+        if enc is None:
+            enc = encode_jpeg(fr[i], quality=quality, progressive=progressive)
+            memo[key] = enc
+        samples.append(enc)
     timescale = 1000
     delta = max(1, timescale // max(1, fps))
     duration = n * delta
@@ -1727,7 +1736,18 @@ def decode_mp4(payload: bytes) -> tuple[dict, np.ndarray]:
             f"MP4 sample codec '{meta['codec']}' requires native libraries "
             "(only MJPEG-in-MP4 decodes here)"
         )
-    frames = [decode_jpeg(s)[1] for s in samples]
+    # content-hash memo mirroring the encoder's: byte-identical samples
+    # (common in MJPEG — still scenes repeat the exact JPEG bytes)
+    # decode once; identical bytes decode to identical pixels, so this
+    # is pure caching, not a semantic shortcut
+    memo: dict[bytes, np.ndarray] = {}
+    frames = []
+    for s in samples:
+        f = memo.get(s)
+        if f is None:
+            f = decode_jpeg(s)[1]
+            memo[s] = f
+        frames.append(f)
     if any(f.shape != frames[0].shape for f in frames):
         raise ValueError("MP4 MJPEG samples disagree on frame shape")
     meta = dict(meta)
