@@ -449,11 +449,19 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 10) -> bytes:
     for i in range(256):
         out += bytes([i, i, i])
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    # content-hash memo: byte-identical frames (still scenes) LZW-encode
+    # once — output stream is byte-for-byte what per-frame encoding emits
+    memo: dict[bytes, bytes] = {}
     for f in fr:
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         out += bytes([8])  # LZW min code size
-        out += _gif_subblocks(_lzw_encode(f.tobytes(), 8))
+        key = f.tobytes()
+        enc = memo.get(key)
+        if enc is None:
+            enc = _gif_subblocks(_lzw_encode(key, 8))
+            memo[key] = enc
+        out += enc
     out += b"\x3b"
     return bytes(out)
 
