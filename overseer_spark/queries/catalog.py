@@ -13114,3 +13114,63 @@ def text_blocklist_ac(spark, sf):
     from overseer_spark.operators.text import blocklist_matches
 
     return blocklist_matches(_t(spark, sf, "documents"))
+
+
+@q(
+    "stream_blocklist_counts",
+    oracle="""WITH pats(pattern) AS (
+                VALUES ('big table'), ('fast merge'), ('slow scan'),
+                       ('stream customer'), ('vector')),
+              hits AS (
+                SELECT d.doc_id, p.pattern,
+                       CAST((LENGTH(d.text)
+                             - LENGTH(REPLACE(d.text, p.pattern, '')))
+                            / LENGTH(p.pattern) AS BIGINT) AS n
+                FROM documents d CROSS JOIN pats p)
+              SELECT pattern,
+                     CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_hit,
+                     CAST(SUM(n) AS BIGINT) AS n_matches
+              FROM hits GROUP BY pattern ORDER BY pattern""",
+)
+def stream_blocklist_counts(spark, sf):
+    """The blocklist policy scan as a STREAM: the SAME blocklist_matches
+    operator definition (broadcast Aho–Corasick mapInPandas + partial
+    per-pattern rollup) runs unchanged on a readStream over the document
+    landing directory — the batch/streaming parity contract applied to
+    the newest operator. New corpus files become micro-batches; the
+    per-pattern counts aggregate in complete mode against the same batch
+    DuckDB oracle as text_blocklist_ac, so the automaton, the Arrow
+    seam, and the rollup must all survive the streaming execution path.
+    Production posture: update mode + a downstream sink keyed on
+    pattern; the bounded availableNow run here makes complete mode
+    exact."""
+    import os
+    import uuid
+
+    from overseer_spark.operators.text import blocklist_matches
+
+    static = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    name = f"stream_blocklist_{uuid.uuid4().hex[:8]}"
+    query = (
+        blocklist_matches(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
+    finally:
+        query.stop()
+    return spark.table(name).orderBy("pattern")
