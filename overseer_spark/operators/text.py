@@ -388,15 +388,18 @@ def bm25_scores(
         .filter(F.array_contains(q, F.col("_term")))
         .groupBy(id_col, "_term")
         .agg(F.count(F.lit(1)).alias("_f"))
+        # document frequency as a WINDOW over the postings aggregate —
+        # tf holds exactly one row per (doc, term), so the per-term row
+        # count IS the distinct-doc count; a groupBy+join branch would
+        # re-explode the corpus from a second scan (scan-audit principle)
+        .withColumn("_nd", F.count(F.lit(1)).over(Window.partitionBy("_term")))
     )
-    dfreq = tf.groupBy("_term").agg(F.count_distinct(F.col(id_col)).alias("_nd"))
     idf = F.log(
         (F.col("_n") - F.col("_nd") + 0.5) / (F.col("_nd") + 0.5) + 1.0
     )
     denom = F.col("_f") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
     return (
-        tf.join(F.broadcast(dfreq), "_term")
-        .join(lens, id_col)
+        tf.join(lens, id_col)
         .crossJoin(F.broadcast(consts))
         .withColumn("_s", idf * F.col("_f") * (k1 + 1.0) / denom)
         .groupBy(id_col)

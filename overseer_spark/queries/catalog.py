@@ -4859,12 +4859,14 @@ def dag_components(spark, sf):
 def text_chi2_terms(spark, sf):
     """χ² term-source association (top 20): which terms are
     over/under-represented in which source — the classic supervised
-    feature-selection / corpus-drift statistic. All four contingency cells
-    derive from three grouped counts (doc-term presence, docs per source,
-    docs per term); the per-source and per-term tables are dimension-sized
-    broadcasts onto the (source, term) count, so the corpus is read once.
-    Arithmetic in doubles: ANSI mode makes the n⁴ denominator overflow
-    int64 at large corpus sizes."""
+    feature-selection / corpus-drift statistic. All four contingency
+    cells derive from ONE explode pass: the (source, term) presence
+    count is the only token-stream aggregate, docs-per-term is its
+    per-term WINDOW sum (a branch re-deriving it would re-explode the
+    corpus — the scan-audit principle), and docs-per-source / total are
+    cheap no-explode scans of the 2-column document table broadcast
+    back. Arithmetic in doubles: ANSI mode makes the n⁴ denominator
+    overflow int64 at large corpus sizes."""
     from overseer_spark.operators.util import spread
 
     d = _t(spark, sf, "documents")
@@ -4875,8 +4877,11 @@ def text_chi2_terms(spark, sf):
     )
     n = d.agg(F.count(F.lit(1)).cast("double").alias("total"))
     src_docs = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("sd"))
-    term_docs = pres.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("td"))
-    a = pres.groupBy("source", "t").agg(F.count(F.lit(1)).cast("double").alias("a"))
+    a = (
+        pres.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("a"))
+        .withColumn("td", F.sum("a").over(Window.partitionBy("t")))
+    )
     tot, sd, td, aa = F.col("total"), F.col("sd"), F.col("td"), F.col("a")
     chi2 = (
         tot
@@ -4885,7 +4890,6 @@ def text_chi2_terms(spark, sf):
     )
     return (
         a.join(F.broadcast(src_docs), "source")
-        .join(F.broadcast(term_docs), "t")
         .crossJoin(F.broadcast(n))
         .select("source", F.col("t").alias("term"), F.round(chi2, 4).alias("chi2"))
         .orderBy(F.desc("chi2"), "source", "term")
@@ -5031,10 +5035,13 @@ def abc_analysis(spark, sf):
 def mad_outliers(spark, sf):
     """Robust outlier screening via Median Absolute Deviation (3 × 1.4826σ̂
     rule) — unlike q_outlier_counts' 3σ, MAD doesn't let the outliers
-    inflate their own threshold. Two grouped exact-percentile passes
-    (medians aren't algebraic — they can't ride a window like mean/std),
-    each reduced to a |event_types|-sized broadcast joined back; at 100 TB
-    substitute the KLL/t-digest sketch for `percentile`."""
+    inflate their own threshold. Two sequential exact-percentile passes
+    are inherent (the second operates on deviations from the first), but
+    the second rides a WINDOW over the deviation rows — the former
+    groupBy+join-back referenced the deviation subtree from two plan
+    branches, re-running the events scan + median join per branch
+    (the scan-audit principle). At 100 TB substitute the KLL/t-digest
+    sketch for `percentile`."""
     e = _t(spark, sf, "events").select("event_type", "value")
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -5042,9 +5049,9 @@ def mad_outliers(spark, sf):
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("d")
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    mad_w = F.expr("percentile(d, 0.5)").over(Window.partitionBy("event_type"))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn("mad", mad_w)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -5445,7 +5452,10 @@ def text_perplexity_unigram(spark, sf):
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").alias("t"))
+    # total token mass from token LENGTHS — a cheap no-explode scalar
+    # scan; aggregating cnt again would re-derive the whole explode +
+    # groupBy from a second corpus scan (the scan-audit principle)
+    tot = d.agg(F.sum(F.size(F.split(F.lower("text"), " "))).alias("t"))
     lm = cnt.crossJoin(F.broadcast(tot)).select(
         "term", F.log(F.col("c") / F.col("t")).alias("logp")
     )
@@ -5738,7 +5748,10 @@ def text_ccnet_buckets(spark, sf):
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").alias("t"))
+    # total token mass from token LENGTHS — a cheap no-explode scalar
+    # scan; aggregating cnt again would re-derive the whole explode +
+    # groupBy from a second corpus scan (the scan-audit principle)
+    tot = d.agg(F.sum(F.size(F.split(F.lower("text"), " "))).alias("t"))
     lm = cnt.crossJoin(F.broadcast(tot)).select(
         "term", F.log(F.col("c") / F.col("t")).alias("logp")
     )

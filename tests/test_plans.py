@@ -627,3 +627,35 @@ def test_blocklist_ac_single_exchange_no_join(spark):
     n_exchanges = text.count("Exchange")
     assert n_exchanges <= 2, f"unexpected extra shuffle:\n{text}"
     assert "MapInPandas" in text or "mapInPandas" in text.lower(), text
+
+
+def test_lm_family_scan_counts_pinned(spark):
+    """Spark performs no cross-branch subexpression reuse: every plan
+    branch referencing an aggregate re-derives it down to its own
+    FileScan. These pins hold the round-6 scan-count audit in place —
+    an edit that adds a corpus-scanning branch to one of these entries
+    fails here, not in a bench regression three rounds later."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    budgets = {
+        "text_blocklist_ac": 1,
+        "text_vocab_overlap": 2,
+        "text_js_divergence_by_source": 2,
+        "q_mad_outliers": 2,
+        "text_dsir_scores": 3,
+        "text_perplexity_bigram": 3,
+        "text_perplexity_unigram": 3,
+        "text_chi2_terms": 3,
+        "text_bm25_search": 3,
+        "text_bigram_pmi": 4,
+        "text_ccnet_buckets": 4,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        df = CATALOG[name].fn(spark, SF_CORRECTNESS)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Scan parquet")
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"corpus scan-count regressions: {over}"
