@@ -9396,9 +9396,18 @@ def q_peak_concurrency(spark, sf):
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("interval 10 minutes")).alias("e"),
     )
-    pts = ev.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
-        ev.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
-    )
+    # ±1 sweep points via EXPLODE of a per-row pair, not a two-branch
+    # union: the union read the events scan once per branch, and pts is
+    # referenced from two plan shapes (running sum + hour-net), so the
+    # plan paid 4 corpus scans where this pays 2 (scan-audit principle)
+    pts = ev.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p")
+    ).select("p.t", "p.delta")
     pts = pts.withColumn("hr", F.date_trunc("hour", F.col("t")))
     w_in = (
         Window.partitionBy("hr")
