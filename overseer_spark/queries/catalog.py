@@ -4535,33 +4535,59 @@ def integrity_audit(spark, sf):
     """Referential-integrity gate between a fact pair: row counts plus
     orphans in BOTH directions (orders with no lineitems, lineitems whose
     order is missing) — the ingest health check that runs before any
-    pipeline trusts a drop. Each orphan check is one anti-join over
-    DISTINCT keys (keys dedup map-side first, so the join input is
-    key-cardinality, not row count); the four results union into one
-    dimension-sized report."""
-    o = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("k")).distinct()
-    l = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k")).distinct()
-    checks = [
-        _t(spark, sf, "lineitem").agg(
-            F.lit("lineitem_rows").alias("check_name"),
-            F.count(F.lit(1)).alias("n"),
-        ),
-        l.join(o, "k", "left_anti").agg(
-            F.lit("lineitems_dangling_order").alias("check_name"),
-            F.count(F.lit(1)).alias("n"),
-        ),
-        _t(spark, sf, "orders").agg(
-            F.lit("order_rows").alias("check_name"), F.count(F.lit(1)).alias("n")
-        ),
-        o.join(l, "k", "left_anti").agg(
-            F.lit("orders_without_lineitems").alias("check_name"),
-            F.count(F.lit(1)).alias("n"),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.union(c)
-    return out.orderBy("check_name")
+    pipeline trusts a drop. BOTH orphan directions come from ONE
+    full-outer join of the distinct key sets aggregated once (null side
+    ⇒ orphan) — two separate anti-join branches would evaluate each
+    distinct-key subtree twice (the scan-audit principle); the two raw
+    row counts are count-star scans that read zero columns. The 1-row
+    stats tuple explodes into the four-row report without further
+    scans."""
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.lit(1).alias("_o")
+    ).distinct()
+    l = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.lit(1).alias("_l")
+    ).distinct()
+    orphans = o.join(l, "k", "full_outer").agg(
+        F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("dangling_l"),
+        F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("childless_o"),
+    )
+    row = (
+        _t(spark, sf, "lineitem")
+        .agg(F.count(F.lit(1)).alias("l_rows"))
+        .crossJoin(_t(spark, sf, "orders").agg(F.count(F.lit(1)).alias("o_rows")))
+        .crossJoin(F.broadcast(orphans))
+    )
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem_rows").alias("check_name"),
+                        F.col("l_rows").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("lineitems_dangling_order").alias("check_name"),
+                        F.col("dangling_l").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("order_rows").alias("check_name"),
+                        F.col("o_rows").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("orders_without_lineitems").alias("check_name"),
+                        F.col("childless_o").alias("n"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.check_name", "c.n")
+        .orderBy("check_name")
+    )
 
 
 @q(
