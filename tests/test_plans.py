@@ -419,6 +419,9 @@ _BNLJ_OK = {
     "ann_recall_eval",
     # two 1-row count aggregates crossed into the metric row
     "minhash_recall_eval",
+    # two 1-row count-star aggregates + the 1-row orphan tuple crossed
+    # into the 4-row report (round-6 full-outer rework)
+    "q_integrity_audit",
     # 1-row series-mean broadcast under the running CUSUM
     "q_changepoint_cusum",
     # 1-row population-total broadcast into the at-risk computation
