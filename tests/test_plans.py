@@ -662,3 +662,25 @@ def test_lm_family_scan_counts_pinned(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"corpus scan-count regressions: {over}"
+
+
+def test_scan_audit_tool_counts_and_cache_flag(spark):
+    """tools/scan_audit.py's parser: exact scan counts on cache-free
+    plans, cached plans flagged (their printed lineage overstates what
+    executes, so the tool must not rank them)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from scan_audit import audit_entry
+
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    n, paths, cached = audit_entry(
+        spark, CATALOG["q01_scan_count"].fn, SF_CORRECTNESS
+    )
+    assert (n, paths, cached) == (1, 1, False)
+    _, _, cached = audit_entry(
+        spark, CATALOG["graph_triangle_count"].fn, SF_CORRECTNESS
+    )
+    assert cached is True  # eager_cache'd edge table
