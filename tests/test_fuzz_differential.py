@@ -72,3 +72,16 @@ def test_rangewin_family_seeded_queries_agree(spark, duck):
         if not ok:
             failures.append(detail)
     assert not failures, "\n".join(failures)
+
+
+def test_datescalar_family_seeded_queries_agree(spark, duck):
+    """Row-level datetime scalar seams: date_trunc at four granularities,
+    EXTRACT fields (0=Sunday dow convention), day arithmetic, signed
+    anchor diffs, LAST_DAY, epoch seconds."""
+    failures = []
+    for seed in range(5000, 5012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="datescalar")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)

@@ -89,6 +89,8 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_numfunc_case(rng)
     if family == "decagg":
         return gen_decagg_case(rng)
+    if family == "datescalar":
+        return gen_datescalar_case(rng)
     roll = rng.random()
     if roll < 0.22:
         return gen_join_case(rng)
@@ -118,8 +120,10 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_strfunc_case(rng)
     if roll < 0.965:
         return gen_numfunc_case(rng)
-    if roll < 0.98:
+    if roll < 0.975:
         return gen_decagg_case(rng)
+    if roll < 0.99:
+        return gen_datescalar_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -894,6 +898,106 @@ def build_numfunc_spark_df(spark, sf_dir: str, case: dict):
     )
 
 
+_DATESCALAR_OPS = [
+    "trunc_day", "trunc_month", "trunc_year", "trunc_hour",
+    "yr", "mo", "dy", "hr", "dow0", "doy",
+    "plus_days", "diff_from_anchor", "last_day", "epoch_s",
+]
+
+
+def gen_datescalar_case(rng: random.Random) -> dict:
+    """Row-level datetime scalar seams over events.ts: date_trunc at four
+    granularities, EXTRACT fields including the day-of-week convention
+    seam (Spark DAYOFWEEK is 1=Sunday, DuckDB dow is 0=Sunday — both
+    sides encode the 0=Sunday form), day arithmetic, signed day diffs
+    from an anchor, LAST_DAY, and epoch seconds. The grouped datetime
+    family only sees timestamps through date_trunc buckets; this probes
+    the scalar surface at row granularity."""
+    ops = rng.sample(_DATESCALAR_OPS, k=rng.randint(2, 4))
+    params = {
+        "k_days": rng.choice([1, 7, 30, 365]),
+        "anchor": rng.choice(["2024-01-10", "2024-02-01", "2023-12-31"]),
+    }
+    resid = (rng.choice([2, 3, 5]), rng.randint(0, 1))
+    return {"datescalar": (ops, params, resid)}
+
+
+def _datescalar_sql_expr(op: str, p: dict) -> str:
+    if op.startswith("trunc_"):
+        return f"CAST(date_trunc('{op[6:]}', ts) AS TIMESTAMP)"
+    field = {
+        "yr": "year", "mo": "month", "dy": "day", "hr": "hour",
+        "doy": "doy",
+    }.get(op)
+    if field:
+        return f"CAST(EXTRACT({field} FROM ts) AS BIGINT)"
+    if op == "dow0":
+        return "CAST(EXTRACT(dow FROM ts) AS BIGINT)"  # 0 = Sunday
+    if op == "plus_days":
+        return f"ts + INTERVAL {p['k_days']} DAY"
+    if op == "diff_from_anchor":
+        return (
+            f"CAST(date_diff('day', DATE '{p['anchor']}', CAST(ts AS DATE))"
+            " AS BIGINT)"
+        )
+    if op == "last_day":
+        return "last_day(CAST(ts AS DATE))"
+    return "CAST(FLOOR(epoch(ts)) AS BIGINT)"  # epoch_s
+
+
+def datescalar_to_sql(case: dict) -> str:
+    ops, params, (m, r) = case["datescalar"]
+    sel = ", ".join(
+        f"{_datescalar_sql_expr(op, params)} AS c{i}" for i, op in enumerate(ops)
+    )
+    return (
+        f"SELECT event_id, {sel} FROM events "
+        f"WHERE event_id % {m} = {r} ORDER BY event_id"
+    )
+
+
+def build_datescalar_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    ops, params, (m, r) = case["datescalar"]
+
+    def expr(op):
+        if op.startswith("trunc_"):
+            return F.date_trunc(op[6:], F.col("ts"))
+        if op == "yr":
+            return F.year("ts").cast("long")
+        if op == "mo":
+            return F.month("ts").cast("long")
+        if op == "dy":
+            return F.dayofmonth("ts").cast("long")
+        if op == "hr":
+            return F.hour("ts").cast("long")
+        if op == "dow0":
+            return (F.dayofweek("ts") - 1).cast("long")  # 0 = Sunday
+        if op == "doy":
+            return F.dayofyear("ts").cast("long")
+        if op == "plus_days":
+            return F.col("ts") + F.expr(f"INTERVAL {params['k_days']} DAY")
+        if op == "diff_from_anchor":
+            return F.datediff(
+                F.col("ts").cast("date"), F.lit(params["anchor"]).cast("date")
+            ).cast("long")
+        if op == "last_day":
+            return F.last_day(F.col("ts").cast("date"))
+        return F.unix_timestamp("ts").cast("long")  # epoch_s
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % m == r)
+        .select(
+            "event_id", *[expr(op).alias(f"c{i}") for i, op in enumerate(ops)]
+        )
+        .orderBy("event_id")
+    )
+
+
 def gen_decagg_case(rng: random.Random) -> dict:
     """Exact DECIMAL grouped aggregation: SUM / MIN / MAX over
     CAST(num AS DECIMAL(18,2)) with a random residue filter — compared
@@ -1100,6 +1204,8 @@ def to_sql(case: dict) -> str:
         return numfunc_to_sql(case)
     if "decagg" in case:
         return decagg_to_sql(case)
+    if "datescalar" in case:
+        return datescalar_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
     if "rollup" in case:
@@ -1211,6 +1317,8 @@ def run_case(
         srows = build_numfunc_spark_df(spark, sf_dir, case).collect()
     elif "decagg" in case:
         srows = build_decagg_spark_df(spark, sf_dir, case).collect()
+    elif "datescalar" in case:
+        srows = build_datescalar_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
     elif "rollup" in case:
@@ -1260,7 +1368,7 @@ def run_case(
                 f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)} first_diff={diff}",
             )
         return (True, f"seed={seed} sql={sql!r} rows={len(s_)}")
-    if "numfunc" in case:
+    if "numfunc" in case or "datescalar" in case:
         # unique-keyed ORDER BY; doubles (trydiv/lnguard) need tolerance,
         # everything else is exact integers / strings / NULLs
         if len(srows) != len(drows):
@@ -1326,7 +1434,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--family",
-        choices=["gsets", "asofjoin", "rangewin", "strfunc", "numfunc", "decagg"],
+        choices=["gsets", "asofjoin", "rangewin", "strfunc", "numfunc",
+                 "decagg", "datescalar"],
         help="force every case into one generator (dedicated family sweeps)",
     )
     ns = ap.parse_args()
