@@ -313,12 +313,15 @@ def remove_repeated_spans(
 
     Output: (id, text, n_tokens, n_removed) with the cleaned text.
 
-    Plan shape at scale: spans are ``xxhash64``-keyed before the count
-    aggregate and the flag join (8-byte shuffle keys); flagged start
-    positions fold back to one array per document (id-keyed shuffle), and
-    the token-drop rebuild is a single array-HOF projection — coverage
-    test per token against the doc's flagged starts, no Python, no
-    per-row joins.
+    Plan shape at scale: spans are ``xxhash64``-keyed before the flag
+    windows (8-byte shuffle keys); the ≥min_docs flag and the canonical
+    keeper ride WINDOWS over the one exploded span table (a separate
+    count aggregate joined back would re-derive the explode from a
+    second corpus scan — the scan-audit principle); flagged start
+    positions fold back to one array per document (id-keyed shuffle),
+    and the token-drop rebuild is a single array-HOF projection —
+    coverage test per token against the doc's flagged starts, no
+    Python, no per-row joins.
     """
     from overseer_spark.functions.textfns import shingles, tokens
     from overseer_spark.operators.util import spread
@@ -330,13 +333,13 @@ def remove_repeated_spans(
         F.col(id_col),
         F.posexplode(span_arr).alias("start", "s"),
     ).select(id_col, "start", F.xxhash64("s").alias("s"))
-    span_docs = spans.groupBy("s").agg(
-        F.count_distinct(F.col(id_col)).alias("nd"),
-        F.min(id_col).alias("keeper"),
-    )
+    w_s = Window.partitionBy("s")
     flagged = (
-        spans.join(span_docs.filter(F.col("nd") >= min_docs), "s")
-        .filter(F.col(id_col) != F.col("keeper"))
+        spans.withColumn(
+            "nd", F.size(F.collect_set(F.col(id_col)).over(w_s))
+        )
+        .withColumn("keeper", F.min(id_col).over(w_s))
+        .filter((F.col("nd") >= min_docs) & (F.col(id_col) != F.col("keeper")))
         .groupBy(id_col)
         .agg(F.collect_set("start").alias("_starts"))
     )
