@@ -9694,9 +9694,12 @@ def preference_pairs(spark, sf):
     (doc_id ASC for chosen, DESC for rejected) guarantee chosen ≠
     rejected whenever the group has ≥2 docs, so the pair table is stable
     across runs — a requirement for reproducible training sets. Plan:
-    one scored scan, two rank windows over the SAME (lang, source)
-    partitioning (one shuffle, reused), and the final joins are on the
-    group key — group-count rows, not document rows."""
+    ONE scored scan and ONE grouped aggregate — chosen and rejected are
+    MAX_BY/MIN_BY over a lexicographic (score, ∓doc_id) struct, which
+    encodes both tie-breaks exactly; the former two-rank-window + count
+    formulation referenced the scored scan from three plan branches,
+    i.e. three corpus scans and three shuffles for a group-count-sized
+    result (the scan-audit principle)."""
     s = _t(spark, sf, "documents").select(
         "doc_id",
         "lang",
@@ -9705,23 +9708,20 @@ def preference_pairs(spark, sf):
         .cast("long")
         .alias("score"),
     )
-    grp = Window.partitionBy("lang", "source")
-    ch = s.withColumn(
-        "rn", F.row_number().over(grp.orderBy(F.desc("score"), F.asc("doc_id")))
-    ).where(F.col("rn") == 1)
-    rj = s.withColumn(
-        "rn", F.row_number().over(grp.orderBy(F.asc("score"), F.desc("doc_id")))
-    ).where(F.col("rn") == 1)
-    n = s.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    # max_by key (score ASC, doc_id DESC) picks (highest score, then
+    # SMALLEST id) — struct comparison is lexicographic, so negating the
+    # id flips its tie-break direction; symmetrically for min_by.
+    ch_key = F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))
     return (
-        ch.select("lang", "source", F.col("doc_id").alias("chosen_id"),
-                  F.col("score").alias("cs"))
-        .join(
-            rj.select("lang", "source", F.col("doc_id").alias("rejected_id"),
-                      F.col("score").alias("rs")),
-            ["lang", "source"],
+        s.groupBy("lang", "source")
+        .agg(
+            F.max_by("doc_id", ch_key).alias("chosen_id"),
+            F.max("score").alias("cs"),
+            F.min_by("doc_id", ch_key).alias("rejected_id"),
+            F.min("score").alias("rs"),
+            F.count(F.lit(1)).alias("cnt"),
         )
-        .join(n.where(F.col("cnt") >= 2).select("lang", "source"), ["lang", "source"])
+        .where(F.col("cnt") >= 2)
         .select(
             "lang",
             "source",
