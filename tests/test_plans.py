@@ -574,13 +574,16 @@ def test_fim_transform_is_pure_projection(spark):
 
 
 def test_preference_pairs_bounded_exchanges(spark):
-    """Both rank windows and the group-count hash on (lang, source); the
-    chosen/rejected joins must broadcast the 1-row-per-group sides —
-    the whole pair miner is ≤3 hash exchanges + the final sort."""
+    """Round-6 rework: chosen/rejected are MAX_BY/MIN_BY over one grouped
+    aggregate — NO joins anywhere, exactly one (lang, source) hash
+    exchange with map-side partial aggregation, then the presentation
+    sort. (The previous formulation was two rank windows + a count join;
+    this pin is strictly tighter.)"""
     df = q("preference_pairs", spark)
     s = explain_str(df)
-    assert has_broadcast_join(df)
-    assert s.count("hashpartitioning") <= 3, s.count("hashpartitioning")
+    assert "Join" not in s, "pair mining should be a single aggregation"
+    assert s.count("hashpartitioning") == 1, s.count("hashpartitioning")
+    assert has_partial_aggregation(df)
 
 
 def test_shard_plan_two_phase_no_global_data_sort(spark):
