@@ -6901,26 +6901,34 @@ def q_funnel_conversion_latency(spark, sf):
     """Conversion latency: p50/p90 seconds from a user's FIRST view to
     their first purchase strictly after it — the time-to-convert metric
     behind every funnel dashboard (funnel_view_click_purchase counts
-    depths; this measures speed). Two grouped MINs reuse one user_id
-    partitioning; the strictly-after condition makes it sequence-aware,
-    not two independent mins. Latencies are integral seconds (ns
+    depths; this measures speed). ONE pass: the per-user first-view
+    rides a window over the type-filtered stream, qualifying purchases
+    filter against it in place, and the per-user min reuses the same
+    user_id partitioning — the former v/p join formulation referenced
+    the view-mins subtree from two branches and the events scan from
+    three (the scan-audit principle). The strictly-after condition
+    makes it sequence-aware, not two independent mins; a user with no
+    view gets a NULL first_view, which the > comparison filters exactly
+    like the old inner join. Latencies are integral seconds (ns
     timestamps truncated to µs on load, generated at second grain), so
     the interpolated percentiles are exact in both engines."""
     e = _t(spark, sf, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
+    w_u = Window.partitionBy("user_id")
+    fv = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w_u)
     lat = (
-        v.join(p, "user_id")
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .withColumn("first_view", fv)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("first_view").alias("first_view"),
+        )
         .select(
             (
                 F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")

@@ -647,6 +647,7 @@ def test_lm_family_scan_counts_pinned(spark):
     budgets = {
         "text_blocklist_ac": 1,
         "preference_pairs": 1,
+        "q_funnel_conversion_latency": 1,
         "text_remove_repeated_spans": 2,
         "text_vocab_overlap": 2,
         "text_js_divergence_by_source": 2,
