@@ -29,11 +29,21 @@ from overseer_spark.queries.catalog import CATALOG, flagship
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_checked() -> tuple[set[str], set[str]]:
-    """(all entry names ever covered, names whose LATEST driver row failed)
-    from the committed per-round driver gate results."""
+def _driver_checked() -> tuple[set[str], set[str], set[str]]:
+    """(all entry names ever covered, names whose LATEST driver row failed,
+    names whose LATEST driver row was the weak ``no_oracle`` rows-only
+    check) from the committed per-round driver gate results.
+
+    The third set exists because an entry can be *tier-promoted*: its only
+    driver rows date from when it was PY-tier (no DuckDB oracle, so the
+    driver recorded ``err == "no_oracle"``), but the catalog spec has since
+    gained a real oracle.  Such an entry has never received an independent
+    hash check, so the ordering must treat it like a never-seen SQL entry
+    rather than letting it sort into ``done`` forever.
+    """
     seen: set[str] = set()
     failed: set[str] = set()
+    weak: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -49,7 +59,9 @@ def _driver_checked() -> tuple[set[str], set[str]]:
                 # failed in an EARLIER round but has since reverted to the
                 # PY tier (oracle removed), the failure no longer applies.
                 failed.discard(name)
+                weak.add(name)
                 continue
+            weak.discard(name)
             ok = (
                 row.get("rows_match", True) is not False
                 and row.get("schema_match", True) is not False
@@ -60,16 +72,31 @@ def _driver_checked() -> tuple[set[str], set[str]]:
                 failed.discard(name)
             else:
                 failed.add(name)
-    return seen, failed
+    return seen, failed, weak
 
 
 def _ordered_names() -> list[str]:
-    checked, failed = _driver_checked()
+    checked, failed, weak = _driver_checked()
     # failed-last-round entries lead: their fix must re-green THIS round
     redo = [n for n in CATALOG if n in failed]
-    sql_new = [n for n in CATALOG if CATALOG[n].oracle and n not in checked]
+    # Never-hash-checked SQL-tier entries next: both never-seen entries and
+    # tier-promoted ones (latest driver row was the weak no_oracle check
+    # but the catalog spec now carries a real DuckDB oracle).
+    sql_new = [
+        n
+        for n in CATALOG
+        if CATALOG[n].oracle
+        and n not in failed
+        and (n not in checked or n in weak)
+    ]
     py_new = [n for n in CATALOG if not CATALOG[n].oracle and n not in checked]
-    done = [n for n in CATALOG if n in checked and n not in failed]
+    done = [
+        n
+        for n in CATALOG
+        if n in checked
+        and n not in failed
+        and not (CATALOG[n].oracle and n in weak)
+    ]
     return redo + sql_new + py_new + done
 
 

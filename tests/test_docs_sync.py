@@ -35,14 +35,13 @@ def test_entry_count_header_current():
 
 def test_ordering_rotates_to_unchecked_sql_entries():
     """__spark_entry__ orders queries() so the driver's checked prefix
-    rotates: SQL-tier entries with no row in any committed
-    CORRECTNESS_r*.json come first (they can hash-match and have never
-    been independently verified), then unchecked PY-tier, then entries
-    already driver-checked. The full ordering must cover the catalog
-    exactly once."""
-    import glob
+    rotates: SQL-tier entries with no *hash* row in any committed
+    CORRECTNESS_r*.json come first — both never-seen entries AND
+    tier-promoted ones (latest driver row was the weak ``no_oracle``
+    rows-only check but the catalog spec now carries a real oracle) —
+    then unchecked PY-tier, then entries already driver-checked. The
+    full ordering must cover the catalog exactly once."""
     import importlib.util
-    import json
 
     spec = importlib.util.spec_from_file_location(
         "spark_entry", ROOT / "__spark_entry__.py"
@@ -51,17 +50,65 @@ def test_ordering_rotates_to_unchecked_sql_entries():
     spec.loader.exec_module(mod)
     names = mod._ordered_names()
     assert sorted(names) == sorted(CATALOG)
-    checked = set()
-    for path in glob.glob(str(ROOT / "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            checked.update(json.load(f))
-    n_sql_new = sum(
-        1 for n in CATALOG if CATALOG[n].oracle and n not in checked
+    checked, failed, weak = mod._driver_checked()
+    unhashed_sql = {
+        n
+        for n in CATALOG
+        if CATALOG[n].oracle
+        and n not in failed
+        and (n not in checked or n in weak)
+    }
+    n_front = len(failed) + len(unhashed_sql)
+    head = names[len(failed) : min(50, n_front)]
+    assert all(n in unhashed_sql for n in head), (
+        "checked prefix must be SQL-tier entries lacking a driver hash row"
     )
-    head = names[: min(50, n_sql_new)]
-    assert all(CATALOG[n].oracle and n not in checked for n in head), (
-        "checked prefix must be unchecked SQL-tier entries"
+    # Regression guard for the round-6 verdict bug: a tier-promoted entry
+    # (only driver rows are no_oracle, catalog now has an oracle) must NOT
+    # sort into the done tail — it has never been hash-verified.
+    promoted = [n for n in unhashed_sql if n in checked]
+    for n in promoted:
+        assert names.index(n) < n_front, (
+            f"tier-promoted entry {n} must be fronted for a driver hash row"
+        )
+
+
+def test_ordering_fronts_promoted_entries_synthetic(tmp_path):
+    """Synthetic fixture for the promotion rule: an entry whose ONLY
+    driver row is ``no_oracle`` but whose spec now has an oracle must be
+    fronted; one whose latest row is a green hash row stays done."""
+    import importlib.util
+    import json
+
+    entry_src = (ROOT / "__spark_entry__.py").read_text()
+    # Point the module at a temp repo root with a synthetic results file.
+    (tmp_path / "__spark_entry__.py").write_text(entry_src)
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    no_oracle = {"rows_match": True, "err": "no_oracle"}
+    some_sql = [n for n in CATALOG if CATALOG[n].oracle][:3]
+    rows = {
+        some_sql[0]: green,  # hash-green: done
+        some_sql[1]: no_oracle,  # promoted: must be fronted
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_synth", tmp_path / "__spark_entry__.py"
     )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = mod._ordered_names()
+    assert sorted(names) == sorted(CATALOG)
+    # some_sql[1] (promoted) and some_sql[2] (never seen) front;
+    # some_sql[0] (green) sorts after every unchecked SQL entry.
+    n_sql = sum(1 for n in CATALOG if CATALOG[n].oracle)
+    assert names.index(some_sql[1]) < n_sql - 1
+    assert names.index(some_sql[2]) < n_sql - 1
+    assert names.index(some_sql[0]) >= n_sql - 1
 
 
 def test_survey_2c_tier_labels_match_catalog():
