@@ -77,6 +77,40 @@ def salted_join(
     return fact_s.join(dim_rep, on=[key, "_salt"], how=how).drop("_salt")
 
 
+def replicate_for_block_pairs(
+    df: DataFrame, id_col: str, salt_buckets: int
+) -> DataFrame:
+    """Salted self-pair fan-out for grouped all-pairs work.
+
+    Hash-partitions rows into ``salt_buckets`` blocks on ``id_col`` and
+    replicates each row to every unordered block-pair task it participates
+    in, adding ``_blk`` (the row's own block) and the task key
+    ``(_bi, _bj)`` with ``_bi <= _bj``. Grouping the result by
+    (group-key, _bi, _bj) yields S(S+1)/2 tasks per group, each holding
+    exactly the two blocks whose cross pairs it must examine — so a group
+    with one hot key spreads over many reducers instead of one, at the
+    classic triangle-partitioning replication cost of S× rows. Every
+    unordered row pair within a group appears in EXACTLY one task: pair
+    (a, b) with blocks (s_a, s_b) appears only in task
+    (min(s_a, s_b), max(s_a, s_b)). Deterministic (xxhash64 blocks, no
+    rand), so results are stable across retries."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+        lambda j: F.struct(
+            F.least(F.col("_blk"), j).alias("bi"),
+            F.greatest(F.col("_blk"), j).alias("bj"),
+        ),
+    )
+    return (
+        df.withColumn("_blk", blk)
+        .withColumn("_task", F.explode(tasks))
+        .withColumn("_bi", F.col("_task.bi"))
+        .withColumn("_bj", F.col("_task.bj"))
+        .drop("_task")
+    )
+
+
 def key_skew_factor(df: DataFrame, key: str) -> float:
     """Hottest key's row count as a multiple of the mean key size — the
     ``skew_x`` metric of the ``q_join_key_skew_profile`` diagnostic

@@ -5577,9 +5577,11 @@ def semantic_dedup_clustered(spark, sf):
     each pair (min-id canonical, matching dedup_exact_groups). Output:
     per-cluster total / dropped / kept. At 100 TB, k grows with the corpus
     (SemDeDup uses ~100k clusters) so per-cluster work stays bounded; with
-    only k=10 keys the join would skew — the production path re-partitions
-    by (cluster, salt) and the recall loss vs the exact join is exactly the
-    cross-cluster pairs (measured against embedding_near_dup_exact in
+    only k=10 keys a plain groupBy(cluster) would skew, so stage 2 runs the
+    SALTED path: replicate_for_block_pairs (operators/skew.py) re-partitions
+    the pair work by (cluster, _bi, _bj) block-pair tasks — a hot cluster
+    spreads over S(S+1)/2 reducers. Recall loss vs the exact join is exactly
+    the cross-cluster pairs (measured against embedding_near_dup_exact in
     tests/test_similarity.py)."""
     emb = _t(spark, sf, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -5619,42 +5621,94 @@ def semantic_dedup_clustered(spark, sf):
         "cluster",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm).alias("u"),
     )
-    # Stage-2 pair search as one BLAS matmul per cluster group
-    # (applyInPandas): the pair-join formulation evaluates an INTERPRETED
-    # HOF dot per candidate pair — n²/k scalar reductions — while a
-    # chunked U·Uᵀ computes the identical dots vectorized, ~20× faster at
-    # 10× corpus (19 s → <2 s) with memory bounded by chunk×|cluster|,
-    # not |cluster|². Semantics unchanged: a vector is dropped iff ANY
-    # lower-id same-cluster vector has round(cosine, 4) ≥ 0.4. At 100 TB
-    # k grows with the corpus (SemDeDup uses ~100k clusters) so each
-    # group stays bounded; cross-cluster recall loss is measured against
-    # embedding_near_dup_exact in tests/test_similarity.py.
-    def _cluster_drops(pdf):
+    # Stage-2 pair search as chunked BLAS matmuls per SALTED cluster
+    # block-pair (applyInPandas): the pair-join formulation evaluates an
+    # INTERPRETED HOF dot per candidate pair — n²/k scalar reductions —
+    # while a chunked U·Uᵀ computes the identical dots vectorized, ~20×
+    # faster at 10× corpus (19 s → <2 s) with memory bounded by
+    # chunk×|block|. THE SKEW PATH: with k ≪ corpus (k=10 here; SemDeDup's
+    # production k~100k only grows with the corpus, never with per-key
+    # volume), a plain groupBy(cluster) hands each hot cluster to ONE
+    # reducer. replicate_for_block_pairs (operators/skew.py) hash-blocks
+    # each cluster's members into S blocks on vec_id and replicates rows
+    # to the S(S+1)/2 unordered block-pair tasks, so the exchange
+    # partitions on (cluster, _bi, _bj) — a hot cluster spreads over
+    # S(S+1)/2 reducers at S× row replication, every unordered pair
+    # examined in exactly one task. Semantics unchanged: a vector is
+    # dropped iff ANY lower-id same-cluster vector has
+    # round(cosine, 4) ≥ 0.4 (within-block tasks mask the upper triangle;
+    # cross-block tasks drop the larger id of each qualifying pair), and
+    # the per-vector flags OR-merge in the id-sized follow-up aggregation.
+    # Plan pin: tests/test_plans.py asserts the salted exchange. Recall
+    # loss vs the exact join is exactly the cross-cluster pairs (measured
+    # in tests/test_similarity.py).
+    SALT = 4
+    from overseer_spark.operators.skew import replicate_for_block_pairs
+
+    rep = replicate_for_block_pairs(asg, "vec_id", SALT)
+
+    def _block_drops(key, pdf):
         import numpy as np
         import pandas as pd
 
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        u = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
-        m = len(ids)
-        flag = np.zeros(m, dtype=bool)
+        cluster, bi, bj = key
         chunk = 2048
-        for s in range(0, m, chunk):
-            sims = np.round(u[s : s + chunk] @ u.T, 4)
-            hit = sims >= 0.4
-            for r in range(hit.shape[0]):
-                hit[r, : s + r + 1] = False  # keep only a.vec_id < b.vec_id
-            flag |= hit.any(axis=0)
+        if bi == bj:
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            u = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
+            m = len(ids)
+            flag = np.zeros(m, dtype=bool)
+            for s in range(0, m, chunk):
+                sims = np.round(u[s : s + chunk] @ u.T, 4)
+                hit = sims >= 0.4
+                for r in range(hit.shape[0]):
+                    hit[r, : s + r + 1] = False  # a.vec_id < b.vec_id only
+                flag |= hit.any(axis=0)
+            return pd.DataFrame(
+                {
+                    "cluster": np.full(m, cluster, dtype=np.int32),
+                    "vec_id": ids,
+                    "member": np.ones(m, dtype=np.int32),
+                    "dropped": flag.astype(np.int32),
+                }
+            )
+        a = pdf[pdf["_blk"] == bi]
+        b = pdf[pdf["_blk"] == bj]
+        ida, idb = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        dropped: set = set()
+        if len(ida) and len(idb):
+            ua = np.array(a["u"].tolist(), dtype=np.float64)
+            ub = np.array(b["u"].tolist(), dtype=np.float64)
+            for s in range(0, len(ida), chunk):
+                sims = np.round(ua[s : s + chunk] @ ub.T, 4)
+                ii, jj = np.nonzero(sims >= 0.4)
+                if len(ii):
+                    dropped.update(
+                        np.maximum(ida[s : s + chunk][ii], idb[jj]).tolist()
+                    )
+        ids = np.fromiter(dropped, dtype=np.int64, count=len(dropped))
         return pd.DataFrame(
             {
-                "cluster": [pdf["cluster"].iloc[0]],
-                "n": [m],
-                "dropped": [int(flag.sum())],
+                "cluster": np.full(len(ids), cluster, dtype=np.int32),
+                "vec_id": ids,
+                "member": np.zeros(len(ids), dtype=np.int32),
+                "dropped": np.ones(len(ids), dtype=np.int32),
             }
         )
 
-    per_cluster = asg.groupBy("cluster").applyInPandas(
-        _cluster_drops, schema="cluster int, n long, dropped long"
+    flags = rep.groupBy("cluster", "_bi", "_bj").applyInPandas(
+        _block_drops, schema="cluster int, vec_id long, member int, dropped int"
+    )
+    # id-sized merge: each vector's member row comes from its (s, s) task
+    # exactly once; cross-block drop sightings OR into the same row.
+    per_vec = flags.groupBy("cluster", "vec_id").agg(
+        F.max("member").alias("member"), F.max("dropped").alias("dropped")
+    )
+    per_cluster = per_vec.groupBy("cluster").agg(
+        F.sum("member").cast("long").alias("n"),
+        F.sum("dropped").cast("long").alias("dropped"),
     )
     return (
         per_cluster.select(

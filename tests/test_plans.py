@@ -325,16 +325,24 @@ def test_tpch_q21_single_fact_shuffle_no_self_join(spark):
 
 
 def test_semantic_dedup_stage2_is_grouped_matmul_not_pair_join(spark):
-    """SemDeDup stage 2 must be ONE Arrow-batched group map per cluster
+    """SemDeDup stage 2 must be an Arrow-batched group map
     (FlatMapGroupsInPandas: the chunked BLAS U·Uᵀ) — no pair join over
     the vector table at all, and in particular no nested-loop/cartesian
     pairing (the O(n²)-materialization plan the operator exists to
     avoid). The only nested loop allowed is the intentional k-row
-    centroid broadcast in the stage-1 assignment."""
+    centroid broadcast in the stage-1 assignment. The group map must
+    partition on the SALTED key (cluster, _bi, _bj) — with k ≪ corpus a
+    plain groupBy(cluster) hands each hot cluster to one reducer; the
+    block-pair fan-out (operators/skew.py replicate_for_block_pairs) is
+    the promised production skew path and must stay in the plan."""
     df = q("semantic_dedup_clustered", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, (
         f"stage 2 should be a grouped Arrow matmul:\n{plan}"
+    )
+    assert re.search(r"hashpartitioning\(cluster#\d+, _bi#\d+, _bj#\d+", plan), (
+        f"stage-2 exchange must partition on the salted (cluster, _bi, _bj) "
+        f"block-pair key:\n{plan}"
     )
     pair_joins = [
         ln

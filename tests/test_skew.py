@@ -55,3 +55,45 @@ def test_salted_join_matches_plain(spark, skewed):
     p = sorted(tuple(r) for r in plain.collect())
     s = sorted(tuple(r) for r in salted.collect())
     assert p == s
+
+
+def test_replicate_for_block_pairs_exact_once_coverage(spark):
+    """Every unordered row pair within a group must be examinable in
+    EXACTLY one (group, _bi, _bj) task — the invariant that makes the
+    salted SemDeDup stage 2 semantics-preserving. Also: replication
+    factor is exactly salt_buckets, and each row's (s, s) task appears
+    exactly once (the member-emission contract)."""
+    from itertools import combinations
+
+    from overseer_spark.operators.skew import replicate_for_block_pairs
+
+    S = 4
+    df = spark.range(300).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("grp")
+    )
+    rep = replicate_for_block_pairs(df, "rid", S).collect()
+    assert len(rep) == 300 * S
+    # group task members: (grp, bi, bj) -> {rid}, plus each rid's own block
+    tasks: dict = {}
+    blk: dict = {}
+    for r in rep:
+        assert r["_bi"] <= r["_bj"]
+        tasks.setdefault((r["grp"], r["_bi"], r["_bj"]), set()).add(r["rid"])
+        blk[r["rid"]] = r["_blk"]
+    by_grp: dict = {}
+    for r in rep:
+        by_grp.setdefault(r["grp"], set()).add(r["rid"])
+    for g, members in by_grp.items():
+        for a, b in combinations(sorted(members), 2):
+            covering = [
+                key
+                for key, rids in tasks.items()
+                if key[0] == g and a in rids and b in rids
+                and key[1] == min(blk[a], blk[b])
+                and key[2] == max(blk[a], blk[b])
+            ]
+            assert len(covering) == 1, (a, b, covering)
+    # each row appears in its diagonal task exactly once (collect dedups
+    # nothing — row multiplicity in the exploded frame is what matters)
+    diag = [r for r in rep if r["_bi"] == r["_bj"] == r["_blk"]]
+    assert len(diag) == 300
