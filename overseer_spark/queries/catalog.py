@@ -7618,13 +7618,20 @@ def q_fuzzy_match_levenshtein(spark, sf):
 )
 def graph_triangle_count(spark, sf):
     """Triangle counting on the part co-occurrence graph (parts appearing
-    in the same order ≥2 times). Edges are canonically oriented (u < v) so
-    each triangle is enumerated exactly once by two equi-joins — the
-    standard distributed triangle plan. The min-support filter is the
-    scale lever: it prunes the quadratic per-order pair blowup before the
-    edge shuffle. At 100 TB, orient edges low-degree→high-degree instead
-    of by key (same count, provably ≤ O(m^1.5) join work) and salt the
-    few mega-degree hub vertices."""
+    in the same order ≥2 times) with LOW-DEGREE EDGE ORIENTATION — the
+    O(m^1.5) plan. Every edge is re-oriented from its lower-(degree, id)
+    endpoint to the higher one; each triangle then has exactly ONE apex
+    with two out-edges, so triangles = wedges (pairs of out-edges of one
+    vertex, heads rank-ordered) whose closing head-to-head edge exists in
+    the oriented set. Out-degrees under this orientation are O(√m), so
+    the wedge self-join generates ≤ O(m^1.5) candidates regardless of hub
+    vertices — the canonical u<v orientation (previous plan) lets one hub
+    vertex with degree d contribute d² wedges. Same count, identical
+    oracle hash (the oracle keeps the straightforward 3-way join). The
+    min-support filter still prunes the per-order pair blowup before the
+    edge shuffle; rank ties break by id so the order is total. Remaining
+    100 TB lever: salt the few max-degree apexes if the √m bound still
+    concentrates (operators/skew.py)."""
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
@@ -7642,10 +7649,39 @@ def graph_triangle_count(spark, sf):
         .where(F.col("c") >= 2)
         .select("u", "v")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
-        e3,
-        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    deg = (
+        edges.select(F.col("u").alias("vtx"))
+        .union(edges.select(F.col("v").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = edges.join(
+        deg.select(F.col("vtx").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("vtx").alias("v"), F.col("deg").alias("dv")), "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge: x = lower-rank endpoint; hi = (deg, id) rank struct of
+    # the head — struct comparison gives the lexicographic total order
+    oe = eager_cache(
+        ed.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(
+                lo_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+            )
+            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+            .alias("hi"),
+        )
+    )
+    w1, w2 = oe.alias("w1"), oe.alias("w2")
+    wedge = w1.join(
+        w2, (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.hi") < F.col("w2.hi"))
+    )
+    # closing edge is oriented low-rank head → high-rank head by construction
+    tri = wedge.join(
+        oe.alias("e3"),
+        (F.col("e3.x") == F.col("w1.hi.n"))
+        & (F.col("e3.hi.n") == F.col("w2.hi.n")),
     )
     n_e = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -352,6 +352,20 @@ def test_semantic_dedup_stage2_is_grouped_matmul_not_pair_join(spark):
     assert not pair_joins, f"unexpected pair join over vectors:\n{pair_joins}"
 
 
+def test_triangle_count_low_degree_orientation(spark):
+    """graph_triangle_count must run the O(m^1.5) low-degree-orientation
+    plan: a degree aggregation feeds the re-orientation, and the wedge
+    self-join's condition compares the heads' (deg, id) rank structs —
+    the bound that keeps one hub vertex from generating d² wedges. The
+    canonical u<v plan this replaced has no such struct comparison."""
+    df = q("graph_triangle_count", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\(hi#\d+ < hi#\d+\)", plan), (
+        f"wedge join must rank-order heads via the (deg, id) struct:\n{plan}"
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q11_rollup_persisted_and_threshold_broadcast(spark):
     """Q11: the per-part rollup must be read from cache by both branches
     (one fact scan) and the grand-total threshold must broadcast."""
