@@ -692,6 +692,51 @@ def test_lm_family_scan_counts_pinned(spark):
     assert not over, f"corpus scan-count regressions: {over}"
 
 
+def test_new_entries_pass_scan_audit(spark):
+    """Catalog entries added since the last full scan-audit sweep
+    (tests/scan_audit_pins.json) are plan-audited live: a cache-free
+    plan may exceed its distinct-path lower bound by at most 2 scans
+    unless it carries an explicit budget in
+    test_lm_family_scan_counts_pinned. This is how the round-6
+    branch-collapse discipline (Spark re-derives every referenced
+    aggregate down to its own FileScan) binds on NEW entries without
+    re-running the full sweep per test run. After a round's sweep,
+    refresh the pins file with the current catalog names."""
+    import json
+    import pathlib
+    import sys
+
+    sys.path.insert(0, "tools")
+    from scan_audit import audit_entry
+
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    pins = set(
+        json.loads(
+            (pathlib.Path(__file__).parent / "scan_audit_pins.json").read_text()
+        )
+    )
+    budgeted = {
+        "text_blocklist_ac", "preference_pairs", "q_funnel_conversion_latency",
+        "text_remove_repeated_spans", "text_vocab_overlap",
+        "text_js_divergence_by_source", "q_mad_outliers", "text_dsir_scores",
+        "text_perplexity_bigram", "text_perplexity_unigram", "text_chi2_terms",
+        "text_bm25_search", "text_bigram_pmi", "text_ccnet_buckets",
+    }
+    over = {}
+    for name in CATALOG:
+        if name in pins or name in budgeted or name.startswith("stream_"):
+            continue
+        n, paths, cached = audit_entry(spark, CATALOG[name].fn, SF_CORRECTNESS)
+        if not cached and n - paths > 2:
+            over[name] = (n, paths)
+    assert not over, (
+        f"new entries with excess corpus scans (collapse the branches or "
+        f"add an explicit budget with rationale): {over}"
+    )
+
+
 def test_scan_audit_tool_counts_and_cache_flag(spark):
     """tools/scan_audit.py's parser: exact scan counts on cache-free
     plans, cached plans flagged (their printed lineage overstates what
