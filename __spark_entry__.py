@@ -75,14 +75,30 @@ def _driver_checked() -> tuple[set[str], set[str], set[str]]:
     return seen, failed, weak
 
 
+def _round_start_roster() -> set[str]:
+    """Catalog names as of this round's start (the audit-pins snapshot).
+    Entries absent from it were added THIS round: they are local-green
+    but must not displace longer-waiting unchecked entries from the
+    driver's fixed-size prefix — they front next round instead."""
+    try:
+        with open(
+            os.path.join(_REPO, "tests", "collect_audit_pins.json")
+        ) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set(CATALOG)
+
+
 def _ordered_names() -> list[str]:
     checked, failed, weak = _driver_checked()
+    roster = _round_start_roster()
     # failed-last-round entries lead: their fix must re-green THIS round
     redo = [n for n in CATALOG if n in failed]
     # Never-hash-checked SQL-tier entries next: both never-seen entries and
     # tier-promoted ones (latest driver row was the weak no_oracle check
-    # but the catalog spec now carries a real DuckDB oracle).
-    sql_new = [
+    # but the catalog spec now carries a real DuckDB oracle). Entries that
+    # existed at round start outrank ones added this round.
+    unhashed = [
         n
         for n in CATALOG
         if CATALOG[n].oracle
@@ -90,6 +106,12 @@ def _ordered_names() -> list[str]:
         and (n not in checked or n in weak)
     ]
     py_new = [n for n in CATALOG if not CATALOG[n].oracle and n not in checked]
+    old_first = [n for n in unhashed if n in roster] + [
+        n for n in py_new if n in roster
+    ]
+    added_this_round = [n for n in unhashed if n not in roster] + [
+        n for n in py_new if n not in roster
+    ]
     done = [
         n
         for n in CATALOG
@@ -97,7 +119,7 @@ def _ordered_names() -> list[str]:
         and n not in failed
         and not (CATALOG[n].oracle and n in weak)
     ]
-    return redo + sql_new + py_new + done
+    return redo + old_first + added_this_round + done
 
 
 def entry(spark: SparkSession) -> DataFrame:

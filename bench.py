@@ -98,6 +98,12 @@ HEADLINE = [
     "text_markdown_extract",
     # round-6: multi-pattern blocklist scan (Aho-Corasick)
     "text_blocklist_ac",
+    # round-7: UniMax mixture, padding-waste batching, fertility,
+    # In-Context-Pretraining ordering
+    "mixture_unimax_plan",
+    "length_bucket_batches",
+    "text_tokenizer_fertility",
+    "semantic_doc_order",
 ]
 
 

@@ -11287,6 +11287,354 @@ def text_instruction_format(spark, sf):
 
 
 @q(
+    "mixture_unimax_plan",
+    oracle="""WITH n AS (SELECT lang,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+              FROM documents GROUP BY lang),
+              caps AS (SELECT lang, n_tok, 2 * n_tok AS cap,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                       CAST(ROW_NUMBER() OVER (ORDER BY 2 * n_tok, lang)
+                            AS BIGINT) AS i,
+                       CAST(COALESCE(SUM(2 * n_tok) OVER
+                              (ORDER BY 2 * n_tok, lang
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+                       FROM n),
+              flag AS (SELECT *,
+                       MIN(CASE WHEN cum_prev + cap * (k - i + 1) <= 40000
+                                THEN 1 ELSE 0 END)
+                         OVER (ORDER BY cap, lang
+                               ROWS UNBOUNDED PRECEDING) AS capped
+                       FROM caps),
+              tot AS (SELECT COALESCE(SUM(CASE WHEN capped = 1
+                                          THEN cap END), 0) AS b_cap,
+                             COALESCE(SUM(capped), 0) AS n_cap,
+                             MAX(k) AS k FROM flag)
+              SELECT f.lang, f.n_tok, f.cap AS cap_tok,
+                     ROUND(CASE WHEN f.capped = 1 THEN CAST(f.cap AS DOUBLE)
+                           ELSE CAST(40000 - t.b_cap AS DOUBLE)
+                                / (t.k - t.n_cap) END, 2) AS alloc_tok,
+                     ROUND(CASE WHEN f.capped = 1 THEN CAST(f.cap AS DOUBLE)
+                           ELSE CAST(40000 - t.b_cap AS DOUBLE)
+                                / (t.k - t.n_cap) END / f.n_tok, 4) AS epochs,
+                     CAST(f.capped AS INT) AS capped
+              FROM flag f CROSS JOIN tot t ORDER BY f.lang""",
+)
+def mixture_unimax_plan(spark, sf):
+    """UniMax language-budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): distribute a total token budget (40k here) across
+    languages by WATERFILLING with an epoch cap — each language may
+    contribute at most cap = epochs_max × its corpus tokens (2 epochs
+    here; budget 40k so small languages cap while the largest waterfills); languages too small to absorb an even share are filled to
+    their cap and the freed budget re-levels among the rest. The closed
+    form avoids the iterative loop: sort languages ascending by cap;
+    language i is capped iff the budget can still afford giving every
+    remaining language at least cap_i (prefix-AND of
+    cum_prev + cap_i·(k-i+1) ≤ B, monotone by the sort); the uncapped
+    share is (B - Σ capped caps)/(k - n_capped). All arithmetic on
+    BIGINTs until the two final divisions, so Spark and DuckDB agree
+    bit-for-bit. Scale shape: ONE corpus scan (partial-agg'd token
+    count), then |langs|-sized window + broadcast scalar — the plan any
+    multilingual pretraining mix needs at 100 TB."""
+    d = _t(spark, sf, "documents")
+    B = 40000
+    n = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
+    )
+    caps = n.select(
+        "lang",
+        "n_tok",
+        (F.lit(2) * F.col("n_tok")).alias("cap"),
+    )
+    w_all = Window.orderBy("cap", "lang")
+    caps = caps.select(
+        "*",
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("k"),
+        F.row_number().over(w_all).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("cap").over(
+                w_all.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+    )
+    ok = (
+        F.col("cum_prev") + F.col("cap") * (F.col("k") - F.col("i") + 1) <= B
+    ).cast("int")
+    flag = caps.select(
+        "*",
+        F.min(ok).over(w_all.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "capped"
+        ),
+    )
+    tot = flag.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        ).alias("b_cap"),
+        F.coalesce(F.sum("capped"), F.lit(0)).alias("n_cap"),
+        F.max("k").alias("k_tot"),
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap").cast("double")
+    ).otherwise(
+        (F.lit(B) - F.col("b_cap")).cast("double")
+        / (F.col("k_tot") - F.col("n_cap"))
+    )
+    return (
+        flag.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tok",
+            F.col("cap").alias("cap_tok"),
+            F.round(alloc, 2).alias("alloc_tok"),
+            F.round(alloc / F.col("n_tok"), 4).alias("epochs"),
+            F.col("capped").cast("int").alias("capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "length_bucket_batches",
+    oracle="""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+              b AS (SELECT doc_id, n_tok, n_tok // 32 AS bucket,
+                    CAST((ROW_NUMBER() OVER (PARTITION BY n_tok // 32
+                          ORDER BY n_tok, doc_id) - 1) // 16 AS BIGINT)
+                      AS batch
+                    FROM t),
+              per_batch AS (SELECT bucket, batch,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+                     CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+                     FROM b GROUP BY bucket, batch)
+              SELECT CAST(bucket AS BIGINT) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_batches,
+                     CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_docs * max_tok - sum_tok) AS BIGINT)
+                       AS pad_tok,
+                     ROUND(CAST(SUM(n_docs * max_tok - sum_tok) AS DOUBLE)
+                           / SUM(n_docs * max_tok), 4) AS pad_ratio
+              FROM per_batch GROUP BY bucket ORDER BY bucket""",
+)
+def length_bucket_batches(spark, sf):
+    """Length-bucketed batch planning with padding-waste accounting —
+    the inference/eval-serving twin of pack_sequences (training packs
+    greedily; serving pads each batch to its max length, so the cost
+    metric is padding waste): docs bucket by token length (width 32),
+    batch within bucket in (length, id) order (size 16), and each
+    bucket reports batches, docs, padded tokens (Σ n·max − Σ len), and
+    the padding ratio. Pure-BIGINT arithmetic until the final ratio, so
+    the oracle matches bit-for-bit. Scale shape: one scan, one window
+    partitioned by bucket (each bucket's sort is independent and
+    bounded — no global sort), two dimension-keyed aggregations. At
+    100 TB the bucket key is the shuffle key; skewed buckets split fine
+    under AQE because the window's partition is (bucket) only."""
+    d = _t(spark, sf, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    b = t.select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_tok") / F.lit(32)).cast("long").alias("bucket"),
+    ).withColumn(
+        "batch",
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+                )
+                - 1
+            )
+            / F.lit(16)
+        ).cast("long"),
+    )
+    per_batch = b.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    pad = F.sum(
+        F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")
+    ).cast("long")
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            pad.alias("pad_tok"),
+            F.round(
+                pad.cast("double")
+                / F.sum(F.col("n_docs") * F.col("max_tok")),
+                4,
+            ).alias("pad_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "text_tokenizer_fertility",
+    oracle="""WITH s AS (SELECT lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tok,
+                     CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS n_bytes
+              FROM documents GROUP BY lang),
+              en AS (SELECT n_tok AS en_tok, n_bytes AS en_bytes
+                     FROM s WHERE lang = 'en')
+              SELECT s.lang, s.n_docs, s.n_tok, s.n_bytes,
+                     ROUND(CAST(s.n_bytes AS DOUBLE) / s.n_tok, 4)
+                       AS bytes_per_tok,
+                     ROUND((CAST(s.n_bytes AS DOUBLE) * en.en_tok)
+                           / (CAST(s.n_tok AS DOUBLE) * en.en_bytes), 4)
+                       AS fertility_vs_en
+              FROM s CROSS JOIN en ORDER BY s.lang""",
+)
+def text_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility by language — the multilingual-fairness
+    metric (how many bytes one token 'buys' per language, and each
+    language's bytes-per-token relative to English): a tokenizer whose
+    fertility_vs_en ≫ 1 for a language inflates that language's
+    training/inference cost proportionally. Whitespace tokens here
+    (swap in the learned-BPE counts of text_bpe_token_stats for a real
+    tokenizer). All sums stay BIGINT; the two ratios are single double
+    divisions of exact integers (products < 2^53), so Spark and DuckDB
+    agree bit-for-bit. Scale: one partial-agg'd corpus scan + a 1-row
+    English broadcast — dimension math at any corpus size."""
+    d = _t(spark, sf, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+    )
+    en = (
+        s.filter(F.col("lang") == "en")
+        .select(
+            F.col("n_tok").alias("en_tok"), F.col("n_bytes").alias("en_bytes")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(en))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tok",
+            "n_bytes",
+            F.round(F.col("n_bytes").cast("double") / F.col("n_tok"), 4).alias(
+                "bytes_per_tok"
+            ),
+            F.round(
+                (F.col("n_bytes").cast("double") * F.col("en_tok"))
+                / (F.col("n_tok").cast("double") * F.col("en_bytes")),
+                4,
+            ).alias("fertility_vs_en"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "semantic_doc_order",
+    oracle="""WITH RECURSIVE qe AS (
+                SELECT label, vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(ROUND(x / sqrt(list_sum(
+                                list_transform(CAST(embedding AS DOUBLE[]),
+                                               y -> y * y)))
+                              * 100000) AS BIGINT)) AS q
+                FROM embeddings),
+              walk(cluster, pos, vid, q, visited) AS (
+                SELECT label, 1, vec_id, q, [vec_id]
+                FROM (SELECT label, vec_id, q,
+                             ROW_NUMBER() OVER (PARTITION BY label
+                                                ORDER BY vec_id) rn
+                      FROM qe) s WHERE rn = 1
+                UNION ALL
+                SELECT w.cluster, w.pos + 1, n.vec_id, n.q,
+                       list_append(w.visited, n.vec_id)
+                FROM walk w, LATERAL (
+                   SELECT e.vec_id, e.q
+                   FROM qe e
+                   WHERE e.label = w.cluster
+                     AND NOT list_contains(w.visited, e.vec_id)
+                   ORDER BY list_inner_product(w.q, e.q) DESC, e.vec_id
+                   LIMIT 1) n
+              )
+              SELECT cluster, CAST(pos AS BIGINT) AS pos, vid AS vec_id
+              FROM walk ORDER BY cluster, pos""",
+)
+def semantic_doc_order(spark, sf):
+    """In-Context Pretraining document ordering (Shi et al. 2023,
+    arXiv:2310.10638): within each cluster, order documents along a
+    greedy nearest-neighbor chain (start at the min id, repeatedly
+    append the most-similar unvisited doc) so adjacent training context
+    is topically coherent instead of random. Exact cross-engine
+    determinism comes from INTEGER-QUANTIZED similarity: vectors are
+    L2-normalized with a SEQUENTIAL fold (Spark F.aggregate ≡ DuckDB
+    list_sum, same summation order → bit-identical norms), quantized to
+    round(u·1e5) BIGINTs JVM-side, and the chain compares exact integer
+    dot products (< 2^53) — no float argmax ambiguity anywhere, so the
+    DuckDB recursive-CTE replay hash-matches. Scale shape: the
+    quantization is one codegen'd projection; each cluster's chain is
+    one applyInPandas group (an inherently sequential walk — the
+    published method's shape) with O(c²·d) integer work bounded by
+    cluster size, clusters partition the corpus, and k grows with the
+    corpus exactly as in semantic_dedup_clustered."""
+    emb = _t(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    qv = F.transform(dv, lambda x: F.round(x / nrm * 100000).cast("long"))
+    qe = emb.select(
+        F.col("label").alias("cluster"), "vec_id", qv.alias("q")
+    )
+
+    def _chain(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        Q = np.array(pdf["q"].tolist(), dtype=np.int64)[order]
+        m = len(ids)
+        visited = np.zeros(m, dtype=bool)
+        cur = 0  # min vec_id
+        out = [ids[0]]
+        visited[0] = True
+        for _ in range(m - 1):
+            sims = Q @ Q[cur]  # exact int64 dot products
+            sims[visited] = np.iinfo(np.int64).min
+            # argmax similarity, tie → min vec_id (ids ascending, so
+            # argmax returns the first = smallest id among ties)
+            cur = int(np.argmax(sims))
+            visited[cur] = True
+            out.append(ids[cur])
+        return pd.DataFrame(
+            {
+                "cluster": np.full(m, key[0], dtype=np.int32),
+                "pos": np.arange(1, m + 1, dtype=np.int64),
+                "vec_id": np.array(out, dtype=np.int64),
+            }
+        )
+
+    return (
+        qe.groupBy("cluster")
+        .applyInPandas(_chain, schema="cluster int, pos long, vec_id long")
+        .orderBy("cluster", "pos")
+    )
+
+
+@q(
     "dag_critical_path",
     oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
                {FX.jobs_values_cte()},

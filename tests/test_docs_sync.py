@@ -51,6 +51,7 @@ def test_ordering_rotates_to_unchecked_sql_entries():
     names = mod._ordered_names()
     assert sorted(names) == sorted(CATALOG)
     checked, failed, weak = mod._driver_checked()
+    roster = mod._round_start_roster()
     unhashed_sql = {
         n
         for n in CATALOG
@@ -58,17 +59,27 @@ def test_ordering_rotates_to_unchecked_sql_entries():
         and n not in failed
         and (n not in checked or n in weak)
     }
-    n_front = len(failed) + len(unhashed_sql)
-    head = names[len(failed) : min(50, n_front)]
-    assert all(n in unhashed_sql for n in head), (
-        "checked prefix must be SQL-tier entries lacking a driver hash row"
+    py_new = {
+        n for n in CATALOG if not CATALOG[n].oracle and n not in checked
+    }
+    unchecked = unhashed_sql | py_new
+    old_unchecked = {n for n in unchecked if n in roster}
+    n_old = len(failed) + len(old_unchecked)
+    head = names[len(failed) : min(50, n_old)]
+    assert all(n in old_unchecked for n in head), (
+        "checked prefix must be round-start entries lacking a driver row"
     )
+    # Entries added THIS round (absent from the round-start roster) must
+    # not displace longer-waiting unchecked entries from the prefix, but
+    # still sort before the done tail.
+    for n in unchecked - old_unchecked:
+        assert n_old <= names.index(n) < len(failed) + len(unchecked), n
     # Regression guard for the round-6 verdict bug: a tier-promoted entry
     # (only driver rows are no_oracle, catalog now has an oracle) must NOT
     # sort into the done tail — it has never been hash-verified.
     promoted = [n for n in unhashed_sql if n in checked]
     for n in promoted:
-        assert names.index(n) < n_front, (
+        assert names.index(n) < len(failed) + len(unchecked), (
             f"tier-promoted entry {n} must be fronted for a driver hash row"
         )
 

@@ -63,6 +63,11 @@ ENTRIES = [
     "url_robots_filter",
     # round-6: multi-pattern blocklist scan (Aho-Corasick)
     "text_blocklist_ac",
+    # round-7: mixture/batching/fertility/ICP-ordering additions
+    "mixture_unimax_plan",
+    "length_bucket_batches",
+    "text_tokenizer_fertility",
+    "semantic_doc_order",
 ]
 
 

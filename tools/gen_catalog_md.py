@@ -150,6 +150,8 @@ FAMILIES: dict[str, list[str]] = {
         "deterministic_shuffle_order", "weighted_sample_by_length",
         "contrastive_pairs_mining", "preference_pairs", "shard_plan_by_tokens",
         "q_group_kfold_split", "text_fim_transform", "text_instruction_format",
+        "mixture_unimax_plan", "length_bucket_batches",
+        "text_tokenizer_fertility", "semantic_doc_order",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
