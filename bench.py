@@ -104,6 +104,10 @@ HEADLINE = [
     "length_bucket_batches",
     "text_tokenizer_fertility",
     "semantic_doc_order",
+    "chat_format_audit",
+    "rl_rejection_sampling",
+    "graph_lpa_communities",
+    "text_paragraph_dedup_stats",
 ]
 
 

@@ -11635,6 +11635,419 @@ def semantic_doc_order(spark, sf):
 
 
 @q(
+    "chat_format_audit",
+    oracle="""WITH conv AS (
+                SELECT doc_id, source,
+                       LEAST(4 + doc_id % 2,
+                             GREATEST(1, CAST(CEIL(
+                               len(string_split(text, ' ')) / 8.0)
+                               AS BIGINT))) AS n,
+                       string_split(text, ' ') AS toks
+                FROM documents),
+              built AS (
+                SELECT doc_id, source, n,
+                       list_transform(range(1, n + 1),
+                         i -> CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+                                   WHEN (i - 1) % 2 = 0 THEN 'user'
+                                   ELSE 'assistant' END) AS roles,
+                       list_transform(range(1, n + 1),
+                         i -> CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+                                   ELSE array_to_string(
+                                     toks[((i - 1) * 8 + 1):(i * 8)], ' ')
+                              END) AS contents
+                FROM conv),
+              audited AS (
+                SELECT source,
+                       CASE WHEN len(list_filter(range(2, n + 1),
+                              i -> roles[i] = roles[i - 1])) > 0
+                            THEN 1 ELSE 0 END AS v_alt,
+                       CASE WHEN len(list_filter(contents, c -> c = '')) > 0
+                            THEN 1 ELSE 0 END AS v_empty,
+                       CASE WHEN roles[n] <> 'assistant'
+                            THEN 1 ELSE 0 END AS v_end
+                FROM built),
+              agg AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_convs,
+                       CAST(SUM(v_alt) AS BIGINT) AS alt_violations,
+                       CAST(SUM(v_empty) AS BIGINT) AS empty_violations,
+                       CAST(SUM(v_end) AS BIGINT) AS bad_ending,
+                       CAST(SUM(CASE WHEN v_alt = 0 AND v_empty = 0
+                                     AND v_end = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS clean
+                FROM audited GROUP BY source)
+              SELECT * FROM agg ORDER BY source""",
+)
+def chat_format_audit(spark, sf):
+    """Chat-format validation — the QA gate every SFT/RLHF ingest needs:
+    conversations (synthesized deterministically as 8-token turn chunks,
+    with PLANTED defects: doc_id%7 breaks role alternation, doc_id%11
+    empties a turn, odd turn counts — every other doc — end on 'user')
+    are audited with array higher-order functions — an exists-scan for
+    same-role adjacent turns, a filter for empty contents, a
+    last-element role check — and rolled up per source. The checks run
+    on the CONSTRUCTED arrays, not closed forms, so this exercises the
+    real validator shapes (F.exists/F.filter/element_at ≡ DuckDB
+    list_filter/1-based list indexing/slices). Scale: one scan, per-row
+    array work inside codegen, one partial-agg'd rollup — no shuffle of
+    conversation bodies."""
+    d = _t(spark, sf, "documents")
+    n = F.least(
+        F.lit(4) + F.col("doc_id") % 2,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.size(F.col("toks")) / F.lit(8.0)),
+        ),
+    )
+    conv = d.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    ).select("doc_id", "source", "toks", n.alias("n"))
+    roles = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(
+            (F.col("doc_id") % 7 == 0) & (i == 2), F.lit("user")
+        )
+        .when((i - 1) % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")),
+    )
+    contents = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(
+            (F.col("doc_id") % 11 == 0) & (i == 1), F.lit("")
+        ).otherwise(
+            F.array_join(
+                F.slice(
+                    F.col("toks"), ((i - 1) * 8 + 1).cast("int"), F.lit(8)
+                ),
+                " ",
+            )
+        ),
+    )
+    built = conv.select(
+        "doc_id", "source", "n", roles.alias("roles"), contents.alias("contents")
+    )
+    # NOTE: Spark sequence(2, n) with n=1 yields DESCENDING [2, 1] while
+    # DuckDB range(2, 2) is empty — guard the single-turn case explicitly
+    v_alt = (
+        F.when(
+            F.col("n") >= 2,
+            F.exists(
+                F.sequence(F.lit(2), F.col("n")),
+                lambda i: F.element_at("roles", i.cast("int"))
+                == F.element_at("roles", (i - 1).cast("int")),
+            ),
+        )
+        .otherwise(F.lit(False))
+        .cast("int")
+    )
+    v_empty = F.exists("contents", lambda c: c == "").cast("int")
+    v_end = (
+        F.element_at("roles", F.col("n").cast("int")) != "assistant"
+    ).cast("int")
+    audited = built.select(
+        "source", v_alt.alias("v_alt"), v_empty.alias("v_empty"),
+        v_end.alias("v_end"),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("v_alt").cast("long").alias("alt_violations"),
+            F.sum("v_empty").cast("long").alias("empty_violations"),
+            F.sum("v_end").cast("long").alias("bad_ending"),
+            F.sum(
+                F.when(
+                    (F.col("v_alt") == 0)
+                    & (F.col("v_empty") == 0)
+                    & (F.col("v_end") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("clean"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "rl_rejection_sampling",
+    oracle="""WITH ranked AS (
+                SELECT user_id, event_id, event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id)
+                         AS rk
+                FROM events),
+              per_prompt AS (
+                SELECT r1.user_id, r1.event_type,
+                       CAST(ROUND(r1.value * 100) AS BIGINT) AS best_c,
+                       CAST(ROUND((r1.value - COALESCE(r2.value, r1.value))
+                                  * 100) AS BIGINT) AS margin_c
+                FROM ranked r1
+                LEFT JOIN ranked r2
+                  ON r2.user_id = r1.user_id AND r2.rk = 2
+                WHERE r1.rk = 1)
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_prompts,
+                     CAST(SUM(CASE WHEN margin_c >= 500 AND best_c >= 5000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+                     ROUND(CAST(SUM(CASE WHEN margin_c >= 500
+                                    AND best_c >= 5000
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*), 4) AS accept_rate,
+                     ROUND(CAST(SUM(margin_c) AS DOUBLE)
+                           / (100.0 * COUNT(*)), 4) AS avg_margin
+              FROM per_prompt GROUP BY event_type ORDER BY event_type""",
+)
+def rl_rejection_sampling(spark, sf):
+    """Best-of-n rejection sampling — the RLHF data-selection step: each
+    user's events stand in for a prompt's n candidate completions with
+    reward = value; the top candidate (reward desc, id tiebreak) is
+    accepted iff its reward clears an absolute threshold (50) AND its
+    margin over the runner-up clears a separation threshold (5; margin 0
+    for single-candidate prompts and exact reward ties — both rejected).
+    Per-candidate-type output: prompts, acceptances, rate, mean margin.
+    Spark plan: ONE scan — per-prompt candidate lists are collected and
+    sorted in a single aggregation (bounded by candidates-per-prompt,
+    the same contract as preference_pairs), no rank window + rank-2
+    self-join re-deriving the corpus twice. Rewards quantize to integer
+    CENTS before any sum, so the cross-engine mean is exact — summing
+    2-dp doubles in different orders would wobble the 4-dp round."""
+    e = _t(spark, sf, "events")
+    # sort desc by (value, -event_id): value desc, event_id ASC on ties
+    cand = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("value").alias("v"),
+                (-F.col("event_id")).alias("neg_id"),
+                F.col("event_type").alias("et"),
+            )
+        ),
+        asc=False,
+    )
+    per_prompt = (
+        e.groupBy("user_id")
+        .agg(cand.alias("cand"))
+        .select(
+            F.col("cand")[0]["et"].alias("event_type"),
+            F.round(F.col("cand")[0]["v"] * 100).cast("long").alias("best_c"),
+            F.round(
+                (
+                    F.col("cand")[0]["v"]
+                    - F.coalesce(
+                        F.col("cand")[1]["v"], F.col("cand")[0]["v"]
+                    )
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("margin_c"),
+        )
+    )
+    accepted = F.when(
+        (F.col("margin_c") >= 500) & (F.col("best_c") >= 5000), 1
+    ).otherwise(0)
+    return (
+        per_prompt.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prompts"),
+            F.sum(accepted).cast("long").alias("n_accepted"),
+            F.round(
+                F.sum(accepted).cast("double") / F.count(F.lit(1)), 4
+            ).alias("accept_rate"),
+            F.round(
+                F.sum("margin_c").cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_margin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "graph_lpa_communities",
+    oracle="""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              adj AS (SELECT u AS node, v AS nb FROM e
+                      UNION ALL SELECT v, u FROM e),
+              l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+              m1 AS (SELECT a.node, l.label, COUNT(*) AS c
+                     FROM adj a JOIN l0 l ON l.node = a.nb
+                     GROUP BY a.node, l.label),
+              l1 AS (SELECT node, label FROM (
+                       SELECT node, label, ROW_NUMBER() OVER
+                         (PARTITION BY node ORDER BY c DESC, label) rk
+                       FROM m1) WHERE rk = 1),
+              m2 AS (SELECT a.node, l.label, COUNT(*) AS c
+                     FROM adj a JOIN l1 l ON l.node = a.nb
+                     GROUP BY a.node, l.label),
+              l2 AS (SELECT node, label FROM (
+                       SELECT node, label, ROW_NUMBER() OVER
+                         (PARTITION BY node ORDER BY c DESC, label) rk
+                       FROM m2) WHERE rk = 1),
+              m3 AS (SELECT a.node, l.label, COUNT(*) AS c
+                     FROM adj a JOIN l2 l ON l.node = a.nb
+                     GROUP BY a.node, l.label),
+              l3 AS (SELECT node, label FROM (
+                       SELECT node, label, ROW_NUMBER() OVER
+                         (PARTITION BY node ORDER BY c DESC, label) rk
+                       FROM m3) WHERE rk = 1)
+              SELECT label AS community,
+                     CAST(COUNT(*) AS BIGINT) AS size
+              FROM l3 GROUP BY label
+              ORDER BY size DESC, community LIMIT 20""",
+)
+def graph_lpa_communities(spark, sf):
+    """Label-propagation community detection (Raghavan et al. 2007) on
+    the part co-occurrence graph: every node starts as its own label;
+    each SYNCHRONOUS round adopts the most frequent label among
+    neighbors (ties → min label, so rounds are deterministic — the
+    asynchronous/random variant is not reproducible and has no place in
+    a data pipeline); three unrolled rounds, then community sizes.
+    Plan: the edge set is mined once and cached (same min-support
+    pruning as graph_triangle_count); each round is one join of the
+    node-sized label table to the adjacency + one (node, label) count +
+    one argmax window — label state, never edges, moves between rounds.
+    The oracle unrolls the identical three rounds as CTEs (no recursion
+    needed for a fixed round count, so aggregation-in-recursion limits
+    never bite)."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    adj = eager_cache(
+        e.select(F.col("u").alias("node"), F.col("v").alias("nb")).union(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+        )
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wmode = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        labels = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nb"), "label"
+                ),
+                "nb",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(wmode))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )
+
+
+@q(
+    "text_paragraph_dedup_stats",
+    oracle="""WITH toks AS (
+                SELECT source, string_split(text, ' ') AS w FROM documents),
+              para AS (
+                SELECT source, md5(p) AS h
+                FROM (SELECT source,
+                             array_to_string(w[((i - 1) * 8 + 1):(i * 8)],
+                                             ' ') AS p
+                      FROM toks, LATERAL unnest(range(1,
+                             CAST(CEIL(len(w) / 8.0) AS BIGINT) + 1))
+                             AS t(i))
+                WHERE length(p) > 20),
+              g AS (SELECT h, source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM para GROUP BY h, source),
+              w AS (SELECT h, source, n,
+                           SUM(n) OVER (PARTITION BY h) AS total
+                    FROM g)
+              SELECT source,
+                     CAST(SUM(n) AS BIGINT) AS n_paras,
+                     CAST(SUM(CASE WHEN total >= 2 THEN n ELSE 0 END)
+                          AS BIGINT) AS n_repeated,
+                     ROUND(CAST(SUM(CASE WHEN total >= 2 THEN n ELSE 0 END)
+                                AS DOUBLE) / SUM(n), 4) AS dup_ratio,
+                     CAST(COUNT(DISTINCT CASE WHEN total >= 2 THEN h END)
+                          AS BIGINT) AS distinct_repeated
+              FROM w GROUP BY source ORDER BY source""",
+)
+def text_paragraph_dedup_stats(spark, sf):
+    """Paragraph-level duplication profile — the granularity between
+    document dedup (dedup_exact_groups) and span removal
+    (text_remove_repeated_spans), where boilerplate lives: paragraphs
+    (non-overlapping 8-token chunks here — the fixtures carry no
+    punctuation, and chunking also bounds hash-input size at 100 TB;
+    >20 chars) are hashed, counted per (hash, source), and a window
+    over the hash attributes corpus-wide repetition back to each
+    source — per source: paragraph instances, instances whose hash
+    repeats anywhere in the corpus (8% at sf0.01 — the injected
+    near-dup population's shared spans), the dup ratio, and distinct
+    repeated paragraphs. Plan: one scan → chunk-explode → (hash,
+    source) partial-agg (the explode collapses map-side) →
+    hash-partitioned window → source rollup; 16-byte hashes shuffle,
+    text never does. At 100 TB this is the boilerplate-detection pass
+    CCNet/RefinedWeb run before model-based filtering."""
+    d = _t(spark, sf, "documents")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1).cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.size(F.col("w")) / F.lit(8.0)),
+            ),
+        ),
+        lambda i: F.array_join(
+            F.slice(F.col("w"), ((i - 1) * 8 + 1).cast("int"), F.lit(8)), " "
+        ),
+    )
+    para = (
+        d.select("source", F.split("text", " ").alias("w"))
+        .select("source", F.explode(chunks).alias("p"))
+        .where(F.length("p") > 20)
+        .select("source", F.md5("p").alias("h"))
+    )
+    g = para.groupBy("h", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = g.select(
+        "h", "source", "n", F.sum("n").over(Window.partitionBy("h")).alias("total")
+    )
+    rep = F.sum(F.when(F.col("total") >= 2, F.col("n")).otherwise(0))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_paras"),
+            rep.cast("long").alias("n_repeated"),
+            F.round(
+                rep.cast("double") / F.sum("n"), 4
+            ).alias("dup_ratio"),
+            F.countDistinct(
+                F.when(F.col("total") >= 2, F.col("h"))
+            ).cast("long").alias("distinct_repeated"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "dag_critical_path",
     oracle=f"""WITH RECURSIVE {FX.deps_values_cte()},
                {FX.jobs_values_cte()},

@@ -439,6 +439,9 @@ _BNLJ_OK = {
     "q_benford_audit", "text_perplexity_bigram", "hll_intersection_estimate",
     # brute-force ground-truth leg of the retrieval eval (query-set broadcast)
     "ann_recall_eval",
+    # waterfilling totals (1-row) / English-fertility row (1-row) crossed
+    # back into the |langs|-sized result
+    "mixture_unimax_plan", "text_tokenizer_fertility",
     # two 1-row count aggregates crossed into the metric row
     "minhash_recall_eval",
     # two 1-row count-star aggregates + the 1-row orphan tuple crossed

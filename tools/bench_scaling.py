@@ -68,6 +68,8 @@ ENTRIES = [
     "length_bucket_batches",
     "text_tokenizer_fertility",
     "semantic_doc_order",
+    "chat_format_audit",
+    "text_paragraph_dedup_stats",
 ]
 
 

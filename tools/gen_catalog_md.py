@@ -90,7 +90,8 @@ FAMILIES: dict[str, list[str]] = {
         "q31_ready_set", "q32_dead_set", "q33_transitive_closure",
         "q33b_closure_recursive_cte", "q33c_closure_sql_scripting", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
-        "graph_triangle_count", "graph_kcore", "dag_critical_path",
+        "graph_triangle_count", "graph_kcore", "graph_lpa_communities",
+        "dag_critical_path",
         "store_time_travel", "store_manifest_time_travel",
         "store_sqlite_fsm_trace", "dag_slack_analysis",
     ],
@@ -103,7 +104,7 @@ FAMILIES: dict[str, list[str]] = {
         "semantic_dedup_clustered",
         "incr_exact_survivor_count", "incr_exact_flagged",
         "incr_near_dup_vs_corpus", "incr_dedup_survivor_ids",
-        "minhash_recall_eval",
+        "minhash_recall_eval", "text_paragraph_dedup_stats",
     ],
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -152,6 +153,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_group_kfold_split", "text_fim_transform", "text_instruction_format",
         "mixture_unimax_plan", "length_bucket_batches",
         "text_tokenizer_fertility", "semantic_doc_order",
+        "chat_format_audit", "rl_rejection_sampling",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
