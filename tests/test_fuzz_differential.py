@@ -85,3 +85,17 @@ def test_datescalar_family_seeded_queries_agree(spark, duck):
         if not ok:
             failures.append(detail)
     assert not failures, "\n".join(failures)
+
+
+def test_arrayfunc_family_seeded_queries_agree(spark, duck):
+    """Array/list scalar seams (18th family, round 7): slices, OOB
+    access, absence encoding, HOF folds, order-normalized distinct /
+    union, safe-regime sequence, equal-length zips — the surface where
+    the round-7 sequence(2,1)-descends divergence lived."""
+    failures = []
+    for seed in range(6000, 6012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="arrayfunc")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)

@@ -91,6 +91,8 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_decagg_case(rng)
     if family == "datescalar":
         return gen_datescalar_case(rng)
+    if family == "arrayfunc":
+        return gen_arrayfunc_case(rng)
     roll = rng.random()
     if roll < 0.22:
         return gen_join_case(rng)
@@ -122,8 +124,10 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_numfunc_case(rng)
     if roll < 0.975:
         return gen_decagg_case(rng)
-    if roll < 0.99:
+    if roll < 0.982:
         return gen_datescalar_case(rng)
+    if roll < 0.99:
+        return gen_arrayfunc_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -1051,6 +1055,173 @@ def build_decagg_spark_df(spark, sf_dir: str, case: dict):
     )
 
 
+_ARRAYFUNC_OPS = [
+    "size", "slice_join", "elem", "contains", "position", "filt_count",
+    "agg_len", "distinct_sorted", "seq_sum", "reverse_join", "union_sorted",
+    "zip_len_sum",
+]
+
+# probe tokens: common fixture vocabulary + one guaranteed-absent
+_ARRAY_TOKENS = ["the", "a", "table", "data", "value", "xyzzy"]
+
+
+def gen_arrayfunc_case(rng: random.Random) -> dict:
+    """Array/list scalar seams over documents tokens — the 18th family.
+    Motivated by a real divergence the curated catalog only caught by
+    luck in round 7: Spark ``sequence(2, 1)`` yields the DESCENDING
+    [2, 1] while DuckDB ``range(2, 2)`` is empty, so any dynamic bound
+    that can invert silently flips semantics. The family probes the
+    surface where engines differ by convention, with each case pinning
+    the normalized form: out-of-bounds access (try_element_at NULL ≡
+    bracket NULL), absence encoding (array_position 0 → NULLIF ≡
+    list_position NULL), order-unstable ops (distinct/union compared
+    through an explicit sort), HOF folds, slices, zips on equal-length
+    inputs (both engines NULL-pad unequal zips), and sequence in its
+    safe ascending regime."""
+    ops = rng.sample(_ARRAYFUNC_OPS, k=rng.randint(2, 4))
+    a = rng.randint(1, 5)
+    params = {
+        "a": a,
+        "l": rng.randint(1, 4),
+        "k": rng.randint(1, 6),
+        "tok": rng.choice(_ARRAY_TOKENS),
+        "c": rng.randint(2, 6),
+        "lo": rng.randint(1, 3),
+        "hi": rng.randint(3, 8),  # lo <= hi always: sequence's safe regime
+    }
+    resid = (rng.choice([2, 3, 5]), rng.randint(0, 1))
+    return {"arrayfunc": (ops, params, resid)}
+
+
+def _arrayfunc_sql_expr(op: str, p: dict) -> str:
+    a, l = p["a"], p["l"]
+    s1 = f"w[{a}:{a + l - 1}]"
+    s2 = f"w[{a + 1}:{a + l}]"
+    if op == "size":
+        return "CAST(len(w) AS BIGINT)"
+    if op == "slice_join":
+        return f"array_to_string({s1}, '-')"
+    if op == "elem":
+        return f"w[{p['k']}]"
+    if op == "contains":
+        return f"list_contains(w, '{p['tok']}')"
+    if op == "position":
+        # both engines encode absence as 0 (DuckDB ≥1.0 matches Spark
+        # here — older DuckDB returned NULL); normalize to NULL anyway
+        # so the case stays version-proof
+        return f"CAST(NULLIF(list_position(w, '{p['tok']}'), 0) AS BIGINT)"
+    if op == "filt_count":
+        return (
+            f"CAST(len(list_filter(w, x -> length(x) >= {p['c']})) AS BIGINT)"
+        )
+    if op == "agg_len":
+        return "CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)"
+    if op == "distinct_sorted":
+        return "array_to_string(list_sort(list_distinct(w)), '-')"
+    if op == "seq_sum":
+        return (
+            f"CAST(list_sum(generate_series({p['lo']}, {p['hi']})) AS BIGINT)"
+        )
+    if op == "reverse_join":
+        return "array_to_string(list_reverse(w), '-')"
+    if op == "union_sorted":
+        return (
+            f"array_to_string(list_sort(list_distinct(list_concat("
+            f"{s1}, {s2}))), '-')"
+        )
+    # zip_len_sum: a slice zipped with its own reverse — guaranteed
+    # equal lengths, so neither engine NULL-pads (Spark's fold would
+    # NULL the whole sum; DuckDB's list_sum skips NULLs — a divergence
+    # this family deliberately keeps out of scope by construction)
+    return (
+        f"CAST(list_sum(list_transform(list_zip({s1}, list_reverse({s1})), "
+        f"p -> length(p[1]) + length(p[2]))) AS BIGINT)"
+    )
+
+
+def arrayfunc_to_sql(case: dict) -> str:
+    ops, params, (m, r) = case["arrayfunc"]
+    sel = ", ".join(
+        f"{_arrayfunc_sql_expr(op, params)} AS c{i}" for i, op in enumerate(ops)
+    )
+    return (
+        f"SELECT doc_id, {sel} FROM "
+        f"(SELECT doc_id, string_split(text, ' ') AS w FROM documents) "
+        f"WHERE doc_id % {m} = {r} ORDER BY doc_id"
+    )
+
+
+def build_arrayfunc_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    ops, params, (m, r) = case["arrayfunc"]
+    a, l = params["a"], params["l"]
+
+    def s1():
+        return F.slice(F.col("w"), a, l)
+
+    def s2():
+        return F.slice(F.col("w"), a + 1, l)
+
+    def expr(op):
+        if op == "size":
+            return F.size("w").cast("long")
+        if op == "slice_join":
+            return F.array_join(s1(), "-")
+        if op == "elem":
+            return F.try_element_at("w", F.lit(params["k"]))
+        if op == "contains":
+            return F.array_contains("w", F.lit(params["tok"]))
+        if op == "position":
+            # Spark encodes absence as 0, DuckDB as NULL — normalize
+            return F.nullif(
+                F.array_position("w", params["tok"]), F.lit(0)
+            ).cast("long")
+        if op == "filt_count":
+            return F.size(
+                F.filter(F.col("w"), lambda x: F.length(x) >= params["c"])
+            ).cast("long")
+        if op == "agg_len":
+            return F.aggregate(
+                F.col("w"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            )
+        if op == "distinct_sorted":
+            return F.array_join(F.array_sort(F.array_distinct("w")), "-")
+        if op == "seq_sum":
+            return F.aggregate(
+                F.sequence(F.lit(params["lo"]), F.lit(params["hi"])),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        if op == "reverse_join":
+            return F.array_join(F.reverse("w"), "-")
+        if op == "union_sorted":
+            return F.array_join(
+                F.array_sort(F.array_distinct(F.concat(s1(), s2()))), "-"
+            )
+        return F.aggregate(  # zip_len_sum: slice zipped with own reverse
+            F.zip_with(
+                s1(), F.reverse(s1()), lambda x, y: F.length(x) + F.length(y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.col("doc_id") % m == r)
+        .select(
+            "doc_id", *[expr(op).alias(f"c{i}") for i, op in enumerate(ops)]
+        )
+        .orderBy("doc_id")
+    )
+
+
 def gen_window_case(rng: random.Random) -> dict:
     """Random window query: ROW_NUMBER/SUM/LAG over a string-partitioned
     window ordered by a UNIQUE integer key (determinism across engines),
@@ -1206,6 +1377,8 @@ def to_sql(case: dict) -> str:
         return decagg_to_sql(case)
     if "datescalar" in case:
         return datescalar_to_sql(case)
+    if "arrayfunc" in case:
+        return arrayfunc_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
     if "rollup" in case:
@@ -1319,6 +1492,8 @@ def run_case(
         srows = build_decagg_spark_df(spark, sf_dir, case).collect()
     elif "datescalar" in case:
         srows = build_datescalar_spark_df(spark, sf_dir, case).collect()
+    elif "arrayfunc" in case:
+        srows = build_arrayfunc_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
     elif "rollup" in case:
@@ -1357,8 +1532,8 @@ def run_case(
         s_ = sorted(tuple(str(x) for x in r) for r in srows)
         d_ = sorted(tuple(str(x) for x in r) for r in drows)
         return (s_ == d_, f"seed={seed} sql={sql!r} rows={len(s_)}/{len(d_)}")
-    if "strfunc" in case:
-        # unique-keyed ORDER BY + exact strings/ints: compare in order
+    if "strfunc" in case or "arrayfunc" in case:
+        # unique-keyed ORDER BY + exact strings/ints/bools/NULLs: in order
         s_ = [tuple(str(x) for x in r) for r in srows]
         d_ = [tuple(str(x) for x in r) for r in drows]
         if s_ != d_:
@@ -1435,7 +1610,7 @@ def main() -> None:
     ap.add_argument(
         "--family",
         choices=["gsets", "asofjoin", "rangewin", "strfunc", "numfunc",
-                 "decagg", "datescalar"],
+                 "decagg", "datescalar", "arrayfunc"],
         help="force every case into one generator (dedicated family sweeps)",
     )
     ns = ap.parse_args()
