@@ -108,6 +108,7 @@ HEADLINE = [
     "rl_rejection_sampling",
     "graph_lpa_communities",
     "text_paragraph_dedup_stats",
+    "embedding_knn_graph",
 ]
 
 

@@ -11635,6 +11635,108 @@ def semantic_doc_order(spark, sf):
 
 
 @q(
+    "embedding_knn_graph",
+    oracle="""WITH qe AS (
+                SELECT label, vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(ROUND(x / sqrt(list_sum(
+                                list_transform(CAST(embedding AS DOUBLE[]),
+                                               y -> y * y)))
+                              * 100000) AS BIGINT)) AS q
+                FROM embeddings),
+              p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                           CAST(list_inner_product(a.q, b.q) AS BIGINT) AS s
+                    FROM qe a JOIN qe b
+                      ON a.label = b.label AND a.vec_id <> b.vec_id),
+              r AS (SELECT va, vb, s,
+                           ROW_NUMBER() OVER (PARTITION BY va
+                                              ORDER BY s DESC, vb) AS rk
+                    FROM p)
+              SELECT va AS vec_id, CAST(rk AS BIGINT) AS nb_rank,
+                     vb AS nb_id, s AS sim_q
+              FROM r WHERE rk <= 3 ORDER BY vec_id, nb_rank""",
+)
+def embedding_knn_graph(spark, sf):
+    """Exact k-NN graph construction (k=3) within clusters — the seed
+    structure for graph-based ANN (NN-Descent/HNSW bootstrap) and for
+    semantic_doc_order-style chaining: every vector's top-3 most-similar
+    same-cluster neighbors, rank-ordered. REUSES the round-7 skew
+    machinery end-to-end: replicate_for_block_pairs fans each cluster's
+    pair work over (cluster, _bi, _bj) block-pair tasks (a hot cluster
+    spreads over S(S+1)/2 reducers; every unordered pair scored in
+    exactly one task, emitted in both directions), and the same
+    integer-quantized similarity as semantic_doc_order (sequential-fold
+    norms, round(u·1e5) BIGINT dots) makes ranking ties and the DuckDB
+    replay bit-exact. The top-k window then partitions by vec_id —
+    id-hash partitioning, no hot keys by construction. At 100 TB k
+    (clusters) grows with the corpus so per-task work stays bounded;
+    pair volume is n²/clusters rows of 24 bytes, never vectors."""
+    from overseer_spark.operators.skew import (  # noqa: PLC0415
+        replicate_for_block_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    qv = F.transform(dv, lambda x: F.round(x / nrm * 100000).cast("long"))
+    qe = emb.select(F.col("label").alias("cluster"), "vec_id", qv.alias("q"))
+    rep = replicate_for_block_pairs(qe, "vec_id", 4)
+
+    def _block_sims(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        _, bi, bj = key
+        if bi == bj:
+            ids = pdf["vec_id"].to_numpy()
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            sims = Q @ Q.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            va = np.concatenate([ids[iu], ids[ju]])
+            vb = np.concatenate([ids[ju], ids[iu]])
+            s = np.concatenate([sims[iu, ju]] * 2)
+        else:
+            a = pdf[pdf["_blk"] == bi]
+            b = pdf[pdf["_blk"] == bj]
+            ida, idb = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+            if len(ida) == 0 or len(idb) == 0:
+                return pd.DataFrame(
+                    {
+                        "va": np.array([], dtype=np.int64),
+                        "vb": np.array([], dtype=np.int64),
+                        "s": np.array([], dtype=np.int64),
+                    }
+                )
+            Qa = np.array(a["q"].tolist(), dtype=np.int64)
+            Qb = np.array(b["q"].tolist(), dtype=np.int64)
+            sims = Qa @ Qb.T
+            ii, jj = np.meshgrid(
+                np.arange(len(ida)), np.arange(len(idb)), indexing="ij"
+            )
+            ii, jj = ii.ravel(), jj.ravel()
+            va = np.concatenate([ida[ii], idb[jj]])
+            vb = np.concatenate([idb[jj], ida[ii]])
+            s = np.concatenate([sims[ii, jj]] * 2)
+        return pd.DataFrame({"va": va, "vb": vb, "s": s})
+
+    sims = rep.groupBy("cluster", "_bi", "_bj").applyInPandas(
+        _block_sims, schema="va long, vb long, s long"
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("s"), "vb")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("rk").cast("long").alias("nb_rank"),
+            F.col("vb").alias("nb_id"),
+            F.col("s").alias("sim_q"),
+        )
+        .orderBy("vec_id", "nb_rank")
+    )
+
+
+@q(
     "chat_format_audit",
     oracle="""WITH conv AS (
                 SELECT doc_id, source,

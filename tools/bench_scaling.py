@@ -70,6 +70,7 @@ ENTRIES = [
     "semantic_doc_order",
     "chat_format_audit",
     "text_paragraph_dedup_stats",
+    "embedding_knn_graph",
 ]
 
 

@@ -114,7 +114,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_pca_power", "kmeans_lloyd_iters",
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "embedding_dimension_stats", "embedding_outlier_flags",
-        "embedding_matryoshka_eval",
+        "embedding_matryoshka_eval", "embedding_knn_graph",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
