@@ -946,3 +946,90 @@ def markdown_extract(
     return df.select(id_col, md_col).mapInPandas(
         batches, schema=f"{id_col} long, extracted string, n_paragraphs int"
     )
+
+
+def chat_audit(docs: DataFrame) -> DataFrame:
+    """Chat-format QA rollup shared by the batch and streaming entries
+    (catalog: chat_format_audit / stream_chat_format_audit) — one
+    definition, both engines, per the repo's batch/stream parity
+    contract. Conversations are synthesized deterministically from the
+    document tokens (8-token turn chunks; planted defects: doc_id%7
+    breaks role alternation, doc_id%11 empties a turn, odd turn counts
+    end on 'user') and audited with array higher-order functions over
+    the CONSTRUCTED arrays. Returns per-source violation counts.
+
+    Engine-portability note (found by the arrayfunc fuzz family's
+    motivating bug): Spark ``sequence(2, n)`` with n=1 yields the
+    DESCENDING [2, 1], so the adjacency scan is guarded on n >= 2.
+    """
+    n = F.least(
+        F.lit(4) + F.col("doc_id") % 2,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.size(F.col("toks")) / F.lit(8.0)),
+        ),
+    )
+    conv = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    ).select("doc_id", "source", "toks", n.alias("n"))
+    roles = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(
+            (F.col("doc_id") % 7 == 0) & (i == 2), F.lit("user")
+        )
+        .when((i - 1) % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")),
+    )
+    contents = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(
+            (F.col("doc_id") % 11 == 0) & (i == 1), F.lit("")
+        ).otherwise(
+            F.array_join(
+                F.slice(
+                    F.col("toks"), ((i - 1) * 8 + 1).cast("int"), F.lit(8)
+                ),
+                " ",
+            )
+        ),
+    )
+    built = conv.select(
+        "doc_id", "source", "n", roles.alias("roles"),
+        contents.alias("contents"),
+    )
+    v_alt = (
+        F.when(
+            F.col("n") >= 2,
+            F.exists(
+                F.sequence(F.lit(2), F.col("n")),
+                lambda i: F.element_at("roles", i.cast("int"))
+                == F.element_at("roles", (i - 1).cast("int")),
+            ),
+        )
+        .otherwise(F.lit(False))
+        .cast("int")
+    )
+    v_empty = F.exists("contents", lambda c: c == "").cast("int")
+    v_end = (
+        F.element_at("roles", F.col("n").cast("int")) != "assistant"
+    ).cast("int")
+    audited = built.select(
+        "source", v_alt.alias("v_alt"), v_empty.alias("v_empty"),
+        v_end.alias("v_end"),
+    )
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("v_alt").cast("long").alias("alt_violations"),
+        F.sum("v_empty").cast("long").alias("empty_violations"),
+        F.sum("v_end").cast("long").alias("bad_ending"),
+        F.sum(
+            F.when(
+                (F.col("v_alt") == 0)
+                & (F.col("v_empty") == 0)
+                & (F.col("v_end") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("clean"),
+    )

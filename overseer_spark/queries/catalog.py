@@ -11793,86 +11793,62 @@ def chat_format_audit(spark, sf):
     last-element role check — and rolled up per source. The checks run
     on the CONSTRUCTED arrays, not closed forms, so this exercises the
     real validator shapes (F.exists/F.filter/element_at ≡ DuckDB
-    list_filter/1-based list indexing/slices). Scale: one scan, per-row
-    array work inside codegen, one partial-agg'd rollup — no shuffle of
+    list_filter/1-based list indexing/slices). The transformation lives
+    in operators/text.chat_audit, shared verbatim with the streaming
+    twin (stream_chat_format_audit). Scale: one scan, per-row array
+    work inside codegen, one partial-agg'd rollup — no shuffle of
     conversation bodies."""
-    d = _t(spark, sf, "documents")
-    n = F.least(
-        F.lit(4) + F.col("doc_id") % 2,
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(F.size(F.col("toks")) / F.lit(8.0)),
-        ),
+    return TX.chat_audit(_t(spark, sf, "documents")).orderBy("source")
+
+
+@q(
+    "stream_chat_format_audit",
+    # same closed-form batch oracle as chat_format_audit: the streaming
+    # run must converge to the identical per-source rollup
+    oracle=None,
+)
+def stream_chat_format_audit(spark, sf):
+    """The chat-format QA gate as a STREAM: the SAME
+    operators/text.chat_audit definition runs unchanged on a readStream
+    over the document landing directory — new corpus files become
+    micro-batches, violation counts aggregate in complete mode, and the
+    result must converge to chat_format_audit's batch oracle (the
+    decorator wires that oracle in just below, so the driver
+    hash-checks the streaming path against the batch closed form).
+    Production posture: update mode + an alerting sink keyed on source;
+    the bounded availableNow run here makes complete mode exact."""
+    import os
+    import uuid
+
+    static = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
     )
-    conv = d.select(
-        "doc_id", "source", F.split("text", " ").alias("toks")
-    ).select("doc_id", "source", "toks", n.alias("n"))
-    roles = F.transform(
-        F.sequence(F.lit(1), F.col("n")),
-        lambda i: F.when(
-            (F.col("doc_id") % 7 == 0) & (i == 2), F.lit("user")
-        )
-        .when((i - 1) % 2 == 0, F.lit("user"))
-        .otherwise(F.lit("assistant")),
+    name = f"stream_chat_audit_{uuid.uuid4().hex[:8]}"
+    query = (
+        TX.chat_audit(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
     )
-    contents = F.transform(
-        F.sequence(F.lit(1), F.col("n")),
-        lambda i: F.when(
-            (F.col("doc_id") % 11 == 0) & (i == 1), F.lit("")
-        ).otherwise(
-            F.array_join(
-                F.slice(
-                    F.col("toks"), ((i - 1) * 8 + 1).cast("int"), F.lit(8)
-                ),
-                " ",
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
             )
-        ),
-    )
-    built = conv.select(
-        "doc_id", "source", "n", roles.alias("roles"), contents.alias("contents")
-    )
-    # NOTE: Spark sequence(2, n) with n=1 yields DESCENDING [2, 1] while
-    # DuckDB range(2, 2) is empty — guard the single-turn case explicitly
-    v_alt = (
-        F.when(
-            F.col("n") >= 2,
-            F.exists(
-                F.sequence(F.lit(2), F.col("n")),
-                lambda i: F.element_at("roles", i.cast("int"))
-                == F.element_at("roles", (i - 1).cast("int")),
-            ),
-        )
-        .otherwise(F.lit(False))
-        .cast("int")
-    )
-    v_empty = F.exists("contents", lambda c: c == "").cast("int")
-    v_end = (
-        F.element_at("roles", F.col("n").cast("int")) != "assistant"
-    ).cast("int")
-    audited = built.select(
-        "source", v_alt.alias("v_alt"), v_empty.alias("v_empty"),
-        v_end.alias("v_end"),
-    )
-    return (
-        audited.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_convs"),
-            F.sum("v_alt").cast("long").alias("alt_violations"),
-            F.sum("v_empty").cast("long").alias("empty_violations"),
-            F.sum("v_end").cast("long").alias("bad_ending"),
-            F.sum(
-                F.when(
-                    (F.col("v_alt") == 0)
-                    & (F.col("v_empty") == 0)
-                    & (F.col("v_end") == 0),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("clean"),
-        )
-        .orderBy("source")
-    )
+    finally:
+        query.stop()
+    return spark.table(name).orderBy("source")
+
+
+# the streaming twin is hash-checked against the BATCH closed form
+CATALOG["stream_chat_format_audit"].oracle = CATALOG["chat_format_audit"].oracle
+CATALOG["stream_chat_format_audit"].tier = "sql"
 
 
 @q(

@@ -71,6 +71,7 @@ FAMILIES: dict[str, list[str]] = {
         "stream_static_join_counts", "stream_incr_dedup_screen",
         "stream_stream_join_pairs", "stream_dedup_within_watermark", "stream_store_transitions",
         "stream_warc_ingest", "stream_blocklist_counts",
+        "stream_chat_format_audit",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
