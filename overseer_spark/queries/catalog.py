@@ -12021,20 +12021,25 @@ def graph_lpa_communities(spark, sf):
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
-    wmode = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    # per-round mode: argmax by (count DESC, label ASC) as ONE
+    # MAX(struct(c, -label)) aggregation — the lexicographic struct
+    # encodes the tie-break, so no rank window (and no per-node sort)
+    # is needed; both aggregations partial-combine map-side
     for _ in range(3):
         labels = (
             adj.join(
-                labels.select(
-                    F.col("node").alias("nb"), "label"
-                ),
+                labels.select(F.col("node").alias("nb"), "label"),
                 "nb",
             )
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rk", F.row_number().over(wmode))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
