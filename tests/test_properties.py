@@ -479,3 +479,67 @@ def test_aho_corasick_counts_equal_brute_force_all_matches(patterns, text):
     for pid, p in enumerate(patterns):
         brute = sum(1 for i in range(len(text)) if text.startswith(p, i))
         assert counts.get(pid, 0) == brute, (p, text)
+
+
+_chat_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # doc_id (dups dropped)
+        st.lists(
+            st.sampled_from(["tok", "a", "longerword", "x"]),
+            min_size=1,
+            max_size=45,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_chat_docs)
+@settings(**_SETTINGS)
+def test_chat_audit_matches_python_replay(spark, rows):
+    """operators/text.chat_audit == a pure-Python replay of the
+    conversation synthesis + validation, across edge shapes the fixture
+    corpus never hits: single-token docs (n = 1, the sequence(2, 1)
+    descending-array guard), docs exactly at chunk boundaries, and the
+    planted-defect residues interacting with tiny turn counts."""
+    import math
+
+    from overseer_spark.operators.text import chat_audit
+
+    seen = set()
+    data = []
+    for doc_id, toks in rows:
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        data.append((doc_id, " ".join(toks), "s0"))
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_convs"], r["alt_violations"], r["empty_violations"],
+                         r["bad_ending"], r["clean"])
+           for r in chat_audit(df).collect()}
+
+    n_convs = alt = empty = bad = clean = 0
+    for doc_id, text, _ in data:
+        w = text.split(" ")
+        n = min(4 + doc_id % 2, max(1, math.ceil(len(w) / 8)))
+        roles = [
+            "user"
+            if (doc_id % 7 == 0 and i == 2) or (i - 1) % 2 == 0
+            else "assistant"
+            for i in range(1, n + 1)
+        ]
+        contents = [
+            "" if (doc_id % 11 == 0 and i == 1)
+            else " ".join(w[(i - 1) * 8 : i * 8])
+            for i in range(1, n + 1)
+        ]
+        v_alt = any(roles[i] == roles[i - 1] for i in range(1, n))
+        v_empty = any(c == "" for c in contents)
+        v_end = roles[-1] != "assistant"
+        n_convs += 1
+        alt += v_alt
+        empty += v_empty
+        bad += v_end
+        clean += not (v_alt or v_empty or v_end)
+    assert got == {"s0": (n_convs, alt, empty, bad, clean)}, (got, data)
