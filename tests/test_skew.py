@@ -57,17 +57,18 @@ def test_salted_join_matches_plain(spark, skewed):
     assert p == s
 
 
-def test_replicate_for_block_pairs_exact_once_coverage(spark):
+@pytest.mark.parametrize("S", [2, 3, 4, 7])
+def test_replicate_for_block_pairs_exact_once_coverage(spark, S):
     """Every unordered row pair within a group must be examinable in
     EXACTLY one (group, _bi, _bj) task — the invariant that makes the
-    salted SemDeDup stage 2 semantics-preserving. Also: replication
-    factor is exactly salt_buckets, and each row's (s, s) task appears
-    exactly once (the member-emission contract)."""
+    salted SemDeDup stage 2 (and embedding_knn_graph) semantics-
+    preserving, for any salt count. Also: replication factor is exactly
+    salt_buckets, and each row's (s, s) task appears exactly once (the
+    member-emission contract)."""
     from itertools import combinations
 
     from overseer_spark.operators.skew import replicate_for_block_pairs
 
-    S = 4
     df = spark.range(300).select(
         F.col("id").alias("rid"), (F.col("id") % 3).alias("grp")
     )
