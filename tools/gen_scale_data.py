@@ -14,8 +14,10 @@ statistical structure, so this bootstrap-resamples sf0.1:
 
 Deterministic (seed 42). Usage:
     python tools/gen_scale_data.py [--mult 10] [--out .bench_sf1]
-Other tables are symlinked from sf0.1 so catalog entries that read them
-still resolve.
+events and the TPC-H facts (lineitem+orders, orderkey-offset replicas
+against unchanged dimensions) scale too; the remaining dimension tables
+are symlinked from sf0.1 so catalog entries that read them still
+resolve.
 """
 
 from __future__ import annotations
@@ -138,6 +140,52 @@ def gen_events(out_dir: str, mult: int, rng: np.random.Generator) -> None:
     pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"))
 
 
+def gen_tpch_facts(out_dir: str, mult: int) -> None:
+    """10× TPC-H fact tables: lineitem + orders replicated together with
+    the ORDER KEY offset into fresh ranges per replica — the two tables
+    stay referentially consistent — while part/supplier/customer keys
+    are left UNCHANGED, so every dimension join still matches and
+    per-part / per-customer fact volume grows 10× (how fact tables
+    actually grow against slowly-changing dimensions). For the
+    co-occurrence graph entries this is the REALISTIC hard case: pair
+    support grows ~10×, far more part pairs clear the min-support
+    filter, and hub degrees grow — exactly the regime the low-degree
+    orientation exists for. Deterministic (pure replication, no rng),
+    so adding this generator leaves every other table's draws
+    byte-identical."""
+    li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    od = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    max_ok = (
+        max(
+            int(pa.compute.max(li.column("l_orderkey")).as_py()),
+            int(pa.compute.max(od.column("o_orderkey")).as_py()),
+        )
+        + 1
+    )
+    li_parts, od_parts = [], []
+    for r in range(mult):
+        off = r * max_ok
+        li_parts.append(
+            li.set_column(
+                li.schema.get_field_index("l_orderkey"),
+                "l_orderkey",
+                pa.compute.add(li.column("l_orderkey"), off),
+            )
+        )
+        od_parts.append(
+            od.set_column(
+                od.schema.get_field_index("o_orderkey"),
+                "o_orderkey",
+                pa.compute.add(od.column("o_orderkey"), off),
+            )
+        )
+    for name, parts in (("lineitem", li_parts), ("orders", od_parts)):
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.islink(dst):
+            os.unlink(dst)  # replace the old sf0.1 symlink
+        pq.write_table(pa.concat_tables(parts), dst)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -148,6 +196,7 @@ def main() -> None:
     gen_documents(ns.out, ns.mult, rng)
     gen_embeddings(ns.out, ns.mult, rng)
     gen_events(ns.out, ns.mult, rng)
+    gen_tpch_facts(ns.out, ns.mult)
     for name in (
         "region nation customer supplier part orders lineitem events".split()
     ):
