@@ -109,6 +109,7 @@ HEADLINE = [
     "graph_lpa_communities",
     "text_paragraph_dedup_stats",
     "embedding_knn_graph",
+    "embedding_centroid_drift",
 ]
 
 

@@ -2818,6 +2818,69 @@ def embedding_centroids(spark, sf):
 
 
 @q(
+    "embedding_centroid_drift",
+    oracle="""WITH x AS (SELECT label, vec_id % 2 AS half,
+                  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                  unnest(embedding) AS v
+                FROM embeddings),
+              c AS (SELECT label, i,
+                  ROUND(AVG(CASE WHEN half = 0 THEN v END), 3) + 0.0 AS ca,
+                  ROUND(AVG(CASE WHEN half = 1 THEN v END), 3) + 0.0 AS cb
+                FROM x GROUP BY label, i)
+              SELECT label,
+                  ROUND(SQRT(SUM((ca - cb) * (ca - cb))), 4) AS drift_l2,
+                  ROUND(SUM(ca * cb)
+                        / (SQRT(SUM(ca * ca)) * SQRT(SUM(cb * cb))), 4)
+                    AS cos_sim
+              FROM c GROUP BY label ORDER BY label""",
+)
+def embedding_centroid_drift(spark, sf):
+    """Embedding drift monitor — the vector twin of q_psi_drift: split
+    the corpus into two cohorts (vec_id parity here; time buckets in
+    production), compute each cluster's per-cohort centroid, and report
+    the centroid L2 shift and cosine between cohorts. A re-embedded or
+    distribution-shifted upstream model shows up here before any
+    downstream quality metric moves. Determinism: the per-dimension
+    centroids are ROUNDED (3 dp) BEFORE the drift arithmetic, so the
+    cross-engine comparison runs on identical inputs. Plan: ONE scan —
+    both cohorts' centroids come from conditional averages in the same
+    (label, dim) aggregation, then a label-sized rollup; no self-join
+    of the corpus halves."""
+    e = _t(spark, sf, "embeddings")
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    c = x.groupBy("label", (F.col("pos") + 1).cast("long").alias("i")).agg(
+        (
+            F.round(F.avg(F.when(F.col("half") == 0, F.col("v"))), 3)
+            + F.lit(0.0)
+        ).alias("ca"),
+        (
+            F.round(F.avg(F.when(F.col("half") == 1, F.col("v"))), 3)
+            + F.lit(0.0)
+        ).alias("cb"),
+    )
+    d2 = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    return (
+        c.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(d2)), 4).alias("drift_l2"),
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
     "q_value_histogram",
     oracle="""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n

@@ -116,6 +116,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
+        "embedding_centroid_drift",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
