@@ -71,6 +71,7 @@ ENTRIES = [
     "chat_format_audit",
     "text_paragraph_dedup_stats",
     "embedding_knn_graph",
+    "embedding_centroid_drift",
 ]
 
 
