@@ -352,6 +352,19 @@ def test_semantic_dedup_stage2_is_grouped_matmul_not_pair_join(spark):
     assert not pair_joins, f"unexpected pair join over vectors:\n{pair_joins}"
 
 
+def test_knn_graph_salted_block_pair_exchange(spark):
+    """embedding_knn_graph must score pairs per SALTED (cluster, _bi,
+    _bj) block-pair task (the replicate_for_block_pairs fan-out) — same
+    skew contract as semantic_dedup stage 2 — and rank neighbors with a
+    window partitioned by the id (no hot keys), never a pair join over
+    the vector table."""
+    df = q("embedding_knn_graph", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert re.search(r"hashpartitioning\(cluster#\d+, _bi#\d+, _bj#\d+", plan), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_triangle_count_low_degree_orientation(spark):
     """graph_triangle_count must run the O(m^1.5) low-degree-orientation
     plan: a degree aggregation feeds the re-orientation, and the wedge
