@@ -115,3 +115,96 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the random-hyperplane LSH index the rp_lsh_topk docstring
+    promises for 100 TB: corpus signatures are computed once and the
+    vectors written partitioned by (table, sig) — n_tables× the corpus
+    rows (the documented LSH storage cost), bought back on every query
+    batch by static partition pruning. The plane set is persisted too so
+    probes hash with byte-identical hyperplanes."""
+    from overseer_spark.operators.similarity import _rp_planes, rp_signatures
+
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    planes_df = spark.createDataFrame(
+        _rp_planes(n_tables, n_planes, dim, seed),
+        "table int, bit int, pvec array<double>",
+    )
+    planes_df.write.mode("overwrite").parquet(f"{path}/planes")
+    sig = rp_signatures(corpus, F.broadcast(planes_df), id_col, vec_col)
+    (
+        sig.join(corpus.select(id_col, vec_col), id_col)
+        .write.mode("overwrite")
+        .partitionBy("table", "sig")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def lsh_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k from the persisted LSH index, reading ONLY the buckets the
+    query batch hashes into.
+
+    The query signatures (≤ |queries|·n_tables (table, sig) pairs —
+    dimension-sized, like the IVF probe set) are collected driver-side
+    and pushed into the vector scan as a two-column partition filter, so
+    the parquet reader lists only the probed bucket directories. The
+    index rows carry the embeddings, so candidate re-scoring never
+    re-reads the corpus — unlike the non-indexed rp_lsh_topk, which
+    pays a second corpus scan per batch. Results are bit-identical to
+    rp_lsh_topk (same persisted planes, same rounded ranking; asserted
+    in tests/test_ann_index.py)."""
+    from overseer_spark.operators.similarity import rp_signatures
+
+    planes_df = spark.read.parquet(f"{path}/planes")
+    qsig = eager_cache(
+        rp_signatures(queries, F.broadcast(planes_df), id_col, vec_col,
+                      out_id="query_id")
+    )
+    buckets = [
+        (r["table"], r["sig"])
+        for r in qsig.select("table", "sig").distinct().collect()
+    ]
+    pred = None
+    for t, s in buckets:
+        clause = (F.col("table") == t) & (F.col("sig") == s)
+        pred = clause if pred is None else (pred | clause)
+    vectors = spark.read.parquet(f"{path}/vectors").filter(pred)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        vectors.join(F.broadcast(qsig), ["table", "sig"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col)
+        .dropDuplicates(["query_id", id_col])
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), round_to
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

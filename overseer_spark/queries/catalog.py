@@ -7171,6 +7171,47 @@ def ann_lsh_topk(spark, sf):
 
 
 @q(
+    "ann_lsh_index_topk",
+    # oracle assigned below: must equal ann_lsh_topk's measured pin —
+    # the persisted index changes the ACCESS PATH, never the answer
+    oracle=None,
+)
+def ann_lsh_index_topk(spark, sf):
+    """Persisted-LSH ANN (operators/ann_index.py build_lsh_index /
+    lsh_index_topk): the 100 TB path rp_lsh_topk's docstring promises,
+    now real — corpus signatures computed ONCE, vectors written
+    partitioned by (table, sig), every query batch served by static
+    partition pruning on its own bucket hashes, with candidate
+    re-scoring from index-carried embeddings (no second corpus scan).
+    Results are bit-identical to ann_lsh_topk (same seeded planes, same
+    rounded ranking) — the decorator wires in that entry's measured
+    oracle pin, and tests/test_ann_index.py asserts both the equality
+    and the partition pruning from the plan's own PartitionFilters."""
+    import shutil
+    import tempfile
+
+    from overseer_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="lsh_index_")
+    try:
+        AI.build_lsh_index(emb, tmp, n_tables=8, n_planes=4)
+        return (
+            AI.lsh_index_topk(
+                spark, tmp, emb.filter(F.col("vec_id") < 10), k=3
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CATALOG["ann_lsh_index_topk"].oracle = CATALOG["ann_lsh_topk"].oracle
+CATALOG["ann_lsh_index_topk"].tier = "sql"
+
+
+@q(
     "ewma_user_value",
     oracle="""WITH o AS (SELECT user_id, value,
                      ROW_NUMBER() OVER (PARTITION BY user_id

@@ -83,3 +83,57 @@ def test_index_round_trip_preserves_vectors(spark, emb, index_path):
     back = spark.read.parquet(f"{index_path}/vectors")
     assert back.count() == emb.count()
     assert back.select(F.count_distinct("vec_id")).collect()[0][0] == emb.count()
+
+
+@pytest.fixture(scope="module")
+def lsh_index_path(spark, emb):
+    d = tempfile.mkdtemp(prefix="lsh_index_")
+    AI.build_lsh_index(emb, d, n_tables=8, n_planes=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lsh_index_topk_matches_in_memory_lsh(spark, emb, lsh_index_path):
+    from overseer_spark.operators.similarity import rp_lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = _rows(AI.lsh_index_topk(spark, lsh_index_path, queries, k=3))
+    expected = _rows(rp_lsh_topk(emb, queries, k=3, n_tables=8, n_planes=4))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_lsh_index_scan_prunes_to_query_buckets(spark, emb, lsh_index_path):
+    """The query batch's (table, sig) pairs must reach the vector scan as
+    PARTITION filters — directory pruning before any bytes are read —
+    and the pruned read must return exactly those buckets' rows."""
+    import contextlib
+    import io
+
+    from overseer_spark.operators.similarity import rp_signatures
+
+    one_query = emb.filter(F.col("vec_id") == 3)
+    planes_df = spark.read.parquet(f"{lsh_index_path}/planes")
+    qsig = rp_signatures(one_query, F.broadcast(planes_df), out_id="query_id")
+    buckets = [
+        (r["table"], r["sig"])
+        for r in qsig.select("table", "sig").distinct().collect()
+    ]
+    assert len(buckets) == 8  # one bucket per table
+
+    pred = None
+    for t, s in buckets:
+        clause = (F.col("table") == t) & (F.col("sig") == s)
+        pred = clause if pred is None else (pred | clause)
+    pruned = spark.read.parquet(f"{lsh_index_path}/vectors").filter(pred)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "table" in pf and "sig" in pf
+
+    full = spark.read.parquet(f"{lsh_index_path}/vectors")
+    expected = full.filter(pred).count()
+    assert 0 < pruned.count() == expected < full.count()

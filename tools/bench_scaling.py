@@ -72,6 +72,7 @@ ENTRIES = [
     "text_paragraph_dedup_stats",
     "embedding_knn_graph",
     "embedding_centroid_drift",
+    "ann_lsh_index_topk",
 ]
 
 
