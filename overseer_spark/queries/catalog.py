@@ -1032,8 +1032,11 @@ def q34(spark, sf):
     oracle="SELECT COUNT(*) - COUNT(DISTINCT text) AS dups FROM documents",
 )
 def q35(spark, sf):
+    """Exact duplicate count. Spark counts distinct md5 FINGERPRINTS —
+    16-byte shuffle keys instead of document bodies at 100 TB; the
+    oracle's COUNT(DISTINCT text) proves the substitution lossless."""
     return _t(spark, sf, "documents").agg(
-        (F.count(F.lit(1)) - F.count_distinct(F.col("text"))).alias("dups")
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("dups")
     )
 
 
@@ -3493,21 +3496,24 @@ def union_distinct(spark, sf):
 )
 def dedup_rate_by_source(spark, sf):
     """Per-source exact-duplication profile — the first report a training-
-    data pipeline runs on a new crawl source. COUNT(DISTINCT text) over long
-    strings is shuffle-heavy at 100 TB; production would pre-hash to a
-    64-bit fingerprint (text_fingerprint_md5) and count distinct hashes —
-    same number, fixed-width shuffle keys."""
+    data pipeline runs on a new crawl source. The Spark side counts
+    distinct md5 FINGERPRINTS, not raw text: COUNT(DISTINCT text) over
+    long strings shuffles document bodies at 100 TB, while the 128-bit
+    digest gives the same number (collision-safe at any corpus size)
+    with fixed-width shuffle keys. The oracle keeps COUNT(DISTINCT text)
+    — equality IS the proof the fingerprint substitution is lossless."""
     d = _t(spark, sf, "documents")
+    h = F.md5("text")
     return (
         d.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs"),
-            F.count_distinct(F.col("text")).cast("long").alias("uniq"),
-            (F.count(F.lit(1)) - F.count_distinct(F.col("text")))
+            F.count_distinct(h).cast("long").alias("uniq"),
+            (F.count(F.lit(1)) - F.count_distinct(h))
             .cast("long")
             .alias("dups"),
             F.round(
-                1.0 - F.count_distinct(F.col("text")) / F.count(F.lit(1)), 4
+                1.0 - F.count_distinct(h) / F.count(F.lit(1)), 4
             ).alias("dup_rate"),
         )
         .orderBy("source")
