@@ -110,6 +110,8 @@ HEADLINE = [
     "text_paragraph_dedup_stats",
     "embedding_knn_graph",
     "embedding_centroid_drift",
+    "embedding_cluster_medoids",
+    "mixture_epoch_expansion",
 ]
 
 

@@ -11449,8 +11449,25 @@ def mixture_unimax_plan(spark, sf):
     bit-for-bit. Scale shape: ONE corpus scan (partial-agg'd token
     count), then |langs|-sized window + broadcast scalar — the plan any
     multilingual pretraining mix needs at 100 TB."""
-    d = _t(spark, sf, "documents")
-    B = 40000
+    allocs = _unimax_allocs(_t(spark, sf, "documents"), 40000)
+    return (
+        allocs.select(
+            "lang",
+            "n_tok",
+            F.col("cap").alias("cap_tok"),
+            F.round(F.col("alloc"), 2).alias("alloc_tok"),
+            F.round(F.col("alloc") / F.col("n_tok"), 4).alias("epochs"),
+            F.col("capped").cast("int").alias("capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _unimax_allocs(d, B):
+    """The UniMax waterfilling core shared by mixture_unimax_plan and
+    mixture_epoch_expansion: per-language (lang, n_tok, cap, capped,
+    alloc) with alloc as the UNROUNDED double — all-BIGINT arithmetic
+    until the one final division, so both engines agree bit-for-bit."""
     n = d.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
     )
@@ -11497,15 +11514,114 @@ def mixture_unimax_plan(spark, sf):
         (F.lit(B) - F.col("b_cap")).cast("double")
         / (F.col("k_tot") - F.col("n_cap"))
     )
+    return flag.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_tok", "cap", "capped", alloc.alias("alloc")
+    )
+
+
+@q(
+    "mixture_epoch_expansion",
+    oracle="""WITH n AS (SELECT lang,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+              FROM documents GROUP BY lang),
+              caps AS (SELECT lang, n_tok, 2 * n_tok AS cap,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                       CAST(ROW_NUMBER() OVER (ORDER BY 2 * n_tok, lang)
+                            AS BIGINT) AS i,
+                       CAST(COALESCE(SUM(2 * n_tok) OVER
+                              (ORDER BY 2 * n_tok, lang
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+                       FROM n),
+              flag AS (SELECT *,
+                       MIN(CASE WHEN cum_prev + cap * (k - i + 1) <= 40000
+                                THEN 1 ELSE 0 END)
+                         OVER (ORDER BY cap, lang
+                               ROWS UNBOUNDED PRECEDING) AS capped
+                       FROM caps),
+              tot AS (SELECT COALESCE(SUM(CASE WHEN capped = 1
+                                          THEN cap END), 0) AS b_cap,
+                             COALESCE(SUM(capped), 0) AS n_cap,
+                             MAX(k) AS k FROM flag),
+              alloc AS (SELECT f.lang, f.n_tok,
+                     CASE WHEN f.capped = 1 THEN CAST(f.cap AS DOUBLE)
+                          ELSE CAST(40000 - t.b_cap AS DOUBLE)
+                               / (t.k - t.n_cap) END AS alloc
+                     FROM flag f CROSS JOIN tot t),
+              docs AS (SELECT d.lang,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dt,
+                     CAST(FLOOR(a.alloc / a.n_tok) AS BIGINT)
+                       + CASE WHEN
+                           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                               || ':ep42'), 1, 12))::BIGINT
+                             / 281474976710656.0
+                           < a.alloc / a.n_tok - FLOOR(a.alloc / a.n_tok)
+                         THEN 1 ELSE 0 END AS copies
+                     FROM documents d JOIN alloc a ON a.lang = d.lang)
+              SELECT d.lang,
+                     CAST(SUM(d.copies) AS BIGINT) AS realized_docs,
+                     CAST(SUM(d.copies * d.dt) AS BIGINT) AS realized_tok,
+                     ROUND(a.alloc, 2) AS alloc_tok,
+                     ROUND((SUM(d.copies * d.dt) - a.alloc) / a.alloc, 4)
+                       AS rel_err
+              FROM docs d JOIN alloc a ON a.lang = d.lang
+              GROUP BY d.lang, a.alloc ORDER BY d.lang""",
+)
+def mixture_epoch_expansion(spark, sf):
+    """UniMax plan REALIZATION — closes the plan→execute loop: every
+    document gets floor(epochs) full copies plus one more iff its
+    deterministic md5-uniform draw falls under the fractional epoch
+    (the portable hash-bucket convention of train_test_split /
+    weighted_sample — reproducible across runs, engines, and
+    partitionings, unlike rand()). Per language: realized
+    document-copies, realized tokens, the target allocation, and the
+    relative error — bounded by document granularity, which is exactly
+    what a mixing job can promise. Copies are COUNTED, not
+    materialized (the training loader replicates at read time); the
+    plan is the allocation aggregate + one joined corpus pass, and the
+    multiplication happens on per-doc token counts, never text."""
+    d = _t(spark, sf, "documents")
+    allocs = _unimax_allocs(d, 40000)
+    epochs = F.col("alloc") / F.col("n_tok")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep42"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(281474976710656.0)
+    )
+    docs = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("dt")
+    ).join(
+        F.broadcast(allocs.select("lang", "n_tok", "alloc")), "lang"
+    )
+    copies = F.floor(epochs).cast("long") + F.when(
+        u < (epochs - F.floor(epochs)), 1
+    ).otherwise(0)
+    per_doc = docs.select(
+        "lang", "dt", F.col("alloc"), copies.alias("copies")
+    )
     return (
-        flag.crossJoin(F.broadcast(tot))
+        per_doc.groupBy("lang", "alloc")
+        .agg(
+            F.sum("copies").cast("long").alias("realized_docs"),
+            F.sum(F.col("copies") * F.col("dt")).cast("long").alias(
+                "realized_tok"
+            ),
+        )
         .select(
             "lang",
-            "n_tok",
-            F.col("cap").alias("cap_tok"),
-            F.round(alloc, 2).alias("alloc_tok"),
-            F.round(alloc / F.col("n_tok"), 4).alias("epochs"),
-            F.col("capped").cast("int").alias("capped"),
+            "realized_docs",
+            "realized_tok",
+            F.round(F.col("alloc"), 2).alias("alloc_tok"),
+            F.round(
+                (F.col("realized_tok") - F.col("alloc")) / F.col("alloc"), 4
+            ).alias("rel_err"),
         )
         .orderBy("lang")
     )
@@ -11846,6 +11962,119 @@ def embedding_knn_graph(spark, sf):
             F.col("s").alias("sim_q"),
         )
         .orderBy("vec_id", "nb_rank")
+    )
+
+
+@q(
+    "embedding_cluster_medoids",
+    oracle="""WITH qe AS (
+                SELECT label, vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(ROUND(x / sqrt(list_sum(
+                                list_transform(CAST(embedding AS DOUBLE[]),
+                                               y -> y * y)))
+                              * 100000) AS BIGINT)) AS q
+                FROM embeddings),
+              tot AS (SELECT a.label, a.vec_id,
+                        CAST(SUM(list_inner_product(a.q, a.q)
+                                 + list_inner_product(b.q, b.q)
+                                 - 2 * list_inner_product(a.q, b.q))
+                             AS BIGINT) AS d2_sum
+                      FROM qe a JOIN qe b
+                        ON a.label = b.label AND a.vec_id <> b.vec_id
+                      GROUP BY a.label, a.vec_id)
+              SELECT label AS cluster, vec_id AS medoid_id,
+                     CAST(d2_sum AS BIGINT) AS d2_sum
+              FROM (SELECT label, vec_id, d2_sum,
+                           ROW_NUMBER() OVER (PARTITION BY label
+                                              ORDER BY d2_sum, vec_id) AS rk
+                    FROM tot)
+              WHERE rk = 1 ORDER BY cluster""",
+)
+def embedding_cluster_medoids(spark, sf):
+    """Exact medoid per cluster — the representative-selection step of
+    data pruning / herding (the member minimizing summed squared
+    distance to its cluster, ties → min id): the k-medoids answer
+    computed distributively. Third reuse of the round-7 machinery:
+    replicate_for_block_pairs spreads each cluster's pairwise distance
+    sums over (cluster, _bi, _bj) tasks (every unordered pair
+    contributes to both endpoints' partial sums in exactly one task),
+    and integer-quantized vectors make the distance totals EXACT
+    integers — ‖a−b‖² = a·a + b·b − 2a·b on round(u·1e5) BIGINTs — so
+    the argmin has no float ambiguity and the DuckDB replay
+    hash-matches. Partial sums merge in an id-sized aggregation; only
+    (cluster, id, int64) triples shuffle after the fan-out."""
+    from overseer_spark.operators.skew import (  # noqa: PLC0415
+        replicate_for_block_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    qv = F.transform(dv, lambda x: F.round(x / nrm * 100000).cast("long"))
+    qe = emb.select(F.col("label").alias("cluster"), "vec_id", qv.alias("q"))
+    rep = replicate_for_block_pairs(qe, "vec_id", 4)
+
+    def _block_d2_sums(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cluster, bi, bj = key
+        if bi == bj:
+            ids = pdf["vec_id"].to_numpy()
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            sq = (Q * Q).sum(axis=1)
+            dots = Q @ Q.T
+            # d2[i, j] summed over j != i, exact int64
+            d2 = sq[:, None] + sq[None, :] - 2 * dots
+            np.fill_diagonal(d2, 0)
+            return pd.DataFrame(
+                {
+                    "cluster": np.full(len(ids), cluster, dtype=np.int32),
+                    "vec_id": ids,
+                    "partial": d2.sum(axis=1),
+                }
+            )
+        a = pdf[pdf["_blk"] == bi]
+        b = pdf[pdf["_blk"] == bj]
+        ida, idb = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        if len(ida) == 0 or len(idb) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": np.array([], dtype=np.int32),
+                    "vec_id": np.array([], dtype=np.int64),
+                    "partial": np.array([], dtype=np.int64),
+                }
+            )
+        Qa = np.array(a["q"].tolist(), dtype=np.int64)
+        Qb = np.array(b["q"].tolist(), dtype=np.int64)
+        sqa, sqb = (Qa * Qa).sum(axis=1), (Qb * Qb).sum(axis=1)
+        d2 = sqa[:, None] + sqb[None, :] - 2 * (Qa @ Qb.T)
+        return pd.DataFrame(
+            {
+                "cluster": np.full(
+                    len(ida) + len(idb), cluster, dtype=np.int32
+                ),
+                "vec_id": np.concatenate([ida, idb]),
+                "partial": np.concatenate([d2.sum(axis=1), d2.sum(axis=0)]),
+            }
+        )
+
+    partials = rep.groupBy("cluster", "_bi", "_bj").applyInPandas(
+        _block_d2_sums, schema="cluster int, vec_id long, partial long"
+    )
+    tot = partials.groupBy("cluster", "vec_id").agg(
+        F.sum("partial").alias("d2_sum")
+    )
+    return (
+        tot.groupBy("cluster")
+        .agg(
+            F.min_by(
+                "vec_id", F.struct(F.col("d2_sum"), F.col("vec_id"))
+            ).alias("medoid_id"),
+            F.min("d2_sum").cast("long").alias("d2_sum"),
+        )
+        .orderBy("cluster")
     )
 
 

@@ -455,6 +455,7 @@ _BNLJ_OK = {
     # waterfilling totals (1-row) / English-fertility row (1-row) crossed
     # back into the |langs|-sized result
     "mixture_unimax_plan", "text_tokenizer_fertility",
+    "mixture_epoch_expansion",
     # two 1-row count aggregates crossed into the metric row
     "minhash_recall_eval",
     # two 1-row count-star aggregates + the 1-row orphan tuple crossed

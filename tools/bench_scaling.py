@@ -73,6 +73,8 @@ ENTRIES = [
     "embedding_knn_graph",
     "embedding_centroid_drift",
     "ann_lsh_index_topk",
+    "embedding_cluster_medoids",
+    "mixture_epoch_expansion",
 ]
 
 

@@ -116,7 +116,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
-        "embedding_centroid_drift",
+        "embedding_centroid_drift", "embedding_cluster_medoids",
     ],
     "Text analysis": [
         "q34_lang_stats", "text_token_count", "text_quality",
@@ -156,6 +156,7 @@ FAMILIES: dict[str, list[str]] = {
         "mixture_unimax_plan", "length_bucket_batches",
         "text_tokenizer_fertility", "semantic_doc_order",
         "chat_format_audit", "rl_rejection_sampling",
+        "mixture_epoch_expansion",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
