@@ -144,6 +144,10 @@ def build_lsh_index(
     sig = rp_signatures(corpus, F.broadcast(planes_df), id_col, vec_col)
     (
         sig.join(corpus.select(id_col, vec_col), id_col)
+        # co-locate each bucket before the write: ONE file per (table,
+        # sig) directory instead of one per (task, bucket) pair — at
+        # n_tables=8, n_planes=4 that is ~128 files vs ~4k tiny ones
+        .repartition("table", "sig")
         .write.mode("overwrite")
         .partitionBy("table", "sig")
         .parquet(f"{path}/vectors")
