@@ -58,9 +58,9 @@ def refresh_pins() -> None:
         print(f"refreshed {os.path.relpath(path, REPO)} ({len(CATALOG)} names)")
 
 
-def run_stage(name: str, argv: list[str]) -> bool:
+def run_stage(name: str, argv: list[str], env: dict[str, str] | None = None) -> bool:
     print(f"== {name} ==", flush=True)
-    rc = subprocess.call(argv, cwd=REPO)
+    rc = subprocess.call(argv, cwd=REPO, env=env)
     print(f"== {name}: {'PASS' if rc == 0 else f'FAIL rc={rc}'} ==", flush=True)
     return rc == 0
 
@@ -88,10 +88,12 @@ def main() -> None:
     ok &= run_stage(
         "scan audit (full catalog)",
         [sys.executable, os.path.join(REPO, "tools", "scan_audit.py")],
+        env=env,
     )
     ok &= run_stage(
         "collect audit (full catalog)",
         [sys.executable, os.path.join(REPO, "tools", "collect_audit.py")],
+        env=env,
     )
     if not ns.skip_parity:
         ok &= run_stage(
@@ -103,6 +105,7 @@ def main() -> None:
                 "tests/test_oracle_parity.py",
                 "-q",
             ],
+            env=env,
         )
     sys.exit(0 if ok else 1)
 
