@@ -117,6 +117,29 @@ def ivf_index_topk(
     )
 
 
+def bucket_predicate(buckets) -> "F.Column":
+    """Partition predicate selecting exactly the (table, sig) buckets.
+
+    A flat composite-key ``isin`` — NOT an OR-chain of per-bucket
+    clauses: Catalyst folds the literal list into a single ``InSet``
+    node, so the expression tree stays O(1) deep no matter how many
+    buckets a production query batch probes (10k queries × 8 tables
+    would otherwise emit tens of thousands of OR disjuncts and blow up
+    analysis/codegen). ``concat_ws`` references only the two partition
+    columns, so it still qualifies as a partition filter and the parquet
+    reader lists only the probed bucket directories (asserted in
+    tests/test_ann_index.py). Empty bucket set → ``lit(False)``: the
+    scan lists nothing and the query returns an empty frame with the
+    normal schema instead of ``filter(None)`` raising.
+    """
+    if not buckets:
+        return F.lit(False)
+    keys = [f"{t}#{s}" for t, s in buckets]
+    return F.concat_ws(
+        "#", F.col("table").cast("string"), F.col("sig").cast("string")
+    ).isin(keys)
+
+
 def build_lsh_index(
     corpus: DataFrame,
     path: str,
@@ -186,11 +209,9 @@ def lsh_index_topk(
         (r["table"], r["sig"])
         for r in qsig.select("table", "sig").distinct().collect()
     ]
-    pred = None
-    for t, s in buckets:
-        clause = (F.col("table") == t) & (F.col("sig") == s)
-        pred = clause if pred is None else (pred | clause)
-    vectors = spark.read.parquet(f"{path}/vectors").filter(pred)
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        bucket_predicate(buckets)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )

@@ -121,10 +121,7 @@ def test_lsh_index_scan_prunes_to_query_buckets(spark, emb, lsh_index_path):
     ]
     assert len(buckets) == 8  # one bucket per table
 
-    pred = None
-    for t, s in buckets:
-        clause = (F.col("table") == t) & (F.col("sig") == s)
-        pred = clause if pred is None else (pred | clause)
+    pred = AI.bucket_predicate(buckets)
     pruned = spark.read.parquet(f"{lsh_index_path}/vectors").filter(pred)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -137,3 +134,33 @@ def test_lsh_index_scan_prunes_to_query_buckets(spark, emb, lsh_index_path):
     full = spark.read.parquet(f"{lsh_index_path}/vectors")
     expected = full.filter(pred).count()
     assert 0 < pruned.count() == expected < full.count()
+
+
+def test_lsh_index_topk_empty_query_batch(spark, emb, lsh_index_path):
+    """An empty query batch must return an empty frame with the normal
+    schema (the pre-fix OR-chain left pred=None and filter(None) raised)."""
+    queries = emb.filter(F.col("vec_id") < 0)
+    out = AI.lsh_index_topk(spark, lsh_index_path, queries, k=3)
+    assert out.columns == ["query_id", "vec_id", "sim", "rank"]
+    assert out.count() == 0
+
+
+def test_bucket_predicate_stays_flat_for_large_batches(spark):
+    """A 1000-query × 8-table probe set must compile to ONE InSet node,
+    not a 8000-disjunct OR-chain — expression tree depth is O(1) in the
+    batch size, so Catalyst analysis survives production batches."""
+    buckets = [(t, s) for t in range(8) for s in range(1000)]
+    pred = AI.bucket_predicate(buckets)
+    df = spark.createDataFrame(
+        [(0, 0), (3, 500), (7, 2000)], "table int, sig int"
+    ).filter(pred)
+    # flat IN/INSET, not nested ORs
+    expr = df._jdf.queryExecution().optimizedPlan().toString()
+    assert " OR " not in expr and "||" not in expr
+    assert df.count() == 2  # (7, 2000) is outside the probed set
+
+    # and the empty probe set is a constant-false filter, not a crash
+    empty = spark.range(3).withColumn("table", F.lit(1)).withColumn(
+        "sig", F.lit(1)
+    ).filter(AI.bucket_predicate([]))
+    assert empty.count() == 0
