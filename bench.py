@@ -183,6 +183,22 @@ def main() -> None:
             }
         )
     )
+    # The driver archives only a ~2000-char TAIL of this process's output,
+    # which truncated away the leading scalar totals of the big JSON in
+    # BENCH_r06/r07. Repeat a compact totals-only line LAST so the archived
+    # artifact always keeps the headline numbers.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "r01_subset_sec": r01_subtotal,
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 

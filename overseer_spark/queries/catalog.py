@@ -11975,12 +11975,15 @@ def embedding_knn_graph(spark, sf):
                                                y -> y * y)))
                               * 100000) AS BIGINT)) AS q
                 FROM embeddings),
+              -- LEFT JOIN + COALESCE keeps singleton clusters (their only
+              -- member IS the medoid, d2_sum = 0), matching the Spark
+              -- side's (s,s) block task; an INNER join would drop them
               tot AS (SELECT a.label, a.vec_id,
-                        CAST(SUM(list_inner_product(a.q, a.q)
+                        CAST(COALESCE(SUM(list_inner_product(a.q, a.q)
                                  + list_inner_product(b.q, b.q)
-                                 - 2 * list_inner_product(a.q, b.q))
+                                 - 2 * list_inner_product(a.q, b.q)), 0)
                              AS BIGINT) AS d2_sum
-                      FROM qe a JOIN qe b
+                      FROM qe a LEFT JOIN qe b
                         ON a.label = b.label AND a.vec_id <> b.vec_id
                       GROUP BY a.label, a.vec_id)
               SELECT label AS cluster, vec_id AS medoid_id,

@@ -1115,7 +1115,11 @@ def _arrayfunc_sql_expr(op: str, p: dict) -> str:
             f"CAST(len(list_filter(w, x -> length(x) >= {p['c']})) AS BIGINT)"
         )
     if op == "agg_len":
-        return "CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)"
+        # COALESCE: Spark's fold over an empty token list returns init 0
+        return (
+            "CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)"
+            " AS BIGINT)"
+        )
     if op == "distinct_sorted":
         return "array_to_string(list_sort(list_distinct(w)), '-')"
     if op == "seq_sum":
@@ -1132,10 +1136,13 @@ def _arrayfunc_sql_expr(op: str, p: dict) -> str:
     # zip_len_sum: a slice zipped with its own reverse — guaranteed
     # equal lengths, so neither engine NULL-pads (Spark's fold would
     # NULL the whole sum; DuckDB's list_sum skips NULLs — a divergence
-    # this family deliberately keeps out of scope by construction)
+    # this family deliberately keeps out of scope by construction).
+    # COALESCE covers the EMPTY slice (doc shorter than 'a' tokens):
+    # Spark's fold returns its init 0 there, DuckDB list_sum(()) NULL.
     return (
-        f"CAST(list_sum(list_transform(list_zip({s1}, list_reverse({s1})), "
-        f"p -> length(p[1]) + length(p[2]))) AS BIGINT)"
+        f"CAST(COALESCE(list_sum(list_transform("
+        f"list_zip({s1}, list_reverse({s1})), "
+        f"p -> length(p[1]) + length(p[2]))), 0) AS BIGINT)"
     )
 
 
