@@ -11780,24 +11780,31 @@ def text_tokenizer_fertility(spark, sf):
                                                y -> y * y)))
                               * 100000) AS BIGINT)) AS q
                 FROM embeddings),
-              walk(cluster, pos, vid, q, visited) AS (
-                SELECT label, 1, vec_id, q, [vec_id]
-                FROM (SELECT label, vec_id, q,
-                             ROW_NUMBER() OVER (PARTITION BY label
+              capped AS (
+                SELECT label, vec_id, q,
+                       CAST((ROW_NUMBER() OVER (PARTITION BY label
+                                                ORDER BY vec_id) - 1)
+                            // 4096 AS INTEGER) AS sub
+                FROM qe),
+              walk(cluster, sub, pos, vid, q, visited) AS (
+                SELECT label, sub, 1, vec_id, q, [vec_id]
+                FROM (SELECT label, sub, vec_id, q,
+                             ROW_NUMBER() OVER (PARTITION BY label, sub
                                                 ORDER BY vec_id) rn
-                      FROM qe) s WHERE rn = 1
+                      FROM capped) s WHERE rn = 1
                 UNION ALL
-                SELECT w.cluster, w.pos + 1, n.vec_id, n.q,
+                SELECT w.cluster, w.sub, w.pos + 1, n.vec_id, n.q,
                        list_append(w.visited, n.vec_id)
                 FROM walk w, LATERAL (
                    SELECT e.vec_id, e.q
-                   FROM qe e
-                   WHERE e.label = w.cluster
+                   FROM capped e
+                   WHERE e.label = w.cluster AND e.sub = w.sub
                      AND NOT list_contains(w.visited, e.vec_id)
                    ORDER BY list_inner_product(w.q, e.q) DESC, e.vec_id
                    LIMIT 1) n
               )
-              SELECT cluster, CAST(pos AS BIGINT) AS pos, vid AS vec_id
+              SELECT cluster, CAST(sub * 4096 + pos AS BIGINT) AS pos,
+                     vid AS vec_id
               FROM walk ORDER BY cluster, pos""",
 )
 def semantic_doc_order(spark, sf):
@@ -11812,11 +11819,20 @@ def semantic_doc_order(spark, sf):
     round(u·1e5) BIGINTs JVM-side, and the chain compares exact integer
     dot products (< 2^53) — no float argmax ambiguity anywhere, so the
     DuckDB recursive-CTE replay hash-matches. Scale shape: the
-    quantization is one codegen'd projection; each cluster's chain is
-    one applyInPandas group (an inherently sequential walk — the
-    published method's shape) with O(c²·d) integer work bounded by
-    cluster size, clusters partition the corpus, and k grows with the
-    corpus exactly as in semantic_dedup_clustered."""
+    quantization is one codegen'd projection; each chain group is one
+    applyInPandas task (an inherently sequential walk — the published
+    method's shape) with O(c²·d) integer work, and a HARD CAP bounds c:
+    clusters above ``cap`` docs split into deterministic vec_id-rank
+    blocks of ``cap``, each block chains greedily, and the blocks
+    splice in rank order (pos = sub·cap + pos-within-block) — so one
+    mega-cluster at 100 TB becomes ⌈c/cap⌉ bounded tasks instead of one
+    stage-stalling O(c²) walk. The sub-split is pure rank arithmetic,
+    so the DuckDB recursive CTE replays it exactly; at the fixture
+    scales every cluster fits one block and the cap is a no-op."""
+    return _semantic_doc_order(spark, sf, cap=4096)
+
+
+def _semantic_doc_order(spark, sf, cap: int):
     emb = _t(spark, sf, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(
@@ -11825,6 +11841,11 @@ def semantic_doc_order(spark, sf):
     qv = F.transform(dv, lambda x: F.round(x / nrm * 100000).cast("long"))
     qe = emb.select(
         F.col("label").alias("cluster"), "vec_id", qv.alias("q")
+    )
+    rank_w = Window.partitionBy("cluster").orderBy("vec_id")
+    qe = qe.withColumn(
+        "sub",
+        F.floor((F.row_number().over(rank_w) - 1) / F.lit(cap)).cast("int"),
     )
 
     def _chain(key, pdf):
@@ -11851,14 +11872,22 @@ def semantic_doc_order(spark, sf):
         return pd.DataFrame(
             {
                 "cluster": np.full(m, key[0], dtype=np.int32),
+                "sub": np.full(m, key[1], dtype=np.int32),
                 "pos": np.arange(1, m + 1, dtype=np.int64),
                 "vec_id": np.array(out, dtype=np.int64),
             }
         )
 
     return (
-        qe.groupBy("cluster")
-        .applyInPandas(_chain, schema="cluster int, pos long, vec_id long")
+        qe.groupBy("cluster", "sub")
+        .applyInPandas(
+            _chain, schema="cluster int, sub int, pos long, vec_id long"
+        )
+        .select(
+            "cluster",
+            (F.col("sub").cast("long") * cap + F.col("pos")).alias("pos"),
+            "vec_id",
+        )
         .orderBy("cluster", "pos")
     )
 
