@@ -111,6 +111,62 @@ def replicate_for_block_pairs(
     )
 
 
+def salted_wedges(
+    oe: DataFrame, hot_threshold: int = 4096, salt_buckets: int = 8
+) -> DataFrame:
+    """Wedge enumeration over oriented edges ``(x, hi)`` with hot-apex
+    salting — the triangle-count lever the low-degree orientation leaves
+    on the table.
+
+    Emits one row per unordered out-edge pair of each apex, ordered as
+    ``(x, h1, h2)`` with ``h1 < h2`` (the (deg, id) rank-struct order the
+    closing-edge join needs). Orientation bounds out-degree at O(√m), but
+    the whole d²/2 pairing of a max-degree apex still lands on ONE
+    reducer of the wedge self-join; apexes with out-degree above
+    ``hot_threshold`` therefore route through
+    :func:`replicate_for_block_pairs` — their pairs spread over
+    S(S+1)/2 (x, _bi, _bj) tasks with exactly-once pair coverage (block
+    membership picks one side of each cross-block pair; hi-order dedups
+    same-block pairs). The hot-apex set is collected nowhere: it splits
+    the edge stream with broadcast semi/anti joins (it is tiny by
+    construction — only apexes already past the √m bound)."""
+    odeg = oe.groupBy("x").agg(F.count(F.lit(1)).alias("_od"))
+    hot_keys = odeg.filter(F.col("_od") > hot_threshold).select("x")
+    cold_e = oe.join(F.broadcast(hot_keys), "x", "left_anti")
+    hot_e = oe.join(F.broadcast(hot_keys), "x", "semi")
+
+    w1, w2 = cold_e.alias("w1"), cold_e.alias("w2")
+    cold = w1.join(
+        w2, (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.hi") < F.col("w2.hi"))
+    ).select(
+        F.col("w1.x").alias("x"),
+        F.col("w1.hi").alias("h1"),
+        F.col("w2.hi").alias("h2"),
+    )
+
+    rep = replicate_for_block_pairs(hot_e, "hi.n", salt_buckets)
+    lhs = rep.filter(F.col("_blk") == F.col("_bi")).alias("s1")
+    rhs = rep.filter(F.col("_blk") == F.col("_bj")).alias("s2")
+    hot = (
+        lhs.join(
+            rhs,
+            (F.col("s1.x") == F.col("s2.x"))
+            & (F.col("s1._bi") == F.col("s2._bi"))
+            & (F.col("s1._bj") == F.col("s2._bj"))
+            & (
+                (F.col("s1._bi") != F.col("s1._bj"))
+                | (F.col("s1.hi") < F.col("s2.hi"))
+            ),
+        )
+        .select(
+            F.col("s1.x").alias("x"),
+            F.least(F.col("s1.hi"), F.col("s2.hi")).alias("h1"),
+            F.greatest(F.col("s1.hi"), F.col("s2.hi")).alias("h2"),
+        )
+    )
+    return cold.unionByName(hot)
+
+
 def key_skew_factor(df: DataFrame, key: str) -> float:
     """Hottest key's row count as a multiple of the mean key size — the
     ``skew_x`` metric of the ``q_join_key_skew_profile`` diagnostic

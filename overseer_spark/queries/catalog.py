@@ -7739,9 +7739,13 @@ def graph_triangle_count(spark, sf):
     vertex with degree d contribute d² wedges. Same count, identical
     oracle hash (the oracle keeps the straightforward 3-way join). The
     min-support filter still prunes the per-order pair blowup before the
-    edge shuffle; rank ties break by id so the order is total. Remaining
-    100 TB lever: salt the few max-degree apexes if the √m bound still
-    concentrates (operators/skew.py)."""
+    edge shuffle; rank ties break by id so the order is total. The last
+    100 TB lever is now in: wedge pairing routes max-degree apexes
+    (out-degree > 4096 under the orientation — already past the √m
+    bound) through salted block-pair tasks (operators/skew.py:
+    salted_wedges), so no single reducer ever owns a hub's d²/2 pairs;
+    exactly-once pair coverage is property-tested in tests/test_skew.py."""
+    from overseer_spark.operators.skew import salted_wedges  # noqa: PLC0415
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
@@ -7784,15 +7788,12 @@ def graph_triangle_count(spark, sf):
             .alias("hi"),
         )
     )
-    w1, w2 = oe.alias("w1"), oe.alias("w2")
-    wedge = w1.join(
-        w2, (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.hi") < F.col("w2.hi"))
-    )
+    wedge = salted_wedges(oe, hot_threshold=4096, salt_buckets=8)
     # closing edge is oriented low-rank head → high-rank head by construction
     tri = wedge.join(
         oe.alias("e3"),
-        (F.col("e3.x") == F.col("w1.hi.n"))
-        & (F.col("e3.hi.n") == F.col("w2.hi.n")),
+        (F.col("e3.x") == F.col("h1.n"))
+        & (F.col("e3.hi.n") == F.col("h2.n")),
     )
     # |oriented edges| == |edges| — counting oe avoids a fourth branch
     # over the edges cache

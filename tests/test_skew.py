@@ -98,3 +98,41 @@ def test_replicate_for_block_pairs_exact_once_coverage(spark, S):
     # nothing — row multiplicity in the exploded frame is what matters)
     diag = [r for r in rep if r["_bi"] == r["_bj"] == r["_blk"]]
     assert len(diag) == 300
+
+
+@pytest.mark.parametrize("hot_threshold,s", [(3, 4), (0, 3), (10_000, 2)])
+def test_salted_wedges_matches_plain_self_join(spark, hot_threshold, s):
+    """Every unordered out-edge pair of every apex appears EXACTLY once,
+    whichever side of the hot split the apex lands on — hot apexes via
+    block-pair tasks, cold via the plain self-join (threshold 10_000
+    forces all-cold; 0 forces all-hot)."""
+    from overseer_spark.operators.skew import salted_wedges
+
+    # apex 1 is hot (7 out-edges), apexes 2/3 are cold (2 and 1)
+    edges = [(1, d, h) for d, h in [(9, 10), (9, 11), (8, 12), (7, 13),
+                                     (7, 14), (6, 15), (5, 16)]]
+    edges += [(2, d, h) for d, h in [(4, 20), (3, 21)]]
+    edges += [(3, 2, 30)]
+    oe = spark.createDataFrame(
+        [(x, {"d": d, "n": n}) for x, d, n in edges],
+        "x long, hi struct<d: long, n: long>",
+    )
+    got = sorted(
+        (r["x"], tuple(r["h1"]), tuple(r["h2"]))
+        for r in salted_wedges(
+            oe, hot_threshold=hot_threshold, salt_buckets=s
+        ).collect()
+    )
+    w1, w2 = oe.alias("w1"), oe.alias("w2")
+    plain = w1.join(
+        w2, (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.hi") < F.col("w2.hi"))
+    ).select(
+        F.col("w1.x").alias("x"),
+        F.col("w1.hi").alias("h1"),
+        F.col("w2.hi").alias("h2"),
+    )
+    want = sorted(
+        (r["x"], tuple(r["h1"]), tuple(r["h2"])) for r in plain.collect()
+    )
+    assert got == want
+    assert len(got) == 7 * 6 // 2 + 1 + 0  # C(7,2) + C(2,2->1 pair) + none
