@@ -8,7 +8,7 @@ All built-in-function Spark; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.textfns import char_ngrams, tokens
@@ -1032,4 +1032,90 @@ def chat_audit(docs: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("clean"),
+    )
+
+
+def split_paragraphs(text_col) -> Column:
+    """Real paragraph boundaries: split on blank lines (2+ newlines) and
+    trim — RE2-safe regex so a DuckDB ``regexp_split_to_array(text,
+    '\\n{2,}')`` oracle replays it exactly. Returns the array column;
+    explode + filter empties downstream."""
+    return F.transform(
+        F.split(text_col, r"\n{2,}"), lambda p: F.trim(p)
+    )
+
+
+def split_sentences(text_col) -> Column:
+    """Sentence boundaries: split AFTER terminal punctuation. RE2 has no
+    lookbehind, so the engine-portable form first marks boundaries with a
+    sentinel (replace '<punct><spaces>' with '<punct>\\x1f') then splits
+    on the sentinel — DuckDB replays via the same two regexp calls."""
+    marked = F.regexp_replace(text_col, r"([.!?])\s+", "$1\x1f")
+    return F.transform(F.split(marked, "\x1f"), lambda s: F.trim(s))
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    boundary: str = "chunks",
+    chunk_tokens: int = 8,
+    min_chars: int = 20,
+) -> DataFrame:
+    """Paragraph-level duplication profile per source (the
+    text_paragraph_dedup_stats catalog entry, factored so both boundary
+    modes share one pipeline):
+
+    - ``boundary="chunks"``: non-overlapping ``chunk_tokens``-token
+      windows — the proxy the DRIVER fixtures need (their text carries no
+      punctuation) and the hash-input bound at 100 TB.
+    - ``boundary="paragraphs"``: REAL blank-line boundaries
+      (split_paragraphs) — the semantics the operator exists for, used on
+      corpora that have them (the punctuated 10x fixture; real crawls).
+
+    Plan is identical in both modes: one scan → boundary-explode →
+    (md5, source) partial-agg → hash-partitioned window → source rollup;
+    16-byte hashes shuffle, text never does."""
+    if boundary == "paragraphs":
+        pieces = split_paragraphs(F.col("text"))
+    elif boundary == "chunks":
+        w = F.split(F.col("text"), " ")
+        pieces = F.transform(
+            F.sequence(
+                F.lit(1).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.size(w) / F.lit(float(chunk_tokens))),
+                ),
+            ),
+            lambda i: F.array_join(
+                F.slice(
+                    w, ((i - 1) * chunk_tokens + 1).cast("int"),
+                    F.lit(chunk_tokens),
+                ),
+                " ",
+            ),
+        )
+    else:
+        raise ValueError(f"unknown boundary mode: {boundary!r}")
+    para = (
+        docs.select("source", F.explode(pieces).alias("p"))
+        .where(F.length("p") > min_chars)
+        .select("source", F.md5("p").alias("h"))
+    )
+    g = para.groupBy("h", "source").agg(F.count(F.lit(1)).alias("n"))
+    w2 = g.select(
+        "h", "source", "n",
+        F.sum("n").over(Window.partitionBy("h")).alias("total"),
+    )
+    rep = F.sum(F.when(F.col("total") >= 2, F.col("n")).otherwise(0))
+    return (
+        w2.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_paras"),
+            rep.cast("long").alias("n_repeated"),
+            F.round(rep.cast("double") / F.sum("n"), 4).alias("dup_ratio"),
+            F.countDistinct(F.when(F.col("total") >= 2, F.col("h")))
+            .cast("long")
+            .alias("distinct_repeated"),
+        )
+        .orderBy("source")
     )

@@ -12464,44 +12464,18 @@ def text_paragraph_dedup_stats(spark, sf):
     source) partial-agg (the explode collapses map-side) →
     hash-partitioned window → source rollup; 16-byte hashes shuffle,
     text never does. At 100 TB this is the boilerplate-detection pass
-    CCNet/RefinedWeb run before model-based filtering."""
-    d = _t(spark, sf, "documents")
-    chunks = F.transform(
-        F.sequence(
-            F.lit(1).cast("long"),
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.size(F.col("w")) / F.lit(8.0)),
-            ),
-        ),
-        lambda i: F.array_join(
-            F.slice(F.col("w"), ((i - 1) * 8 + 1).cast("int"), F.lit(8)), " "
-        ),
+    CCNet/RefinedWeb run before model-based filtering. The REAL
+    blank-line-boundary mode (operators/text.py paragraph_dedup_stats,
+    boundary='paragraphs') shares this exact pipeline and is
+    oracle-parity-tested on a punctuated fixture in
+    tests/test_paragraph_boundaries.py — the driver fixture's text
+    carries no punctuation, so this entry keeps the chunk proxy."""
+    from overseer_spark.operators.text import (  # noqa: PLC0415
+        paragraph_dedup_stats,
     )
-    para = (
-        d.select("source", F.split("text", " ").alias("w"))
-        .select("source", F.explode(chunks).alias("p"))
-        .where(F.length("p") > 20)
-        .select("source", F.md5("p").alias("h"))
-    )
-    g = para.groupBy("h", "source").agg(F.count(F.lit(1)).alias("n"))
-    w = g.select(
-        "h", "source", "n", F.sum("n").over(Window.partitionBy("h")).alias("total")
-    )
-    rep = F.sum(F.when(F.col("total") >= 2, F.col("n")).otherwise(0))
-    return (
-        w.groupBy("source")
-        .agg(
-            F.sum("n").cast("long").alias("n_paras"),
-            rep.cast("long").alias("n_repeated"),
-            F.round(
-                rep.cast("double") / F.sum("n"), 4
-            ).alias("dup_ratio"),
-            F.countDistinct(
-                F.when(F.col("total") >= 2, F.col("h"))
-            ).cast("long").alias("distinct_repeated"),
-        )
-        .orderBy("source")
+
+    return paragraph_dedup_stats(
+        _t(spark, sf, "documents"), boundary="chunks"
     )
 
 

@@ -32,6 +32,28 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
+def _punctuate(words: list[str], rng: np.random.Generator) -> str:
+    """Assemble words into sentences (6-14 words, '.'-terminated) grouped
+    into paragraphs (2-5 sentences) separated by ' \\n\\n ' — real
+    boundary structure so paragraph/sentence-granularity operators have
+    something to split on. The space-padded separator keeps single-space
+    tokenization clean in both engines (the separator becomes its own
+    token instead of fusing adjacent words)."""
+    paras = []
+    i = 0
+    while i < len(words):
+        sents = []
+        for _ in range(int(rng.integers(2, 6))):
+            if i >= len(words):
+                break
+            sl = int(rng.integers(6, 15))
+            sents.append(" ".join(words[i : i + sl]) + ".")
+            i += sl
+        if sents:
+            paras.append(" ".join(sents))
+    return " \n\n ".join(paras)
+
+
 def gen_documents(out_dir: str, mult: int, rng: np.random.Generator) -> None:
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     texts = t.column("text").to_pylist()
@@ -46,27 +68,48 @@ def gen_documents(out_dir: str, mult: int, rng: np.random.Generator) -> None:
     vocab_p = np.array(list(vocab_counts.values()), dtype=np.float64)
     vocab_p /= vocab_p.sum()
 
+    # fixed boilerplate paragraphs (crawl header/footer population): the
+    # corpus-wide repeated-paragraph signal paragraph-dedup needs — each
+    # appears on ~12% of docs verbatim, like real site chrome
+    boiler = [
+        " ".join(str(w) for w in rng.choice(vocab, size=int(rng.integers(8, 16)), p=vocab_p)) + "."
+        for _ in range(20)
+    ]
+
     n_out = n_src * mult
     out_text, out_lang, out_source = [], [], []
     for i in range(n_out):
         if out_text and rng.random() < 0.03:
-            # explicit near-duplicate of an earlier generated doc (5% mutated)
+            # explicit near-duplicate of an earlier generated doc (5%
+            # mutated) — STRUCTURE-PRESERVING: mutate tokens inside the
+            # existing sentence/paragraph frame so the pair still shares
+            # most paragraphs byte-identically
             j = int(rng.integers(0, len(out_text)))
-            words = out_text[j].split()
+            toks = out_text[j].split(" ")
             base_lang, base_source = out_lang[j], out_source[j]
-            mut_rate = 0.05
+            mut_idx = [k for k, w in enumerate(toks) if w not in ("", "\n\n")]
+            n_mut = max(1, int(len(mut_idx) * 0.05))
+            pick = rng.integers(0, len(mut_idx), size=n_mut)
+            repl = rng.choice(vocab, size=n_mut, p=vocab_p)
+            for k, w in zip(pick, repl):
+                pos = mut_idx[int(k)]
+                dot = "." if toks[pos].endswith(".") else ""
+                toks[pos] = str(w) + dot
+            s = " ".join(toks)
         else:
             j = int(rng.integers(0, n_src))
-            words = texts[j].split()
+            words = list(texts[j].split())
             base_lang, base_source = langs[j], sources[j]
-            mut_rate = 0.15
-        words = list(words)
-        n_mut = max(1, int(len(words) * mut_rate))
-        idx = rng.integers(0, len(words), size=n_mut)
-        repl = rng.choice(vocab, size=n_mut, p=vocab_p)
-        for k, w in zip(idx, repl):
-            words[int(k)] = str(w)
-        s = " ".join(words)
+            n_mut = max(1, int(len(words) * 0.15))
+            idx = rng.integers(0, len(words), size=n_mut)
+            repl = rng.choice(vocab, size=n_mut, p=vocab_p)
+            for k, w in zip(idx, repl):
+                words[int(k)] = str(w)
+            s = _punctuate(words, rng)
+            r = rng.random()
+            if r < 0.12:  # planted verbatim boilerplate paragraph
+                b = boiler[int(rng.integers(0, len(boiler)))]
+                s = (b + " \n\n " + s) if rng.random() < 0.5 else (s + " \n\n " + b)
         out_text.append(s)
         out_lang.append(base_lang)
         out_source.append(base_source)
