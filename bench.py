@@ -112,6 +112,19 @@ HEADLINE = [
     "embedding_centroid_drift",
     "embedding_cluster_medoids",
     "mixture_epoch_expansion",
+    # round-8: training-pipeline accounting — temperature mixing, KV-prefix
+    # cache audit, novelty, threshold sweep, packing efficiency, loss
+    # masking, per-source quality gate, hybrid retrieval agreement,
+    # curriculum phases
+    "mixture_temperature_weights",
+    "prefix_cache_groups",
+    "text_ngram_novelty",
+    "quality_threshold_sweep",
+    "packing_efficiency_sweep",
+    "chat_loss_masking_stats",
+    "quality_gate_by_source",
+    "curriculum_phase_plan",
+    "hybrid_retrieval_overlap",
 ]
 
 

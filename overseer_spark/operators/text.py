@@ -948,20 +948,12 @@ def markdown_extract(
     )
 
 
-def chat_audit(docs: DataFrame) -> DataFrame:
-    """Chat-format QA rollup shared by the batch and streaming entries
-    (catalog: chat_format_audit / stream_chat_format_audit) — one
-    definition, both engines, per the repo's batch/stream parity
-    contract. Conversations are synthesized deterministically from the
-    document tokens (8-token turn chunks; planted defects: doc_id%7
-    breaks role alternation, doc_id%11 empties a turn, odd turn counts
-    end on 'user') and audited with array higher-order functions over
-    the CONSTRUCTED arrays. Returns per-source violation counts.
-
-    Engine-portability note (found by the arrayfunc fuzz family's
-    motivating bug): Spark ``sequence(2, n)`` with n=1 yields the
-    DESCENDING [2, 1], so the adjacency scan is guarded on n >= 2.
-    """
+def chat_build(docs: DataFrame) -> DataFrame:
+    """Deterministic conversation synthesis shared by chat_audit and
+    chat_loss_masking (and their oracles): 8-token turn chunks with
+    planted defects — doc_id%7 breaks role alternation, doc_id%11
+    empties a turn, odd turn counts (every other doc) end on 'user'.
+    Returns (doc_id, source, n, roles, contents)."""
     n = F.least(
         F.lit(4) + F.col("doc_id") % 2,
         F.greatest(
@@ -993,10 +985,25 @@ def chat_audit(docs: DataFrame) -> DataFrame:
             )
         ),
     )
-    built = conv.select(
+    return conv.select(
         "doc_id", "source", "n", roles.alias("roles"),
         contents.alias("contents"),
     )
+
+
+def chat_audit(docs: DataFrame) -> DataFrame:
+    """Chat-format QA rollup shared by the batch and streaming entries
+    (catalog: chat_format_audit / stream_chat_format_audit) — one
+    definition, both engines, per the repo's batch/stream parity
+    contract. Conversations come from :func:`chat_build` and are audited
+    with array higher-order functions over the CONSTRUCTED arrays.
+    Returns per-source violation counts.
+
+    Engine-portability note (found by the arrayfunc fuzz family's
+    motivating bug): Spark ``sequence(2, n)`` with n=1 yields the
+    DESCENDING [2, 1], so the adjacency scan is guarded on n >= 2.
+    """
+    built = chat_build(docs)
     v_alt = (
         F.when(
             F.col("n") >= 2,
@@ -1118,4 +1125,85 @@ def paragraph_dedup_stats(
             .alias("distinct_repeated"),
         )
         .orderBy("source")
+    )
+
+
+def chat_loss_masking(docs: DataFrame) -> DataFrame:
+    """Loss-masking accounting over the synthesized conversations
+    (:func:`chat_build`): in SFT, user turns are masked out of the loss
+    and only assistant-turn tokens train — so the per-source fraction of
+    TRAINABLE tokens is the number that decides whether a chat corpus is
+    worth its storage. Per source: conversations, trainable (assistant)
+    tokens, masked (user) tokens, trainable fraction (4dp), and
+    conversations with ZERO trainable tokens (pure-user degenerates an
+    ingest should drop). Token counts are exact slice sizes — BIGINT all
+    the way to the final division. One scan, array HOFs in codegen, one
+    partial-agg'd rollup: conversation bodies never shuffle."""
+    built = chat_build(docs)
+    turn_tok = lambda i: F.when(  # noqa: E731
+        F.element_at("contents", i.cast("int")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.element_at("contents", i.cast("int")), " ")))
+    role_sum = lambda role: F.aggregate(  # noqa: E731
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.element_at("roles", i.cast("int")) == role,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + turn_tok(i),
+    )
+    per_conv = built.select(
+        "source",
+        role_sum("assistant").alias("trainable"),
+        role_sum("user").alias("masked"),
+    )
+    return per_conv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("trainable").cast("long").alias("trainable_tok"),
+        F.sum("masked").cast("long").alias("masked_tok"),
+        F.round(
+            F.sum("trainable").cast("double")
+            / (F.sum("trainable") + F.sum("masked")),
+            4,
+        ).alias("trainable_frac"),
+        F.sum(F.when(F.col("trainable") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_trainable_convs"),
+    )
+
+
+def quality_gate_counts(docs: DataFrame) -> DataFrame:
+    """Per-source quality pass rate — the ingest QA rollup, shared by the
+    batch and streaming catalog entries (batch/stream parity contract,
+    like chat_audit). Streaming-safe by construction: pure per-row
+    expressions + one aggregation, no repartition/window, so the same
+    definition runs under readStream in complete mode. Gate: the
+    composite quality score (quality_score's closed form) >= 0.97
+    (the fixture scores sit in [0.89, 1.0], so 0.97 actually splits)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    q = F.round(
+        F.when((n >= 5) & (distinct_ratio > 0.2), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        * (F.lit(1.0) - n_stop / n * F.lit(0.5)),
+        4,
+    )
+    return (
+        docs.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("q") >= 0.97, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.round(
+                F.sum(F.when(F.col("q") >= 0.97, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pass_frac"),
+        )
     )

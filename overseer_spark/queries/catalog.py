@@ -14513,3 +14513,636 @@ def stream_blocklist_counts(spark, sf):
     finally:
         query.stop()
     return spark.table(name).orderBy("pattern")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: training-pipeline accounting operators — temperature mixing,
+# KV-prefix cache audit, n-gram novelty, quality-threshold sweep, packing
+# efficiency, SFT loss masking, streaming quality gate, hybrid retrieval
+# agreement, curriculum phases
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mixture_temperature_weights",
+    oracle="""WITH s AS (SELECT lang,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+                  FROM documents GROUP BY lang),
+              w AS (SELECT lang, n_tok,
+                           CAST(FLOOR(sqrt(CAST(n_tok AS DOUBLE)) * 1000000)
+                                AS BIGINT) AS q
+                    FROM s),
+              t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+                           CAST(SUM(q) AS BIGINT) AS tot_q FROM w)
+              SELECT lang, n_tok,
+                     ROUND(CAST(n_tok AS DOUBLE) / tot_tok, 6) AS p_raw,
+                     ROUND(CAST(q AS DOUBLE) / tot_q, 6) AS p_temp,
+                     ROUND((CAST(q AS DOUBLE) / tot_q)
+                           / (CAST(n_tok AS DOUBLE) / tot_tok), 4) AS boost
+              FROM w, t ORDER BY lang""",
+)
+def mixture_temperature_weights(spark, sf):
+    """Temperature-scaled language sampling (the multilingual mixing rule
+    of XLM-R/mT5, Conneau et al. 2020: p_l ∝ p_raw^(1/T)) at T=2 —
+    sqrt is IEEE-correctly-rounded in BOTH engines, so unlike an
+    arbitrary pow the temperature reweight is bit-deterministic
+    cross-engine. The sqrt is quantized to a BIGINT (floor(√n·10⁶))
+    before normalization, so sums stay exact integers until the final
+    divisions (the repo's BIGINT-until-division oracle rule). Output:
+    raw token share, temperature share, and the low-resource boost
+    factor per language. One token-count scan (|langs|-sized state);
+    the totals row broadcasts."""
+    d = _t(spark, sf, "documents")
+    s = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
+    )
+    w = s.select(
+        "lang",
+        "n_tok",
+        F.floor(F.sqrt(F.col("n_tok").cast("double")) * 1000000)
+        .cast("long")
+        .alias("q"),
+    )
+    tot = w.agg(
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        F.sum("q").cast("long").alias("tot_q"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tok",
+            F.round(F.col("n_tok").cast("double") / F.col("tot_tok"), 6).alias(
+                "p_raw"
+            ),
+            F.round(F.col("q").cast("double") / F.col("tot_q"), 6).alias(
+                "p_temp"
+            ),
+            F.round(
+                (F.col("q").cast("double") / F.col("tot_q"))
+                / (F.col("n_tok").cast("double") / F.col("tot_tok")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "prefix_cache_groups",
+    oracle="""WITH p AS (SELECT doc_id, source,
+                     md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+                       AS h
+                  FROM documents),
+              w AS (SELECT doc_id, source, h,
+                           COUNT(*) OVER (PARTITION BY h) AS total,
+                           ROW_NUMBER() OVER (PARTITION BY h
+                                              ORDER BY doc_id) AS rk
+                    FROM p)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN total >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS shared_docs,
+                     CAST(SUM(CASE WHEN total >= 2 AND rk >= 2 THEN 8
+                              ELSE 0 END) AS BIGINT) AS cache_hit_tokens,
+                     ROUND(CAST(SUM(CASE WHEN total >= 2 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / COUNT(*), 4) AS shared_frac
+              FROM w GROUP BY source ORDER BY source""",
+)
+def prefix_cache_groups(spark, sf):
+    """KV-cache prefix audit — how much of the corpus shares a leading
+    8-token prefix (shared system prompts / boilerplate headers), i.e.
+    the tokens an inference or training stack with prefix caching never
+    recomputes. Docs group by md5(first-8-tokens); a group of k docs
+    caches 8·(k−1) tokens (the deterministic 'first' doc by id pays the
+    fill). Per source: docs, docs in shared groups, cacheable tokens,
+    shared fraction. Plan: one scan → 16-byte prefix hashes shuffle
+    (never text) → hash-partitioned window → source rollup — the
+    paragraph-dedup shape at prefix granularity."""
+    d = _t(spark, sf, "documents")
+    pref = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
+    p = d.select("doc_id", "source", pref.alias("h"))
+    wt = Window.partitionBy("h")
+    wr = Window.partitionBy("h").orderBy("doc_id")
+    r = p.select(
+        "source",
+        F.count(F.lit(1)).over(wt).alias("total"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    shared = F.sum(F.when(F.col("total") >= 2, 1).otherwise(0))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            shared.cast("long").alias("shared_docs"),
+            F.sum(
+                F.when((F.col("total") >= 2) & (F.col("rk") >= 2), 8).otherwise(0)
+            )
+            .cast("long")
+            .alias("cache_hit_tokens"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 4).alias(
+                "shared_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "text_ngram_novelty",
+    oracle="""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                           FROM documents),
+              sh AS (SELECT doc_id, source, unnest(
+                       CASE WHEN len(w) >= 3 THEN list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> list_aggregate(w[i:i+2], 'string_agg', ' '))
+                       ELSE [] END) AS g
+                     FROM tok),
+              head AS (SELECT g FROM (
+                         SELECT g, COUNT(*) AS c FROM sh GROUP BY g
+                         ORDER BY c DESC, g LIMIT 1000)),
+              m AS (SELECT sh.source,
+                           CASE WHEN head.g IS NULL THEN 0 ELSE 1 END AS hit
+                    FROM sh LEFT JOIN head ON sh.g = head.g)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(hit) AS BIGINT) AS head_hits,
+                     ROUND(1.0 - CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4)
+                       AS novelty
+              FROM m GROUP BY source ORDER BY source""",
+)
+def text_ngram_novelty(spark, sf):
+    """N-gram novelty per source: the fraction of a source's word
+    trigrams NOT in the corpus's 1000 most frequent trigrams — high
+    novelty flags fresh long-tail content, low novelty flags boilerplate
+    or template farms (the memorization-risk proxy corpus audits use).
+    Head set is rank-deterministic (count desc, gram asc) and TINY —
+    it broadcasts, so scoring is one explode + map-side hash probe; the
+    head build is the only shuffle (gram partial-agg). Exact integer
+    hit counts until the final division."""
+    from overseer_spark.functions.textfns import shingles, tokens  # noqa: PLC0415
+
+    d = _t(spark, sf, "documents")
+    grams = d.select(
+        "source",
+        F.explode(shingles(tokens("text"), k=3, distinct=False)).alias("g"),
+    )
+    head = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.col("g"))
+        .limit(1000)
+        .select("g", F.lit(1).alias("hit"))
+    )
+    m = grams.join(F.broadcast(head), "g", "left").select(
+        "source", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("hit").cast("long").alias("head_hits"),
+            F.round(
+                F.lit(1.0) - F.sum("hit").cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_CTE = f"""tok AS (SELECT doc_id, source, text,
+                     string_split(text, ' ') AS w FROM documents),
+              f AS (SELECT doc_id, source, len(w) AS n,
+                      len(list_filter(w, x -> list_contains({TX.STOPWORDS!r}, x))) AS n_stop,
+                      len(list_distinct(w)) AS n_distinct
+                    FROM tok),
+              qd AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n,
+                       ROUND(CASE WHEN n >= 5 AND n_distinct / n > 0.2
+                                  THEN 1.0 ELSE 0.0 END
+                             * (1.0 - n_stop / n * 0.5), 4) AS quality
+                     FROM f)"""
+
+
+@q(
+    "quality_threshold_sweep",
+    oracle=f"""WITH {_QUALITY_CTE},
+              sw AS (SELECT quality, n, t.threshold
+                     FROM qd CROSS JOIN (SELECT CAST(unnest([0.9, 0.95, 0.97, 0.99])
+                                              AS DOUBLE) AS threshold) t)
+              SELECT threshold,
+                     CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)
+                          AS BIGINT) AS docs_kept,
+                     CAST(SUM(CASE WHEN quality >= threshold THEN n ELSE 0 END)
+                          AS BIGINT) AS tokens_kept,
+                     ROUND(CAST(SUM(CASE WHEN quality >= threshold
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*), 4) AS docs_frac,
+                     ROUND(CAST(SUM(CASE WHEN quality >= threshold
+                                         THEN n ELSE 0 END) AS DOUBLE)
+                           / SUM(n), 4) AS tokens_frac
+              FROM sw GROUP BY threshold ORDER BY threshold""",
+)
+def quality_threshold_sweep(spark, sf):
+    """Quality-threshold sweep — the filter-tuning curve every corpus
+    curation run plots before committing to a cut: for each candidate
+    threshold, documents and TOKENS kept (they diverge when quality
+    correlates with length). The composite score is text_quality's
+    closed form rounded to 4dp, so the >= comparisons are deterministic
+    cross-engine. ONE corpus scan: the per-doc (quality, n) pairs are
+    dimension-light and the 4-threshold explode multiplies rows AFTER
+    the text is reduced to two numbers — sweep cost is O(thresholds ×
+    docs) integers, not re-scans."""
+    qs = TX.quality_score(_t(spark, sf, "documents")).select(
+        "n_tokens", "quality"
+    )
+    sw = qs.select(
+        "n_tokens",
+        "quality",
+        F.explode(
+            F.array(*[F.lit(x) for x in (0.9, 0.95, 0.97, 0.99)])
+        ).alias("threshold"),
+    )
+    kept = F.sum(F.when(F.col("quality") >= F.col("threshold"), 1).otherwise(0))
+    tok_kept = F.sum(
+        F.when(F.col("quality") >= F.col("threshold"), F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        sw.groupBy("threshold")
+        .agg(
+            kept.cast("long").alias("docs_kept"),
+            tok_kept.cast("long").alias("tokens_kept"),
+            F.round(kept.cast("double") / F.count(F.lit(1)), 4).alias(
+                "docs_frac"
+            ),
+            F.round(tok_kept.cast("double") / F.sum("n_tokens"), 4).alias(
+                "tokens_frac"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+@q(
+    "packing_efficiency_sweep",
+    oracle="""WITH tok AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                                    AS n FROM documents),
+              agg AS (SELECT max_len,
+                        CAST(SUM(CAST(CEIL(n * 1.0 / max_len) AS BIGINT))
+                             AS BIGINT) AS naive_seqs,
+                        CAST(SUM(n) AS BIGINT) AS total_tok
+                      FROM tok CROSS JOIN (SELECT unnest([32, 64, 128, 256])
+                                           AS max_len) l
+                      GROUP BY max_len)
+              SELECT CAST(max_len AS BIGINT) AS max_len, total_tok, naive_seqs,
+                     CAST(CEIL(total_tok * 1.0 / max_len) AS BIGINT)
+                       AS packed_lower_bound,
+                     CAST(naive_seqs * max_len - total_tok AS BIGINT)
+                       AS padding_tokens,
+                     ROUND(CAST(total_tok AS DOUBLE) / (naive_seqs * max_len),
+                           4) AS efficiency
+              FROM agg ORDER BY max_len""",
+)
+def packing_efficiency_sweep(spark, sf):
+    """Context-length sweep for sequence packing: at each max_len, the
+    naive one-doc-per-sequence bin count (each doc pads its last
+    sequence), the wasted padding tokens, the utilization, and the
+    packing LOWER BOUND ⌈total/max_len⌉ — the gap between naive_seqs
+    and packed_lower_bound is the budget FFD packing (pack_sequences)
+    can recover. max_len values are powers of two so the CEIL division
+    is exact in both engines; everything else is BIGINT until the final
+    ratio. One scan; the sweep multiplies |docs|×4 integer pairs, not
+    scans."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.size(F.split("text", " ")).cast("long").alias("n"))
+    sw = tok.select(
+        "n",
+        F.explode(F.array(*[F.lit(x) for x in (32, 64, 128, 256)])).alias(
+            "max_len"
+        ),
+    )
+    agg = sw.groupBy("max_len").agg(
+        F.sum(F.ceil(F.col("n") * 1.0 / F.col("max_len"))).cast("long").alias(
+            "naive_seqs"
+        ),
+        F.sum("n").cast("long").alias("total_tok"),
+    )
+    return (
+        agg.select(
+            F.col("max_len").cast("long").alias("max_len"),
+            "total_tok",
+            "naive_seqs",
+            F.ceil(F.col("total_tok") * 1.0 / F.col("max_len"))
+            .cast("long")
+            .alias("packed_lower_bound"),
+            (F.col("naive_seqs") * F.col("max_len") - F.col("total_tok"))
+            .cast("long")
+            .alias("padding_tokens"),
+            F.round(
+                F.col("total_tok").cast("double")
+                / (F.col("naive_seqs") * F.col("max_len")),
+                4,
+            ).alias("efficiency"),
+        )
+        .orderBy("max_len")
+    )
+
+
+@q(
+    "chat_loss_masking_stats",
+    oracle="""WITH conv AS (
+                SELECT doc_id, source,
+                       LEAST(4 + doc_id % 2,
+                             GREATEST(1, CAST(CEIL(
+                               len(string_split(text, ' ')) / 8.0)
+                               AS BIGINT))) AS n,
+                       string_split(text, ' ') AS toks
+                FROM documents),
+              built AS (
+                SELECT doc_id, source, n,
+                       list_transform(range(1, n + 1),
+                         i -> CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+                                   WHEN (i - 1) % 2 = 0 THEN 'user'
+                                   ELSE 'assistant' END) AS roles,
+                       list_transform(range(1, n + 1),
+                         i -> CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+                                   ELSE array_to_string(
+                                     toks[((i - 1) * 8 + 1):(i * 8)], ' ')
+                              END) AS contents
+                FROM conv),
+              counted AS (
+                SELECT source,
+                       CAST(list_sum(list_transform(range(1, n + 1),
+                         i -> CASE WHEN roles[i] = 'assistant'
+                                   THEN (CASE WHEN contents[i] = '' THEN 0
+                                         ELSE len(string_split(contents[i],
+                                                               ' ')) END)
+                                   ELSE 0 END)) AS BIGINT) AS trainable,
+                       CAST(list_sum(list_transform(range(1, n + 1),
+                         i -> CASE WHEN roles[i] = 'user'
+                                   THEN (CASE WHEN contents[i] = '' THEN 0
+                                         ELSE len(string_split(contents[i],
+                                                               ' ')) END)
+                                   ELSE 0 END)) AS BIGINT) AS masked
+                FROM built)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_convs,
+                     CAST(SUM(trainable) AS BIGINT) AS trainable_tok,
+                     CAST(SUM(masked) AS BIGINT) AS masked_tok,
+                     ROUND(CAST(SUM(trainable) AS DOUBLE)
+                           / (SUM(trainable) + SUM(masked)), 4)
+                       AS trainable_frac,
+                     CAST(SUM(CASE WHEN trainable = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS zero_trainable_convs
+              FROM counted GROUP BY source ORDER BY source""",
+)
+def chat_loss_masking_stats(spark, sf):
+    """SFT loss-masking accounting over the synthesized conversations
+    (operators/text.chat_build — the SAME deterministic synthesis
+    chat_format_audit validates): user turns are masked out of the loss,
+    so the per-source TRAINABLE (assistant-turn) token fraction is what
+    decides whether a chat corpus earns its storage; pure-user
+    conversations (zero trainable tokens) are flagged for drop. Exact
+    slice-size token counts — BIGINT until the final fraction. One
+    scan, array HOFs in codegen, one partial-agg'd rollup."""
+    return TX.chat_loss_masking(_t(spark, sf, "documents")).orderBy("source")
+
+
+@q(
+    "quality_gate_by_source",
+    oracle=f"""WITH {_QUALITY_CTE}
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN quality >= 0.97 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_pass,
+                     ROUND(CAST(SUM(CASE WHEN quality >= 0.97 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / COUNT(*), 4) AS pass_frac
+              FROM qd GROUP BY source ORDER BY source""",
+)
+def quality_gate_by_source(spark, sf):
+    """Per-source quality pass rate (composite score >= 0.5) — the
+    ingest QA dashboard row that tells a curation run WHICH feed is
+    rotting, where text_quality_filter_count only says how much survives
+    globally. Shares its definition with the streaming twin
+    (operators/text.quality_gate_counts): pure per-row expressions + one
+    rollup, no window — streaming-safe by construction."""
+    return TX.quality_gate_counts(_t(spark, sf, "documents")).orderBy("source")
+
+
+@q("stream_quality_gate", oracle=None)
+def stream_quality_gate(spark, sf):
+    """The per-source quality gate as a STREAM: the SAME
+    operators/text.quality_gate_counts definition on a readStream over
+    the document landing directory, aggregated in complete mode and
+    hash-checked against the batch closed form (oracle wired below) —
+    the batch/stream parity contract of chat_format_audit, applied to
+    the ingest-QA rollup a live feed actually needs."""
+    import os
+    import uuid
+
+    static = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    name = f"stream_quality_gate_{uuid.uuid4().hex[:8]}"
+    query = (
+        TX.quality_gate_counts(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError(
+                "availableNow streaming run exceeded 300s; refusing to "
+                "return a partially populated memory table"
+            )
+    finally:
+        query.stop()
+    return spark.table(name).orderBy("source")
+
+
+CATALOG["stream_quality_gate"].oracle = CATALOG["quality_gate_by_source"].oracle
+CATALOG["stream_quality_gate"].tier = "sql"
+
+
+@q(
+    "curriculum_phase_plan",
+    oracle=f"""WITH {_QUALITY_CTE},
+              qi AS (SELECT doc_id, n,
+                            CAST(ROUND(quality * 10000) AS BIGINT) AS q_int
+                     FROM qd),
+              o AS (SELECT doc_id, n, q_int,
+                           CAST(SUM(n) OVER (ORDER BY q_int DESC, doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cum
+                    FROM qi),
+              t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM qi),
+              ph AS (SELECT CAST((cum * 3 + total - 1) // total AS BIGINT)
+                              AS phase,
+                            n, q_int
+                     FROM o, t)
+              SELECT phase,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n) AS BIGINT) AS n_tokens,
+                     ROUND(CAST(SUM(q_int) AS DOUBLE) / (COUNT(*) * 10000), 4)
+                       AS avg_quality
+              FROM ph GROUP BY phase ORDER BY phase""",
+)
+def curriculum_phase_plan(spark, sf):
+    """Quality-ordered curriculum: documents sort best-first (integer-
+    quantized quality, ties by id — a total order both engines agree
+    on) and split into 3 phases of ~equal TOKEN budget via cumulative
+    token counts; per phase: docs, tokens, mean quality. The global
+    cumsum does NOT use a global single-task window over the corpus:
+    docs aggregate per q_int bucket (≤10001 distinct values —
+    dimension-sized), the bucket-level running offset is a window over
+    that small relation, and each doc's cum = broadcast bucket offset +
+    a per-bucket window — the deterministic_shuffle_order offsets
+    pattern, so the heavy window is partitioned by q_int. Phase
+    assignment is pure integer arithmetic ((cum·3 + total − 1) div
+    total), replayed exactly by the oracle's straightforward global
+    window."""
+    qs = TX.quality_score(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").alias("n"),
+        F.round(F.col("quality") * 10000).cast("long").alias("q_int"),
+    )
+    g = qs.groupBy("q_int").agg(F.sum("n").alias("gtok"))
+    wg = (
+        Window.orderBy(F.desc("q_int"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = g.select(
+        "q_int", F.coalesce(F.sum("gtok").over(wg), F.lit(0)).alias("offset")
+    )
+    wq = Window.partitionBy("q_int").orderBy(F.desc("q_int"), "doc_id")
+    per = qs.join(F.broadcast(offsets), "q_int").select(
+        "n",
+        "q_int",
+        (F.col("offset") + F.sum("n").over(wq)).alias("cum"),
+    )
+    tot = qs.agg(F.sum("n").cast("long").alias("total"))
+    ph = per.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("cum") * 3 + F.col("total") - 1) / F.col("total")
+        ).cast("long").alias("phase"),
+        "n",
+        "q_int",
+    )
+    return (
+        ph.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("q_int").cast("double") / (F.count(F.lit(1)) * 10000), 4
+            ).alias("avg_quality"),
+        )
+        .orderBy("phase")
+    )
+
+
+@q(
+    "hybrid_retrieval_overlap",
+    oracle="""WITH tok AS (SELECT doc_id,
+                     unnest(list_distinct(string_split(text, ' '))) AS w
+                  FROM documents),
+              qt AS (SELECT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
+              cnt AS (SELECT qt.query_id, t.doc_id AS cand,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM qt JOIN tok t
+                        ON qt.w = t.w AND t.doc_id <> qt.query_id
+                      GROUP BY qt.query_id, t.doc_id),
+              lex AS (SELECT query_id, cand FROM (
+                        SELECT query_id, cand,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, cand) AS rk
+                        FROM cnt) WHERE rk <= 5),
+              qv AS (SELECT vec_id AS query_id, embedding AS v
+                     FROM embeddings WHERE vec_id < 10),
+              s AS (SELECT qv.query_id, e.vec_id AS cand,
+                      ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(qv.v[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(qv.v,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                        AS sim
+                    FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+              sem AS (SELECT query_id, cand FROM (
+                        SELECT query_id, cand,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand) AS rk
+                        FROM s) WHERE rk <= 5),
+              ov AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM lex JOIN sem USING (query_id, cand)
+                     GROUP BY query_id)
+              SELECT q.query_id,
+                     CAST(COALESCE(ov.n, 0) AS BIGINT) AS overlap_at_5,
+                     ROUND(CAST(COALESCE(ov.n, 0) AS DOUBLE) / 5, 4)
+                       AS agreement
+              FROM (SELECT doc_id AS query_id FROM documents
+                    WHERE doc_id < 10) q
+              LEFT JOIN ov USING (query_id)
+              ORDER BY query_id""",
+)
+def hybrid_retrieval_overlap(spark, sf):
+    """Lexical-vs-semantic retrieval agreement — the eval a hybrid-search
+    rollout runs first: for 10 query documents, the overlap between the
+    top-5 by shared distinct-token count (exact integer scores, the
+    BM25-family lexical signal with the idf stripped for cross-engine
+    determinism) and the top-5 by embedding cosine (6dp-rounded, the
+    ann_cosine_topk ranking), exploiting the fixture's 1:1 doc_id ↔
+    vec_id alignment. Low agreement localizes where dense retrieval
+    diverges from lexical ground habits. Plan: the token join is a
+    posting-list equi-join (query side is 10 docs — broadcast); at
+    100 TB the standard df-pruning (drop head terms) bounds the posting
+    blowup, same as the BM25 entry. Cosine side reuses the brute-force
+    top-k plan. Counts stay BIGINT until the final agreement ratio."""
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    qt = tok.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    cnt = (
+        tok.withColumnRenamed("doc_id", "cand")
+        .join(F.broadcast(qt), "w")
+        .filter(F.col("cand") != F.col("query_id"))
+        .groupBy("query_id", "cand")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("c"), F.col("cand"))
+    lex = (
+        cnt.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand")
+    )
+    sem = V.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", F.col("vec_id").alias("cand")
+    )
+    ov = lex.join(sem, ["query_id", "cand"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    queries = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id")
+    )
+    return (
+        queries.join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("overlap_at_5"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / 5, 4
+            ).alias("agreement"),
+        )
+        .orderBy("query_id")
+    )

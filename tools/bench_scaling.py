@@ -75,6 +75,16 @@ ENTRIES = [
     "ann_lsh_index_topk",
     "embedding_cluster_medoids",
     "mixture_epoch_expansion",
+    # round-8: pipeline-accounting additions
+    "mixture_temperature_weights",
+    "prefix_cache_groups",
+    "text_ngram_novelty",
+    "quality_threshold_sweep",
+    "packing_efficiency_sweep",
+    "chat_loss_masking_stats",
+    "quality_gate_by_source",
+    "curriculum_phase_plan",
+    "hybrid_retrieval_overlap",
 ]
 
 

@@ -71,7 +71,7 @@ FAMILIES: dict[str, list[str]] = {
         "stream_static_join_counts", "stream_incr_dedup_screen",
         "stream_stream_join_pairs", "stream_dedup_within_watermark", "stream_store_transitions",
         "stream_warc_ingest", "stream_blocklist_counts",
-        "stream_chat_format_audit",
+        "stream_chat_format_audit", "stream_quality_gate",
     ],
     "Set ops & subqueries": [
         "q24_union_all", "q25_intersect", "q26_except", "q_union_distinct",
@@ -114,7 +114,8 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
-        "ann_recall_eval", "embedding_dimension_stats", "embedding_outlier_flags",
+        "ann_recall_eval", "hybrid_retrieval_overlap",
+        "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
     ],
@@ -136,6 +137,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_compression_ratio", "text_html_extract",
         "url_normalize_dedup", "warc_extract_pipeline", "url_robots_filter",
         "text_markdown_extract", "text_blocklist_ac",
+        "text_ngram_novelty", "prefix_cache_groups",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
@@ -157,6 +159,9 @@ FAMILIES: dict[str, list[str]] = {
         "text_tokenizer_fertility", "semantic_doc_order",
         "chat_format_audit", "rl_rejection_sampling",
         "mixture_epoch_expansion",
+        "mixture_temperature_weights", "packing_efficiency_sweep",
+        "chat_loss_masking_stats", "curriculum_phase_plan",
+        "quality_threshold_sweep", "quality_gate_by_source",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
