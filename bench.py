@@ -125,6 +125,11 @@ HEADLINE = [
     "quality_gate_by_source",
     "curriculum_phase_plan",
     "hybrid_retrieval_overlap",
+    "embedding_sign_bits",
+    "ann_hamming_topk",
+    "ann_hamming_recall_eval",
+    "source_cap_downsample",
+    "graph_modularity",
 ]
 
 

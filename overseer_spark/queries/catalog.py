@@ -15146,3 +15146,390 @@ def hybrid_retrieval_overlap(spark, sf):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8, batch 2: binary-quantized retrieval, community modularity,
+# source-cap balancing
+# ---------------------------------------------------------------------------
+
+_SIGN_BITS_SQL = """sb AS (
+                SELECT vec_id,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> CASE WHEN embedding[i] > 0
+                                   THEN CAST(POWER(2, 32 - i) AS BIGINT)
+                                   ELSE 0 END)) AS BIGINT) AS hi,
+                       CAST(list_sum(list_transform(generate_series(33, 64),
+                         i -> CASE WHEN embedding[i] > 0
+                                   THEN CAST(POWER(2, 64 - i) AS BIGINT)
+                                   ELSE 0 END)) AS BIGINT) AS lo
+                FROM embeddings)"""
+
+
+def _sign_bits(emb):
+    """Pack the 64-dim embedding's sign pattern into two BIGINT halves
+    (32 bits each — the fold stays far from signed-64 overflow under
+    ANSI mode). Sequential fold acc*2 + bit ≡ the oracle's closed-form
+    Σ bit·2^(32−i); sign test is exact (> 0 on the raw floats)."""
+    half = lambda a, b: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(a), F.lit(b)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at("embedding", i.cast("int")) > 0, 1).otherwise(0),
+    )
+    return emb.select(
+        "vec_id", half(1, 32).alias("hi"), half(33, 64).alias("lo")
+    )
+
+
+@q(
+    "embedding_sign_bits",
+    oracle=f"""WITH {_SIGN_BITS_SQL}
+              SELECT vec_id, hi, lo FROM sb ORDER BY vec_id""",
+)
+def embedding_sign_bits(spark, sf):
+    """Binary (sign-bit) embedding quantization — 64 floats → 8 bytes, a
+    32× compression that keeps enough angular signal for coarse
+    retrieval (the BQ mode every vector store ships). Packed as two
+    32-bit halves in BIGINTs so the ANSI-mode fold can't overflow;
+    distances are then pure bit_count(xor) integer ops
+    (ann_hamming_topk). One projection, zero shuffle."""
+    return _sign_bits(_t(spark, sf, "embeddings")).orderBy("vec_id")
+
+
+@q(
+    "ann_hamming_topk",
+    oracle=f"""WITH {_SIGN_BITS_SQL},
+              q AS (SELECT vec_id AS query_id, hi AS qhi, lo AS qlo
+                    FROM sb WHERE vec_id < 10),
+              d AS (SELECT q.query_id, s.vec_id,
+                           CAST(bit_count(xor(s.hi, q.qhi))
+                                + bit_count(xor(s.lo, q.qlo)) AS BIGINT)
+                             AS hamming
+                    FROM sb s, q WHERE s.vec_id <> q.query_id),
+              r AS (SELECT query_id, vec_id, hamming,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY hamming, vec_id) AS BIGINT) AS rank
+                    FROM d)
+              SELECT query_id, vec_id, hamming, rank FROM r
+              WHERE rank <= 5 ORDER BY query_id, rank""",
+)
+def ann_hamming_topk(spark, sf):
+    """Top-5 neighbors under sign-bit Hamming distance — retrieval on the
+    binary-quantized index: distance is bit_count(xor) on two BIGINTs,
+    EXACT integers, so ranking is bit-deterministic cross-engine with no
+    float rounding anywhere (ties → min id). The candidate scan moves
+    8-byte codes instead of 256-byte float vectors — the bandwidth win
+    that makes BQ the standard first stage before float rerank at
+    100 TB (rerank = ann_pq_rerank_topk's shape)."""
+    sb = _sign_bits(_t(spark, sf, "embeddings"))
+    qb = sb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("hi").alias("qhi"),
+        F.col("lo").alias("qlo"),
+    )
+    d = (
+        sb.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+                + F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@q(
+    "ann_hamming_recall_eval",
+    oracle=f"""WITH {_SIGN_BITS_SQL},
+              q AS (SELECT vec_id AS query_id, hi AS qhi, lo AS qlo
+                    FROM sb WHERE vec_id < 10),
+              d AS (SELECT q.query_id, s.vec_id,
+                           bit_count(xor(s.hi, q.qhi))
+                           + bit_count(xor(s.lo, q.qlo)) AS hamming
+                    FROM sb s, q WHERE s.vec_id <> q.query_id),
+              ham AS (SELECT query_id, vec_id FROM (
+                        SELECT query_id, vec_id,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, vec_id) AS rk FROM d)
+                      WHERE rk <= 5),
+              qv AS (SELECT vec_id AS query_id, embedding AS v
+                     FROM embeddings WHERE vec_id < 10),
+              s2 AS (SELECT qv.query_id, e.vec_id,
+                       ROUND(list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(qv.v[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(qv.v,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                         AS sim
+                     FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+              ex AS (SELECT query_id, vec_id FROM (
+                       SELECT query_id, vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rk FROM s2)
+                     WHERE rk <= 5),
+              ov AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM ham JOIN ex USING (query_id, vec_id)
+                     GROUP BY query_id)
+              SELECT q.query_id,
+                     CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_hits,
+                     ROUND(CAST(COALESCE(ov.n, 0) AS DOUBLE) / 5, 4)
+                       AS recall_at_5
+              FROM (SELECT vec_id AS query_id FROM embeddings
+                    WHERE vec_id < 10) q
+              LEFT JOIN ov USING (query_id) ORDER BY query_id""",
+)
+def ann_hamming_recall_eval(spark, sf):
+    """Recall@5 of the binary-quantized (Hamming) retrieval against the
+    exact float cosine ranking — the accept/reject number for a 32×
+    compression: per query, how many of the true top-5 the 8-byte codes
+    recover. Both rankings are deterministic (exact integer Hamming;
+    6dp-rounded cosine), so the eval itself is hash-exact. COALESCE
+    keeps zero-recall queries (the singleton-cluster lesson: an inner
+    join would silently drop the worst cases — the rows this eval
+    exists to surface)."""
+    ham = CATALOG["ann_hamming_topk"].fn(spark, sf).select(
+        "query_id", "vec_id"
+    )
+    emb = _t(spark, sf, "embeddings")
+    ex = V.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "vec_id"
+    )
+    ov = ham.join(ex, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        queries.join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / 5, 4
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@q(
+    "source_cap_downsample",
+    oracle="""WITH r AS (SELECT source,
+                     len(string_split(text, ' ')) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY (doc_id * 2654435761 + 7) % 4294967296,
+                                doc_id) AS rk
+                  FROM documents)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept,
+                     CAST(SUM(CASE WHEN rk <= 15 THEN n ELSE 0 END)
+                          AS BIGINT) AS tokens_kept
+              FROM r GROUP BY source ORDER BY source""",
+)
+def source_cap_downsample(spark, sf):
+    """Per-source cap downsampling — the corpus-balancing step that stops
+    one over-crawled feed from dominating the mixture: each source keeps
+    at most 15 docs, selected by SEEDED multiplicative-hash rank (the
+    r13_seeded_sample technique: F.rand is partition-layout-dependent
+    and silently changes with file splits; a pure key hash is
+    deterministic on any engine/layout and DuckDB-replayable). Reports
+    docs and tokens surviving per source. One scan, one source-keyed
+    window — the rank never moves text."""
+    d = _t(spark, sf, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761) + F.lit(7)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    r = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rk") <= 15, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rk") <= 15, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "graph_modularity",
+    oracle="""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              adj AS (SELECT u AS node, v AS nb FROM e
+                      UNION ALL SELECT v, u FROM e),
+              l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+              m1 AS (SELECT a.node, l.label, COUNT(*) AS c
+                     FROM adj a JOIN l0 l ON l.node = a.nb
+                     GROUP BY a.node, l.label),
+              l1 AS (SELECT node, label FROM (
+                       SELECT node, label, ROW_NUMBER() OVER
+                         (PARTITION BY node ORDER BY c DESC, label) rk
+                       FROM m1) WHERE rk = 1),
+              m2 AS (SELECT a.node, l.label, COUNT(*) AS c
+                     FROM adj a JOIN l1 l ON l.node = a.nb
+                     GROUP BY a.node, l.label),
+              l2 AS (SELECT node, label FROM (
+                       SELECT node, label, ROW_NUMBER() OVER
+                         (PARTITION BY node ORDER BY c DESC, label) rk
+                       FROM m2) WHERE rk = 1),
+              m3 AS (SELECT a.node, l.label, COUNT(*) AS c
+                     FROM adj a JOIN l2 l ON l.node = a.nb
+                     GROUP BY a.node, l.label),
+              l3 AS (SELECT node, label FROM (
+                       SELECT node, label, ROW_NUMBER() OVER
+                         (PARTITION BY node ORDER BY c DESC, label) rk
+                       FROM m3) WHERE rk = 1),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+              deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj
+                      GROUP BY node),
+              dsum AS (SELECT l.label,
+                              CAST(COUNT(*) AS BIGINT) AS size,
+                              CAST(SUM(deg.d) AS BIGINT) AS d_c
+                       FROM l3 l JOIN deg ON deg.node = l.node
+                       GROUP BY l.label),
+              intra AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+                        FROM e JOIN l3 la ON la.node = e.u
+                               JOIN l3 lb ON lb.node = e.v
+                        WHERE la.label = lb.label GROUP BY la.label),
+              per AS (SELECT ds.label, ds.size, ds.d_c,
+                             CAST(COALESCE(i.e_c, 0) AS BIGINT) AS e_c
+                      FROM dsum ds LEFT JOIN intra i ON i.label = ds.label),
+              tot AS (SELECT CAST(SUM(4 * m.m * e_c - d_c * d_c) AS BIGINT)
+                               AS num
+                      FROM per, m)
+              SELECT label AS community, size, e_c AS intra_edges,
+                     d_c AS degree_sum,
+                     ROUND(CAST(4 * m.m * e_c - d_c * d_c AS DOUBLE)
+                           / (4.0 * m.m * m.m), 6) AS contribution,
+                     ROUND(CAST(tot.num AS DOUBLE) / (4.0 * m.m * m.m), 6)
+                       AS q_total
+              FROM per, m, tot
+              ORDER BY size DESC, community LIMIT 20""",
+)
+def graph_modularity(spark, sf):
+    """Newman modularity of the LPA community assignment — the number
+    that says whether the communities are real structure or noise:
+    Q = Σ_c [e_c/m − (d_c/2m)²], computed as the EXACT integer
+    numerator (4m·e_c − d_c²) per community over the exact denominator
+    4m² — BIGINT until the final division, so the score hash-matches
+    despite being a sum of fractions. Labels are the same three
+    deterministic synchronous LPA rounds as graph_lpa_communities
+    (min-label ties); per-community contributions for the 20 largest
+    plus the corpus-wide Q on every row. Plan: edges cached once; each
+    LPA round moves node-sized label state; modularity adds one
+    edges⋈labels join (intra counts) and one node-sized degree rollup —
+    COALESCE keeps zero-intra-edge communities (the medoids singleton
+    lesson)."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = eager_cache(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    adj = eager_cache(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+        )
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        m = (
+            adj.join(
+                labels.select(F.col("node").alias("nb"), "label"), "nb"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wl = Window.partitionBy("node").orderBy(F.desc("c"), F.col("label"))
+        labels = (
+            m.withColumn("rk", F.row_number().over(wl))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    labels = eager_cache(labels)
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    per = dsum.join(intra, "label", "left").select(
+        "label",
+        "size",
+        "d_c",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
+    ).crossJoin(F.broadcast(n_edges))
+    num = (F.lit(4) * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c"))
+    tot = per.agg(F.sum(num).cast("long").alias("num"), F.max("m").alias("m2"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").alias("community"),
+            "size",
+            F.col("e_c").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                num.cast("double") / (F.lit(4.0) * F.col("m") * F.col("m")), 6
+            ).alias("contribution"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(4.0) * F.col("m2") * F.col("m2")),
+                6,
+            ).alias("q_total"),
+        )
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )

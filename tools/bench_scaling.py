@@ -85,6 +85,9 @@ ENTRIES = [
     "quality_gate_by_source",
     "curriculum_phase_plan",
     "hybrid_retrieval_overlap",
+    "ann_hamming_topk",
+    "source_cap_downsample",
+    "graph_modularity",
 ]
 
 

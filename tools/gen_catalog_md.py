@@ -92,6 +92,7 @@ FAMILIES: dict[str, list[str]] = {
         "q33b_closure_recursive_cte", "q33c_closure_sql_scripting", "q_status_counts", "dag_degree_stats",
         "dag_topo_levels", "dag_pagerank", "dag_components", "dag_cycle_check",
         "graph_triangle_count", "graph_kcore", "graph_lpa_communities",
+        "graph_modularity",
         "dag_critical_path",
         "store_time_travel", "store_manifest_time_travel",
         "store_sqlite_fsm_trace", "dag_slack_analysis",
@@ -115,6 +116,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_pca_power", "kmeans_lloyd_iters",
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "hybrid_retrieval_overlap",
+        "embedding_sign_bits", "ann_hamming_topk", "ann_hamming_recall_eval",
         "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
@@ -162,6 +164,8 @@ FAMILIES: dict[str, list[str]] = {
         "mixture_temperature_weights", "packing_efficiency_sweep",
         "chat_loss_masking_stats", "curriculum_phase_plan",
         "quality_threshold_sweep", "quality_gate_by_source",
+
+        "source_cap_downsample",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
