@@ -15104,11 +15104,18 @@ def hybrid_retrieval_overlap(spark, sf):
     100 TB the standard df-pruning (drop head terms) bounds the posting
     blowup, same as the BM25 entry. Cosine side reuses the brute-force
     top-k plan. Counts stay BIGINT until the final agreement ratio."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
     d = _t(spark, sf, "documents")
     emb = _t(spark, sf, "embeddings")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    # ONE corpus scan: the (doc_id, token) posting list is what a term
+    # index materializes anyway — cache it so the query side, the
+    # candidate side, and the query-id list all read the cache
+    tok = eager_cache(
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
     )
     qt = tok.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), "w"
@@ -15132,8 +15139,10 @@ def hybrid_retrieval_overlap(spark, sf):
     ov = lex.join(sem, ["query_id", "cand"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n")
     )
-    queries = d.filter(F.col("doc_id") < 10).select(
-        F.col("doc_id").alias("query_id")
+    queries = (
+        tok.filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("query_id"))
+        .distinct()
     )
     return (
         queries.join(ov, "query_id", "left")
@@ -15222,7 +15231,9 @@ def ann_hamming_topk(spark, sf):
     8-byte codes instead of 256-byte float vectors — the bandwidth win
     that makes BQ the standard first stage before float rerank at
     100 TB (rerank = ann_pq_rerank_topk's shape)."""
-    sb = _sign_bits(_t(spark, sf, "embeddings"))
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    sb = eager_cache(_sign_bits(_t(spark, sf, "embeddings")))
     qb = sb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("hi").alias("qhi"),
@@ -15311,9 +15322,7 @@ def ann_hamming_recall_eval(spark, sf):
     ov = ham.join(ex, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n")
     )
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id")
-    )
+    queries = ham.select("query_id").distinct()
     return (
         queries.join(ov, "query_id", "left")
         .select(

@@ -428,6 +428,8 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "er_match_clusters", "graph_kcore", "embedding_mmr_topk",
     "contrastive_pairs_mining", "multimodal_image_dedup_count",
     "store_time_travel", "embedding_matryoshka_eval",
+    # eager_cache of the min-support edge set + LPA label state
+    "graph_modularity",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
@@ -473,6 +475,18 @@ _BNLJ_OK = {
     "dag_slack_analysis",
     # k×d centroid-table broadcast for the cell assignment
     "embedding_outlier_flags",
+    # round-8: 1-row token/temperature totals crossed into the |langs| rows
+    "mixture_temperature_weights",
+    # query-set broadcast against the 8-byte sign-bit codes (and the
+    # recall eval reusing both the hamming and cosine brute legs)
+    "ann_hamming_topk", "ann_hamming_recall_eval",
+    # cosine brute leg of the lexical-vs-semantic agreement eval
+    "hybrid_retrieval_overlap",
+    # 1-row total-token broadcast into the phase assignment
+    "curriculum_phase_plan",
+    # 1-row edge-count + modularity-numerator totals crossed into the
+    # per-community rows
+    "graph_modularity",
 }
 
 
