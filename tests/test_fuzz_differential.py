@@ -99,3 +99,17 @@ def test_arrayfunc_family_seeded_queries_agree(spark, duck):
         if not ok:
             failures.append(detail)
     assert not failures, "\n".join(failures)
+
+
+def test_bitfunc_family_seeded_queries_agree(spark, duck):
+    """Bitwise seams (19th family, round 8 — added with the sign-bit
+    binary-quantization entries whose ranking rests on xor/bit_count):
+    two's-complement bit_count, arithmetic right shift on negatives,
+    sign-of-dividend %, masked and/or/not, safe-regime <<."""
+    failures = []
+    for seed in range(7000, 7012):
+        ok, detail = run_case(spark, duck, SF_CORRECTNESS, seed,
+                              family="bitfunc")
+        if not ok:
+            failures.append(detail)
+    assert not failures, "\n".join(failures)

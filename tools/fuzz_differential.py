@@ -93,6 +93,8 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_datescalar_case(rng)
     if family == "arrayfunc":
         return gen_arrayfunc_case(rng)
+    if family == "bitfunc":
+        return gen_bitfunc_case(rng)
     roll = rng.random()
     if roll < 0.22:
         return gen_join_case(rng)
@@ -126,8 +128,10 @@ def gen_case(rng: random.Random, family: str | None = None) -> dict:
         return gen_decagg_case(rng)
     if roll < 0.982:
         return gen_datescalar_case(rng)
-    if roll < 0.99:
+    if roll < 0.986:
         return gen_arrayfunc_case(rng)
+    if roll < 0.99:
+        return gen_bitfunc_case(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     filters = []
@@ -1229,6 +1233,131 @@ def build_arrayfunc_spark_df(spark, sf_dir: str, case: dict):
     )
 
 
+
+_BITFUNC_OPS = [
+    "xor_cnt", "and_mask", "or_shift", "not_low", "shl",
+    "neg_shr", "neg_cnt", "parity", "nth_bit", "signmod",
+]
+
+
+def gen_bitfunc_case(rng: random.Random) -> dict:
+    """Bitwise/bit-count seams — the 19th family, added the round the
+    catalog gained sign-bit binary quantization (embedding_sign_bits /
+    ann_hamming_topk), whose correctness rests on xor/bit_count/shift
+    agreeing cross-engine. Probed semantics, all verified identical by
+    construction here: two's-complement bit_count (bit_count(-1) = 64
+    both), ARITHMETIC right shift on negatives (-8 >> 1 = -4 both),
+    sign-of-dividend % (-7 % 3 = -1 both), and the safe << regime
+    (operand < 2^16, shift <= 15 — far from signed-64 overflow, where
+    the engines' overflow behavior DOES differ: Spark wraps, DuckDB
+    raises)."""
+    ops = rng.sample(_BITFUNC_OPS, k=rng.randint(2, 4))
+    params = {
+        "c1": rng.randint(1, 10**6),
+        "k": rng.randint(0, 15),
+        "mask": rng.choice([255, 4095, 65535, 2**20 - 1]),
+        "m2": rng.choice([3, 5, 7, 11]),
+    }
+    resid = (rng.choice([2, 3, 5]), rng.randint(0, 1))
+    return {"bitfunc": (ops, params, resid)}
+
+
+def _bitfunc_sql_expr(op: str, p: dict) -> str:
+    # u, v: well-mixed non-negative < 2^32; n: possibly negative
+    if op == "xor_cnt":
+        return "CAST(bit_count(xor(u, v)) AS BIGINT)"
+    if op == "and_mask":
+        return f"CAST(u & {p['mask']} AS BIGINT)"
+    if op == "or_shift":
+        return f"CAST((u | v) >> {p['k']} AS BIGINT)"
+    if op == "not_low":
+        return "CAST(~u & 65535 AS BIGINT)"
+    if op == "shl":
+        return f"CAST((u % 65536) << {p['k']} AS BIGINT)"
+    if op == "neg_shr":
+        return f"CAST(n >> {p['k']} AS BIGINT)"
+    if op == "neg_cnt":
+        return "CAST(bit_count(n) AS BIGINT)"
+    if op == "parity":
+        return "CAST(bit_count(u) % 2 AS BIGINT)"
+    if op == "nth_bit":
+        return f"CAST((u >> {p['k']}) & 1 AS BIGINT)"
+    # signmod: sign-of-dividend remainder on a negative operand
+    return f"CAST(n % {p['m2']} AS BIGINT)"
+
+
+def bitfunc_to_sql(case: dict) -> str:
+    ops, params, (m, r) = case["bitfunc"]
+    sel = ", ".join(
+        f"{_bitfunc_sql_expr(op, params)} AS c{i}" for i, op in enumerate(ops)
+    )
+    return (
+        f"SELECT o_orderkey, {sel} FROM "
+        f"(SELECT o_orderkey, "
+        f" CAST((o_orderkey * 2654435761 + {params['c1']}) % 4294967296 AS BIGINT) AS u, "
+        f" CAST((o_orderkey * 40503 + {params['c1']} * 7) % 4294967296 AS BIGINT) AS v, "
+        f" CAST((o_orderkey * 2654435761 + {params['c1']}) % 4294967296 - 2147483648 AS BIGINT) AS n "
+        f" FROM orders) "
+        f"WHERE o_orderkey % {m} = {r} ORDER BY o_orderkey"
+    )
+
+
+def build_bitfunc_spark_df(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from overseer_spark.sources.tables import load_table
+
+    ops, params, (m, r) = case["bitfunc"]
+    k, mask, m2 = params["k"], params["mask"], params["m2"]
+
+    def expr(op):
+        u, v, n = F.col("u"), F.col("v"), F.col("n")
+        if op == "xor_cnt":
+            return F.bit_count(u.bitwiseXOR(v)).cast("long")
+        if op == "and_mask":
+            return u.bitwiseAND(F.lit(mask)).cast("long")
+        if op == "or_shift":
+            return F.shiftright(u.bitwiseOR(v), k).cast("long")
+        if op == "not_low":
+            return F.bitwise_not(u).bitwiseAND(F.lit(65535)).cast("long")
+        if op == "shl":
+            return F.shiftleft(u % 65536, k).cast("long")
+        if op == "neg_shr":
+            return F.shiftright(n, k).cast("long")
+        if op == "neg_cnt":
+            return F.bit_count(n).cast("long")
+        if op == "parity":
+            return (F.bit_count(u).cast("long") % 2).cast("long")
+        if op == "nth_bit":
+            return F.shiftright(u, k).bitwiseAND(F.lit(1)).cast("long")
+        return (n % m2).cast("long")
+
+    c1 = params["c1"]
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .where(F.col("o_orderkey") % m == r)
+        .select(
+            "o_orderkey",
+            ((F.col("o_orderkey") * 2654435761 + c1) % 4294967296)
+            .cast("long")
+            .alias("u"),
+            ((F.col("o_orderkey") * 40503 + c1 * 7) % 4294967296)
+            .cast("long")
+            .alias("v"),
+            (
+                (F.col("o_orderkey") * 2654435761 + c1) % 4294967296
+                - 2147483648
+            )
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    return base.select(
+        "o_orderkey", *[expr(op).alias(f"c{i}") for i, op in enumerate(ops)]
+    ).orderBy("o_orderkey")
+
+
 def gen_window_case(rng: random.Random) -> dict:
     """Random window query: ROW_NUMBER/SUM/LAG over a string-partitioned
     window ordered by a UNIQUE integer key (determinism across engines),
@@ -1386,6 +1515,8 @@ def to_sql(case: dict) -> str:
         return datescalar_to_sql(case)
     if "arrayfunc" in case:
         return arrayfunc_to_sql(case)
+    if "bitfunc" in case:
+        return bitfunc_to_sql(case)
     if "expr" in case:
         return expr_to_sql(case)
     if "rollup" in case:
@@ -1501,6 +1632,8 @@ def run_case(
         srows = build_datescalar_spark_df(spark, sf_dir, case).collect()
     elif "arrayfunc" in case:
         srows = build_arrayfunc_spark_df(spark, sf_dir, case).collect()
+    elif "bitfunc" in case:
+        srows = build_bitfunc_spark_df(spark, sf_dir, case).collect()
     elif "expr" in case:
         srows = build_expr_spark_df(spark, sf_dir, case).collect()
     elif "rollup" in case:
@@ -1617,7 +1750,7 @@ def main() -> None:
     ap.add_argument(
         "--family",
         choices=["gsets", "asofjoin", "rangewin", "strfunc", "numfunc",
-                 "decagg", "datescalar", "arrayfunc"],
+                 "decagg", "datescalar", "arrayfunc", "bitfunc"],
         help="force every case into one generator (dedicated family sweeps)",
     )
     ns = ap.parse_args()
