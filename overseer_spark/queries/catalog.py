@@ -15481,19 +15481,24 @@ def graph_modularity(spark, sf):
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
+    # same per-round argmax as graph_lpa_communities: ONE
+    # MAX(struct(c, -label)) aggregation encodes the (count DESC, label
+    # ASC) tie-break — both aggregations partial-combine map-side, no
+    # per-node sort window
     for _ in range(3):
-        m = (
+        labels = (
             adj.join(
                 labels.select(F.col("node").alias("nb"), "label"), "nb"
             )
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-        )
-        wl = Window.partitionBy("node").orderBy(F.desc("c"), F.col("label"))
-        labels = (
-            m.withColumn("rk", F.row_number().over(wl))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
     labels = eager_cache(labels)
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
