@@ -130,6 +130,7 @@ HEADLINE = [
     "ann_hamming_recall_eval",
     "source_cap_downsample",
     "graph_modularity",
+    "near_dup_keep_best",
 ]
 
 

@@ -15547,3 +15547,97 @@ def graph_modularity(spark, sf):
         .orderBy(F.desc("size"), "community")
         .limit(20)
     )
+
+
+@q(
+    "near_dup_keep_best",
+    oracle=f"""WITH RECURSIVE {_SHINGLE_ORACLE_CTES},
+               pr AS (
+                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+                 FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+               pair AS (
+                 SELECT d1, d2 FROM pr
+                 JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+                 WHERE n_inter / (s1.n + s2.n - n_inter) >= 0.8),
+               ed AS (SELECT d1 AS a, d2 AS b FROM pair
+                      UNION SELECT d2, d1 FROM pair),
+               reach(a, b) AS (
+                 SELECT a, b FROM ed
+                 UNION
+                 SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+               nodes AS (SELECT DISTINCT a AS node FROM ed),
+               comp AS (SELECT n.node, LEAST(n.node, MIN(r.b)) AS component
+                        FROM nodes n JOIN reach r ON r.a = n.node
+                        GROUP BY n.node),
+               {_QUALITY_CTE.replace("tok ", "ttok ").replace("FROM tok)", "FROM ttok)")},
+               qi AS (SELECT doc_id, source, n,
+                             CAST(ROUND(quality * 10000) AS BIGINT) AS q_int
+                      FROM qd),
+               member AS (SELECT qi.doc_id, qi.source, qi.n, qi.q_int,
+                                 c.component,
+                                 ROW_NUMBER() OVER (PARTITION BY c.component
+                                   ORDER BY qi.q_int DESC, qi.doc_id) AS rk
+                          FROM qi JOIN comp c ON c.node = qi.doc_id)
+               SELECT qi.source,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COUNT(m.doc_id) AS BIGINT) AS n_clustered,
+                      CAST(SUM(CASE WHEN m.rk > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_dropped,
+                      CAST(SUM(CASE WHEN m.rk > 1 THEN m.n ELSE 0 END)
+                           AS BIGINT) AS tokens_dropped
+               FROM qi LEFT JOIN member m ON m.doc_id = qi.doc_id
+               GROUP BY qi.source ORDER BY qi.source""",
+)
+def near_dup_keep_best(spark, sf):
+    """Near-dup canonical selection, quality-first — the step real
+    pipelines run BETWEEN near-dup clustering and training: inside each
+    exact-Jaccard ≥ 0.8 cluster keep the HIGHEST-QUALITY member
+    (integer-quantized composite score, ties → min id) and drop the
+    rest, instead of the naive keep-min-id. Per source: docs, docs in
+    any cluster, docs dropped, tokens dropped — the row a curation
+    dashboard needs to see which feed loses volume. Plan: candidate
+    pairs from the existing prefix-filtered shingle machinery; the
+    argmax is one max(struct(q_int, −id)) per component (map-side
+    combining, no window); only (id, component, two ints) move after
+    pair generation. The oracle replays components by recursive
+    reachability + the same quantized argmax."""
+    from overseer_spark.operators.components import connected_components
+
+    d = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(d, threshold=0.8)
+    comp = connected_components(pairs)
+    qs = TX.quality_score(d).select(
+        "doc_id",
+        F.col("n_tokens").alias("n"),
+        F.round(F.col("quality") * 10000).cast("long").alias("q_int"),
+    )
+    src = d.select("doc_id", "source")
+    member = qs.join(comp, qs.doc_id == comp.node).select(
+        "doc_id", "n", "q_int", "component"
+    )
+    best = member.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("q_int"), (-F.col("doc_id")).alias("ni"))
+        ).alias("m")
+    ).select("component", (-F.col("m.ni")).alias("keep_id"))
+    judged = member.join(F.broadcast(best), "component").select(
+        "doc_id",
+        "n",
+        (F.col("doc_id") != F.col("keep_id")).alias("dropped"),
+    )
+    return (
+        src.join(judged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dropped").cast("long").alias("n_clustered"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("dropped"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+        )
+        .orderBy("source")
+    )

@@ -430,6 +430,8 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "store_time_travel", "embedding_matryoshka_eval",
     # eager_cache of the min-support edge set + LPA label state
     "graph_modularity",
+    # components local path (cap probe) + quality-argmax keeper broadcast
+    "near_dup_keep_best",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query

@@ -88,6 +88,7 @@ ENTRIES = [
     "ann_hamming_topk",
     "source_cap_downsample",
     "graph_modularity",
+    "near_dup_keep_best",
 ]
 
 

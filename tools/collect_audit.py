@@ -68,6 +68,7 @@ WAIVERS: dict[str, str] = {
     "train_prep_pipeline": "components local path: edge-cap probe + distributed fallback",
     "dag_components": "components local path: edge-cap probe + distributed fallback",
     "er_match_clusters": "components local path: edge-cap probe + distributed fallback",
+    "near_dup_keep_best": "components local path: edge-cap probe + distributed fallback",
     "multimodal_image_dedup_count": "components local path: edge-cap probe + distributed fallback",
     # PQ serving: the collected DataFrame is the id-filtered QUERY SET
     # (vec_id < n_queries) — query-sized by construction, never the corpus

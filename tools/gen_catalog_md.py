@@ -165,7 +165,7 @@ FAMILIES: dict[str, list[str]] = {
         "chat_loss_masking_stats", "curriculum_phase_plan",
         "quality_threshold_sweep", "quality_gate_by_source",
 
-        "source_cap_downsample",
+        "source_cap_downsample", "near_dup_keep_best",
     ],
     "Sketches & approximation": [
         "q42_approx_aggs", "hll_distinct_merge", "cms_term_counts",
