@@ -131,6 +131,7 @@ HEADLINE = [
     "source_cap_downsample",
     "graph_modularity",
     "near_dup_keep_best",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -507,6 +507,36 @@ def pq_encode(
     )
 
 
+def _adc_lut_udf(spark, queries, books, id_col, vec_col):
+    """Driver-side ADC lookup tables (m x ks doubles per query — tiny)
+    plus the Arrow-batched gather UDF that sums LUT[j][code_j]. Shared by
+    pq_topk and ivfpq_topk."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    m, ks, sub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        luts[r[0]] = np.stack(
+            [books[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
+        )  # (m, ks)
+    b_luts = spark.sparkContext.broadcast(luts)
+
+    def _adc_fn(qids, code_s):
+        L = b_luts.value
+        out = np.empty(len(qids))
+        rng_m = np.arange(m)
+        for i, (qid, code) in enumerate(zip(qids, code_s)):
+            out[i] = L[qid][rng_m, np.asarray(code)].sum()
+        return pd.Series(out)
+
+    return qrows, pandas_udf(_adc_fn, "double")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -526,34 +556,10 @@ def pq_topk(
     of raw vectors; ranking uses rounded scores + id tiebreaks for
     reproducibility.
     """
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
-
     spark = corpus.sparkSession
-    m, ks, sub = books.shape
-    qrows = queries.select(id_col, vec_col).collect()
-    luts = {}
-    for r in qrows:
-        qv = np.array(list(r[1]), dtype=np.float64)
-        qv /= max(np.linalg.norm(qv), 1e-12)
-        luts[r[0]] = np.stack(
-            [books[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
-        )  # (m, ks)
-    b_luts = spark.sparkContext.broadcast(luts)
-
+    qrows, _adc = _adc_lut_udf(spark, queries, books, id_col, vec_col)
     codes = pq_encode(corpus, books, id_col, vec_col)
     qdf = spark.createDataFrame([(r[0],) for r in qrows], "query_id bigint")
-
-    def _adc_fn(qids, code_s):
-        L = b_luts.value
-        out = np.empty(len(qids))
-        rng_m = np.arange(m)
-        for i, (qid, code) in enumerate(zip(qids, code_s)):
-            out[i] = L[qid][rng_m, np.asarray(code)].sum()
-        return pd.Series(out)
-
-    _adc = pandas_udf(_adc_fn, "double")
     scored = (
         codes.crossJoin(F.broadcast(qdf))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -679,4 +685,73 @@ def mmr_topk(
             )
     return spark.createDataFrame(
         out, f"query_id long, {id_col} long, mmr_score double, rank long"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ composite — the FAISS ``IndexIVFPQ`` layout, and the shape
+    billion-vector serving actually deploys: the coarse quantizer (IVF
+    cells, deterministic lowest-id centroids) routes every vector to a
+    cell; vectors are stored as 8-byte PQ codes; a query batch probes
+    its ``n_probe`` nearest cells and runs the ADC table-gather ONLY
+    over the probed cells' codes. Relative to flat PQ the scan shrinks
+    to ~n_probe/n_cells of the codes; relative to flat IVF the scanned
+    bytes shrink 32×. Results are a pure function of inputs (seeded
+    codebooks + rank tie-breaks on id), so the catalog pin replays
+    bit-identically across partition layouts. At scale the code table
+    is written partitioned by cell (the ann_index.py pattern) so the
+    probe is static partition pruning; here it is an equi-join on cell."""
+    spark = corpus.sparkSession
+    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    cellcodes = codes.join(assigned.select(id_col, "cell"), id_col)
+    qrows, _adc = _adc_lut_udf(spark, queries, books, id_col, vec_col)
+    cents = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "cell",
+            cosine_similarity("_qvec", F.col("_cvec")).alias("_csim"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_csim"), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "cell")
+    )
+    scored = (
+        cellcodes.join(F.broadcast(qcells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(_adc(F.col("query_id"), F.col("code")), round_to).alias(
+                "sim_pq"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )

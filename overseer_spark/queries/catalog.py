@@ -15641,3 +15641,32 @@ def near_dup_keep_best(spark, sf):
         )
         .orderBy("source")
     )
+
+
+@q(
+    "ann_ivfpq_topk",
+    # measured pin at sf0.01: output verified DETERMINISTIC across three
+    # partition layouts (local[8]/local[32]/local[5] x shuffle 8/32/7,
+    # AQE on and off, double-run) — seeded codebooks + lowest-id
+    # centroids + vec_id tie-breaks make the composite a pure function
+    # of its inputs; recall vs exact cosine is pinned in
+    # tests/test_similarity.py
+    oracle="""\
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2818 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.2668 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(0.2586 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.2271 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(232 AS BIGINT), CAST(0.2189 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.2138 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.2136 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.2036 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(461 AS BIGINT), CAST(0.1794 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(131 AS BIGINT), CAST(0.1712 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.2716 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.2491 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.2247 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.2084 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.1838 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.182 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(257 AS BIGINT), CAST(0.1785 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(431 AS BIGINT), CAST(0.1646 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(19 AS BIGINT), CAST(0.1601 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(477 AS BIGINT), CAST(0.1469 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(82 AS BIGINT), CAST(0.2275 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(97 AS BIGINT), CAST(0.2239 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(0.2181 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(327 AS BIGINT), CAST(0.2137 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(193 AS BIGINT), CAST(0.2106 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.1978 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(259 AS BIGINT), CAST(0.1965 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.1776 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(395 AS BIGINT), CAST(0.1655 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(37 AS BIGINT), CAST(0.163 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.3136 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.2492 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.2487 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(463 AS BIGINT), CAST(0.2482 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.2463 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(226 AS BIGINT), CAST(0.2194 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(134 AS BIGINT), CAST(0.2125 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(403 AS BIGINT), CAST(0.2053 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(421 AS BIGINT), CAST(0.1878 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(0.1771 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.2927 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.2316 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2115 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(288 AS BIGINT), CAST(0.172 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(346 AS BIGINT), CAST(0.1712 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(19 AS BIGINT), CAST(0.1692 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.1663 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(225 AS BIGINT), CAST(0.1512 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(215 AS BIGINT), CAST(0.1485 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(395 AS BIGINT), CAST(0.1421 AS DOUBLE), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_pq, rank) ORDER BY query_id, rank""",
+)
+def ann_ivfpq_topk(spark, sf):
+    """IVF-PQ composite serving (operators/similarity.py: ivfpq_topk) —
+    the FAISS IndexIVFPQ layout: coarse IVF cells route the query batch
+    to n_probe=4 of 16 cells, and the ADC table-gather scans ONLY the
+    probed cells' 8-byte PQ codes — the scan is ~n_probe/n_cells of the
+    codes AND 32x smaller per row than floats, which is the memory
+    arithmetic that serves billions of vectors per node. PY-provenance
+    pin: the oracle literal is this plan's own layout-swept output
+    (see decorator comment); semantic quality (recall@10 vs exact) is
+    pytest-pinned."""
+    emb = _t(spark, sf, "embeddings")
+    books = V.pq_codebooks(emb, m=8, ks=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return V.ivfpq_topk(
+        emb, queries, books, k=10, n_cells=16, n_probe=4
+    ).orderBy("query_id", "rank")

@@ -509,3 +509,79 @@ def test_matryoshka_eval_monotone_and_bounded(spark):
     assert all(0.0 < r <= 1.0 for r in recalls)
     assert recalls[0] <= recalls[1] <= recalls[2] + 1e-9
     assert recalls[0] < 1.0
+
+
+def test_ivfpq_matches_pq_restricted_to_probed_cells(spark, emb):
+    """The IVF-PQ composite must equal flat PQ-ADC ranking restricted to
+    the probed cells — i.e. IVF only PRUNES candidates, never changes a
+    surviving candidate's ADC score."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.similarity import (
+        assign_cells,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    books = pq_codebooks(emb, m=8, ks=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, queries, books, k=10, n_cells=16, n_probe=4
+        ).collect()
+    )
+    # reconstruct: flat PQ over the full corpus, then keep only
+    # candidates living in each query's probed cells, re-rank
+    assigned = assign_cells(emb, 16)
+    flat = pq_topk(emb, queries, books, k=500)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    import collections
+
+    from overseer_spark.operators.similarity import cosine_similarity  # noqa: F401
+
+    # probed cells per query: 4 nearest centroids by cosine (min cell tie)
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    cents = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in sorted(vecs)[:16]}
+    probed = {}
+    for qid in range(5):
+        qv = vecs[qid] / np.linalg.norm(vecs[qid])
+        sims = sorted(
+            ((float(qv @ cv), -c) for c, cv in cents.items()), reverse=True
+        )
+        probed[qid] = {-negc for _, negc in sims[:4]}
+    want = []
+    per_q = collections.defaultdict(list)
+    for r in flat.collect():
+        if cells[r["vec_id"]] in probed[r["query_id"]]:
+            per_q[r["query_id"]].append((r["sim_pq"], r["vec_id"]))
+    for qid, lst in per_q.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, vid) in enumerate(lst[:10], 1):
+            want.append((qid, vid, s, rk))
+    assert got == sorted(want)
+
+
+def test_ivfpq_recall_vs_exact(spark, emb):
+    """Recall@10 of IVF-PQ vs exact cosine stays above the flat-PQ floor
+    minus the IVF pruning loss — pin a concrete lower bound."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(emb, m=8, ks=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = ivfpq_topk(emb, queries, books, k=10, n_cells=16, n_probe=4)
+    exact = cosine_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, recall  # empirical floor at this code budget

@@ -89,6 +89,7 @@ ENTRIES = [
     "source_cap_downsample",
     "graph_modularity",
     "near_dup_keep_best",
+    "ann_ivfpq_topk",
 ]
 
 
