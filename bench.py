@@ -132,6 +132,7 @@ HEADLINE = [
     "graph_modularity",
     "near_dup_keep_best",
     "ann_ivfpq_topk",
+    "ann_ivfpq_index_topk",
 ]
 
 

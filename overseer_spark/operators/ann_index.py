@@ -233,3 +233,109 @@ def lsh_index_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ composite (the FAISS IndexIVFPQ on-disk shape):
+    seeded PQ codebooks (exact-double parquet rows, so the ADC replay is
+    bit-identical after the round trip), the IVF centroid table, and the
+    8-byte PQ codes partitioned by cell. Train + encode + assign happen
+    ONCE; every later query batch reads only its probed cells' code
+    partitions. Storage per vector: m bytes of codes + the cell key —
+    the 32x compression that serves billions of vectors per node."""
+    from overseer_spark.operators.similarity import (  # noqa: PLC0415
+        assign_cells,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    rows = [
+        (j, c, [float(x) for x in books[j][c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, cvec array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col)
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
+    codes = pq_encode(corpus, books, id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    # co-locate each cell before the write: one file per cell directory
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+
+
+def _load_codebooks(spark: SparkSession, path: str):
+    import numpy as np  # noqa: PLC0415
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["j"] for r in rows) + 1
+    ks = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["cvec"])
+    books = np.empty((m, ks, sub), dtype=np.float64)
+    for r in rows:
+        books[r["j"]][r["c"]] = r["cvec"]
+    return books
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k from the persisted IVF-PQ index, reading ONLY the probed
+    cells' code partitions (static partition pruning — the probed cell
+    set is ≤ |queries|·n_probe ints, collected driver-side and pushed as
+    a partition filter) and scanning 8-byte codes with the ADC
+    table-gather. Bit-identical to the in-memory
+    similarity.ivfpq_topk (same seeded codebooks through an exact-double
+    parquet round trip, same rounded ranking; asserted in
+    tests/test_ann_index.py)."""
+    from overseer_spark.operators.similarity import _adc_lut_udf  # noqa: PLC0415
+
+    books = _load_codebooks(spark, path)
+    qcells = eager_cache(
+        probed_cells(spark, path, queries, n_probe, id_col, vec_col)
+        .select("query_id", "cell")
+    )
+    cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells) if cells else F.lit(False)
+    )
+    _, _adc = _adc_lut_udf(spark, queries, books, id_col, vec_col)
+    scored = (
+        codes.join(F.broadcast(qcells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(_adc(F.col("query_id"), F.col("code")), round_to).alias(
+                "sim_pq"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -15670,3 +15670,40 @@ def ann_ivfpq_topk(spark, sf):
     return V.ivfpq_topk(
         emb, queries, books, k=10, n_cells=16, n_probe=4
     ).orderBy("query_id", "rank")
+
+
+@q("ann_ivfpq_index_topk", oracle=None)
+def ann_ivfpq_index_topk(spark, sf):
+    """Persisted IVF-PQ serving (operators/ann_index.py:
+    build_ivfpq_index / ivfpq_index_topk): the FAISS-IndexIVFPQ on-disk
+    layout — codebooks as exact-double parquet, 8-byte codes partitioned
+    by IVF cell — built once; the query batch reads ONLY its probed
+    cells' code partitions (static partition pruning, plan-asserted in
+    tests/test_ann_index.py) and ADC-scans the codes. Bit-identical to
+    ann_ivfpq_topk (oracle wired below: the same layout-swept pin), so
+    the driver hash-checks the persisted path against the in-memory
+    composite's literal."""
+    import shutil
+    import tempfile
+
+    from overseer_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfpq_index_")
+    try:
+        AI.build_ivfpq_index(emb, tmp, n_cells=16, m=8, ks=16)
+        return (
+            AI.ivfpq_index_topk(
+                spark, tmp, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# the persisted path is hash-checked against the in-memory composite's
+# layout-swept pin — bit-identity is the contract
+CATALOG["ann_ivfpq_index_topk"].oracle = CATALOG["ann_ivfpq_topk"].oracle
+CATALOG["ann_ivfpq_index_topk"].tier = "sql"

@@ -164,3 +164,65 @@ def test_bucket_predicate_stays_flat_for_large_batches(spark):
         "sig", F.lit(1)
     ).filter(AI.bucket_predicate([]))
     assert empty.count() == 0
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index_path(spark, emb):
+    d = tempfile.mkdtemp(prefix="ivfpq_index_")
+    AI.build_ivfpq_index(emb, d, n_cells=16, m=8, ks=16)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_index_matches_in_memory_composite(spark, emb, ivfpq_index_path):
+    """The persisted IVF-PQ index must be bit-identical to the in-memory
+    composite: seeded codebooks survive the exact-double parquet round
+    trip and the ADC ranking reproduces."""
+    from overseer_spark.operators.similarity import ivfpq_topk, pq_codebooks
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r)
+        for r in AI.ivfpq_index_topk(
+            spark, ivfpq_index_path, queries, k=10, n_probe=4
+        ).collect()
+    )
+    books = pq_codebooks(emb, m=8, ks=16)
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, queries, books, k=10, n_cells=16, n_probe=4
+        ).collect()
+    )
+    assert got == want and len(got) == 50
+
+
+def test_ivfpq_index_scan_prunes_to_probed_cells(spark, emb, ivfpq_index_path):
+    """The probed cell set must reach the code scan as a PARTITION filter
+    (directory pruning before any bytes are read)."""
+    import contextlib
+    import io
+
+    one_query = emb.filter(F.col("vec_id") == 3)
+    qcells = AI.probed_cells(spark, ivfpq_index_path, one_query, n_probe=4)
+    cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
+    assert len(cells) == 4
+    pruned = spark.read.parquet(f"{ivfpq_index_path}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf and "IN" in pf.upper()
+    full = spark.read.parquet(f"{ivfpq_index_path}/codes")
+    assert 0 < pruned.count() < full.count()
+
+
+def test_ivfpq_index_empty_query_batch(spark, emb, ivfpq_index_path):
+    out = AI.ivfpq_index_topk(
+        spark, ivfpq_index_path, emb.filter(F.col("vec_id") < 0), k=3
+    )
+    assert out.count() == 0

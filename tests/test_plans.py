@@ -427,6 +427,7 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "graph_triangle_count", "ann_pq_topk", "ann_pq_rerank_topk",
     "er_match_clusters", "graph_kcore", "embedding_mmr_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_index_topk",
     "contrastive_pairs_mining", "multimodal_image_dedup_count",
     "store_time_travel", "embedding_matryoshka_eval",
     # eager_cache of the min-support edge set + LPA label state

@@ -90,6 +90,7 @@ ENTRIES = [
     "graph_modularity",
     "near_dup_keep_best",
     "ann_ivfpq_topk",
+    "ann_ivfpq_index_topk",
 ]
 
 

@@ -75,6 +75,7 @@ WAIVERS: dict[str, str] = {
     "ann_pq_topk": "PQ LUT build collects the id-filtered query set only",
     "ann_pq_rerank_topk": "PQ LUT build collects the id-filtered query set only",
     "ann_ivfpq_topk": "PQ LUT build collects the id-filtered query set only",
+    "ann_ivfpq_index_topk": "PQ LUT/codebook reads are dimension-sized; probe set is query-sized",
     # MMR rerank: collects the candidate shortlist (top-N of an ANN pass)
     "embedding_mmr_topk": "collects the bounded ANN candidate shortlist",
     # WARC stream fixture build: one payload row per source group (20)

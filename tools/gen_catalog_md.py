@@ -111,6 +111,7 @@ FAMILIES: dict[str, list[str]] = {
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
         "ann_ivf_index_topk", "ann_lsh_index_topk", "ann_ivfpq_topk",
+        "ann_ivfpq_index_topk",
         "knn_label_predict",
         "embedding_centroids", "embedding_quantize_int8", "kmeans_assign_step",
         "embedding_pca_power", "kmeans_lloyd_iters",
