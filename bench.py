@@ -133,6 +133,8 @@ HEADLINE = [
     "near_dup_keep_best",
     "ann_ivfpq_topk",
     "ann_ivfpq_index_topk",
+    "q_t_closeness",
+    "text_readability_scores",
 ]
 
 

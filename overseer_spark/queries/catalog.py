@@ -15707,3 +15707,157 @@ def ann_ivfpq_index_topk(spark, sf):
 # layout-swept pin — bit-identity is the contract
 CATALOG["ann_ivfpq_index_topk"].oracle = CATALOG["ann_ivfpq_topk"].oracle
 CATALOG["ann_ivfpq_index_topk"].tier = "sql"
+
+
+@q(
+    "q_t_closeness",
+    oracle="""WITH g AS (SELECT c_nationkey, c_mktsegment,
+                                CAST(COUNT(*) AS BIGINT) AS n_gs
+                         FROM customer GROUP BY 1, 2),
+              gt AS (SELECT c_nationkey, CAST(SUM(n_gs) AS BIGINT) AS n_g
+                     FROM g GROUP BY 1),
+              st AS (SELECT c_mktsegment, CAST(SUM(n_gs) AS BIGINT) AS n_s
+                     FROM g GROUP BY 1),
+              tot AS (SELECT CAST(SUM(n_gs) AS BIGINT) AS n FROM g),
+              -- every (group, segment) cell, ABSENT cells included: an
+              -- equivalence class MISSING a segment contributes that
+              -- segment's full global share to the distance
+              cells AS (SELECT gt.c_nationkey, st.c_mktsegment, gt.n_g,
+                               st.n_s, COALESCE(g.n_gs, 0) AS n_gs
+                        FROM gt CROSS JOIN st
+                        LEFT JOIN g ON g.c_nationkey = gt.c_nationkey
+                               AND g.c_mktsegment = st.c_mktsegment),
+              dist AS (SELECT c_nationkey,
+                              CAST(SUM(ABS(n_gs * tot.n - n_s * n_g))
+                                   AS BIGINT) AS num,
+                              CAST(MIN(n_g) AS BIGINT) AS n_g
+                       FROM cells, tot GROUP BY c_nationkey)
+              SELECT c_nationkey AS qi_group, n_g AS group_size,
+                     ROUND(CAST(num AS DOUBLE) / (2.0 * n_g * tot.n), 6)
+                       AS t_distance,
+                     CAST(CASE WHEN CAST(num AS DOUBLE) / (2.0 * n_g * tot.n)
+                               > 0.2 THEN 1 ELSE 0 END AS BIGINT)
+                       AS violates_t02
+              FROM dist, tot ORDER BY qi_group""",
+)
+def q_t_closeness(spark, sf):
+    """t-closeness audit (Li et al. 2007) — the third leg of the privacy
+    family after q_k_anonymity and q_l_diversity: for each
+    quasi-identifier equivalence class (nation), the variational
+    distance ½·Σ|p_group − p_global| between the class's sensitive-value
+    (market segment) distribution and the global one, plus the t=0.2
+    violation flag. Absent (group, segment) cells still contribute the
+    segment's global share, so the grid is completed with a cross join
+    of the two DIMENSION-sized margins before the left join — never a
+    row-level fan-out. The distance numerator stays an exact BIGINT
+    (|n_gs·n − n_s·n_g|) until one final division."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    c = _t(spark, sf, "customer")
+    # ONE fact scan: the (nation, segment) contingency table is
+    # dimension-sized (25x5) — cache it and derive every margin from it
+    g = eager_cache(
+        c.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_gs")
+        )
+    )
+    gt = g.groupBy("c_nationkey").agg(F.sum("n_gs").cast("long").alias("n_g"))
+    st = g.groupBy("c_mktsegment").agg(F.sum("n_gs").cast("long").alias("n_s"))
+    tot = g.agg(F.sum("n_gs").cast("long").alias("n"))
+    cells = (
+        gt.crossJoin(F.broadcast(st))
+        .join(F.broadcast(g), ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "n_g",
+            "n_s",
+            F.coalesce(F.col("n_gs"), F.lit(0)).cast("long").alias("n_gs"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    dist = cells.groupBy("c_nationkey").agg(
+        F.sum(
+            F.abs(F.col("n_gs") * F.col("n") - F.col("n_s") * F.col("n_g"))
+        )
+        .cast("long")
+        .alias("num"),
+        F.min("n_g").alias("n_g"),
+        F.min("n").alias("n"),
+    )
+    t = F.col("num").cast("double") / (2.0 * F.col("n_g") * F.col("n"))
+    return (
+        dist.select(
+            F.col("c_nationkey").alias("qi_group"),
+            F.col("n_g").alias("group_size"),
+            F.round(t, 6).alias("t_distance"),
+            F.when(t > 0.2, 1).otherwise(0).cast("long").alias("violates_t02"),
+        )
+        .orderBy("qi_group")
+    )
+
+
+@q(
+    "text_readability_scores",
+    oracle="""WITH f AS (SELECT source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                     CAST(list_sum(list_transform(string_split(text, ' '),
+                       w -> GREATEST(1, len(regexp_extract_all(
+                              lower(w), '[aeiouy]+'))))) AS BIGINT)
+                       AS syllables
+                  FROM documents)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(words) AS BIGINT) AS words,
+                     CAST(SUM(syllables) AS BIGINT) AS syllables,
+                     ROUND(CAST(SUM(syllables) AS DOUBLE) / SUM(words), 4)
+                       AS syl_per_word,
+                     ROUND(206.835 - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                                              / COUNT(*))
+                           - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                                     / SUM(words)), 4) AS flesch
+              FROM f GROUP BY source ORDER BY source""",
+)
+def text_readability_scores(spark, sf):
+    """Flesch reading-ease per source — the readability gate corpus QA
+    stacks run next to Gopher rules: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/word), with syllables proxied by vowel-group counts
+    (min 1 per word — the standard heuristic) and, on THIS fixture,
+    sentences ≡ documents (the driver corpus carries no punctuation —
+    the same honest proxy note as the paragraph chunker; on punctuated
+    corpora split_sentences supplies the real denominator). Counts stay
+    BIGINT until the two final divisions; one scan, rollup per source."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+        ),
+    )
+    f = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("words"),
+        syl.alias("syllables"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("syllables").cast("long").alias("syllables"),
+            F.round(
+                F.sum("syllables").cast("double") / F.sum("words"), 4
+            ).alias("syl_per_word"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.sum("words").cast("double") / F.count(F.lit(1)))
+                - F.lit(84.6)
+                * (F.sum("syllables").cast("double") / F.sum("words")),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("source")
+    )

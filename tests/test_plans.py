@@ -434,6 +434,8 @@ _EAGER = [n for n in CATALOG if n.startswith("stream_")] + [
     "graph_modularity",
     # components local path (cap probe) + quality-argmax keeper broadcast
     "near_dup_keep_best",
+    # eager_cache of the dimension-sized contingency table
+    "q_t_closeness",
 ]
 
 # deliberate BroadcastNestedLoopJoin users: a tiny broadcast side (query
@@ -491,6 +493,8 @@ _BNLJ_OK = {
     # 1-row edge-count + modularity-numerator totals crossed into the
     # per-community rows
     "graph_modularity",
+    # dimension-margin cross join (25 nations x 5 segments) + 1-row total
+    "q_t_closeness",
 }
 
 

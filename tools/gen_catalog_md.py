@@ -42,7 +42,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_json_props_sum", "skew_salted_agg", "pandas_udaf_weighted_mean",
         "q_mixture_plan", "zscore_groups", "q_date_spine", "q_winsorized_stats",
         "q_time_weighted_avg", "q_ab_test_stats", "q_decimal_exact_money",
-        "q_regression_metrics", "q_bitmask_funnel", "q_k_anonymity", "q_l_diversity", "q_id_gap_audit", "q_impute_median_by_group",
+        "q_regression_metrics", "q_bitmask_funnel", "q_k_anonymity", "q_t_closeness", "q_l_diversity", "q_id_gap_audit", "q_impute_median_by_group",
         "q_rolling_active_users", "q_weighted_median", "q_gini_coefficient",
         "q_skyline_pareto", "q_churn_features", "q_decayed_score",
         "q_observed_metrics", "q_benford_audit", "q_seasonal_baseline",
@@ -141,6 +141,7 @@ FAMILIES: dict[str, list[str]] = {
         "url_normalize_dedup", "warc_extract_pipeline", "url_robots_filter",
         "text_markdown_extract", "text_blocklist_ac",
         "text_ngram_novelty", "prefix_cache_groups",
+        "text_readability_scores",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
