@@ -135,6 +135,7 @@ HEADLINE = [
     "ann_ivfpq_index_topk",
     "q_t_closeness",
     "text_readability_scores",
+    "quality_filter_bias_audit",
 ]
 
 

@@ -15861,3 +15861,74 @@ def text_readability_scores(spark, sf):
         )
         .orderBy("source")
     )
+
+
+@q(
+    "quality_filter_bias_audit",
+    oracle=f"""WITH {_QUALITY_CTE.replace("doc_id, source,", "doc_id, source, lang,").replace("source, text,", "source, lang, text,")},
+              per AS (SELECT d.lang,
+                             CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(CASE WHEN qd.quality >= 0.97
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                      FROM qd JOIN documents d ON d.doc_id = qd.doc_id
+                      GROUP BY d.lang),
+              best AS (SELECT MAX(CAST(n_pass AS DOUBLE) / n_docs) AS top
+                       FROM per)
+              SELECT lang, n_docs, n_pass,
+                     ROUND(CAST(n_pass AS DOUBLE) / n_docs, 4) AS pass_rate,
+                     ROUND((CAST(n_pass AS DOUBLE) / n_docs) / best.top, 4)
+                       AS impact_ratio,
+                     CAST(CASE WHEN (CAST(n_pass AS DOUBLE) / n_docs)
+                               / best.top < 0.8 THEN 1 ELSE 0 END AS BIGINT)
+                       AS four_fifths_flag
+              FROM per, best ORDER BY lang""",
+)
+def quality_filter_bias_audit(spark, sf):
+    """Disparate-impact audit of the quality gate — the filter-bias check
+    responsible corpus curation runs before shipping a cut (heuristic
+    quality filters are known to reject minority languages/dialects at
+    higher rates): per language, the pass rate at the 0.97 composite
+    gate, the impact ratio against the best-passing language, and the
+    classic four-fifths flag (ratio < 0.8 = presumptive disparate
+    impact). Counts stay BIGINT until the two divisions; the best-rate
+    row is a 1-row broadcast. One corpus scan — the gate features and
+    the language key come from the same pass."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*TX.STOPWORDS)))
+    dr = F.size(F.array_distinct(toks)) / n
+    quality = F.round(
+        F.when((n >= 5) & (dr > 0.2), F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - n_stop / n * F.lit(0.5)),
+        4,
+    )
+    per = (
+        d.select("lang", quality.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("q") >= 0.97, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+    )
+    rate = F.col("n_pass").cast("double") / F.col("n_docs")
+    best = per.agg(
+        F.max(F.col("n_pass").cast("double") / F.col("n_docs")).alias("top")
+    )
+    return (
+        per.crossJoin(F.broadcast(best))
+        .select(
+            "lang",
+            "n_docs",
+            "n_pass",
+            F.round(rate, 4).alias("pass_rate"),
+            F.round(rate / F.col("top"), 4).alias("impact_ratio"),
+            F.when(rate / F.col("top") < 0.8, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("four_fifths_flag"),
+        )
+        .orderBy("lang")
+    )

@@ -495,6 +495,8 @@ _BNLJ_OK = {
     "graph_modularity",
     # dimension-margin cross join (25 nations x 5 segments) + 1-row total
     "q_t_closeness",
+    # 1-row best-pass-rate broadcast into the |langs| rows
+    "quality_filter_bias_audit",
 }
 
 

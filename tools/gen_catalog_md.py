@@ -141,7 +141,7 @@ FAMILIES: dict[str, list[str]] = {
         "url_normalize_dedup", "warc_extract_pipeline", "url_robots_filter",
         "text_markdown_extract", "text_blocklist_ac",
         "text_ngram_novelty", "prefix_cache_groups",
-        "text_readability_scores",
+        "text_readability_scores", "quality_filter_bias_audit",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
