@@ -798,3 +798,28 @@ def test_scan_audit_tool_counts_and_cache_flag(spark):
         spark, CATALOG["graph_triangle_count"].fn, SF_CORRECTNESS
     )
     assert cached is True  # eager_cache'd edge table
+
+
+def test_prefix_cache_groups_shuffles_hashes_not_text(spark):
+    """prefix_cache_groups: both windows must ride the 16-byte prefix
+    HASH partitioning (h) — the document text never becomes a shuffle
+    key — and the rollup re-keys on source only."""
+    df = q("prefix_cache_groups", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(h#\d+", plan), plan
+    assert "text#" not in re.findall(
+        r"hashpartitioning\(([^)]*)\)", plan
+    ).__str__(), "document text must not be a shuffle key"
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_cumsum_window_is_partitioned(spark):
+    """curriculum_phase_plan: the corpus-sized cumulative-token window
+    must be HASH-PARTITIONED by q_int (the bucket-offset pattern) — the
+    only unpartitioned window in the plan is the bucket-level offset
+    scan over the ≤10001-row q_int relation, never the corpus."""
+    df = q("curriculum_phase_plan", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(q_int#\d+", plan), (
+        "per-doc cumsum window lost its q_int partitioning:\n" + plan
+    )
