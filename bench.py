@@ -136,6 +136,7 @@ HEADLINE = [
     "q_t_closeness",
     "text_readability_scores",
     "quality_filter_bias_audit",
+    "mixture_temperature_expansion",
 ]
 
 

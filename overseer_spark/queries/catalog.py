@@ -15932,3 +15932,106 @@ def quality_filter_bias_audit(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "mixture_temperature_expansion",
+    oracle="""WITH s AS (SELECT lang,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+                  FROM documents GROUP BY lang),
+              w AS (SELECT lang, n_tok,
+                           CAST(FLOOR(sqrt(CAST(n_tok AS DOUBLE)) * 1000000)
+                                AS BIGINT) AS q
+                    FROM s),
+              t AS (SELECT CAST(SUM(q) AS BIGINT) AS tot_q FROM w),
+              alloc AS (SELECT lang, n_tok,
+                               CAST(q AS DOUBLE) * 40000 / tot_q AS alloc
+                        FROM w, t),
+              docs AS (SELECT d.lang,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dt,
+                     a.alloc,
+                     CAST(FLOOR(a.alloc / a.n_tok) AS BIGINT)
+                       + CASE WHEN
+                           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                               || ':tmp42'), 1, 12))::BIGINT
+                             / 281474976710656.0
+                           < a.alloc / a.n_tok - FLOOR(a.alloc / a.n_tok)
+                         THEN 1 ELSE 0 END AS copies
+                     FROM documents d JOIN alloc a ON a.lang = d.lang)
+              SELECT lang,
+                     CAST(SUM(copies) AS BIGINT) AS realized_docs,
+                     CAST(SUM(copies * dt) AS BIGINT) AS realized_tok,
+                     ROUND(alloc, 2) AS alloc_tok,
+                     ROUND((SUM(copies * dt) - alloc) / alloc, 4) AS rel_err
+              FROM docs GROUP BY lang, alloc ORDER BY lang""",
+)
+def mixture_temperature_expansion(spark, sf):
+    """Temperature-mixture REALIZATION — the execute half of
+    mixture_temperature_weights, mirroring how mixture_epoch_expansion
+    realizes the UniMax plan: each language's T=2 share of a
+    40000-token budget becomes per-document epochs (floor copies + one
+    more iff the deterministic md5-uniform draw falls under the
+    fractional part — the portable hash convention, reproducible across
+    engines and partitionings). Per language: realized copies, realized
+    tokens, the target allocation, and the relative error (bounded by
+    document granularity). Copies are counted, never materialized; the
+    temperature weights stay exact BIGINTs (IEEE sqrt, floor-quantized)
+    until the single allocation division."""
+    d = _t(spark, sf, "documents")
+    s = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
+    )
+    w = s.select(
+        "lang",
+        "n_tok",
+        F.floor(F.sqrt(F.col("n_tok").cast("double")) * 1000000)
+        .cast("long")
+        .alias("q"),
+    )
+    tot = w.agg(F.sum("q").cast("long").alias("tot_q"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tok",
+        (F.col("q").cast("double") * 40000 / F.col("tot_q")).alias("alloc"),
+    )
+    epochs = F.col("alloc") / F.col("n_tok")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":tmp42"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(281474976710656.0)
+    )
+    docs = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("dt")
+    ).join(F.broadcast(alloc), "lang")
+    copies = F.floor(epochs).cast("long") + F.when(
+        u < (epochs - F.floor(epochs)), 1
+    ).otherwise(0)
+    per_doc = docs.select("lang", "dt", "alloc", copies.alias("copies"))
+    return (
+        per_doc.groupBy("lang", "alloc")
+        .agg(
+            F.sum("copies").cast("long").alias("realized_docs"),
+            F.sum(F.col("copies") * F.col("dt"))
+            .cast("long")
+            .alias("realized_tok"),
+        )
+        .select(
+            "lang",
+            "realized_docs",
+            "realized_tok",
+            F.round(F.col("alloc"), 2).alias("alloc_tok"),
+            F.round(
+                (F.col("realized_tok") - F.col("alloc")) / F.col("alloc"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )

@@ -482,7 +482,7 @@ _BNLJ_OK = {
     # k×d centroid-table broadcast for the cell assignment
     "embedding_outlier_flags",
     # round-8: 1-row token/temperature totals crossed into the |langs| rows
-    "mixture_temperature_weights",
+    "mixture_temperature_weights", "mixture_temperature_expansion",
     # query-set broadcast against the 8-byte sign-bit codes (and the
     # recall eval reusing both the hamming and cosine brute legs)
     "ann_hamming_topk", "ann_hamming_recall_eval",

@@ -163,7 +163,8 @@ FAMILIES: dict[str, list[str]] = {
         "text_tokenizer_fertility", "semantic_doc_order",
         "chat_format_audit", "rl_rejection_sampling",
         "mixture_epoch_expansion",
-        "mixture_temperature_weights", "packing_efficiency_sweep",
+        "mixture_temperature_weights", "mixture_temperature_expansion",
+        "packing_efficiency_sweep",
         "chat_loss_masking_stats", "curriculum_phase_plan",
         "quality_threshold_sweep", "quality_gate_by_source",
 
