@@ -129,9 +129,31 @@ def salted_wedges(
     membership picks one side of each cross-block pair; hi-order dedups
     same-block pairs). The hot-apex set is collected nowhere: it splits
     the edge stream with broadcast semi/anti joins (it is tiny by
-    construction — only apexes already past the √m bound)."""
+    construction — only apexes already past the √m bound).
+
+    Short-circuit: when NO apex crosses ``hot_threshold`` — the common
+    case for graphs whose max degree sits under the orientation's √m
+    bound — the salted machinery is pure overhead (the two broadcast
+    semi/anti splits, the empty replicated hot leg, and the union cost
+    ~1.5 s of fixed latency at 60 k edges, VERDICT r8 #1). The hot-key
+    existence is probed first with ONE dimension-sized action on the
+    map-side-combined degree aggregate (callers cache ``oe``, so the
+    probe re-reads no base data) and the plain self-join over the FULL
+    edge set is returned when no apex is hot — identical output, none
+    of the fixed overhead. The salted path engages only when a hot apex
+    actually exists, which is exactly when its replication cost pays."""
     odeg = oe.groupBy("x").agg(F.count(F.lit(1)).alias("_od"))
     hot_keys = odeg.filter(F.col("_od") > hot_threshold).select("x")
+    if hot_keys.limit(1).count() == 0:
+        w1, w2 = oe.alias("w1"), oe.alias("w2")
+        return w1.join(
+            w2,
+            (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.hi") < F.col("w2.hi")),
+        ).select(
+            F.col("w1.x").alias("x"),
+            F.col("w1.hi").alias("h1"),
+            F.col("w2.hi").alias("h2"),
+        )
     cold_e = oe.join(F.broadcast(hot_keys), "x", "left_anti")
     hot_e = oe.join(F.broadcast(hot_keys), "x", "semi")
 

@@ -7744,7 +7744,11 @@ def graph_triangle_count(spark, sf):
     (out-degree > 4096 under the orientation — already past the √m
     bound) through salted block-pair tasks (operators/skew.py:
     salted_wedges), so no single reducer ever owns a hub's d²/2 pairs;
-    exactly-once pair coverage is property-tested in tests/test_skew.py."""
+    exactly-once pair coverage is property-tested in tests/test_skew.py.
+    When NO apex is hot — true for this graph at sf0.1 — salted_wedges
+    probes the cached degree aggregate once and short-circuits to the
+    plain self-join, so small graphs don't pay the salting's fixed
+    split/union overhead (the r8 2.6→4.1 s regression, now recovered)."""
     from overseer_spark.operators.skew import salted_wedges  # noqa: PLC0415
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 

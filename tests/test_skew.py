@@ -136,3 +136,31 @@ def test_salted_wedges_matches_plain_self_join(spark, hot_threshold, s):
     )
     assert got == want
     assert len(got) == 7 * 6 // 2 + 1 + 0  # C(7,2) + C(2,2->1 pair) + none
+
+
+def test_salted_wedges_short_circuits_when_no_apex_hot(spark):
+    """VERDICT r8 #1: with no hot apex the salted machinery (semi/anti
+    splits + empty replicated leg + union) is pure fixed overhead, so
+    salted_wedges must return the PLAIN self-join plan — no Union, no
+    block-pair explode.  With the threshold at 0 every apex is hot and
+    the salted path (Union of cold + hot legs) must still engage."""
+    from overseer_spark.operators.skew import salted_wedges
+
+    oe = spark.createDataFrame(
+        [(1, {"d": 2, "n": 5}), (1, {"d": 2, "n": 6}), (2, {"d": 1, "n": 7})],
+        "x long, hi struct<d: long, n: long>",
+    )
+    cold = salted_wedges(oe, hot_threshold=100, salt_buckets=8)
+    cold_plan = cold._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in cold_plan
+    assert "explode" not in cold_plan.lower()
+    assert sorted(
+        (r["x"], r["h1"]["n"], r["h2"]["n"]) for r in cold.collect()
+    ) == [(1, 5, 6)]
+
+    hot = salted_wedges(oe, hot_threshold=0, salt_buckets=4)
+    hot_plan = hot._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in hot_plan
+    assert sorted(
+        (r["x"], r["h1"]["n"], r["h2"]["n"]) for r in hot.collect()
+    ) == [(1, 5, 6)]
