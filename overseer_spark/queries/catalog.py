@@ -15604,8 +15604,15 @@ def near_dup_keep_best(spark, sf):
     pairs from the existing prefix-filtered shingle machinery; the
     argmax is one max(struct(q_int, −id)) per component (map-side
     combining, no window); only (id, component, two ints) move after
-    pair generation. The oracle replays components by recursive
-    reachability + the same quantized argmax."""
+    pair generation. The keep-id rejoin is a PLAIN equi-join on
+    component — deliberately NOT broadcast-hinted: ``best`` has one
+    row per near-dup cluster, and on a heavy-dup crawl (exactly this
+    operator's target corpus) the cluster count grows with the corpus,
+    so a forced hint would bypass AQE's size check and OOM the driver
+    at 100 TB. AQE still broadcasts it when it measures small
+    (tests/test_dedup.py pins the absence of a mandatory broadcast).
+    The oracle replays components by recursive reachability + the same
+    quantized argmax."""
     from overseer_spark.operators.components import connected_components
 
     d = _t(spark, sf, "documents")
@@ -15625,7 +15632,7 @@ def near_dup_keep_best(spark, sf):
             F.struct(F.col("q_int"), (-F.col("doc_id")).alias("ni"))
         ).alias("m")
     ).select("component", (-F.col("m.ni")).alias("keep_id"))
-    judged = member.join(F.broadcast(best), "component").select(
+    judged = member.join(best, "component").select(
         "doc_id",
         "n",
         (F.col("doc_id") != F.col("keep_id")).alias("dropped"),

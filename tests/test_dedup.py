@@ -189,3 +189,52 @@ def test_minhash_recall_eval_bound(spark):
     row = CATALOG["minhash_recall_eval"].fn(spark, SF_CORRECTNESS).collect()[0]
     assert row["n_found"] <= row["n_true"]
     assert row["recall"] >= 0.9, row
+
+
+def test_near_dup_keep_best_no_forced_broadcast(spark, tmp_path):
+    """VERDICT r8 #2: the keep-id rejoin must NOT carry a mandatory
+    broadcast hint — ``best`` is component-sized (grows with the corpus
+    on heavy-dup crawls), and a forced hint bypasses AQE's size check.
+    Crafted high-dup corpus: with autoBroadcastJoinThreshold=-1 (the
+    'clusters >> broadcast threshold' regime scaled down) the whole
+    entry must run broadcast-free AND pick the quality-first keeper,
+    not the min-id one."""
+    from overseer_spark.queries.catalog import CATALOG
+
+    base = " ".join(f"w{i}" for i in range(1, 21))          # 20 uniques
+    docs = [
+        # cluster 1: doc 1 (low id, LOWER quality: 2 stopwords) vs
+        # doc 2 (high id, quality 1.0); shingle Jaccard = 18/20 = 0.9
+        (1, base + " the of", "en", "sa", 0),
+        (2, base, "en", "sb", 0),
+        # cluster 2: identical texts -> quality tie -> keep min id (10)
+        (10, " ".join(f"x{i}" for i in range(1, 21)), "en", "sc", 0),
+        (11, " ".join(f"x{i}" for i in range(1, 21)), "en", "sd", 0),
+        # singleton
+        (30, " ".join(f"z{i}" for i in range(1, 21)), "en", "se", 0),
+    ]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = CATALOG["near_dup_keep_best"].fn(spark, str(tmp_path))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in plan, plan
+        rows = {r["source"]: r for r in df.collect()}
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in phys, phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # quality-first: doc 2 (higher quality) survives despite higher id
+    assert (rows["sa"]["n_dropped"], rows["sa"]["tokens_dropped"]) == (1, 22)
+    assert (rows["sb"]["n_dropped"], rows["sb"]["tokens_dropped"]) == (0, 0)
+    # tie -> min id: doc 10 survives, doc 11 drops
+    assert (rows["sc"]["n_dropped"], rows["sd"]["n_dropped"]) == (0, 1)
+    assert rows["sd"]["tokens_dropped"] == 20
+    # singleton: never clustered, never dropped
+    assert (rows["se"]["n_clustered"], rows["se"]["n_dropped"]) == (0, 0)
