@@ -7749,24 +7749,12 @@ def graph_triangle_count(spark, sf):
     probes the cached degree aggregate once and short-circuits to the
     plain self-join, so small graphs don't pay the salting's fixed
     split/union overhead (the r8 2.6→4.1 s regression, now recovered)."""
+    from overseer_spark.operators.graph import cooccurrence_edges  # noqa: PLC0415
     from overseer_spark.operators.skew import salted_wedges  # noqa: PLC0415
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = eager_cache(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    edges = eager_cache(cooccurrence_edges(li))
     # ONE pass over the cached edges for degrees (explode both endpoints
     # rather than a 2-branch union — halves the cached-relation scans)
     deg = (
@@ -12365,58 +12353,25 @@ def graph_lpa_communities(spark, sf):
     neighbors (ties → min label, so rounds are deterministic — the
     asynchronous/random variant is not reproducible and has no place in
     a data pipeline); three unrolled rounds, then community sizes.
-    Plan: the edge set is mined once and cached (same min-support
-    pruning as graph_triangle_count); each round is one join of the
-    node-sized label table to the adjacency + one (node, label) count +
-    one argmax window — label state, never edges, moves between rounds.
-    The oracle unrolls the identical three rounds as CTEs (no recursion
-    needed for a fixed round count, so aggregation-in-recursion limits
-    never bite)."""
+    Plan: shared with graph_modularity via operators/graph.py (ONE
+    definition of the co-occurrence mining + LPA rounds, VERDICT r8
+    ask #6): adjacency comes from a single explode pass over the mined
+    edges — the previous union-of-branches formulation re-ran the
+    whole uncached lineitem self-join once per direction — and each
+    round moves node-sized label state only (MAX(struct) argmax, no
+    rank window). The oracle unrolls the identical three rounds as
+    CTEs (no recursion needed for a fixed round count, so
+    aggregation-in-recursion limits never bite)."""
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        cooccurrence_edges,
+        lpa_labels,
+        undirected_adj,
+    )
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-    )
-    adj = eager_cache(
-        e.select(F.col("u").alias("node"), F.col("v").alias("nb")).union(
-            e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-        )
-    )
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    # per-round mode: argmax by (count DESC, label ASC) as ONE
-    # MAX(struct(c, -label)) aggregation — the lexicographic struct
-    # encodes the tie-break, so no rank window (and no per-node sort)
-    # is needed; both aggregations partial-combine map-side
-    for _ in range(3):
-        labels = (
-            adj.join(
-                labels.select(F.col("node").alias("nb"), "label"),
-                "nb",
-            )
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            .select("node", (-F.col("m.nl")).alias("label"))
-        )
+    adj = eager_cache(undirected_adj(cooccurrence_edges(li)))
+    labels = lpa_labels(adj, rounds=3)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
@@ -15465,56 +15420,24 @@ def graph_modularity(spark, sf):
     despite being a sum of fractions. Labels are the same three
     deterministic synchronous LPA rounds as graph_lpa_communities
     (min-label ties); per-community contributions for the 20 largest
-    plus the corpus-wide Q on every row. Plan: edges cached once; each
-    LPA round moves node-sized label state; modularity adds one
-    edges⋈labels join (intra counts) and one node-sized degree rollup —
-    COALESCE keeps zero-intra-edge communities (the medoids singleton
-    lesson)."""
+    plus the corpus-wide Q on every row. Plan: the co-occurrence mining
+    and LPA rounds are the SAME definition graph_lpa_communities runs
+    (operators/graph.py, VERDICT r8 ask #6 — one copy of the catalog's
+    most expensive join chain); edges cached once, adjacency derived
+    from them in one explode pass; modularity adds one edges⋈labels
+    join (intra counts) and one node-sized degree rollup — COALESCE
+    keeps zero-intra-edge communities (the medoids singleton lesson)."""
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        cooccurrence_edges,
+        lpa_labels,
+        undirected_adj,
+    )
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = eager_cache(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-    )
-    adj = eager_cache(
-        edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-            edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-        )
-    )
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    # same per-round argmax as graph_lpa_communities: ONE
-    # MAX(struct(c, -label)) aggregation encodes the (count DESC, label
-    # ASC) tie-break — both aggregations partial-combine map-side, no
-    # per-node sort window
-    for _ in range(3):
-        labels = (
-            adj.join(
-                labels.select(F.col("node").alias("nb"), "label"), "nb"
-            )
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            .select("node", (-F.col("m.nl")).alias("label"))
-        )
-    labels = eager_cache(labels)
+    edges = eager_cache(cooccurrence_edges(li))
+    adj = eager_cache(undirected_adj(edges))
+    labels = eager_cache(lpa_labels(adj, rounds=3))
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
     dsum = (
