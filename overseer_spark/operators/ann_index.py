@@ -131,6 +131,15 @@ def bucket_predicate(buckets) -> "F.Column":
     tests/test_ann_index.py). Empty bucket set → ``lit(False)``: the
     scan lists nothing and the query returns an empty frame with the
     normal schema instead of ``filter(None)`` raising.
+
+    Key encoding assumes INT partition values (they are: ``table`` is a
+    hash-table index, ``sig`` a bit-signature integer — both produced
+    by build_lsh_index). If either ever became a free string, a ``#``
+    inside a value would make ('a#b','c') and ('a','b#c') collide and
+    the probe would read extra buckets — wrong cost, never wrong
+    results (candidates are exactly re-scored). Keep the columns
+    integral or switch to a separator-free encoding before widening
+    the type (ADVICE r8).
     """
     if not buckets:
         return F.lit(False)

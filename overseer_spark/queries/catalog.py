@@ -14551,9 +14551,10 @@ def mixture_temperature_weights(spark, sf):
     "prefix_cache_groups",
     oracle="""WITH p AS (SELECT doc_id, source,
                      md5(array_to_string((string_split(text, ' '))[1:8], ' '))
-                       AS h
+                       AS h,
+                     LEAST(8, len(string_split(text, ' '))) AS credit
                   FROM documents),
-              w AS (SELECT doc_id, source, h,
+              w AS (SELECT doc_id, source, h, credit,
                            COUNT(*) OVER (PARTITION BY h) AS total,
                            ROW_NUMBER() OVER (PARTITION BY h
                                               ORDER BY doc_id) AS rk
@@ -14562,7 +14563,7 @@ def mixture_temperature_weights(spark, sf):
                      CAST(COUNT(*) AS BIGINT) AS n_docs,
                      CAST(SUM(CASE WHEN total >= 2 THEN 1 ELSE 0 END)
                           AS BIGINT) AS shared_docs,
-                     CAST(SUM(CASE WHEN total >= 2 AND rk >= 2 THEN 8
+                     CAST(SUM(CASE WHEN total >= 2 AND rk >= 2 THEN credit
                               ELSE 0 END) AS BIGINT) AS cache_hit_tokens,
                      ROUND(CAST(SUM(CASE WHEN total >= 2 THEN 1 ELSE 0 END)
                                 AS DOUBLE) / COUNT(*), 4) AS shared_frac
@@ -14572,19 +14573,28 @@ def prefix_cache_groups(spark, sf):
     """KV-cache prefix audit — how much of the corpus shares a leading
     8-token prefix (shared system prompts / boilerplate headers), i.e.
     the tokens an inference or training stack with prefix caching never
-    recomputes. Docs group by md5(first-8-tokens); a group of k docs
-    caches 8·(k−1) tokens (the deterministic 'first' doc by id pays the
-    fill). Per source: docs, docs in shared groups, cacheable tokens,
+    recomputes. Docs group by md5(first-8-tokens); each duplicate doc
+    after the deterministic 'first' by id credits least(8, its token
+    count) — short docs can't cache more tokens than they have
+    (ADVICE r8: a flat 8 overstated the credit for sub-8-token docs).
+    Per source: docs, docs in shared groups, cacheable tokens,
     shared fraction. Plan: one scan → 16-byte prefix hashes shuffle
     (never text) → hash-partitioned window → source rollup — the
     paragraph-dedup shape at prefix granularity."""
     d = _t(spark, sf, "documents")
-    pref = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
-    p = d.select("doc_id", "source", pref.alias("h"))
+    toks = F.split("text", " ")
+    pref = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    p = d.select(
+        "doc_id",
+        "source",
+        pref.alias("h"),
+        F.least(F.lit(8), F.size(toks)).alias("credit"),
+    )
     wt = Window.partitionBy("h")
     wr = Window.partitionBy("h").orderBy("doc_id")
     r = p.select(
         "source",
+        "credit",
         F.count(F.lit(1)).over(wt).alias("total"),
         F.row_number().over(wr).alias("rk"),
     )
@@ -14595,7 +14605,9 @@ def prefix_cache_groups(spark, sf):
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             shared.cast("long").alias("shared_docs"),
             F.sum(
-                F.when((F.col("total") >= 2) & (F.col("rk") >= 2), 8).otherwise(0)
+                F.when(
+                    (F.col("total") >= 2) & (F.col("rk") >= 2), F.col("credit")
+                ).otherwise(0)
             )
             .cast("long")
             .alias("cache_hit_tokens"),
@@ -14888,7 +14900,7 @@ def chat_loss_masking_stats(spark, sf):
               FROM qd GROUP BY source ORDER BY source""",
 )
 def quality_gate_by_source(spark, sf):
-    """Per-source quality pass rate (composite score >= 0.5) — the
+    """Per-source quality pass rate (composite score >= 0.97) — the
     ingest QA dashboard row that tells a curation run WHICH feed is
     rotting, where text_quality_filter_count only says how much survives
     globally. Shares its definition with the streaming twin
@@ -15310,7 +15322,8 @@ def ann_hamming_recall_eval(spark, sf):
     oracle="""WITH r AS (SELECT source,
                      len(string_split(text, ' ')) AS n,
                      ROW_NUMBER() OVER (PARTITION BY source
-                       ORDER BY (doc_id * 2654435761 + 7) % 4294967296,
+                       ORDER BY ((doc_id % 2147483648) * 2654435761 + 7)
+                                  % 4294967296,
                                 doc_id) AS rk
                   FROM documents)
               SELECT source,
@@ -15329,9 +15342,17 @@ def source_cap_downsample(spark, sf):
     and silently changes with file splits; a pure key hash is
     deterministic on any engine/layout and DuckDB-replayable). Reports
     docs and tokens surviving per source. One scan, one source-keyed
-    window — the rank never moves text."""
+    window — the rank never moves text. The id is reduced mod 2^31
+    BEFORE the multiply on both engines: doc_id * 2654435761 overflows
+    signed-64 for doc_id >= ~3.48e9 — exactly the 100 TB id regime this
+    entry targets — and the engines then diverge (ANSI Spark throws,
+    non-ANSI wraps, DuckDB raises; the bitfunc fuzz family documents
+    this seam). (2^31-1) * 2654435761 + 7 < 2^63 keeps the arithmetic
+    exact everywhere (ADVICE r8)."""
     d = _t(spark, sf, "documents")
-    key = (F.col("doc_id") * F.lit(2654435761) + F.lit(7)) % F.lit(4294967296)
+    key = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761) + F.lit(7)
+    ) % F.lit(4294967296)
     w = Window.partitionBy("source").orderBy(key, "doc_id")
     r = d.select(
         "source",

@@ -24,7 +24,10 @@ def biased_dir(spark):
          "en", "s0")
         for i in range(20)
     ] + [
-        # all-stopword docs: composite quality bottoms out at 0.5
+        # 12 tokens, 1 distinct: distinct_ratio 1/12 <= 0.2 trips the
+        # repetition gate, zeroing the composite score — so lang xx's
+        # pass rate is 0 (it is the gate, not the stopword discount,
+        # that fails these docs; ADVICE r8 corrected this comment)
         (100 + i, "the the the the the the the the the the the the",
          "xx", "s1")
         for i in range(10)
