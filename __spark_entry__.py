@@ -11,7 +11,10 @@ so entries are ordered by verification priority.  The ordering is
 driver has never hash-checked, so each round's 50-entry prefix covers 50
 previously-unverified entries until the whole catalog carries independent
 driver signal.  PY-tier entries (no DuckDB oracle exists by design) and
-already-green entries sort last.  The local suite
+already-green entries sort last — and within the green tail, entries whose
+latest green driver row is OLDEST sort first (staleness rotation, VERDICT
+r8 ask #8), so once the catalog is fully hash-green each round's prefix
+re-confirms the stalest cohort.  The local suite
 (tests/test_oracle_parity.py) still checks all entries every run.
 """
 
@@ -20,6 +23,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,10 +33,11 @@ from overseer_spark.queries.catalog import CATALOG, flagship
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_checked() -> tuple[set[str], set[str], set[str]]:
+def _driver_checked() -> tuple[set[str], set[str], set[str], dict[str, int]]:
     """(all entry names ever covered, names whose LATEST driver row failed,
     names whose LATEST driver row was the weak ``no_oracle`` rows-only
-    check) from the committed per-round driver gate results.
+    check, name → latest round with a GREEN hash row) from the committed
+    per-round driver gate results.
 
     The third set exists because an entry can be *tier-promoted*: its only
     driver rows date from when it was PY-tier (no DuckDB oracle, so the
@@ -40,16 +45,25 @@ def _driver_checked() -> tuple[set[str], set[str], set[str]]:
     gained a real oracle.  Such an entry has never received an independent
     hash check, so the ordering must treat it like a never-seen SQL entry
     rather than letting it sort into ``done`` forever.
+
+    The last-green map drives staleness rotation (VERDICT r8 ask #8):
+    once every entry is hash-green, the driver's fixed-size prefix should
+    re-confirm the entries whose green signal is OLDEST, so cumulative
+    driver coverage stays fresh instead of re-checking whatever sits
+    first in catalog order.
     """
     seen: set[str] = set()
     failed: set[str] = set()
     weak: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         for name, row in rows.items():
             seen.add(name)
             if not isinstance(row, dict):
@@ -70,9 +84,10 @@ def _driver_checked() -> tuple[set[str], set[str], set[str]]:
             )
             if ok:
                 failed.discard(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
             else:
                 failed.add(name)
-    return seen, failed, weak
+    return seen, failed, weak, last_green
 
 
 def _round_start_roster() -> set[str]:
@@ -90,7 +105,7 @@ def _round_start_roster() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
-    checked, failed, weak = _driver_checked()
+    checked, failed, weak, last_green = _driver_checked()
     roster = _round_start_roster()
     # failed-last-round entries lead: their fix must re-green THIS round
     redo = [n for n in CATALOG if n in failed]
@@ -112,13 +127,21 @@ def _ordered_names() -> list[str]:
     added_this_round = [n for n in unhashed if n not in roster] + [
         n for n in py_new if n not in roster
     ]
-    done = [
-        n
-        for n in CATALOG
-        if n in checked
-        and n not in failed
-        and not (CATALOG[n].oracle and n in weak)
-    ]
+    # Staleness rotation (VERDICT r8 ask #8): among fully-green entries,
+    # front the ones whose latest green hash row is OLDEST (r1–r2 cohort
+    # first), so the driver prefix keeps refreshing cumulative coverage.
+    # Catalog order breaks ties for determinism.
+    cat_idx = {n: i for i, n in enumerate(CATALOG)}
+    done = sorted(
+        (
+            n
+            for n in CATALOG
+            if n in checked
+            and n not in failed
+            and not (CATALOG[n].oracle and n in weak)
+        ),
+        key=lambda n: (last_green.get(n, 0), cat_idx[n]),
+    )
     return redo + old_first + added_this_round + done
 
 

@@ -50,7 +50,7 @@ def test_ordering_rotates_to_unchecked_sql_entries():
     spec.loader.exec_module(mod)
     names = mod._ordered_names()
     assert sorted(names) == sorted(CATALOG)
-    checked, failed, weak = mod._driver_checked()
+    checked, failed, weak, last_green = mod._driver_checked()
     roster = mod._round_start_roster()
     unhashed_sql = {
         n
@@ -82,6 +82,14 @@ def test_ordering_rotates_to_unchecked_sql_entries():
         assert names.index(n) < len(failed) + len(unchecked), (
             f"tier-promoted entry {n} must be fronted for a driver hash row"
         )
+    # Staleness rotation (VERDICT r8 ask #8): within the done tail the
+    # latest-green rounds must be non-decreasing — the oldest-confirmed
+    # cohort re-enters the driver prefix first.
+    done_tail = names[len(failed) + len(unchecked):]
+    rounds = [last_green.get(n, 0) for n in done_tail]
+    assert rounds == sorted(rounds), (
+        "done tail must be ordered oldest-green-first for staleness rotation"
+    )
 
 
 def test_ordering_fronts_promoted_entries_synthetic(tmp_path):
