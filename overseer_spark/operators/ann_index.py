@@ -14,9 +14,10 @@ Layout on disk::
     {path}/vectors/     partitionBy(cell): (vec_id, embedding)
 
 Search semantics are identical to :func:`overseer_spark.operators.
-similarity.ivf_topk` (same deterministic lowest-id centroids, same rounded
-cosine ranking) — pytest asserts result equality; only the physical access
-path changes.
+similarity.ivf_topk` (same TRAINED k-means centroids — seeded, sample-
+bounded, per-iteration-rounded, see similarity.trained_centroids — same
+rounded cosine ranking) — pytest asserts result equality; only the
+physical access path changes.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from overseer_spark.functions.vectors import cosine_similarity
-from overseer_spark.operators.similarity import assign_cells
+from overseer_spark.operators.similarity import assign_cells, trained_centroids
 from overseer_spark.operators.util import eager_cache
 
 
@@ -37,8 +38,9 @@ def build_ivf_index(
     vec_col: str = "embedding",
 ) -> None:
     """Assign every corpus vector to its nearest centroid and persist,
-    partitioned by cell. One broadcast O(n·c) pass + one write."""
-    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    partitioned by cell. Training is sample-bounded (trained_centroids);
+    the full corpus pays one broadcast O(n·c) E-step + one write."""
+    centroids = eager_cache(trained_centroids(corpus, n_cells, id_col, vec_col))
     centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col)
     ).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -276,7 +278,7 @@ def build_ivfpq_index(
     spark.createDataFrame(
         rows, "j int, c int, cvec array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    centroids = eager_cache(trained_centroids(corpus, n_cells, id_col, vec_col))
     centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col)
     ).write.mode("overwrite").parquet(f"{path}/centroids")

@@ -86,6 +86,52 @@ def assign_cells(
     return assigned.filter(F.col("_r") <= n_probe).drop("_r", "_csim", "_cvec")
 
 
+def trained_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+    iterations: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """TRAINED coarse-quantizer centroids for the IVF family (VERDICT r8
+    ask #4): seeded Lloyd k-means instead of the first ``n_cells``
+    vectors by id. Arbitrary-id centroids give unbalanced Voronoi cells,
+    so recall and probe cost both degrade as the corpus outgrows the
+    fixture distribution; k-means centroids track the data.
+
+    FAISS-style training economics: k-means runs on a DETERMINISTIC
+    hash-ordered sample of ``train_sample`` vectors (xxhash64 of the id —
+    layout-independent, unlike F.rand — with the id as tie-break), not
+    the full corpus, so training cost is bounded no matter the corpus
+    size; the full corpus only pays the one broadcast E-step inside
+    assign_cells. Every step is deterministic (lowest-id init, per-
+    iteration mean rounding — see kmeans_lloyd round_to), so catalog
+    pins replay bit-identically across partition layouts.
+
+    Returns (``id_col`` = cell index 0..n_cells-1, ``vec_col`` = centroid)
+    shaped exactly like the centroid frames assign_cells/ivf_topk expect.
+    """
+    spark = corpus.sparkSession
+    h = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1 << 31))
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(h, F.col(id_col)).limit(train_sample)
+    )
+    _, cents = kmeans_lloyd(
+        sample,
+        k=n_cells,
+        iterations=iterations,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_to=round_to,
+    )
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    return spark.createDataFrame(
+        rows, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,9 +145,11 @@ def ivf_topk(
     """Approximate top-k: probe the ``n_probe`` nearest cells per query.
 
     At scale, ``assigned`` is written bucketed by ``cell`` so the probe join
-    prunes buckets; here it's an equi-join on ``cell``.
+    prunes buckets; here it's an equi-join on ``cell``. The coarse
+    quantizer is TRAINED (trained_centroids — seeded k-means on a
+    deterministic sample), not the first-k-by-id shortcut.
     """
-    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    centroids = eager_cache(trained_centroids(corpus, n_cells, id_col, vec_col))
     assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
     cents = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
@@ -350,6 +398,7 @@ def kmeans_lloyd(
     iterations: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = None,
 ):
     """Full Lloyd k-means over a distributed vector table.
 
@@ -361,6 +410,14 @@ def kmeans_lloyd(
     vector rows are never collected and never shuffled on vector data.
     Init is deterministic: the k lowest-id vectors (the same convention as
     assign_cells); an emptied cluster keeps its previous centroid.
+
+    ``round_to`` rounds every M-step mean to that many decimals INSIDE
+    the aggregation. Distributed float summation is order-dependent in
+    the last ulp, so unrounded means can differ across partition layouts
+    and compound over iterations; rounding each iteration re-pins the
+    state so the trained centroids (and everything downstream — cell
+    assignments, probe order, layout-swept catalog pins) are bit-stable.
+    Callers that replay the numpy oracle leave it None.
 
     Returns (assignments DataFrame: id, cluster, d2; centroids list).
     Ref analogue: the reference runs arbitrary per-job compute
@@ -396,10 +453,11 @@ def kmeans_lloyd(
     assigned = None
     for _ in range(iterations):
         assigned = assign(centroids)
+        mean = F.avg("x") if round_to is None else F.round(F.avg("x"), round_to)
         means = (
             assigned.select("c", F.posexplode("_v").alias("pos", "x"))
             .groupBy("c", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean.alias("m"))
             .groupBy("c")
             .agg(
                 F.transform(
@@ -701,7 +759,8 @@ def ivfpq_topk(
 ) -> DataFrame:
     """IVF-PQ composite — the FAISS ``IndexIVFPQ`` layout, and the shape
     billion-vector serving actually deploys: the coarse quantizer (IVF
-    cells, deterministic lowest-id centroids) routes every vector to a
+    cells, TRAINED k-means centroids — trained_centroids) routes every
+    vector to a
     cell; vectors are stored as 8-byte PQ codes; a query batch probes
     its ``n_probe`` nearest cells and runs the ADC table-gather ONLY
     over the probed cells' codes. Relative to flat PQ the scan shrinks
@@ -712,7 +771,7 @@ def ivfpq_topk(
     is written partitioned by cell (the ann_index.py pattern) so the
     probe is static partition pruning; here it is an equi-join on cell."""
     spark = corpus.sparkSession
-    centroids = eager_cache(corpus.orderBy(id_col).limit(n_cells))
+    centroids = eager_cache(trained_centroids(corpus, n_cells, id_col, vec_col))
     assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
     codes = pq_encode(corpus, books, id_col, vec_col)
     cellcodes = codes.join(assigned.select(id_col, "cell"), id_col)

@@ -1238,7 +1238,7 @@ def embedding_quantize_int8(spark, sf):
     # semantic oracles (recall/MRR evals vs exact brute force) live in
     # the similarity/ann pytest modules
     oracle="""\
-        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk""",
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk""",
 )
 def ann_ivf(spark, sf):
     """IVF-bucketed approximate top-3 for 10 queries — the 100 TB scale path
@@ -1260,7 +1260,7 @@ def ann_ivf(spark, sf):
     # semantic oracles (recall/MRR evals vs exact brute force) live in
     # the similarity/ann pytest modules
     oracle="""\
-        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk""",
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk""",
 )
 def ann_ivf_index_topk(spark, sf):
     """Persisted-IVF ANN (operators/ann_index.py): build the cell-partitioned
@@ -10337,8 +10337,8 @@ def q_active_learning_batch(spark, sf):
     # × shuffle 8/32); the recall ≥ 0.6 / MRR ≥ 0.5 floors are asserted
     # independently in tests/test_similarity.py
     oracle="""SELECT CAST(10 AS BIGINT) AS n_queries,
-                     CAST(0.67 AS DOUBLE) AS recall_at_10,
-                     CAST(0.7 AS DOUBLE) AS mrr""",
+                     CAST(0.78 AS DOUBLE) AS recall_at_10,
+                     CAST(0.8 AS DOUBLE) AS mrr""",
 )
 def ann_recall_eval(spark, sf):
     """Retrieval-quality evaluation harness — the metric layer every ANN
@@ -10351,9 +10351,11 @@ def ann_recall_eval(spark, sf):
     billion-vector index costs the two retrieval runs, nothing more.
     tests/test_similarity.py pins recall ≥ 0.6 and MRR ≥ 0.5 at these
     parameters (16 cells, 6 probes ≈ 38% of the corpus scanned —
-    measured 0.67 recall on the near-uniform synthetic embeddings,
-    which are IVF's worst case; clustered real embeddings do better at
-    lower probe counts)."""
+    measured 0.78 recall on the near-uniform synthetic embeddings with
+    the round-9 TRAINED coarse quantizer, up from 0.67 with first-k-
+    by-id centroids at the same probe budget; near-uniform data is
+    IVF's worst case and clustered real embeddings do better at lower
+    probe counts)."""
     from overseer_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -15612,12 +15614,12 @@ def near_dup_keep_best(spark, sf):
     "ann_ivfpq_topk",
     # measured pin at sf0.01: output verified DETERMINISTIC across three
     # partition layouts (local[8]/local[32]/local[5] x shuffle 8/32/7,
-    # AQE on and off, double-run) — seeded codebooks + lowest-id
-    # centroids + vec_id tie-breaks make the composite a pure function
-    # of its inputs; recall vs exact cosine is pinned in
-    # tests/test_similarity.py
+    # AQE on and off, double-run) — seeded codebooks + TRAINED k-means
+    # centroids (seeded sample, per-iteration-rounded means) + vec_id
+    # tie-breaks make the composite a pure function of its inputs;
+    # recall vs exact cosine is pinned in tests/test_similarity.py
     oracle="""\
-        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2818 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.2668 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(0.2586 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.2271 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(232 AS BIGINT), CAST(0.2189 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.2138 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.2136 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.2036 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(461 AS BIGINT), CAST(0.1794 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(131 AS BIGINT), CAST(0.1712 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.2716 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.2491 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.2247 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.2084 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.1838 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.182 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(257 AS BIGINT), CAST(0.1785 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(431 AS BIGINT), CAST(0.1646 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(19 AS BIGINT), CAST(0.1601 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(477 AS BIGINT), CAST(0.1469 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(82 AS BIGINT), CAST(0.2275 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(97 AS BIGINT), CAST(0.2239 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(0.2181 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(327 AS BIGINT), CAST(0.2137 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(193 AS BIGINT), CAST(0.2106 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.1978 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(259 AS BIGINT), CAST(0.1965 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.1776 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(395 AS BIGINT), CAST(0.1655 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(37 AS BIGINT), CAST(0.163 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.3136 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.2492 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.2487 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(463 AS BIGINT), CAST(0.2482 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.2463 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(226 AS BIGINT), CAST(0.2194 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(134 AS BIGINT), CAST(0.2125 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(403 AS BIGINT), CAST(0.2053 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(421 AS BIGINT), CAST(0.1878 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(0.1771 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.2927 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.2316 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2115 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(288 AS BIGINT), CAST(0.172 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(346 AS BIGINT), CAST(0.1712 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(19 AS BIGINT), CAST(0.1692 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.1663 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(225 AS BIGINT), CAST(0.1512 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(215 AS BIGINT), CAST(0.1485 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(395 AS BIGINT), CAST(0.1421 AS DOUBLE), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_pq, rank) ORDER BY query_id, rank""",
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(257 AS BIGINT), CAST(0.2818 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.2668 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(0.2586 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.2271 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(261 AS BIGINT), CAST(0.2271 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(232 AS BIGINT), CAST(0.2189 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.2136 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.2036 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(461 AS BIGINT), CAST(0.1794 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(131 AS BIGINT), CAST(0.1712 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(31 AS BIGINT), CAST(0.3032 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.2716 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.2491 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.2247 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(294 AS BIGINT), CAST(0.2089 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.2084 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(198 AS BIGINT), CAST(0.1938 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(181 AS BIGINT), CAST(0.1865 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.1838 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.182 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(82 AS BIGINT), CAST(0.2275 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(97 AS BIGINT), CAST(0.2239 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(327 AS BIGINT), CAST(0.2137 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(193 AS BIGINT), CAST(0.2106 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.1978 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(259 AS BIGINT), CAST(0.1965 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.1776 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(410 AS BIGINT), CAST(0.1634 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(37 AS BIGINT), CAST(0.163 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(109 AS BIGINT), CAST(0.1539 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.3136 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.2492 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.2487 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(463 AS BIGINT), CAST(0.2482 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.2463 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(134 AS BIGINT), CAST(0.2125 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(419 AS BIGINT), CAST(0.2089 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(403 AS BIGINT), CAST(0.2053 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(421 AS BIGINT), CAST(0.1878 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(295 AS BIGINT), CAST(0.1738 AS DOUBLE), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.2927 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(341 AS BIGINT), CAST(0.2319 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.2316 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(228 AS BIGINT), CAST(0.2126 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(343 AS BIGINT), CAST(0.195 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(474 AS BIGINT), CAST(0.1907 AS DOUBLE), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(499 AS BIGINT), CAST(0.1842 AS DOUBLE), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(201 AS BIGINT), CAST(0.1786 AS DOUBLE), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(7 AS BIGINT), CAST(0.1748 AS DOUBLE), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(288 AS BIGINT), CAST(0.172 AS DOUBLE), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_pq, rank) ORDER BY query_id, rank""",
 )
 def ann_ivfpq_topk(spark, sf):
     """IVF-PQ composite serving (operators/similarity.py: ivfpq_topk) —

@@ -533,8 +533,13 @@ def test_ivfpq_matches_pq_restricted_to_probed_cells(spark, emb):
         ).collect()
     )
     # reconstruct: flat PQ over the full corpus, then keep only
-    # candidates living in each query's probed cells, re-rank
-    assigned = assign_cells(emb, 16)
+    # candidates living in each query's probed cells, re-rank — using
+    # the SAME trained coarse quantizer ivfpq_topk now runs (round 9:
+    # trained_centroids replaced the first-16-by-id shortcut)
+    from overseer_spark.operators.similarity import trained_centroids
+
+    tc = trained_centroids(emb, 16)
+    assigned = assign_cells(emb, 16, centroids=tc)
     flat = pq_topk(emb, queries, books, k=500)
     cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
     import collections
@@ -546,7 +551,12 @@ def test_ivfpq_matches_pq_restricted_to_probed_cells(spark, emb):
 
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
             for r in emb.collect()}
-    cents = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in sorted(vecs)[:16]}
+    cents = {
+        r["vec_id"]: (lambda v: v / np.linalg.norm(v))(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+        for r in tc.collect()
+    }
     probed = {}
     for qid in range(5):
         qv = vecs[qid] / np.linalg.norm(vecs[qid])
