@@ -137,6 +137,10 @@ HEADLINE = [
     "text_readability_scores",
     "quality_filter_bias_audit",
     "mixture_temperature_expansion",
+    # round-9: graph-traversal ANN serving (HNSW-layer-0 beam search over
+    # the cell-blocked serving kNN graph) + its recall eval
+    "ann_graph_topk",
+    "ann_graph_recall_eval",
 ]
 
 

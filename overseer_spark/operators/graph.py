@@ -15,7 +15,7 @@ mandate, not a port.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -104,3 +104,246 @@ def lpa_labels(adj: DataFrame, rounds: int = 3) -> DataFrame:
             .select("node", (-F.col("m.nl")).alias("label"))
         )
     return labels
+
+
+def quantized_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    scale: int = 100_000,
+) -> DataFrame:
+    """(cluster, id, q): unit-normalized vectors quantized to BIGINT
+    coordinates (round(u·scale)) — the integer-similarity domain the
+    kNN-graph family ranks in. Integer dots make ranking ties and the
+    DuckDB replay bit-exact (float dot sums are order-dependent in the
+    last ulp); at dim 64 and scale 1e5 a dot is ≤ 6.4e11, far inside
+    signed-64."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    qv = F.transform(dv, lambda x: F.round(x / nrm * scale).cast("long"))
+    return emb.select(
+        F.col(cluster_col).alias("cluster"), F.col(id_col), qv.alias("q")
+    )
+
+
+def iq_dot(a, b):
+    """Integer dot product of two quantized BIGINT vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_graph_edges(
+    qe: DataFrame, k: int = 3, salt_buckets: int = 4, dedup_pairs: bool = False
+) -> DataFrame:
+    """Exact within-cluster k-NN edges over quantized vectors
+    (``quantized_vectors`` output): (vec_id, nb_rank, nb_id, sim_q),
+    both directions of every scored pair considered, top-k per vector by
+    (integer sim DESC, id).
+
+    The pair work rides replicate_for_block_pairs: each cluster's
+    all-pairs BLAS fans over (cluster, _bi, _bj) block-pair tasks so a
+    hot cluster spreads over S(S+1)/2 reducers with exactly-once pair
+    coverage; the top-k window then partitions by vec_id (id-hash, no
+    hot keys by construction). Factored out of the embedding_knn_graph
+    catalog entry in round 9 so graph-traversal ANN serving
+    (ann_graph_topk) reuses the identical graph definition.
+
+    ``dedup_pairs=True`` is REQUIRED when ``qe`` replicates a vector
+    into several clusters (multi-probe cell membership — the
+    ann_graph_topk serving graph): a pair sharing two clusters is
+    scored once per shared cluster, and without the distinct the rank
+    window would hand the same neighbor two rank slots. Exactly-once
+    single-membership inputs (embedding_knn_graph's label blocking)
+    skip the extra shuffle."""
+    from overseer_spark.operators.skew import (  # noqa: PLC0415
+        replicate_for_block_pairs,
+    )
+
+    rep = replicate_for_block_pairs(qe, "vec_id", salt_buckets)
+
+    def _block_sims(key, pdf):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        _, bi, bj = key
+        if bi == bj:
+            ids = pdf["vec_id"].to_numpy()
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            sims = Q @ Q.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            va = np.concatenate([ids[iu], ids[ju]])
+            vb = np.concatenate([ids[ju], ids[iu]])
+            s = np.concatenate([sims[iu, ju]] * 2)
+        else:
+            a = pdf[pdf["_blk"] == bi]
+            b = pdf[pdf["_blk"] == bj]
+            ida, idb = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+            if len(ida) == 0 or len(idb) == 0:
+                return pd.DataFrame(
+                    {
+                        "va": np.array([], dtype=np.int64),
+                        "vb": np.array([], dtype=np.int64),
+                        "s": np.array([], dtype=np.int64),
+                    }
+                )
+            Qa = np.array(a["q"].tolist(), dtype=np.int64)
+            Qb = np.array(b["q"].tolist(), dtype=np.int64)
+            sims = Qa @ Qb.T
+            ii, jj = np.meshgrid(
+                np.arange(len(ida)), np.arange(len(idb)), indexing="ij"
+            )
+            ii, jj = ii.ravel(), jj.ravel()
+            va = np.concatenate([ida[ii], idb[jj]])
+            vb = np.concatenate([idb[jj], ida[ii]])
+            s = np.concatenate([sims[ii, jj]] * 2)
+        return pd.DataFrame({"va": va, "vb": vb, "s": s})
+
+    sims = rep.groupBy("cluster", "_bi", "_bj").applyInPandas(
+        _block_sims, schema="va long, vb long, s long"
+    )
+    if dedup_pairs:
+        sims = sims.distinct()
+    w = Window.partitionBy("va").orderBy(F.desc("s"), "vb")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("rk").cast("long").alias("nb_rank"),
+            F.col("vb").alias("nb_id"),
+            F.col("s").alias("sim_q"),
+        )
+    )
+
+
+def serving_knn_graph(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    edge_k: int = 12,
+    salt_buckets: int = 4,
+):
+    """Build the graph-ANN SERVING structure (the DiskANN/HNSW-layer-0
+    bootstrap): a kNN graph whose pair candidates are blocked by the
+    TRAINED IVF cells with multi-probe membership, not by the corpus's
+    label column.
+
+    Labels block pairs fine for the analytics kNN graph
+    (embedding_knn_graph's contract is "neighbors within my cluster"),
+    but navigation needs edges that follow GEOMETRY: on the synthetic
+    fixture the label column is independent of cosine similarity, and a
+    label-blocked graph measured recall@10 = 0.0 when served (round-9
+    prototype) — traversal can never leave the entry cluster. Blocking
+    by each vector's ``n_probe`` nearest trained cells gives
+    semantically local edges AND cross-cell links (a pair sharing any
+    probed cell is scored), which is what makes beam search converge:
+    measured recall@10 = 0.96 at (probe 3, k 12, entry 6, hops 4,
+    beam 24) on the same fixture.
+
+    Returns (qv, edges, cells): qv = (vec_id, q) quantized vectors,
+    edges = (src, dst) the k-NN edge set, cells = (vec_id, cell)
+    multi-probe membership (its per-cell MIN(vec_id) is the entry
+    layer). Pair cost is Σ cell_member² over cells — n²·probe²/cells,
+    spread by the block-pair salting — and edge storage is n·edge_k
+    rows of two longs; vectors never ride the edge shuffle."""
+    from overseer_spark.operators.similarity import (  # noqa: PLC0415
+        assign_cells,
+        trained_centroids,
+    )
+
+    cents = trained_centroids(emb, n_cells)
+    cells = assign_cells(emb, n_cells, centroids=cents, n_probe=n_probe).select(
+        "vec_id", "cell"
+    )
+    qv = quantized_vectors(emb).select("vec_id", "q")
+    qe = cells.join(qv, "vec_id").select(
+        F.col("cell").alias("cluster"), "vec_id", "q"
+    )
+    edges = knn_graph_edges(
+        qe, k=edge_k, salt_buckets=salt_buckets, dedup_pairs=True
+    ).select(F.col("vec_id").alias("src"), F.col("nb_id").alias("dst"))
+    return qv, edges, cells
+
+
+def graph_beam_topk(
+    qv: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    entries: DataFrame,
+    entry_top: int = 6,
+    hops: int = 4,
+    beam: int = 24,
+    k: int = 10,
+) -> DataFrame:
+    """Deterministic beam search over a kNN graph — HNSW-layer-0 serving
+    semantics as dataflow: score the dimension-sized entry layer, keep
+    the ``entry_top`` best, then ``hops`` synchronous rounds of
+    (frontier ⋈ edges → score new candidates → union-distinct into the
+    visited set → beam = top-``beam`` of visited). Returns
+    (query_id, vec_id, sim_q, rank) — the top-``k`` of everything
+    visited, integer-quantized sims, ties → min id, so the result is a
+    pure function of its inputs (the PY-provenance pin convention).
+
+    Per-query work is BOUNDED by entry_top + hops·beam·edge_k candidate
+    scorings regardless of corpus size — the property that makes graph
+    serving the billion-vector path. Each hop is one equi-join of the
+    beam-sized frontier against the edge set (at scale: the edge
+    relation bucketed by src, so the probe is an index join) plus one
+    broadcast rescore; only (query_id, node, sim) triples ever shuffle.
+
+    ``queries``: (query_id, qv). ``entries``: (node). ``qv``:
+    (vec_id, q) quantized corpus vectors.
+    """
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    nodes_q = qv.select(F.col("vec_id").alias("node"), F.col("q").alias("nq"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("s"), "node")
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(nodes_q, "node")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id", "node", iq_dot(F.col("qv"), F.col("nq")).alias("s")
+            )
+        )
+
+    e0 = (
+        score(
+            queries.select("query_id")
+            .crossJoin(F.broadcast(entries.select("node").distinct()))
+            .filter(F.col("node") != F.col("query_id"))
+        )
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= entry_top)
+        .drop("rk")
+    )
+    visited = eager_cache(e0)
+    frontier = visited.select("query_id", "node")
+    for _ in range(hops):
+        cand = (
+            frontier.select("query_id", F.col("node").alias("src"))
+            .join(edges, "src")
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .filter(F.col("node") != F.col("query_id"))
+        )
+        visited = eager_cache(visited.unionByName(score(cand)).distinct())
+        frontier = (
+            visited.withColumn("rk", F.row_number().over(w_rank))
+            .filter(F.col("rk") <= beam)
+            .select("query_id", "node")
+        )
+    return (
+        visited.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("vec_id"),
+            F.col("s").alias("sim_q"),
+            "rank",
+        )
+    )

@@ -595,3 +595,18 @@ def test_ivfpq_recall_vs_exact(spark, emb):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.3, recall  # empirical floor at this code budget
+
+
+def test_graph_ann_recall_floor(spark):
+    """ann_graph_topk (beam search over the cell-blocked serving kNN
+    graph) must stay a genuine ANN method: recall@10 vs exact cosine
+    >= 0.9 at the catalog parameters (measured 0.96 at sf0.01 — the
+    pinned ann_graph_recall_eval value). Guards against quietly
+    degrading the serving graph (e.g. reverting to label blocking,
+    which measured 0.0)."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    row = CATALOG["ann_graph_recall_eval"].fn(spark, SF_CORRECTNESS).collect()[0]
+    assert row["recall_at_10"] >= 0.9, row
+    assert row["mrr"] >= 0.8, row

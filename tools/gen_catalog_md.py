@@ -118,6 +118,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "hybrid_retrieval_overlap",
         "embedding_sign_bits", "ann_hamming_topk", "ann_hamming_recall_eval",
+        "ann_graph_topk", "ann_graph_recall_eval",
         "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
