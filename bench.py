@@ -141,6 +141,11 @@ HEADLINE = [
     # the cell-blocked serving kNN graph) + its recall eval
     "ann_graph_topk",
     "ann_graph_recall_eval",
+    # round-9: exact-substring duplication audit, distributed BPE merge
+    # training, Z-order layout keys
+    "text_exact_substr_spans",
+    "text_bpe_merge_train",
+    "layout_zorder_buckets",
 ]
 
 

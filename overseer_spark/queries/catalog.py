@@ -16061,3 +16061,311 @@ def ann_graph_recall_eval(spark, sf):
         F.round(F.avg("r"), 4).alias("recall_at_10"),
         F.round(F.avg("rr"), 4).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: exact-substring dedup spans, distributed BPE merge training,
+# Z-order layout keys (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_exact_substr_spans",
+    oracle="""WITH w0 AS (SELECT doc_id, source,
+                       unnest(list_transform(
+                         list_filter(
+                           generate_series(1, greatest(len(text) - 39, 1)),
+                           i -> i = 1 OR substr(text, i - 1, 1) = ' '),
+                         i -> substr(text, i, 40))) AS win
+                     FROM documents),
+              wins AS (SELECT DISTINCT doc_id, source, win FROM w0),
+              wc AS (SELECT win, COUNT(*) AS nd FROM wins GROUP BY win)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_windows,
+                     CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_windows,
+                     ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / COUNT(*), 4) AS dup_frac
+              FROM wins JOIN wc USING (win)
+              GROUP BY source ORDER BY source""",
+)
+def text_exact_substr_spans(spark, sf):
+    """Exact-substring duplication audit (the ExactSubstr signal of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", recast as dataflow): fixed-width 40-char windows anchored
+    at WORD STARTS, a window counted duplicated when the SAME bytes
+    occur in >= 2 distinct documents; per source, the duplicated-window
+    fraction. The suffix-array construction of the paper is a
+    single-machine algorithm — the distributed equivalent is a
+    content-anchored rolling fingerprint: anchoring at word boundaries
+    (not a stride grid, which is phased to the DOCUMENT start and
+    never aligns across docs whose shared run sits at different
+    offsets) guarantees two docs sharing a run >= 40+max_word chars
+    emit the identical window bytes. Windows are per-doc DISTINCT
+    before counting, so a boilerplate line repeated inside one doc
+    doesn't self-inflate. Scale: windows hash to 8-byte xxhash64
+    BEFORE the shuffle — window TEXT never moves; the count join is
+    8-byte keys against a dimension-light (hash, nd) relation; explode
+    is of the expression (never a named array column), so generated
+    windows die in the scanning task."""
+    d = _t(spark, sf, "documents")
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 39, F.lit(1))),
+        lambda i: (i == 1)
+        | (F.col("text").substr(i - 1, F.lit(1)) == " "),
+    )
+    wins = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                anchors,
+                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(40))),
+            )
+        ).alias("w"),
+    ).distinct()
+    wc = wins.groupBy("w").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        wins.join(wc, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            dup.cast("long").alias("dup_windows"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_round_cte(r: int) -> str:
+    """One unrolled BPE merge round as DuckDB CTEs (see
+    text_bpe_merge_train). The two-pass replace mirrors the Spark side
+    exactly: pass one merges every other occurrence in a run of
+    overlapping pairs, pass two gets the leftovers (no two survivors of
+    pass one are adjacent)."""
+    return f"""
+pairs{r} AS (
+  SELECT p.pair, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(string_split(sym, ' ')) - 1),
+             i -> string_split(sym, ' ')[i] || ' ' ||
+                  string_split(sym, ' ')[i+1])) AS pair, freq
+    FROM vocab{r} WHERE len(string_split(sym, ' ')) >= 2) p
+  GROUP BY p.pair),
+best{r} AS (SELECT pair, cnt FROM pairs{r} ORDER BY cnt DESC, pair LIMIT 1),
+vocab{r + 1} AS (
+  SELECT freq, trim(replace(replace(' ' || sym || ' ',
+           ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+           ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '))
+         AS sym
+  FROM vocab{r} CROSS JOIN best{r} b)"""
+
+
+_BPE_STEPS = 5
+
+@q(
+    "text_bpe_merge_train",
+    oracle="""WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= 20
+  GROUP BY w),
+vocab0 AS (
+  SELECT freq, list_aggregate(list_transform(
+           generate_series(1, len(word)), i -> substr(word, i, 1)),
+         'string_agg', ' ') AS sym
+  FROM words),"""
+    + ",".join(_bpe_round_cte(r) for r in range(_BPE_STEPS))
+    + "\nSELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS step, pair AS merged_pair, "
+        f"replace(pair, ' ', '') AS new_symbol, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(_BPE_STEPS)
+    )
+    + ") ORDER BY step",
+)
+def text_bpe_merge_train(spark, sf):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    merge-learning loop, not just the apply step functions/bpe.py
+    already covers: 5 merge rounds over the corpus word-frequency
+    table, each round = (adjacent-symbol-pair count weighted by word
+    freq) -> (argmax pair, ties broken lexicographically) -> (merge via
+    boundary-anchored two-pass replace). The corpus is scanned ONCE
+    (the word-frequency aggregate, map-side combined); every subsequent
+    round runs over the VOCAB-sized (freq, sym) relation — the property
+    that makes BPE training feasible at 100 TB, where vocab is ~1e6
+    rows regardless of corpus bytes. Each round's winning pair is a
+    1-row broadcast into the merge projection; per-round vocab is
+    eagerly cached so round r+1 reads r's result instead of recomputing
+    the chain (5 dimension-sized caches). The two-pass padded replace
+    merges overlapping pair runs exactly like the oracle (pass one
+    takes every other occurrence; survivors are never adjacent)."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    d = _t(spark, sf, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 20))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = eager_cache(
+        words.select(
+            "freq",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+            ).alias("sym"),
+        )
+    )
+    outs = []
+    for r in range(_BPE_STEPS):
+        a = F.split(F.col("sym"), " ")
+        pairs = vocab.filter(F.size(a) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(a) - 1),
+                    lambda i: F.concat(
+                        F.element_at(a, i),
+                        F.lit(" "),
+                        F.element_at(a, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        best = eager_cache(
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("pair"))
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(r + 1).cast("long").alias("step"),
+                F.col("pair").alias("merged_pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "new_symbol"
+                ),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+        vocab = eager_cache(
+            vocab.crossJoin(F.broadcast(best.select("pair"))).select(
+                "freq", merged.alias("sym")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("step")
+
+
+def _zorder_sql(xc: str, yc: str, bits: int = 8) -> str:
+    """Bit-interleave (Morton / Z-order) of two already-quantized columns
+    as a plain integer-arithmetic SQL expression — identical text is
+    valid in both Spark SQL and DuckDB (operators `>>`, `&`, `<<`, `+`
+    agree on BIGINT), so the Spark plan and the oracle share one
+    definition by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# quantize a key to 0..255 against its own max (the stats pass real
+# Z-order writers run); FLOOR over exactly-representable doubles is
+# engine-agreeing for these magnitudes
+_ZQ = "CAST(FLOOR(({c} * 256.0) / ({m} + 1)) AS BIGINT)"
+
+
+@q(
+    "layout_zorder_buckets",
+    oracle=f"""WITH m AS (SELECT MAX(l_partkey) AS px, MAX(l_suppkey) AS sx
+                          FROM lineitem),
+              qz AS (SELECT l_partkey, l_suppkey,
+                       {_ZQ.format(c="l_partkey", m="px")} AS qx,
+                       {_ZQ.format(c="l_suppkey", m="sx")} AS qy
+                     FROM lineitem, m),
+              z AS (SELECT l_partkey, l_suppkey,
+                     ({_zorder_sql("qx", "qy")} >> 10) AS zbucket
+                   FROM qz)
+              SELECT zbucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(MIN(l_partkey) AS BIGINT) AS pk_lo,
+                     CAST(MAX(l_partkey) AS BIGINT) AS pk_hi,
+                     CAST(MIN(l_suppkey) AS BIGINT) AS sk_lo,
+                     CAST(MAX(l_suppkey) AS BIGINT) AS sk_hi,
+                     CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT)
+                       AS pk_span,
+                     CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT)
+                       AS sk_span
+              FROM z GROUP BY zbucket ORDER BY zbucket""",
+)
+def layout_zorder_buckets(spark, sf):
+    """Z-order (Morton) layout keys — the multi-dimensional data-skipping
+    primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`: quantize
+    (l_partkey, l_suppkey) to 8 bits each against their own max (the
+    stats pass real Z-order writers run, a 1-row broadcast), interleave
+    into a 16-bit curve, bucket on its top 6 bits, and report each
+    bucket's min/max RECTANGLE in both dimensions. Linear ordering by
+    either key alone gives the other dimension full-range spans in
+    every file (zero skipping on the second predicate); the Z-curve
+    bounds BOTH spans per bucket, which is exactly what lets a
+    (partkey range AND suppkey range) scan prune most buckets from
+    file-level min/max stats. The interleave is one shared
+    integer-arithmetic expression (identical text evaluated by both
+    engines), a pure projection over the stats-joined scan — the bucket
+    stats are one partial-agg'd exchange on a 6-bit key. At 100 TB the
+    same key feeds `repartitionByRange(zkey).sortWithinPartitions(zkey)`
+    before the parquet write — this entry verifies the bound-rectangle
+    property the write layout depends on."""
+    li = _t(spark, sf, "lineitem")
+    m = li.agg(
+        F.max("l_partkey").alias("px"), F.max("l_suppkey").alias("sx")
+    )
+    qz = li.select("l_partkey", "l_suppkey").crossJoin(
+        F.broadcast(m)
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_ZQ.format(c="l_partkey", m="px")).alias("qx"),
+        F.expr(_ZQ.format(c="l_suppkey", m="sx")).alias("qy"),
+    )
+    z = qz.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"({_zorder_sql('qx', 'qy')} >> 10)").alias("zbucket"),
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("pk_lo"),
+            F.max("l_partkey").cast("long").alias("pk_hi"),
+            F.min("l_suppkey").cast("long").alias("sk_lo"),
+            F.max("l_suppkey").cast("long").alias("sk_hi"),
+            (F.max("l_partkey") - F.min("l_partkey"))
+            .cast("long")
+            .alias("pk_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey"))
+            .cast("long")
+            .alias("sk_span"),
+        )
+        .orderBy("zbucket")
+    )

@@ -497,6 +497,16 @@ _BNLJ_OK = {
     "q_t_closeness",
     # 1-row best-pass-rate broadcast into the |langs| rows
     "quality_filter_bias_audit",
+    # round-9: query-batch x entry-layer seed scoring (entry layer is
+    # CELLS-sized — one row per IVF cell — and broadcast; every later
+    # hop is an equi-join of the beam frontier against the edge set)
+    "ann_graph_topk", "ann_graph_recall_eval",
+    # round-9: 5 winning-pair 1-row broadcasts into the vocab-sized
+    # merge projections (one per unrolled BPE round)
+    "text_bpe_merge_train",
+    # round-9: 1-row (max partkey, max suppkey) stats broadcast under
+    # the quantization projection
+    "layout_zorder_buckets",
 }
 
 

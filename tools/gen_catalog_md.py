@@ -16,7 +16,8 @@ FAMILIES: dict[str, list[str]] = {
     "Scans, filters, projections": [
         "q01_scan_count", "q02_projection_filter", "q03_string_filter",
         "q04_conjunctive_filter", "q05_in_list", "q06_like",
-        "pyds_docs_scan", "layout_pruning_probe", "q_csv_roundtrip",
+        "pyds_docs_scan", "layout_pruning_probe", "layout_zorder_buckets",
+        "q_csv_roundtrip",
         "q_jsonl_roundtrip", "q_gzip_jsonl_roundtrip", "q_orc_roundtrip",
     ],
     "Joins": [
@@ -107,6 +108,7 @@ FAMILIES: dict[str, list[str]] = {
         "incr_exact_survivor_count", "incr_exact_flagged",
         "incr_near_dup_vs_corpus", "incr_dedup_survivor_ids",
         "minhash_recall_eval", "text_paragraph_dedup_stats",
+        "text_exact_substr_spans",
     ],
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -143,6 +145,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_markdown_extract", "text_blocklist_ac",
         "text_ngram_novelty", "prefix_cache_groups",
         "text_readability_scores", "quality_filter_bias_audit",
+        "text_bpe_merge_train",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
