@@ -145,7 +145,9 @@ HEADLINE = [
     # training, Z-order layout keys
     "text_exact_substr_spans",
     "text_bpe_merge_train",
+    "text_bpe_train_apply",
     "layout_zorder_buckets",
+    "ann_ivf_index_append",
 ]
 
 

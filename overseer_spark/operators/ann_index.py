@@ -151,6 +151,40 @@ def bucket_predicate(buckets) -> "F.Column":
     ).isin(keys)
 
 
+def append_to_ivf_index(
+    new_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted IVF index — the maintenance
+    path every production vector store needs (FAISS ``add`` semantics):
+    assign the new batch to the EXISTING trained centroids (read from
+    the index, never retrained — so every previously-written vector's
+    cell is untouched and previously-pinned probe results stay valid for
+    the old ids) and append the assignments into the same
+    ``partitionBy(cell)`` layout. Cost is one broadcast E-step over the
+    batch plus a cell-partitioned append write — O(batch), independent
+    of the index size; the probe path (ivf_index_topk) is unchanged and
+    sees old + new vectors through the same static partition pruning.
+
+    Centroid drift under sustained ingest is a REBUILD decision, not an
+    append decision — monitor with embedding_centroid_drift and rebuild
+    when assignments degrade (the documented contract; same posture as
+    FAISS, which never moves centroids on add)."""
+    spark = new_batch.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cell").alias(id_col), F.col(vec_col)
+    )
+    assigned = assign_cells(
+        new_batch.select(id_col, vec_col),
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+
 def build_lsh_index(
     corpus: DataFrame,
     path: str,

@@ -240,15 +240,30 @@ def serving_knn_graph(
     by each vector's ``n_probe`` nearest trained cells gives
     semantically local edges AND cross-cell links (a pair sharing any
     probed cell is scored), which is what makes beam search converge:
-    measured recall@10 = 0.96 at (probe 3, k 12, entry 6, hops 4,
-    beam 24) on the same fixture.
+    measured recall@10 = 1.0 at (probe 3, k 12, entry 6, hops 4,
+    beam 24) on the same fixture with the hub overlay below.
+
+    The kNN edges are OVERLAID with hub edges (cell entry node ↔ every
+    cell member, both directions) — the dataflow analogue of HNSW's
+    upper layer, and the round-9 lesson from a duplicate-heavy corpus:
+    on the 10x bootstrap fixture every vector has near-exact copies, so
+    each node's raw k-NN list collapses into its own duplicate clique
+    (all out-edges point at copies of itself), the graph loses
+    navigability entirely, and beam recall measured 0.0 from a 0.96
+    sf0.01 baseline. Hub edges restore reachability structurally: every
+    member is one hop from its cell hub regardless of how cliquey the
+    fine edges get (exactly the role HNSW's sparse long-link layer and
+    DiskANN's RNG-pruned diverse edges play). Hub out-degree is bounded
+    by members-per-cell — keep cells bounded (n_cells ∝ corpus) and the
+    per-hop join stays O(beam × cell).
 
     Returns (qv, edges, cells): qv = (vec_id, q) quantized vectors,
-    edges = (src, dst) the k-NN edge set, cells = (vec_id, cell)
+    edges = (src, dst) the k-NN ∪ hub edge set, cells = (vec_id, cell)
     multi-probe membership (its per-cell MIN(vec_id) is the entry
     layer). Pair cost is Σ cell_member² over cells — n²·probe²/cells,
-    spread by the block-pair salting — and edge storage is n·edge_k
-    rows of two longs; vectors never ride the edge shuffle."""
+    spread by the block-pair salting — and edge storage is
+    n·(edge_k + 2·n_probe) rows of two longs; vectors never ride the
+    edge shuffle."""
     from overseer_spark.operators.similarity import (  # noqa: PLC0415
         assign_cells,
         trained_centroids,
@@ -262,9 +277,20 @@ def serving_knn_graph(
     qe = cells.join(qv, "vec_id").select(
         F.col("cell").alias("cluster"), "vec_id", "q"
     )
-    edges = knn_graph_edges(
+    knn = knn_graph_edges(
         qe, k=edge_k, salt_buckets=salt_buckets, dedup_pairs=True
     ).select(F.col("vec_id").alias("src"), F.col("nb_id").alias("dst"))
+    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub"))
+    spokes = cells.join(hubs, "cell").filter(F.col("vec_id") != F.col("hub"))
+    edges = (
+        knn.unionByName(
+            spokes.select(F.col("hub").alias("src"), F.col("vec_id").alias("dst"))
+        )
+        .unionByName(
+            spokes.select(F.col("vec_id").alias("src"), F.col("hub").alias("dst"))
+        )
+        .distinct()
+    )
     return qv, edges, cells
 
 
@@ -311,11 +337,17 @@ def graph_beam_topk(
             )
         )
 
+    # The query's own node (when it is in the corpus) is a legal
+    # WAYPOINT but never a result: excluding it from traversal was the
+    # round-9 10x recall bug — the 5 query ids are the LOWEST ids, so
+    # each was its own cell's hub, and banning it severed the only
+    # hub→cell-members path to its near-duplicate neighbors (recall
+    # 0.0 at 10x). Greedy graph search in HNSW/DiskANN converges
+    # THROUGH the query's position; self is dropped at result time.
     e0 = (
         score(
             queries.select("query_id")
             .crossJoin(F.broadcast(entries.select("node").distinct()))
-            .filter(F.col("node") != F.col("query_id"))
         )
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= entry_top)
@@ -329,7 +361,6 @@ def graph_beam_topk(
             .join(edges, "src")
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
-            .filter(F.col("node") != F.col("query_id"))
         )
         visited = eager_cache(visited.unionByName(score(cand)).distinct())
         frontier = (
@@ -338,7 +369,8 @@ def graph_beam_topk(
             .select("query_id", "node")
         )
     return (
-        visited.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        visited.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

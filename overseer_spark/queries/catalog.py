@@ -15967,7 +15967,7 @@ def mixture_temperature_expansion(spark, sf):
     # sims, and min-id tie-breaks at every rank window make the beam a
     # pure function of its inputs; recall@10 vs exact brute force is
     # pinned in ann_graph_recall_eval and tests/test_similarity.py
-    oracle="SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(3699863050 AS BIGINT), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(3627238760 AS BIGINT), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(3311432019 AS BIGINT), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(2969346069 AS BIGINT), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(2954284560 AS BIGINT), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(2928448694 AS BIGINT), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2878604322 AS BIGINT), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(2818008678 AS BIGINT), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(2766271393 AS BIGINT), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(2762982014 AS BIGINT), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(3714872393 AS BIGINT), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(3482075909 AS BIGINT), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(3270087489 AS BIGINT), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(3227450678 AS BIGINT), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(3163837457 AS BIGINT), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3027572843 AS BIGINT), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(2923197921 AS BIGINT), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(2921115559 AS BIGINT), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(2897843566 AS BIGINT), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(2681558218 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(3181406011 AS BIGINT), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(2663448898 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(2634921518 AS BIGINT), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(2550390267 AS BIGINT), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(2540303637 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(2471911504 AS BIGINT), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(2453111211 AS BIGINT), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(2400610897 AS BIGINT), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(2398252195 AS BIGINT), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(197 AS BIGINT), CAST(2331507248 AS BIGINT), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(3998695426 AS BIGINT), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(3299332007 AS BIGINT), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(3084721946 AS BIGINT), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(3035499256 AS BIGINT), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(2987899509 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(2917046781 AS BIGINT), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(2908094233 AS BIGINT), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(2851922756 AS BIGINT), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(2805409932 AS BIGINT), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(363 AS BIGINT), CAST(2686148017 AS BIGINT), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(3985022620 AS BIGINT), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(3412086800 AS BIGINT), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(3227444275 AS BIGINT), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(3138947942 AS BIGINT), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(2798257601 AS BIGINT), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(2796277731 AS BIGINT), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(2723994481 AS BIGINT), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(89 AS BIGINT), CAST(2659712465 AS BIGINT), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(2525393570 AS BIGINT), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(2404134638 AS BIGINT), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_q, rank) ORDER BY query_id, rank",
+    oracle="SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(3699863050 AS BIGINT), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(3627238760 AS BIGINT), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(3311432019 AS BIGINT), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(2969346069 AS BIGINT), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(2954284560 AS BIGINT), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(2928448694 AS BIGINT), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2878604322 AS BIGINT), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(2818008678 AS BIGINT), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(2766271393 AS BIGINT), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(2762982014 AS BIGINT), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(3714872393 AS BIGINT), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(3482075909 AS BIGINT), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(3270087489 AS BIGINT), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(3227450678 AS BIGINT), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(3163837457 AS BIGINT), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3027572843 AS BIGINT), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(2923197921 AS BIGINT), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(2921115559 AS BIGINT), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(2897843566 AS BIGINT), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(2681558218 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(3181406011 AS BIGINT), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(2663448898 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(2634921518 AS BIGINT), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(2632737235 AS BIGINT), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(2550390267 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(2540303637 AS BIGINT), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(2471911504 AS BIGINT), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(2453111211 AS BIGINT), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(2400610897 AS BIGINT), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(2398252195 AS BIGINT), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(3998695426 AS BIGINT), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(3299332007 AS BIGINT), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(3084721946 AS BIGINT), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(3035499256 AS BIGINT), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(2987899509 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(2917046781 AS BIGINT), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(2908094233 AS BIGINT), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(2851922756 AS BIGINT), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(2805409932 AS BIGINT), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(2767357524 AS BIGINT), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(3985022620 AS BIGINT), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(3412086800 AS BIGINT), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(3227444275 AS BIGINT), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(3138947942 AS BIGINT), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(2798257601 AS BIGINT), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(2796277731 AS BIGINT), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(2723994481 AS BIGINT), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(89 AS BIGINT), CAST(2659712465 AS BIGINT), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(2525393570 AS BIGINT), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(2404134638 AS BIGINT), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_q, rank) ORDER BY query_id, rank",
 )
 def ann_graph_topk(spark, sf):
     """Graph-traversal ANN serving (operators/graph.py:
@@ -15982,8 +15982,27 @@ def ann_graph_topk(spark, sf):
     corpus size — the property that makes graph serving the
     billion-vector path (each hop: beam-sized frontier equi-join
     against the src-bucketed edge set; only (query, node, sim) triples
-    shuffle). Measured recall@10 = 0.96 vs exact at these parameters
-    (ann_graph_recall_eval pins it)."""
+    shuffle). Measured recall@10 = 1.0 at sf0.01/sf0.1 and 0.96-1.0 at
+    10x vs exact (ann_graph_recall_eval pins the sf0.01 value).
+
+    n_cells SCALES WITH THE CORPUS (max(16, isqrt(n)), one
+    metadata-count action): a fixed cell count is the round-9 lesson —
+    at 10x the fixture, 16 cells made each multi-probe neighborhood
+    ~6,000 vectors, the 4-hop beam could not traverse it (measured
+    recall collapsed 0.96 → 0.74 → 0.0 across sf0.01/sf0.1/10x), and
+    the kNN-graph build cost grew quadratically within cells (21 s
+    sf0.1 / 260 s 10x). sqrt(n) is the standard IVF balance point —
+    it equalizes the O(n·k) assignment E-step against the
+    O(n²·probe²/k) within-cell pair work, and keeps the coarse
+    quantizer trainable (k ≪ train_sample; at production scale
+    train_sample grows ~8×k, FAISS's documented rule). Recall does NOT
+    depend on the beam walking a whole sqrt(n)-sized cell: the hub
+    overlay (see serving_knn_graph) reaches every cell member one hop
+    from its hub, so the fine kNN hops only need to reach the right
+    hub. The entry layer (one node per cell) grows with n_cells — it
+    is the coarse IVF search the fine beam starts from."""
+    import math  # noqa: PLC0415
+
     from overseer_spark.operators.graph import (  # noqa: PLC0415
         graph_beam_topk,
         serving_knn_graph,
@@ -15991,8 +16010,9 @@ def ann_graph_topk(spark, sf):
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     emb = _t(spark, sf, "embeddings")
+    n_cells = max(16, math.isqrt(emb.count()))
     qv, edges, cells = serving_knn_graph(
-        emb, n_cells=16, n_probe=3, edge_k=12, salt_buckets=4
+        emb, n_cells=n_cells, n_probe=3, edge_k=12, salt_buckets=4
     )
     qv = eager_cache(qv)
     edges = eager_cache(edges)
@@ -16013,7 +16033,7 @@ def ann_graph_topk(spark, sf):
     # the same deterministic beam output as ann_graph_topk, so the value
     # is exactly reproducible (verified across the same three layouts)
     oracle="""SELECT CAST(5 AS BIGINT) AS n_queries,
-                     CAST(0.96 AS DOUBLE) AS recall_at_10,
+                     CAST(1.0 AS DOUBLE) AS recall_at_10,
                      CAST(1.0 AS DOUBLE) AS mrr""",
 )
 def ann_graph_recall_eval(spark, sf):
@@ -16203,9 +16223,32 @@ def text_bpe_merge_train(spark, sf):
     the chain (5 dimension-sized caches). The two-pass padded replace
     merges overlapping pair runs exactly like the oracle (pass one
     takes every other occurrence; survivors are never adjacent)."""
+    _, bests = _bpe_train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
+    outs = [
+        best.select(
+            F.lit(r + 1).cast("long").alias("step"),
+            F.col("pair").alias("merged_pair"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                "new_symbol"
+            ),
+            F.col("cnt").cast("long").alias("pair_count"),
+        )
+        for r, best in enumerate(bests)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("step")
+
+
+def _bpe_train_chain(d, steps: int):
+    """The shared BPE training chain (see text_bpe_merge_train for the
+    semantics and scale notes): returns ``(vocabs, bests)`` where
+    ``vocabs[r]`` is the cached (freq, sym) relation after ``r`` merges
+    (length ``steps + 1``) and ``bests[r]`` the cached 1-row winning
+    (pair, cnt) of round ``r``."""
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
-    d = _t(spark, sf, "documents")
     words = (
         d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 20))
@@ -16224,8 +16267,8 @@ def text_bpe_merge_train(spark, sf):
             ).alias("sym"),
         )
     )
-    outs = []
-    for r in range(_BPE_STEPS):
+    vocabs, bests = [vocab], []
+    for _ in range(steps):
         a = F.split(F.col("sym"), " ")
         pairs = vocab.filter(F.size(a) >= 2).select(
             F.explode(
@@ -16246,16 +16289,7 @@ def text_bpe_merge_train(spark, sf):
             .orderBy(F.desc("cnt"), F.col("pair"))
             .limit(1)
         )
-        outs.append(
-            best.select(
-                F.lit(r + 1).cast("long").alias("step"),
-                F.col("pair").alias("merged_pair"),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
-                    "new_symbol"
-                ),
-                F.col("cnt").cast("long").alias("pair_count"),
-            )
-        )
+        bests.append(best)
         pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
         rep = F.concat(
             F.lit(" "),
@@ -16269,6 +16303,63 @@ def text_bpe_merge_train(spark, sf):
                 "freq", merged.alias("sym")
             )
         )
+        vocabs.append(vocab)
+    return vocabs, bests
+
+
+@q(
+    "text_bpe_train_apply",
+    oracle="""WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= 20
+  GROUP BY w),
+vocab0 AS (
+  SELECT freq, list_aggregate(list_transform(
+           generate_series(1, len(word)), i -> substr(word, i, 1)),
+         'string_agg', ' ') AS sym
+  FROM words),"""
+    + ",".join(_bpe_round_cte(r) for r in range(_BPE_STEPS))
+    + "\nSELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, "
+        f"CAST(SUM(freq * len(string_split(sym, ' '))) AS BIGINT) "
+        f"AS total_symbols, "
+        f"ROUND(CAST(SUM(freq * len(string_split(sym, ' '))) AS DOUBLE) "
+        f"/ SUM(freq), 4) AS symbols_per_word FROM vocab{r}"
+        for r in range(_BPE_STEPS + 1)
+    )
+    + ") ORDER BY step",
+)
+def text_bpe_train_apply(spark, sf):
+    """BPE train→apply loop closure (the tokenizer twin of the mixture
+    plan→realization pair): after each of the 5 learned merges, the
+    CORPUS-level token count and tokens-per-word under the vocabulary
+    so far — the compression curve a tokenizer build monitors to decide
+    when merges stop paying. Step 0 is the character baseline. Applying
+    a merge table corpus-wide costs nothing extra here because every
+    word's tokenization lives in the vocab relation: corpus totals are
+    SUM(freq × symbols) over the same cached vocab-sized frames the
+    trainer produced — no second corpus scan, no per-doc re-encode
+    (the per-DOC apply path with a fixed merge table is
+    text_bpe_token_stats). Token counts stay BIGINT until the final
+    division; the curve is non-increasing by construction (each merge
+    strictly shrinks the words containing its pair)."""
+    vocabs, _ = _bpe_train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
+    total = F.sum(F.col("freq") * F.size(F.split(F.col("sym"), " ")))
+    outs = [
+        v.agg(
+            total.cast("long").alias("total_symbols"),
+            F.round(
+                total.cast("double") / F.sum("freq"), 4
+            ).alias("symbols_per_word"),
+        ).select(
+            F.lit(r).cast("long").alias("step"),
+            "total_symbols",
+            "symbols_per_word",
+        )
+        for r, v in enumerate(vocabs)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
@@ -16369,3 +16460,48 @@ def layout_zorder_buckets(spark, sf):
         )
         .orderBy("zbucket")
     )
+
+
+@q(
+    "ann_ivf_index_append",
+    # measured pin at sf0.01 (tools/gen_values_pin.py), layout-swept
+    # (local[5]/7 AQE on, local[8]/8 AQE off, local[32]/32 AQE on —
+    # bit-identical): the appended index's probe output is a pure
+    # function of its inputs (trained centroids from the BASE corpus
+    # only, rounded sims, id tie-breaks)
+    oracle="SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.287861 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.322744 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.292322 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(0.240069 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.310987 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(359 AS BIGINT), CAST(0.305821 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.356901 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(445 AS BIGINT), CAST(0.340782 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.304526 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(107 AS BIGINT), CAST(0.284494 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk",
+)
+def ann_ivf_index_append(spark, sf):
+    """Incremental IVF ingest (operators/ann_index.py:
+    append_to_ivf_index) — FAISS ``add`` semantics as dataflow: build
+    the cell-partitioned index from the base corpus (vec_id >= 100),
+    then APPEND a later batch (10 <= vec_id < 100) against the frozen
+    trained centroids, and serve the query batch from the merged index.
+    Append cost is one broadcast E-step over the batch + a
+    cell-partitioned append write, O(batch) regardless of index size;
+    the probe path is byte-identical to ann_ivf_index_topk's (static
+    partition pruning over old + new files alike). Equality with a
+    one-shot build over base+batch at the same centroids is pinned in
+    tests/test_ann_index.py (ingest batching must not change results)."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 100), tmp, n_cells=16)
+        AI.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100)), tmp
+        )
+        return (
+            AI.ivf_index_topk(
+                spark, tmp, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4
+            )
+            .withColumnRenamed("rank", "rnk")
+            .orderBy("query_id", "rnk")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

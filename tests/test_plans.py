@@ -502,8 +502,9 @@ _BNLJ_OK = {
     # hop is an equi-join of the beam frontier against the edge set)
     "ann_graph_topk", "ann_graph_recall_eval",
     # round-9: 5 winning-pair 1-row broadcasts into the vocab-sized
-    # merge projections (one per unrolled BPE round)
-    "text_bpe_merge_train",
+    # merge projections (one per unrolled BPE round; train_apply shares
+    # the chain)
+    "text_bpe_merge_train", "text_bpe_train_apply",
     # round-9: 1-row (max partkey, max suppkey) stats broadcast under
     # the quantization projection
     "layout_zorder_buckets",

@@ -142,3 +142,72 @@ def test_zorder_buckets_bound_both_dimensions(spark, duck):
     assert sum(r["n_rows"] for r in rows) == duck.sql(
         "SELECT COUNT(*) FROM lineitem"
     ).fetchone()[0]
+
+
+def test_bpe_train_apply_curve_monotone_and_char_baseline(spark, duck):
+    """Step 0 must equal the character count of the filtered word
+    multiset; each merge strictly decreases corpus symbols."""
+    rows = q("text_bpe_train_apply", spark, SF_CORRECTNESS).collect()
+    assert [r["step"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    totals = [r["total_symbols"] for r in rows]
+    assert all(a > b for a, b in zip(totals, totals[1:])), totals
+    chars = duck.sql(
+        """SELECT SUM(len(w)) FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= 20"""
+    ).fetchone()[0]
+    assert totals[0] == chars
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_index_append
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_append_equals_one_shot_build(spark, tmp_path):
+    """Ingest batching must not change probe results: base-then-append
+    must serve EXACTLY the rows of a one-shot write of base+batch at the
+    same centroids (FAISS add semantics — centroids frozen on append)."""
+    from overseer_spark.operators import ann_index as AI
+    from overseer_spark.operators.similarity import assign_cells
+    from overseer_spark.sources.tables import load_table
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    base = vecs.filter(F.col("vec_id") >= 100)
+    batch = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+    queries = vecs.filter(F.col("vec_id") < 10)
+
+    p_inc = str(tmp_path / "inc")
+    AI.build_ivf_index(base, p_inc, n_cells=8)
+    AI.append_to_ivf_index(batch, p_inc)
+
+    # one-shot: same centroids (read back from the incremental index so
+    # both paths share them bit-exactly), single write of base+batch
+    p_one = str(tmp_path / "one")
+    cents = spark.read.parquet(f"{p_inc}/centroids")
+    cents.write.parquet(f"{p_one}/centroids")
+    assigned = assign_cells(
+        base.unionByName(batch).select("vec_id", "embedding"),
+        centroids=cents.select(
+            F.col("cell").alias("vec_id"), F.col("embedding")
+        ),
+    )
+    assigned.write.partitionBy("cell").parquet(f"{p_one}/vectors")
+
+    r_inc = AI.ivf_index_topk(spark, p_inc, queries, k=5, n_probe=4).collect()
+    r_one = AI.ivf_index_topk(spark, p_one, queries, k=5, n_probe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(r_inc, key=key) == sorted(r_one, key=key)
+    assert len(r_inc) > 0
+
+
+def test_ivf_append_entry_probe_sees_appended_vectors(spark):
+    """The entry's merged index must be able to RETURN appended ids:
+    with the base excluding vec_id < 100, any result id in [10, 100)
+    proves the append is served; at minimum the probe output is
+    non-empty and never returns a query's own id."""
+    rows = q("ann_ivf_index_append", spark, SF_CORRECTNESS).collect()
+    assert rows
+    assert all(r["vec_id"] != r["query_id"] for r in rows)
+    assert all(r["vec_id"] >= 10 for r in rows)

@@ -120,7 +120,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_pq_topk", "ann_pq_rerank_topk", "embedding_mmr_topk",
         "ann_recall_eval", "hybrid_retrieval_overlap",
         "embedding_sign_bits", "ann_hamming_topk", "ann_hamming_recall_eval",
-        "ann_graph_topk", "ann_graph_recall_eval",
+        "ann_graph_topk", "ann_graph_recall_eval", "ann_ivf_index_append",
         "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
@@ -145,7 +145,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_markdown_extract", "text_blocklist_ac",
         "text_ngram_novelty", "prefix_cache_groups",
         "text_readability_scores", "quality_filter_bias_audit",
-        "text_bpe_merge_train",
+        "text_bpe_merge_train", "text_bpe_train_apply",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
