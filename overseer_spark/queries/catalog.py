@@ -14599,43 +14599,43 @@ def text_ngram_novelty(spark, sf):
     novelty flags fresh long-tail content, low novelty flags boilerplate
     or template farms (the memorization-risk proxy corpus audits use).
     Head set is rank-deterministic (count desc, gram asc) and TINY —
-    it broadcasts. ONE corpus scan (VERDICT r8 ask #3): the trigram
-    explode collapses straight into a (gram, source) → count aggregate
-    (map-side combined, cached — vocab×source-sized, tiny next to the
-    exploded grams); the global head ranks a SUM over that relation and
-    the per-source score is SUM(c) arithmetic over the same cached
-    rows. The previous plan re-exploded the whole corpus a second time
-    to probe the head — 3.5 s isolated at sf0.1 and the slowest
-    headline entry; the vocab-sized rewrite eliminates the second
-    explode entirely. Exact integer hit counts until the final
-    division."""
+    it broadcasts, so scoring is one explode + map-side hash probe; the
+    head build is the only shuffle (gram partial-agg). TWO corpus
+    scans, DELIBERATELY (VERDICT r8 ask #3, attempted and reverted
+    with same-fixture A/B in round 9): the one-scan rewrite — cache a
+    (gram, source) → count relation and derive both the head and the
+    scores from it — measured SLOWER at both scales (5.3 s vs 3.6 s at
+    sf0.1; 46 s vs 39 s at 10×, min-of-3 warm, identical fixtures)
+    because materializing the vocab×source gram-string cache and
+    re-reading it twice costs more than re-running the second explode,
+    which pipelines entirely inside codegen into a broadcast-hash
+    probe + partial agg and never materializes anything. The honest
+    100 TB plan is the same two scans. Exact integer hit counts until
+    the final division."""
     from overseer_spark.functions.textfns import shingles, tokens  # noqa: PLC0415
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     d = _t(spark, sf, "documents")
     grams = d.select(
         "source",
         F.explode(shingles(tokens("text"), k=3, distinct=False)).alias("g"),
     )
-    gs = eager_cache(
-        grams.groupBy("g", "source").agg(F.count(F.lit(1)).alias("c"))
-    )
     head = (
-        gs.groupBy("g")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy(F.desc("tc"), F.col("g"))
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.col("g"))
         .limit(1000)
         .select("g", F.lit(1).alias("hit"))
     )
-    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)) * F.col("c"))
+    m = grams.join(F.broadcast(head), "g", "left").select(
+        "source", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
     return (
-        gs.join(F.broadcast(head), "g", "left")
-        .groupBy("source")
+        m.groupBy("source")
         .agg(
-            F.sum("c").cast("long").alias("n_grams"),
-            hits.cast("long").alias("head_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("hit").cast("long").alias("head_hits"),
             F.round(
-                F.lit(1.0) - hits.cast("double") / F.sum("c"), 4
+                F.lit(1.0) - F.sum("hit").cast("double") / F.count(F.lit(1)), 4
             ).alias("novelty"),
         )
         .orderBy("source")
