@@ -148,6 +148,7 @@ HEADLINE = [
     "text_bpe_train_apply",
     "layout_zorder_buckets",
     "ann_ivf_index_append",
+    "incr_exact_substr_vs_corpus",
 ]
 
 

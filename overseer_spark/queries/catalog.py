@@ -16128,21 +16128,7 @@ def text_exact_substr_spans(spark, sf):
     is of the expression (never a named array column), so generated
     windows die in the scanning task."""
     d = _t(spark, sf, "documents")
-    anchors = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - 39, F.lit(1))),
-        lambda i: (i == 1)
-        | (F.col("text").substr(i - 1, F.lit(1)) == " "),
-    )
-    wins = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                anchors,
-                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(40))),
-            )
-        ).alias("w"),
-    ).distinct()
+    wins = _substr_windows(d, cols=("doc_id", "source"))
     wc = wins.groupBy("w").agg(F.count(F.lit(1)).alias("nd"))
     dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
@@ -16505,3 +16491,91 @@ def ann_ivf_index_append(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _substr_windows(d, cols=("doc_id",)):
+    """Word-anchored 40-char window hashes per doc, doc-distinct — the
+    shared primitive of text_exact_substr_spans and the incremental
+    screen (one definition; see text_exact_substr_spans for why anchors
+    are content-defined, not a stride grid)."""
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 39, F.lit(1))),
+        lambda i: (i == 1)
+        | (F.col("text").substr(i - 1, F.lit(1)) == " "),
+    )
+    return d.select(
+        *cols,
+        F.explode(
+            F.transform(
+                anchors,
+                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(40))),
+            )
+        ).alias("w"),
+    ).distinct()
+
+
+@q(
+    "incr_exact_substr_vs_corpus",
+    oracle="""WITH w0 AS (SELECT doc_id,
+                       unnest(list_transform(
+                         list_filter(
+                           generate_series(1, greatest(len(text) - 39, 1)),
+                           i -> i = 1 OR substr(text, i - 1, 1) = ' '),
+                         i -> substr(text, i, 40))) AS win
+                     FROM documents),
+              wins AS (SELECT DISTINCT doc_id, win FROM w0),
+              cidx AS (SELECT DISTINCT win FROM wins WHERE doc_id >= 200),
+              nw AS (SELECT doc_id, win FROM wins WHERE doc_id < 200),
+              hit AS (SELECT nw.doc_id, COUNT(*) AS dup_windows
+                      FROM nw JOIN cidx USING (win) GROUP BY nw.doc_id)
+              SELECT nw.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_windows,
+                     CAST(COALESCE(MIN(hit.dup_windows), 0) AS BIGINT)
+                       AS dup_windows,
+                     ROUND(CAST(COALESCE(MIN(hit.dup_windows), 0) AS DOUBLE)
+                           / COUNT(*), 4) AS dup_frac,
+                     CAST(CASE WHEN COALESCE(MIN(hit.dup_windows), 0)
+                               >= 0.5 * COUNT(*) THEN 1 ELSE 0 END AS BIGINT)
+                       AS flagged
+              FROM nw LEFT JOIN hit ON nw.doc_id = hit.doc_id
+              GROUP BY nw.doc_id ORDER BY nw.doc_id""",
+)
+def incr_exact_substr_vs_corpus(spark, sf):
+    """Incremental exact-substring screening — the ingest-time twin of
+    text_exact_substr_spans, completing the incremental family
+    (exact-hash and MinHash screens exist in operators/incremental.py):
+    a new batch (doc_id < 200) is probed against the CORPUS's
+    word-anchored window-hash index (doc_id >= 200); per new doc, how
+    many of its windows already exist anywhere in the corpus, the
+    duplicated fraction, and the >= 0.5 ingest-gate flag (the
+    ExactSubstr admission criterion: half the doc's spans are already
+    in the training set). Scale: the corpus side collapses to a
+    DISTINCT 8-byte hash index BEFORE the join (at production it is
+    built once and persisted, exactly like incremental.py's MinHash
+    corpus index — new batches never rescan corpus text); the probe is
+    a semi-join-shaped count on 8-byte keys; window text never leaves
+    its scanning task on either side."""
+    d = _t(spark, sf, "documents")
+    wins = _substr_windows(d)
+    cidx = wins.filter(F.col("doc_id") >= 200).select("w").distinct()
+    nw = wins.filter(F.col("doc_id") < 200)
+    hit = nw.join(cidx, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup")
+    )
+    dup = F.coalesce(F.min("dup"), F.lit(0))
+    return (
+        nw.join(hit, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            dup.cast("long").alias("dup_windows"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_frac"
+            ),
+            F.when(dup >= 0.5 * F.count(F.lit(1)), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -107,6 +107,7 @@ FAMILIES: dict[str, list[str]] = {
         "semantic_dedup_clustered",
         "incr_exact_survivor_count", "incr_exact_flagged",
         "incr_near_dup_vs_corpus", "incr_dedup_survivor_ids",
+        "incr_exact_substr_vs_corpus",
         "minhash_recall_eval", "text_paragraph_dedup_stats",
         "text_exact_substr_spans",
     ],
