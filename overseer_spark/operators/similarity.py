@@ -106,29 +106,46 @@ def trained_centroids(
     layout-independent, unlike F.rand — with the id as tie-break), not
     the full corpus, so training cost is bounded no matter the corpus
     size; the full corpus only pays the one broadcast E-step inside
-    assign_cells. Every step is deterministic (lowest-id init, per-
-    iteration mean rounding — see kmeans_lloyd round_to), so catalog
-    pins replay bit-identically across partition layouts.
+    assign_cells. The Lloyd loop itself runs DRIVER-SIDE in numpy over
+    the collected sample (one Spark job total), mirroring
+    kmeans_lloyd's exact semantics — lowest-id init, argmin with
+    lowest-cell tie-break, per-iteration 6dp mean rounding, emptied
+    clusters keep their centroid — the same driver-side-training
+    economics pq_codebooks already uses. The round-9 Spark-side loop
+    paid ~15 sequential jobs (~5 s PER ENTRY at any scale, 40 s at
+    k=312) to iterate over 2048 rows; sample-bounded training belongs
+    on the driver, exactly as FAISS trains on a sampled matrix.
+    Deterministic by construction (no partitioning is involved at
+    all), so catalog pins replay bit-identically across layouts.
 
     Returns (``id_col`` = cell index 0..n_cells-1, ``vec_col`` = centroid)
     shaped exactly like the centroid frames assign_cells/ivf_topk expect.
     """
+    import numpy as np  # noqa: PLC0415
+
     spark = corpus.sparkSession
     h = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1 << 31))
-    sample = (
-        corpus.select(id_col, vec_col).orderBy(h, F.col(id_col)).limit(train_sample)
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(h, F.col(id_col))
+        .limit(train_sample)
+        .collect()
     )
-    _, cents = kmeans_lloyd(
-        sample,
-        k=n_cells,
-        iterations=iterations,
-        vec_col=vec_col,
-        id_col=id_col,
-        round_to=round_to,
-    )
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    ids = np.array([r[id_col] for r in rows])
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    k = min(n_cells, len(rows))
+    init = np.argsort(ids, kind="stable")[:k]
+    cent = X[init].copy()
+    for _ in range(iterations):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest cell index
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = np.round(members.mean(axis=0), round_to)
+    out = [(i, [float(x) for x in cent[i]]) for i in range(k)]
     return spark.createDataFrame(
-        rows, f"{id_col} long, {vec_col} array<double>"
+        out, f"{id_col} long, {vec_col} array<double>"
     )
 
 
@@ -425,9 +442,18 @@ def kmeans_lloyd(
     equivalent for iterative ML, verified against a numpy oracle in
     tests/test_similarity.py.
     """
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
     spark = emb.sparkSession
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pts = emb.select(F.col(id_col).alias("_id"), dv.alias("_v"))
+    # cache the training points ONCE: without this, every iteration's
+    # E-step re-runs the whole upstream lineage — for trained_centroids
+    # that lineage is a corpus scan + hash-order + limit, so 5
+    # iterations paid 5 corpus scans (measured ~5 s per IVF-family
+    # entry at sf0.1, round-9 bench diff). Values are unchanged —
+    # caching is a pure execution-plan change, so every layout-swept
+    # pin downstream of the trained centroids stays bit-identical.
+    pts = eager_cache(emb.select(F.col(id_col).alias("_id"), dv.alias("_v")))
     centroids = [
         list(r._v) for r in pts.orderBy("_id").limit(k).collect()
     ]
