@@ -33,11 +33,14 @@ from overseer_spark.queries.catalog import CATALOG, flagship
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _driver_checked() -> tuple[set[str], set[str], set[str], dict[str, int]]:
+def _driver_checked() -> tuple[
+    set[str], set[str], set[str], dict[str, int], dict[str, int]
+]:
     """(all entry names ever covered, names whose LATEST driver row failed,
     names whose LATEST driver row was the weak ``no_oracle`` rows-only
-    check, name → latest round with a GREEN hash row) from the committed
-    per-round driver gate results.
+    check, name → latest round with a GREEN hash row, name → latest round
+    with a rows-only ``no_oracle`` row) from the committed per-round
+    driver gate results.
 
     The third set exists because an entry can be *tier-promoted*: its only
     driver rows date from when it was PY-tier (no DuckDB oracle, so the
@@ -56,6 +59,7 @@ def _driver_checked() -> tuple[set[str], set[str], set[str], dict[str, int]]:
     failed: set[str] = set()
     weak: set[str] = set()
     last_green: dict[str, int] = {}
+    last_weak: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -74,6 +78,11 @@ def _driver_checked() -> tuple[set[str], set[str], set[str], dict[str, int]]:
                 # PY tier (oracle removed), the failure no longer applies.
                 failed.discard(name)
                 weak.add(name)
+                # Stamp the rows-only check with its round (VERDICT r9 ask
+                # #4): a PY-tier entry can never earn a hash row, so without
+                # this it sorts to the FRONT of the green tail forever and
+                # burns one no-op driver-prefix slot every round.
+                last_weak[name] = max(last_weak.get(name, 0), rnd)
                 continue
             weak.discard(name)
             ok = (
@@ -87,7 +96,7 @@ def _driver_checked() -> tuple[set[str], set[str], set[str], dict[str, int]]:
                 last_green[name] = max(last_green.get(name, 0), rnd)
             else:
                 failed.add(name)
-    return seen, failed, weak, last_green
+    return seen, failed, weak, last_green, last_weak
 
 
 def _round_start_roster() -> set[str]:
@@ -105,7 +114,7 @@ def _round_start_roster() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
-    checked, failed, weak, last_green = _driver_checked()
+    checked, failed, weak, last_green, last_weak = _driver_checked()
     roster = _round_start_roster()
     # failed-last-round entries lead: their fix must re-green THIS round
     redo = [n for n in CATALOG if n in failed]
@@ -130,7 +139,9 @@ def _ordered_names() -> list[str]:
     # Staleness rotation (VERDICT r8 ask #8): among fully-green entries,
     # front the ones whose latest green hash row is OLDEST (r1–r2 cohort
     # first), so the driver prefix keeps refreshing cumulative coverage.
-    # Catalog order breaks ties for determinism.
+    # PY-tier entries rotate on their latest rows-only round instead of
+    # sorting first forever (VERDICT r9 ask #4). Catalog order breaks
+    # ties for determinism.
     cat_idx = {n: i for i, n in enumerate(CATALOG)}
     done = sorted(
         (
@@ -140,7 +151,11 @@ def _ordered_names() -> list[str]:
             and n not in failed
             and not (CATALOG[n].oracle and n in weak)
         ),
-        key=lambda n: (last_green.get(n, 0), cat_idx[n]),
+        key=lambda n: (
+            last_green.get(n, last_weak.get(n, 0)) if CATALOG[n].oracle
+            else last_weak.get(n, 0),
+            cat_idx[n],
+        ),
     )
     return redo + old_first + added_this_round + done
 
