@@ -185,6 +185,95 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
 
 
+def build_graph_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    edge_k: int = 12,
+    salt_buckets: int = 4,
+    hub_cap: int = 64,
+    prebuilt=None,
+) -> None:
+    """Persist the graph-ANN SERVING structure (operators/graph.py:
+    serving_knn_graph) — the graph twin of build_ivf_index, and the
+    VERDICT-r9 fix for the catalog's single biggest bench line item: the
+    kNN-graph build (trained-centroid assignment, salted block-pair
+    scoring, hub-tree overlay) runs ONCE and every later query batch
+    pays only the beam search.
+
+    Layout on disk::
+
+        {path}/qv        (vec_id, q)   — quantized corpus vectors
+        {path}/edges     (src, dst)    — kNN ∪ hub-tree edge set,
+                                         repartitioned by src (at
+                                         production scale: bucketBy(src)
+                                         so each hop's frontier probe is
+                                         a co-located index join)
+        {path}/entries   (node)        — per-cell entry nodes (tree roots)
+
+    ``prebuilt`` short-circuits the build with an existing
+    ``(qv, edges, entries)`` triple (qv/edges from serving_knn_graph,
+    entries = per-cell MIN(vec_id) nodes) — the amortization path when
+    the structure is already cached in-session. Beam output from the
+    persisted index is bit-identical to serving the in-memory build
+    (integer-quantized sims survive the parquet round trip exactly;
+    asserted in tests/test_ann_index.py)."""
+    from overseer_spark.operators.graph import serving_knn_graph  # noqa: PLC0415
+
+    if prebuilt is not None:
+        qv, edges, entries = prebuilt
+    else:
+        qv, edges, cells = serving_knn_graph(
+            corpus,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            edge_k=edge_k,
+            salt_buckets=salt_buckets,
+            hub_cap=hub_cap,
+        )
+        entries = cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
+    qv.write.mode("overwrite").parquet(f"{path}/qv")
+    edges.repartition(F.col("src")).write.mode("overwrite").parquet(
+        f"{path}/edges"
+    )
+    entries.select("node").write.mode("overwrite").parquet(f"{path}/entries")
+
+
+def graph_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_ids=None,
+    queries: DataFrame | None = None,
+    entry_top: int = 6,
+    hops: int = 4,
+    beam: int = 24,
+    k: int = 10,
+) -> DataFrame:
+    """Serve a query batch from the persisted graph index (graph_beam_topk
+    over the on-disk structure). ``query_ids`` selects in-corpus queries
+    by id from the persisted qv table; alternatively pass ``queries`` as
+    (query_id, qv) quantized vectors for out-of-corpus queries. Per-batch
+    cost is the beam search only — entry scoring + hops × (frontier ⋈
+    edges + rescore); the build is never re-run."""
+    from overseer_spark.operators.graph import graph_beam_topk  # noqa: PLC0415
+
+    qv = spark.read.parquet(f"{path}/qv")
+    edges = spark.read.parquet(f"{path}/edges")
+    entries = spark.read.parquet(f"{path}/entries")
+    if queries is None:
+        if query_ids is None:
+            raise ValueError("pass query_ids or queries")
+        queries = qv.filter(F.col("vec_id").isin(list(query_ids))).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+        )
+    queries = eager_cache(queries)
+    return graph_beam_topk(
+        qv, edges, queries, entries,
+        entry_top=entry_top, hops=hops, beam=beam, k=k,
+    )
+
+
 def build_lsh_index(
     corpus: DataFrame,
     path: str,

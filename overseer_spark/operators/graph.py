@@ -219,12 +219,65 @@ def knn_graph_edges(
     )
 
 
+def hub_tree_edges(cells: DataFrame, hub_cap: int = 64) -> DataFrame:
+    """Degree-capped hub overlay: a ``hub_cap``-ary tree PER CELL over the
+    members in vec_id order (parent of tree position r>0 is position
+    (r-1)//hub_cap; the root, position 0, is the cell's min vec_id — the
+    entry-layer node). Returns (src, dst) with BOTH directions of every
+    parent↔child link.
+
+    This replaces the round-9 single-hub star, whose spoke count equaled
+    cell membership: with n_cells = isqrt(n) cells that is √n·n_probe
+    spokes per hub — at 10⁹ vectors a beam visiting a hub pulled ~10⁵
+    candidates per query per hop, violating graph_beam_topk's documented
+    per-hop bound (VERDICT r9 "what's wrong" #2). The tree keeps the
+    overlay's job — structural reachability of every member from the
+    entry node regardless of how cliquey the fine kNN edges get — while
+    capping every node's overlay out-degree at hub_cap children + 1
+    parent per cell membership; with the kNN layer the total out-degree
+    is ≤ edge_k + n_probe·(hub_cap+1) INDEPENDENT of corpus size
+    (asserted flat across the scale ladder in tests/test_similarity.py).
+    The price is depth: reaching an arbitrary member takes
+    ceil(log_hub_cap(cell_size)) hops instead of 1 — ≤ 3 even at 10⁹
+    vectors with sqrt-scaled cells (cell ≈ 10⁵, 64³ = 262k ≥ 10⁵), the
+    same log-layer trade HNSW's hierarchy makes.
+
+    Cost: one row_number window per (cell) — the same shuffle the old
+    min() hub selection paid — plus an id-ordered self-join on
+    (cell, position), both partial-agg-friendly; no vectors move.
+    """
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    ranked = cells.select(
+        "cell", "vec_id", (F.row_number().over(w) - 1).alias("pos")
+    )
+    children = ranked.filter(F.col("pos") > 0).select(
+        "cell",
+        "vec_id",
+        F.floor((F.col("pos") - 1) / hub_cap).alias("ppos"),
+    )
+    links = children.join(
+        ranked.select(
+            "cell", F.col("pos").alias("ppos"), F.col("vec_id").alias("hub")
+        ),
+        ["cell", "ppos"],
+    )
+    return links.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("hub").alias("src"), F.col("vec_id").alias("dst")),
+                F.struct(F.col("vec_id").alias("src"), F.col("hub").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def serving_knn_graph(
     emb: DataFrame,
     n_cells: int = 16,
     n_probe: int = 3,
     edge_k: int = 12,
     salt_buckets: int = 4,
+    hub_cap: int = 64,
 ):
     """Build the graph-ANN SERVING structure (the DiskANN/HNSW-layer-0
     bootstrap): a kNN graph whose pair candidates are blocked by the
@@ -243,27 +296,30 @@ def serving_knn_graph(
     measured recall@10 = 1.0 at (probe 3, k 12, entry 6, hops 4,
     beam 24) on the same fixture with the hub overlay below.
 
-    The kNN edges are OVERLAID with hub edges (cell entry node ↔ every
-    cell member, both directions) — the dataflow analogue of HNSW's
-    upper layer, and the round-9 lesson from a duplicate-heavy corpus:
-    on the 10x bootstrap fixture every vector has near-exact copies, so
-    each node's raw k-NN list collapses into its own duplicate clique
-    (all out-edges point at copies of itself), the graph loses
-    navigability entirely, and beam recall measured 0.0 from a 0.96
-    sf0.01 baseline. Hub edges restore reachability structurally: every
-    member is one hop from its cell hub regardless of how cliquey the
-    fine edges get (exactly the role HNSW's sparse long-link layer and
-    DiskANN's RNG-pruned diverse edges play). Hub out-degree is bounded
-    by members-per-cell — keep cells bounded (n_cells ∝ corpus) and the
-    per-hop join stays O(beam × cell).
+    The kNN edges are OVERLAID with hub-tree edges (hub_tree_edges: a
+    ``hub_cap``-ary tree per cell, parent↔child both directions) — the
+    dataflow analogue of HNSW's upper layer, and the round-9 lesson from
+    a duplicate-heavy corpus: on the 10x bootstrap fixture every vector
+    has near-exact copies, so each node's raw k-NN list collapses into
+    its own duplicate clique (all out-edges point at copies of itself),
+    the graph loses navigability entirely, and beam recall measured 0.0
+    from a 0.96 sf0.01 baseline. The overlay restores reachability
+    structurally: every member is ≤ ceil(log_hub_cap(cell)) hops from
+    its cell's entry node regardless of how cliquey the fine edges get
+    (the role HNSW's sparse upper layers and DiskANN's RNG-pruned
+    diverse edges play). Round 10 replaced the single-hub star (spoke
+    count = cell membership = √n·n_probe under sqrt-scaled cells — a
+    per-hop bound violation at 10⁹ vectors) with the degree-capped
+    tree: out-degree ≤ edge_k + n_probe·(hub_cap+1) no matter the
+    corpus size.
 
     Returns (qv, edges, cells): qv = (vec_id, q) quantized vectors,
-    edges = (src, dst) the k-NN ∪ hub edge set, cells = (vec_id, cell)
-    multi-probe membership (its per-cell MIN(vec_id) is the entry
-    layer). Pair cost is Σ cell_member² over cells — n²·probe²/cells,
-    spread by the block-pair salting — and edge storage is
-    n·(edge_k + 2·n_probe) rows of two longs; vectors never ride the
-    edge shuffle."""
+    edges = (src, dst) the k-NN ∪ hub-tree edge set, cells =
+    (vec_id, cell) multi-probe membership (its per-cell MIN(vec_id) is
+    the entry layer — the tree root). Pair cost is Σ cell_member² over
+    cells — n²·probe²/cells, spread by the block-pair salting — and
+    edge storage is n·(edge_k + 2·n_probe) rows of two longs; vectors
+    never ride the edge shuffle."""
     from overseer_spark.operators.similarity import (  # noqa: PLC0415
         assign_cells,
         trained_centroids,
@@ -280,17 +336,7 @@ def serving_knn_graph(
     knn = knn_graph_edges(
         qe, k=edge_k, salt_buckets=salt_buckets, dedup_pairs=True
     ).select(F.col("vec_id").alias("src"), F.col("nb_id").alias("dst"))
-    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub"))
-    spokes = cells.join(hubs, "cell").filter(F.col("vec_id") != F.col("hub"))
-    edges = (
-        knn.unionByName(
-            spokes.select(F.col("hub").alias("src"), F.col("vec_id").alias("dst"))
-        )
-        .unionByName(
-            spokes.select(F.col("vec_id").alias("src"), F.col("hub").alias("dst"))
-        )
-        .distinct()
-    )
+    edges = knn.unionByName(hub_tree_edges(cells, hub_cap)).distinct()
     return qv, edges, cells
 
 
@@ -313,12 +359,16 @@ def graph_beam_topk(
     visited, integer-quantized sims, ties → min id, so the result is a
     pure function of its inputs (the PY-provenance pin convention).
 
-    Per-query work is BOUNDED by entry_top + hops·beam·edge_k candidate
-    scorings regardless of corpus size — the property that makes graph
-    serving the billion-vector path. Each hop is one equi-join of the
-    beam-sized frontier against the edge set (at scale: the edge
-    relation bucketed by src, so the probe is an index join) plus one
-    broadcast rescore; only (query_id, node, sim) triples ever shuffle.
+    Per-query work is BOUNDED by entry_top + hops·beam·max_deg candidate
+    scorings regardless of corpus size, where max_deg is the edge set's
+    maximum out-degree — edge_k + n_probe·(hub_cap+1) for
+    serving_knn_graph's construction (the degree-capped hub tree; the
+    bound is asserted flat across the scale ladder in
+    tests/test_similarity.py). That property is what makes graph serving
+    the billion-vector path. Each hop is one equi-join of the beam-sized
+    frontier against the edge set (at scale: the edge relation bucketed
+    by src, so the probe is an index join) plus one broadcast rescore;
+    only (query_id, node, sim) triples ever shuffle.
 
     ``queries``: (query_id, qv). ``entries``: (node). ``qv``:
     (vec_id, q) quantized corpus vectors.

@@ -50,7 +50,7 @@ def test_ordering_rotates_to_unchecked_sql_entries():
     spec.loader.exec_module(mod)
     names = mod._ordered_names()
     assert sorted(names) == sorted(CATALOG)
-    checked, failed, weak, last_green = mod._driver_checked()
+    checked, failed, weak, last_green, last_weak = mod._driver_checked()
     roster = mod._round_start_roster()
     unhashed_sql = {
         n
@@ -83,12 +83,19 @@ def test_ordering_rotates_to_unchecked_sql_entries():
             f"tier-promoted entry {n} must be fronted for a driver hash row"
         )
     # Staleness rotation (VERDICT r8 ask #8): within the done tail the
-    # latest-green rounds must be non-decreasing — the oldest-confirmed
-    # cohort re-enters the driver prefix first.
+    # latest-confirmed rounds must be non-decreasing — the oldest cohort
+    # re-enters the driver prefix first. PY-tier entries rotate on their
+    # latest rows-only round (VERDICT r9 ask #4) instead of fronting the
+    # tail forever.
     done_tail = names[len(failed) + len(unchecked):]
-    rounds = [last_green.get(n, 0) for n in done_tail]
+    rounds = [
+        last_green.get(n, last_weak.get(n, 0)) if CATALOG[n].oracle
+        else last_weak.get(n, 0)
+        for n in done_tail
+    ]
     assert rounds == sorted(rounds), (
-        "done tail must be ordered oldest-green-first for staleness rotation"
+        "done tail must be ordered oldest-confirmed-first for staleness "
+        "rotation"
     )
 
 

@@ -501,6 +501,9 @@ _BNLJ_OK = {
     # CELLS-sized — one row per IVF cell — and broadcast; every later
     # hop is an equi-join of the beam frontier against the edge set)
     "ann_graph_topk", "ann_graph_recall_eval",
+    # round-10: same entry-layer seed scoring served from the persisted
+    # graph index (shares ann_graph_topk's beam)
+    "ann_graph_index_topk",
     # round-9: 5 winning-pair 1-row broadcasts into the vocab-sized
     # merge projections (one per unrolled BPE round; train_apply shares
     # the chain)

@@ -600,10 +600,11 @@ def test_ivfpq_recall_vs_exact(spark, emb):
 def test_graph_ann_recall_floor(spark):
     """ann_graph_topk (beam search over the cell-blocked serving kNN
     graph) must stay a genuine ANN method: recall@10 vs exact cosine
-    >= 0.9 at the catalog parameters (measured 0.96 at sf0.01 — the
-    pinned ann_graph_recall_eval value). Guards against quietly
-    degrading the serving graph (e.g. reverting to label blocking,
-    which measured 0.0)."""
+    >= 0.9 at the catalog parameters (measured 1.0 at sf0.01/sf0.1/10x
+    with the round-10 degree-capped hub tree — the pinned
+    ann_graph_recall_eval value). Guards against quietly degrading the
+    serving graph (e.g. reverting to label blocking, which measured
+    0.0)."""
     from overseer_spark.queries.catalog import CATALOG
     from tests.conftest import SF_CORRECTNESS
 
