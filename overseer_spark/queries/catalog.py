@@ -16576,6 +16576,52 @@ def ann_ivf_index_append(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@q(
+    "ann_ivf_index_compact",
+    # same pin as ann_ivf_index_append by construction: compaction only
+    # changes the physical file count, never the rows the probe sees
+    oracle=None,  # assigned below — shares ann_ivf_index_append's pin
+)
+def ann_ivf_index_compact(spark, sf):
+    """IVF index maintenance after sustained appends (operators/
+    ann_index.py: compact_ivf_index, VERDICT r9 ask #5): the same
+    base-build + append as ann_ivf_index_append, then the compaction
+    pass — one repartition(cell) exchange folding every cell directory
+    back to a single file (append_to_ivf_index drops one file per cell
+    per batch; after N ingest cycles the partition-pruned probe
+    degrades into a small-file scan). The probe after compaction is
+    bit-identical to the probe before (same pin as the append entry) —
+    maintenance must never change results, only the file layout.
+    Swap-on-success: the rewritten layout replaces the original only
+    after the write succeeds."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_compact_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 100), tmp, n_cells=16)
+        AI.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100)), tmp
+        )
+        AI.compact_ivf_index(spark, tmp)
+        return (
+            AI.ivf_index_topk(
+                spark, tmp, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4
+            )
+            .withColumnRenamed("rank", "rnk")
+            .orderBy("query_id", "rnk")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CATALOG["ann_ivf_index_compact"].oracle = CATALOG["ann_ivf_index_append"].oracle
+
+
 def _substr_windows(d, cols=("doc_id",)):
     """Word-anchored 40-char window hashes per doc, doc-distinct — the
     shared primitive of text_exact_substr_spans and the incremental
