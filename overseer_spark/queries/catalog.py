@@ -16291,89 +16291,15 @@ def text_bpe_merge_train(spark, sf):
     eagerly cached so round r+1 reads r's result instead of recomputing
     the chain (5 dimension-sized caches). The two-pass padded replace
     merges overlapping pair runs exactly like the oracle (pass one
-    takes every other occurrence; survivors are never adjacent)."""
-    _, bests = _bpe_train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
-    outs = [
-        best.select(
-            F.lit(r + 1).cast("long").alias("step"),
-            F.col("pair").alias("merged_pair"),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
-                "new_symbol"
-            ),
-            F.col("cnt").cast("long").alias("pair_count"),
-        )
-        for r, best in enumerate(bests)
-    ]
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("step")
+    takes every other occurrence; survivors are never adjacent). The
+    chain lives in functions/bpe.py since round 10 (train_chain +
+    merge_table) so ONE trainer feeds this entry, the apply curve, AND
+    the persisted tokenizer artifact the encoder consumes (VERDICT r9
+    ask #6)."""
+    from overseer_spark.functions import bpe as B  # noqa: PLC0415
 
-
-def _bpe_train_chain(d, steps: int):
-    """The shared BPE training chain (see text_bpe_merge_train for the
-    semantics and scale notes): returns ``(vocabs, bests)`` where
-    ``vocabs[r]`` is the cached (freq, sym) relation after ``r`` merges
-    (length ``steps + 1``) and ``bests[r]`` the cached 1-row winning
-    (pair, cnt) of round ``r``."""
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
-
-    words = (
-        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 20))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    vocab = eager_cache(
-        words.select(
-            "freq",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word")),
-                    lambda i: F.col("word").substr(i, F.lit(1)),
-                ),
-            ).alias("sym"),
-        )
-    )
-    vocabs, bests = [vocab], []
-    for _ in range(steps):
-        a = F.split(F.col("sym"), " ")
-        pairs = vocab.filter(F.size(a) >= 2).select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(a) - 1),
-                    lambda i: F.concat(
-                        F.element_at(a, i),
-                        F.lit(" "),
-                        F.element_at(a, i + 1),
-                    ),
-                )
-            ).alias("pair"),
-            "freq",
-        )
-        best = eager_cache(
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.col("pair"))
-            .limit(1)
-        )
-        bests.append(best)
-        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-        rep = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-            F.lit(" "),
-        )
-        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
-        merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
-        vocab = eager_cache(
-            vocab.crossJoin(F.broadcast(best.select("pair"))).select(
-                "freq", merged.alias("sym")
-            )
-        )
-        vocabs.append(vocab)
-    return vocabs, bests
+    _, bests = B.train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
+    return B.merge_table(bests).orderBy("step")
 
 
 @q(
@@ -16414,7 +16340,9 @@ def text_bpe_train_apply(spark, sf):
     text_bpe_token_stats). Token counts stay BIGINT until the final
     division; the curve is non-increasing by construction (each merge
     strictly shrinks the words containing its pair)."""
-    vocabs, _ = _bpe_train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
+    from overseer_spark.functions.bpe import train_chain  # noqa: PLC0415
+
+    vocabs, _ = train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
     total = F.sum(F.col("freq") * F.size(F.split(F.col("sym"), " ")))
     outs = [
         v.agg(
@@ -16433,6 +16361,106 @@ def text_bpe_train_apply(spark, sf):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("step")
+
+
+def _bpe_apply_cte(r: int) -> str:
+    """One unrolled BPE APPLY round as a DuckDB CTE: the round-``r``
+    winning pair (best{r}, from the shared training CTEs) exhaustively
+    merged into the all-words relation via the same boundary-anchored
+    two-pass replace the trainer uses. Applying merges in learned order
+    is equivalent to the encoder's greedy lowest-rank-first rule
+    because a pair's component symbols always carry lower ranks than
+    the pair itself (a merge can only create adjacencies involving its
+    own output symbol, and every learned pair containing that symbol
+    was learned later)."""
+    return f"""
+asym{r + 1} AS (
+  SELECT lang, asym{r}.cnt AS cnt, trim(replace(replace(' ' || sym || ' ',
+           ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+           ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '))
+         AS sym
+  FROM asym{r} CROSS JOIN best{r} b)"""
+
+
+@q(
+    "text_bpe_encode_from_artifact",
+    oracle="""WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= 20
+  GROUP BY w),
+vocab0 AS (
+  SELECT freq, list_aggregate(list_transform(
+           generate_series(1, len(word)), i -> substr(word, i, 1)),
+         'string_agg', ' ') AS sym
+  FROM words),"""
+    + ",".join(_bpe_round_cte(r) for r in range(_BPE_STEPS))
+    + """,
+asym0 AS (
+  SELECT lang, COUNT(*) AS cnt, list_aggregate(list_transform(
+           generate_series(1, len(w)), i -> substr(w, i, 1)),
+         'string_agg', ' ') AS sym
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY lang, w),"""
+    + ",".join(_bpe_apply_cte(r) for r in range(_BPE_STEPS))
+    + f""",
+stats AS (
+  SELECT lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(SUM(cnt * len(string_split(sym, ' '))) AS BIGINT)
+           AS total_tokens,
+         ROUND(CAST(SUM(cnt * len(string_split(sym, ' '))) AS DOUBLE)
+               / SUM(cnt), 4) AS tokens_per_word
+  FROM asym{_BPE_STEPS} GROUP BY lang),
+nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_words, total_tokens, tokens_per_word
+FROM stats JOIN nd USING (lang) ORDER BY lang""",
+)
+def text_bpe_encode_from_artifact(spark, sf):
+    """Tokenizer-artifact round trip (VERDICT r9 ask #6, the unification
+    of the two BPE paths): train the merge table DISTRIBUTED
+    (functions/bpe.py train_chain — the same chain behind
+    text_bpe_merge_train), persist it as parquet (save_merge_table —
+    the reloadable artifact, the BPE twin of the IVF centroid table),
+    RELOAD it (load_merge_table), and encode the whole corpus with the
+    loaded merges through the same broadcast-ranks mapInPandas encoder
+    the sample-trained path uses (encode_corpus, end_marker=False —
+    the distributed alphabet has no word-end symbol). Per-language
+    token statistics; the oracle replays training AND application as
+    unrolled CTEs, so the entry pins the full train→persist→reload→
+    encode loop. Scale: training is one corpus scan + vocab-sized
+    rounds; encoding is zero-shuffle with a ~vocab-sized broadcast —
+    at 100 TB the artifact is built once and reused by every encode
+    job."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.functions import bpe as B  # noqa: PLC0415
+
+    docs = _t(spark, sf, "documents")
+    _, bests = B.train_chain(docs, _BPE_STEPS)
+    tmp = tempfile.mkdtemp(prefix="bpe_merges_")
+    try:
+        B.save_merge_table(B.merge_table(bests), f"{tmp}/merges")
+        merges = B.load_merge_table(spark, f"{tmp}/merges")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    enc = B.encode_corpus(docs, merges, end_marker=False)
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        enc.join(docs.select("doc_id", "lang", n_words.alias("nw")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("nw"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
 
 
 def _zorder_sql(xc: str, yc: str, bits: int = 8) -> str:

@@ -63,3 +63,55 @@ def test_compression_beats_characters(spark):
         .collect()[0]
     )
     assert stats["t"] < stats["c"] / 2  # ≥2x better than char-level
+
+
+def test_merge_table_artifact_round_trip(spark, tmp_path):
+    """The distributed trainer's merge table persists and reloads as the
+    SAME rank-ordered pair list (VERDICT r9 ask #6): one merge source —
+    train_chain — feeds the train entries and the encoder artifact, and
+    encoding with the reloaded merges is token-identical to encoding
+    with the in-memory ones."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    vocabs, bests = bpe.train_chain(docs, steps=4)
+    table = bpe.merge_table(bests)
+    in_memory = [
+        tuple(r["merged_pair"].split(" "))
+        for r in table.orderBy("step").collect()
+    ]
+    path = str(tmp_path / "merges")
+    bpe.save_merge_table(table, path)
+    reloaded = bpe.load_merge_table(spark, path)
+    assert reloaded == in_memory and len(reloaded) == 4
+    enc_a = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe.encode_corpus(docs, in_memory, end_marker=False).collect()
+    }
+    enc_b = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe.encode_corpus(docs, reloaded, end_marker=False).collect()
+    }
+    assert enc_a == enc_b
+
+
+def test_learned_order_apply_equals_greedy_rank_apply():
+    """Applying merges exhaustively in learned order (what the unrolled
+    SQL oracle does) equals encode_word's greedy lowest-rank-first rule
+    — the equivalence the text_bpe_encode_from_artifact oracle rests
+    on. Exercise overlapping runs where the two-pass replace semantics
+    matter."""
+    merges = [("a", "a"), ("aa", "a"), ("b", "c"), ("aaa", "bc")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    for word in ("aaaabc", "aaa", "aaaa", "abcabc", "bcbc", "xaaay"):
+        sym = list(word)
+        for a, b in merges:  # learned order, exhaustive left-to-right
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        assert sym == bpe.encode_word(word, ranks, end_marker=False), word

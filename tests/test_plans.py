@@ -508,6 +508,9 @@ _BNLJ_OK = {
     # merge projections (one per unrolled BPE round; train_apply shares
     # the chain)
     "text_bpe_merge_train", "text_bpe_train_apply",
+    # round-10: same 1-row winning-pair broadcasts (train chain) ahead
+    # of the artifact persist + broadcast-ranks encode
+    "text_bpe_encode_from_artifact",
     # round-9: 1-row (max partkey, max suppkey) stats broadcast under
     # the quantization projection
     "layout_zorder_buckets",

@@ -84,6 +84,10 @@ WAIVERS: dict[str, str] = {
     # limit(cap+1) count probes on BOTH edge and job tables
     # (operators/scheduling.py) with a distributed BFS fallback
     "q33_transitive_closure": "closure local path: edge/job cap probes + distributed fallback",
+    # tokenizer artifact reload: the merge table has exactly n_merges rows
+    # (one per training step — 5 here, ~vocab-sized in production, never
+    # corpus-sized); broadcast-ranks application needs it driver-side
+    "text_bpe_encode_from_artifact": "load_merge_table collects the n_merges-row artifact",
 }
 
 # Row-preserving (or row-reducing) single-child nodes: boundedness passes
