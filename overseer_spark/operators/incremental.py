@@ -206,6 +206,89 @@ def near_dup_vs_corpus(
     )
 
 
+def substr_windows(
+    df: DataFrame, cols: tuple = ("doc_id",), content_col: str = "text",
+    width: int = 40,
+) -> DataFrame:
+    """Word-anchored ``width``-char window hashes per doc, doc-distinct —
+    the shared primitive of the exact-substring family (Lee et al. 2022
+    ExactSubstr recast as dataflow; lived in the catalog until round 10,
+    one definition here now feeds the audit entry, the incremental
+    screen, and the persisted index). Anchoring at word boundaries (not
+    a stride grid, which is phased to the DOCUMENT start) guarantees two
+    docs sharing a run >= width+max_word chars emit identical window
+    bytes. Windows hash to 8-byte xxhash64 BEFORE any shuffle — window
+    text never leaves its scanning task; explode is of the expression,
+    so generated windows die in the scan task."""
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(content_col) - (width - 1),
+                                        F.lit(1))),
+        lambda i: (i == 1)
+        | (F.col(content_col).substr(i - 1, F.lit(1)) == " "),
+    )
+    return df.select(
+        *cols,
+        F.explode(
+            F.transform(
+                anchors,
+                lambda i: F.xxhash64(F.col(content_col).substr(i, F.lit(width))),
+            )
+        ).alias("w"),
+    ).distinct()
+
+
+def substr_window_index(
+    corpus: DataFrame, content_col: str = "text", id_col: str = "doc_id",
+    width: int = 40,
+) -> DataFrame:
+    """Build the exact-substring index: the corpus's DISTINCT 8-byte
+    window-hash set, one ``w`` column (VERDICT r9 ask #7 — the persisted
+    twin of exact_hash_index/minhash_band_index for the ExactSubstr
+    screen). Persist as-is and reload per ingest batch: ~8 bytes per
+    distinct window, corpus text never re-read at probe time."""
+    # cols=() makes substr_windows' per-doc distinct a GLOBAL distinct —
+    # exactly the index contents, no second exchange needed
+    return substr_windows(corpus, cols=(), content_col=content_col,
+                          width=width).select("w")
+
+
+def probe_substr_index(
+    new_batch: DataFrame,
+    index: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 40,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Screen a new batch against a persisted window-hash index: per new
+    doc, (n_windows, dup_windows, dup_frac, flagged) — flagged when >=
+    ``flag_threshold`` of the doc's windows already exist in the corpus
+    (the ExactSubstr admission gate). The probe is a semi-join-shaped
+    count on 8-byte keys, O(batch) work; output is row-identical to
+    recomputing the corpus windows inline (pinned in
+    tests/test_incremental.py)."""
+    nw = substr_windows(new_batch, cols=(id_col,), content_col=content_col,
+                        width=width)
+    hit = nw.join(index.select("w"), "w").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup")
+    )
+    dup = F.coalesce(F.min("dup"), F.lit(0))
+    n = F.count(F.lit(1))
+    return (
+        nw.join(hit, id_col, "left")
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_windows"),
+            dup.cast("long").alias("dup_windows"),
+            F.round(dup.cast("double") / n, 4).alias("dup_frac"),
+            F.when(dup >= flag_threshold * n, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("flagged"),
+        )
+    )
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     corpus: DataFrame,

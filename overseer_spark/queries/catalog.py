@@ -16651,24 +16651,14 @@ CATALOG["ann_ivf_index_compact"].oracle = CATALOG["ann_ivf_index_append"].oracle
 
 
 def _substr_windows(d, cols=("doc_id",)):
-    """Word-anchored 40-char window hashes per doc, doc-distinct — the
-    shared primitive of text_exact_substr_spans and the incremental
-    screen (one definition; see text_exact_substr_spans for why anchors
-    are content-defined, not a stride grid)."""
-    anchors = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - 39, F.lit(1))),
-        lambda i: (i == 1)
-        | (F.col("text").substr(i - 1, F.lit(1)) == " "),
-    )
-    return d.select(
-        *cols,
-        F.explode(
-            F.transform(
-                anchors,
-                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(40))),
-            )
-        ).alias("w"),
-    ).distinct()
+    """Word-anchored 40-char window hashes per doc, doc-distinct — one
+    definition since round 10: operators/incremental.py substr_windows
+    (it also feeds the persisted substr_window_index; see
+    text_exact_substr_spans for why anchors are content-defined, not a
+    stride grid)."""
+    from overseer_spark.operators.incremental import substr_windows  # noqa: PLC0415
+
+    return substr_windows(d, cols=cols)
 
 
 @q(
@@ -16708,31 +16698,19 @@ def incr_exact_substr_vs_corpus(spark, sf):
     ExactSubstr admission criterion: half the doc's spans are already
     in the training set). Scale: the corpus side collapses to a
     DISTINCT 8-byte hash index BEFORE the join (at production it is
-    built once and persisted, exactly like incremental.py's MinHash
-    corpus index — new batches never rescan corpus text); the probe is
-    a semi-join-shaped count on 8-byte keys; window text never leaves
-    its scanning task on either side."""
+    built once and persisted via incremental.substr_window_index,
+    exactly like incremental.py's MinHash corpus index — new batches
+    never rescan corpus text; the persisted-index probe is pinned
+    row-identical to this inline recompute in tests/test_incremental.py);
+    the probe is a semi-join-shaped count on 8-byte keys; window text
+    never leaves its scanning task on either side."""
+    from overseer_spark.operators.incremental import (  # noqa: PLC0415
+        probe_substr_index,
+        substr_window_index,
+    )
+
     d = _t(spark, sf, "documents")
-    wins = _substr_windows(d)
-    cidx = wins.filter(F.col("doc_id") >= 200).select("w").distinct()
-    nw = wins.filter(F.col("doc_id") < 200)
-    hit = nw.join(cidx, "w").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup")
-    )
-    dup = F.coalesce(F.min("dup"), F.lit(0))
-    return (
-        nw.join(hit, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            dup.cast("long").alias("dup_windows"),
-            F.round(dup.cast("double") / F.count(F.lit(1)), 4).alias(
-                "dup_frac"
-            ),
-            F.when(dup >= 0.5 * F.count(F.lit(1)), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("flagged"),
-        )
-        .orderBy("doc_id")
-    )
+    cidx = substr_window_index(d.filter(F.col("doc_id") >= 200))
+    return probe_substr_index(
+        d.filter(F.col("doc_id") < 200), cidx
+    ).orderBy("doc_id")

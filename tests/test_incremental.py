@@ -140,3 +140,47 @@ def test_band_index_shape_and_partitionability(spark, split):
     assert idx.columns == ["band", "band_hash", "doc_id"]
     stats = idx.groupBy("band").count().collect()
     assert len(stats) == 16  # every band populated → partitionBy("band") balances
+
+
+def test_substr_index_probe_equals_inline_recompute(spark, tmp_path):
+    """The PERSISTED window-hash index (substr_window_index written to
+    parquet and reloaded) screens a new batch row-identically to the
+    inline recompute the incr_exact_substr_vs_corpus entry performs
+    (VERDICT r9 ask #7 done-criteria). The catalog entry itself is
+    unchanged/hash-stable — this pins the production index path against
+    it."""
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 200)
+    batch = docs.filter(F.col("doc_id") < 200)
+
+    # inline recompute (what the catalog entry does)
+    inline = INC.probe_substr_index(batch, INC.substr_window_index(corpus))
+
+    # persisted path: build once, write, reload, probe
+    path = str(tmp_path / "substr_index")
+    INC.substr_window_index(corpus).write.parquet(path)
+    persisted = INC.probe_substr_index(batch, spark.read.parquet(path))
+
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_windows"], r["dup_windows"], r["dup_frac"],
+         r["flagged"])
+        for r in df.collect()
+    )
+    a, b = key(inline), key(persisted)
+    assert a == b and len(a) == batch.count()
+    # index is 8 bytes per distinct window — one column, w only
+    assert spark.read.parquet(path).columns == ["w"]
+
+
+def test_substr_index_flags_known_duplicate(spark):
+    """A batch doc that IS a corpus doc (full byte overlap) must flag:
+    every one of its windows exists in the index."""
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 200)
+    # clone one corpus doc into the batch under a new id
+    clone = corpus.limit(1).select(
+        F.lit(-1).cast("long").alias("doc_id"), "text"
+    )
+    out = INC.probe_substr_index(clone, INC.substr_window_index(corpus))
+    row = out.collect()[0]
+    assert row["dup_frac"] == 1.0 and row["flagged"] == 1
