@@ -15124,6 +15124,206 @@ def _sign_bits(emb):
 
 
 @q(
+    "hybrid_rrf_fusion_topk",
+    oracle="""WITH tok AS (SELECT doc_id,
+                     unnest(list_distinct(string_split(text, ' '))) AS w
+                  FROM documents),
+              qt AS (SELECT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
+              cnt AS (SELECT qt.query_id, t.doc_id AS cand,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM qt JOIN tok t
+                        ON qt.w = t.w AND t.doc_id <> qt.query_id
+                      GROUP BY qt.query_id, t.doc_id),
+              lex AS (SELECT query_id, cand, rk FROM (
+                        SELECT query_id, cand,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, cand) AS rk
+                        FROM cnt) WHERE rk <= 20),
+              qv AS (SELECT vec_id AS query_id, embedding AS v
+                     FROM embeddings WHERE vec_id < 10),
+              s AS (SELECT qv.query_id, e.vec_id AS cand,
+                      ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(qv.v[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(qv.v,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                        AS sim
+                    FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+              sem AS (SELECT query_id, cand, rk FROM (
+                        SELECT query_id, cand,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand) AS rk
+                        FROM s) WHERE rk <= 20),
+              fused AS (
+                SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+                       COALESCE(l.cand, m.cand) AS cand,
+                       ROUND(COALESCE(1.0 / (60 + l.rk), 0)
+                             + COALESCE(1.0 / (60 + m.rk), 0), 6) AS rrf
+                FROM lex l FULL OUTER JOIN sem m
+                  ON l.query_id = m.query_id AND l.cand = m.cand)
+              SELECT query_id, cand, rrf,
+                     CAST(fused_rank AS BIGINT) AS fused_rank
+              FROM (SELECT query_id, cand, rrf,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY rrf DESC, cand) AS fused_rank
+                    FROM fused) t
+              WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""",
+)
+def hybrid_rrf_fusion_topk(spark, sf):
+    """Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009) —
+    the FUSION step hybrid_retrieval_overlap's agreement eval leads to:
+    fuse the lexical top-20 (shared distinct-token count, the
+    idf-stripped BM25-family signal) with the semantic top-20
+    (embedding cosine) by RRF score Σ 1/(60 + rank) and emit the fused
+    top-5 per query. RRF is THE production hybrid-search default
+    because it needs no score calibration — only ranks cross the
+    ranker boundary, so a BM25 swap-in changes nothing structurally.
+    Plan: the lexical leg is a broadcast posting-list join (query side
+    is 10 docs), the semantic leg reuses the brute cosine plan, and the
+    fusion itself is a full-outer join of two (query, cand, rank)
+    relations — rank-sized, never corpus-sized. Exact integer lexical
+    scores, 6dp cosine, min-cand tie-breaks: deterministic end to end.
+    At 100 TB each leg is replaced by its indexed variant (BM25
+    posting pruning / ann_ivf_index_topk) and the fusion join is
+    unchanged — it only ever sees the per-query top-N lists."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    tok = eager_cache(
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+    )
+    qt = tok.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    cnt = (
+        tok.withColumnRenamed("doc_id", "cand")
+        .join(F.broadcast(qt), "w")
+        .filter(F.col("cand") != F.col("query_id"))
+        .groupBy("query_id", "cand")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("c"), F.col("cand"))
+    lex = (
+        cnt.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 20)
+        .select("query_id", "cand", F.col("rk").alias("lrk"))
+    )
+    sem = V.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=20).select(
+        "query_id",
+        F.col("vec_id").alias("cand"),
+        F.col("rank").alias("srk"),
+    )
+    fused = (
+        lex.join(sem, ["query_id", "cand"], "full")
+        .select(
+            "query_id",
+            "cand",
+            F.round(
+                F.coalesce(1.0 / (F.col("lrk") + 60), F.lit(0.0))
+                + F.coalesce(1.0 / (F.col("srk") + 60), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.col("cand"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= 5)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+@q(
+    "dedup_lsh_param_plan",
+    oracle="""WITH opts AS (SELECT * FROM (VALUES (1, 64), (2, 32), (4, 16),
+                     (8, 8), (16, 4), (32, 2), (64, 1)) AS t(b, r)),
+              grid AS (SELECT (i - 0.5) / 200.0 AS j
+                       FROM generate_series(1, 200) AS g(i)),
+              p AS (SELECT b, r, j,
+                           1 - pow(1 - pow(j, r), b) AS pj
+                    FROM opts CROSS JOIN grid),
+              agg AS (SELECT b, r,
+                        SUM(CASE WHEN j < 0.8 THEN pj ELSE 0 END) / 200.0
+                          AS fp,
+                        SUM(CASE WHEN j >= 0.8 THEN 1 - pj ELSE 0 END) / 200.0
+                          AS fn
+                      FROM p GROUP BY b, r),
+              n AS (SELECT COUNT(*) AS nd FROM documents)
+              SELECT CAST(b AS BIGINT) AS bands,
+                     CAST(r AS BIGINT) AS rows_per_band,
+                     ROUND(pow(1.0 / b, 1.0 / r), 4) AS threshold_hat,
+                     ROUND(fp, 4) AS fp_area,
+                     ROUND(fn, 4) AS fn_area,
+                     ROUND(fp + fn, 4) AS total_error,
+                     CAST(b * nd AS BIGINT) AS index_rows
+              FROM agg CROSS JOIN n ORDER BY bands""",
+)
+def dedup_lsh_param_plan(spark, sf):
+    """MinHash-LSH parameter planner (the closed-form optimization
+    datasketch's optimal_param ships; Leskovec/Rajaraman/Ullman ch. 3
+    S-curve): for every (bands, rows) factorization of a 64-perm
+    signature, the collision S-curve p(j) = 1 - (1 - j^r)^b integrated
+    below/above the 0.8 Jaccard target (midpoint rule, 200 steps) gives
+    the false-positive and false-negative areas; threshold_hat =
+    (1/b)^(1/r) is where the curve crosses 1/2. The planner also costs
+    each option against THIS corpus: index_rows = bands x n_docs — the
+    storage and band-join shuffle volume the choice buys (the
+    minhash_band_index rows actually written). The catalog's shipped
+    (16, 4) config is the total-error minimum at this threshold — this
+    entry is the receipt, and at 100 TB it is the cheap pre-flight that
+    replaces re-running the full dedup per parameter guess. All math is
+    dimension-sized (7 options x 200 grid points); the only data touch
+    is one COUNT."""
+    opts = spark.createDataFrame(
+        [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)],
+        "b int, r int",
+    )
+    grid = spark.range(1, 201).select(
+        ((F.col("id") - 0.5) / 200.0).alias("j")
+    )
+    pj = 1 - F.pow(1 - F.pow(F.col("j"), F.col("r")), F.col("b"))
+    agg = (
+        opts.crossJoin(grid)
+        .select("b", "r", "j", pj.alias("pj"))
+        .groupBy("b", "r")
+        .agg(
+            (
+                F.sum(F.when(F.col("j") < 0.8, F.col("pj")).otherwise(0.0))
+                / 200.0
+            ).alias("fp"),
+            (
+                F.sum(
+                    F.when(F.col("j") >= 0.8, 1 - F.col("pj")).otherwise(0.0)
+                )
+                / 200.0
+            ).alias("fn"),
+        )
+    )
+    nd = _t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("b").cast("long").alias("bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4).alias(
+                "threshold_hat"
+            ),
+            F.round(F.col("fp"), 4).alias("fp_area"),
+            F.round(F.col("fn"), 4).alias("fn_area"),
+            F.round(F.col("fp") + F.col("fn"), 4).alias("total_error"),
+            (F.col("b") * F.col("nd")).cast("long").alias("index_rows"),
+        )
+        .orderBy("bands")
+    )
+
+
+@q(
     "embedding_sign_bits",
     oracle=f"""WITH {_SIGN_BITS_SQL}
               SELECT vec_id, hi, lo FROM sb ORDER BY vec_id""",

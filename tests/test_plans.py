@@ -488,6 +488,12 @@ _BNLJ_OK = {
     "ann_hamming_topk", "ann_hamming_recall_eval",
     # cosine brute leg of the lexical-vs-semantic agreement eval
     "hybrid_retrieval_overlap",
+    # round-10: cosine brute leg of the RRF fusion; the fusion join
+    # itself is rank-list-sized
+    "hybrid_rrf_fusion_topk",
+    # round-10: 7-option x 200-point closed-form S-curve grid + 1-row
+    # corpus count — all dimension-sized crossJoins
+    "dedup_lsh_param_plan",
     # 1-row total-token broadcast into the phase assignment
     "curriculum_phase_plan",
     # 1-row edge-count + modularity-numerator totals crossed into the
