@@ -80,6 +80,17 @@ def probed_cells(
     )
 
 
+def _tombstones(spark: SparkSession, path: str, id_col: str):
+    """The index's tombstone set (vec ids deleted since the last compact),
+    or None when nothing was ever deleted."""
+    import os as _os  # noqa: PLC0415
+
+    tomb_dir = f"{path}/tombstones"
+    if not _os.path.isdir(tomb_dir):
+        return None
+    return spark.read.parquet(tomb_dir).select(id_col).distinct()
+
+
 def ivf_index_topk(
     spark: SparkSession,
     path: str,
@@ -96,7 +107,10 @@ def ivf_index_topk(
     driver-side (≤ |queries|·n_probe ints) and pushed into the vector scan
     as a partition filter — the parquet reader then lists only those cell
     directories. Output matches ``similarity.ivf_topk`` exactly.
-    """
+    Tombstoned ids (delete_from_ivf_index) are anti-joined out of the
+    candidate set before scoring — logical deletion at probe time, the
+    same read path FAISS's IDSelector and every LSM store use between
+    compactions."""
     qcells = eager_cache(
         probed_cells(spark, path, queries, n_probe, id_col, vec_col)
     )
@@ -104,6 +118,9 @@ def ivf_index_topk(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(cells)  # static partition pruning at the scan
     )
+    tomb = _tombstones(spark, path, id_col)
+    if tomb is not None:
+        vectors = vectors.join(tomb, id_col, "left_anti")
     scored = (
         vectors.join(F.broadcast(qcells), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -187,7 +204,26 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> dict:
+def delete_from_ivf_index(
+    spark: SparkSession, path: str, ids, id_col: str = "vec_id"
+) -> None:
+    """Logically delete vectors from a persisted IVF index (the FAISS
+    ``remove_ids`` / LSM-tombstone semantics, completing the index
+    lifecycle: build → append → delete → compact): the id set is
+    APPENDED to ``{path}/tombstones`` — O(delete batch), no data-file
+    rewrite, previously-written files untouched. Probes anti-join the
+    tombstone set out before scoring; compact_ivf_index folds the
+    deletions into the rewrite and clears the tombstones, after which
+    the probe-time anti-join disappears entirely. ``ids`` is a list of
+    ids or a 1-column DataFrame."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    ids.select(id_col).write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> dict:
     """Fold the appended IVF vector partitions back to ONE file per cell
     (VERDICT r9 ask #5): append_to_ivf_index adds one parquet file per
     touched cell per batch, so after N ingest cycles the probe path —
@@ -199,7 +235,10 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     the write succeeds (the same swap-on-success contract as
     maintenance.compact — a crash mid-compaction leaves the original
     intact). Probe results are bit-identical before/after (asserted in
-    tests/test_ann_index.py); centroids are untouched. Returns the
+    tests/test_ann_index.py); centroids are untouched. Tombstoned ids
+    (delete_from_ivf_index) are FOLDED INTO the rewrite — merge-on-
+    compact, the LSM discipline — and the tombstone set is cleared, so
+    post-compact probes skip the anti-join entirely. Returns the
     pre-compaction file-profile dict for monitoring."""
     import shutil  # noqa: PLC0415
 
@@ -210,11 +249,16 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     vectors = f"{path}/vectors"
     tmp_out = f"{path}/vectors__compacting"
     old = f"{path}/vectors__old"
-    plan = compact_partitioned(spark, vectors, tmp_out, ["cell"])
+    df = spark.read.parquet(vectors)
+    tomb = _tombstones(spark, path, id_col)
+    if tomb is not None:
+        df = df.join(eager_cache(tomb), id_col, "left_anti")
+    plan = compact_partitioned(spark, vectors, tmp_out, ["cell"], df=df)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(vectors, old)
     os.rename(tmp_out, vectors)
     shutil.rmtree(old)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
     return plan
 
 

@@ -16850,6 +16850,50 @@ def ann_ivf_index_compact(spark, sf):
 CATALOG["ann_ivf_index_compact"].oracle = CATALOG["ann_ivf_index_append"].oracle
 
 
+@q(
+    "ann_ivf_index_delete",
+    # measured pin at sf0.01 (tools/gen_values_pin.py), layout-swept —
+    # the probe after logical deletion is a pure function of its inputs
+    # (frozen trained centroids, rounded sims, id tie-breaks, and an
+    # exact id anti-join)
+    oracle='SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.287861 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.292322 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(0.289782 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(363 AS BIGINT), CAST(0.263306 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(0.240069 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(0.231369 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.291702 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(0.285192 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.310987 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(359 AS BIGINT), CAST(0.305821 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(316 AS BIGINT), CAST(0.291112 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(437 AS BIGINT), CAST(0.283031 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.356901 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(445 AS BIGINT), CAST(0.340782 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.304526 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(207 AS BIGINT), CAST(0.285675 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(319 AS BIGINT), CAST(0.241903 AS DOUBLE), CAST(3 AS BIGINT))) AS t(query_id, vec_id, sim, rnk) ORDER BY query_id, rnk',
+)
+def ann_ivf_index_delete(spark, sf):
+    """IVF index DELETION (operators/ann_index.py: delete_from_ivf_index
+    — FAISS remove_ids / LSM-tombstone semantics), completing the index
+    lifecycle the catalog now covers end to end (build →
+    ann_ivf_index_append → this → ann_ivf_index_compact): the same
+    base-build + append, then vec_id ∈ [100, 200) tombstoned — an
+    O(delete-batch) append of ids, no data-file rewrite — and the
+    query batch served from the surviving vectors (probe-time
+    anti-join; compaction later folds the deletion physically,
+    pytest-pinned identical in tests/test_ann_index.py). Re-ranking
+    happens exactly where a deleted id held a top-3 slot."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_delete_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 100), tmp, n_cells=16)
+        AI.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100)), tmp
+        )
+        AI.delete_from_ivf_index(spark, tmp, range(100, 200))
+        return (
+            AI.ivf_index_topk(
+                spark, tmp, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4
+            )
+            .withColumnRenamed("rank", "rnk")
+            .orderBy("query_id", "rnk")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _substr_windows(d, cols=("doc_id",)):
     """Word-anchored 40-char window hashes per doc, doc-distinct — one
     definition since round 10: operators/incremental.py substr_windows

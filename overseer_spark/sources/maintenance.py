@@ -102,6 +102,7 @@ def compact_partitioned(
     out_path: str,
     partition_cols: list[str],
     fmt: str = "parquet",
+    df: DataFrame | None = None,
 ) -> dict:
     """Compact a ``partitionBy(cols)``-laid-out table PRESERVING its
     partition directories — the maintenance pass an incrementally-appended
@@ -116,9 +117,15 @@ def compact_partitioned(
     columns (static pruning pushdown) see identical rows before and after
     — only the physical file count changes. Same swap-on-success contract
     as :func:`compact`: the caller renames/repoints after a successful
-    write; files a reader may hold open are never mutated."""
+    write; files a reader may hold open are never mutated.
+
+    ``df`` overrides the table read — the hook merge-on-compact callers
+    use to fold logical deletions (tombstone anti-joins) into the same
+    rewrite (compact_ivf_index); the file-profile stats still describe
+    the on-disk layout being replaced."""
     plan = compaction_plan(spark, path, fmt=fmt)
-    df = getattr(spark.read, fmt)(path)
+    if df is None:
+        df = getattr(spark.read, fmt)(path)
     (
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")

@@ -385,3 +385,48 @@ def test_compact_after_appends_restores_one_file_per_cell(spark, emb):
         assert probe_before == probe_after
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_then_compact_lifecycle(spark, emb):
+    """Full index lifecycle: build -> append -> DELETE -> probe excludes
+    tombstoned ids -> compact folds the deletions in (merge-on-compact)
+    and clears the tombstones -> probe identical to the pre-compact
+    post-delete probe, files back to 1 per cell."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="ivf_delete_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 100), d, n_cells=N_CELLS)
+        AI.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100)), d
+        )
+        queries = emb.filter(F.col("vec_id") < 10)
+        base = AI.ivf_index_topk(spark, d, queries, k=3, n_probe=N_PROBE)
+        victims = sorted({r["vec_id"] for r in base.filter(
+            F.col("rank") == 1).collect()})
+        assert victims
+        AI.delete_from_ivf_index(spark, d, victims)
+        after_del = _rows(
+            AI.ivf_index_topk(spark, d, queries, k=3, n_probe=N_PROBE)
+            .localCheckpoint()
+        )
+        got_ids = {v for (_, v, _, _) in after_del}
+        assert not (got_ids & set(victims))  # tombstoned ids never surface
+        # deleting ABSENT ids is a no-op append, not an error
+        AI.delete_from_ivf_index(spark, d, [10**9])
+        plan = AI.compact_ivf_index(spark, d)
+        assert plan["n_files"] > 0
+        assert not os.path.isdir(f"{d}/tombstones")  # cleared by the fold
+        after_compact = _rows(
+            AI.ivf_index_topk(spark, d, queries, k=3, n_probe=N_PROBE)
+        )
+        assert after_compact == after_del
+        assert all(v == 1 for v in _files_per_cell(d).values())
+        # the deleted rows are physically gone, not just filtered
+        remaining = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{d}/vectors").select("vec_id").collect()
+        }
+        assert not (remaining & set(victims))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
