@@ -16285,6 +16285,14 @@ def ann_graph_recall_eval(spark, sf):
     approx = graph_beam_topk(
         qv, edges, bq, entries, entry_top=6, hops=4, beam=24, k=10
     )
+    return _recall_mrr_metrics(truth, approx)
+
+
+def _recall_mrr_metrics(truth, approx):
+    """(n_queries, recall_at_10, mrr) — the shared metric block of the
+    graph-ANN recall evals: hit counts per query right-joined to the
+    truth counts (a missing query scores 0), reciprocal rank of the
+    exact top-1 in the approximate list. Two rank-list-sized joins."""
     hits = truth.select("query_id", "vec_id").join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
@@ -16319,6 +16327,101 @@ def ann_graph_recall_eval(spark, sf):
         F.round(F.avg("r"), 4).alias("recall_at_10"),
         F.round(F.avg("rr"), 4).alias("mrr"),
     )
+
+
+def _graph_ann_build_ooc(spark, sf):
+    """Serving-graph build over the held-out-split corpus (vec_id >= 50)
+    for the OUT-OF-CORPUS serving pair — memoized like _graph_ann_build
+    so ann_graph_ooc_topk and ann_graph_ooc_recall_eval share one
+    build."""
+    import math  # noqa: PLC0415
+
+    from overseer_spark.operators.graph import serving_knn_graph  # noqa: PLC0415
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf, "ooc")
+    if key not in _GRAPH_ANN_MEMO:
+        corpus = _t(spark, sf, "embeddings").filter(F.col("vec_id") >= 50)
+        n_cells = max(16, math.isqrt(corpus.count()))
+        qv, edges, cells = serving_knn_graph(
+            corpus, n_cells=n_cells, n_probe=3, edge_k=12, salt_buckets=4
+        )
+        entries = eager_cache(
+            cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
+        )
+        _GRAPH_ANN_MEMO[key] = (eager_cache(qv), eager_cache(edges), entries)
+    return _GRAPH_ANN_MEMO[key]
+
+
+@q(
+    "ann_graph_ooc_topk",
+    # measured pin at sf0.01 (tools/gen_values_pin.py), layout-swept —
+    # integer-quantized queries and sims, min-id ties: deterministic
+    oracle='SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(3699863050 AS BIGINT), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(3627238760 AS BIGINT), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(3311432019 AS BIGINT), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(2969346069 AS BIGINT), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(2954284560 AS BIGINT), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2878604322 AS BIGINT), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(2818008678 AS BIGINT), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(2766271393 AS BIGINT), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(2762982014 AS BIGINT), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(2567111725 AS BIGINT), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(3714872393 AS BIGINT), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(3270087489 AS BIGINT), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(3227450678 AS BIGINT), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(3163837457 AS BIGINT), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3027572843 AS BIGINT), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(2923197921 AS BIGINT), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(2921115559 AS BIGINT), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(2897843566 AS BIGINT), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(2681558218 AS BIGINT), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(363 AS BIGINT), CAST(2632984882 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(3181406011 AS BIGINT), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(2663448898 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(2634921518 AS BIGINT), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(2632737235 AS BIGINT), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(2550390267 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(2540303637 AS BIGINT), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(2471911504 AS BIGINT), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(2453111211 AS BIGINT), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(2400610897 AS BIGINT), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(2398252195 AS BIGINT), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(3998695426 AS BIGINT), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(3299332007 AS BIGINT), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(3084721946 AS BIGINT), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(3035499256 AS BIGINT), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(2987899509 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(2917046781 AS BIGINT), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(2908094233 AS BIGINT), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(2851922756 AS BIGINT), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(2805409932 AS BIGINT), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(2767357524 AS BIGINT), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(3985022620 AS BIGINT), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(3412086800 AS BIGINT), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(3227444275 AS BIGINT), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(3138947942 AS BIGINT), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(2798257601 AS BIGINT), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(2796277731 AS BIGINT), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(2723994481 AS BIGINT), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(89 AS BIGINT), CAST(2659712465 AS BIGINT), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(2525393570 AS BIGINT), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(2404134638 AS BIGINT), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_q, rank) ORDER BY query_id, rank',
+)
+def ann_graph_ooc_topk(spark, sf):
+    """Graph-ANN serving for OUT-OF-CORPUS queries — the production
+    case ann_graph_topk's in-corpus batch doesn't cover (a user query
+    vector is usually not a corpus member, so there is no self node
+    whose kNN edges lead straight to the answers; the beam must
+    navigate from the entry layer alone). Corpus = vec_id >= 50, query
+    batch = vec_id < 5 quantized independently (per-vector unit
+    normalization — no corpus statistics involved). Wider search
+    budget than the in-corpus entry (entry_top 12, hops 5, beam 48 —
+    measured recall@10 1.0 at sf0.01 vs 0.96 at the in-corpus budget;
+    the eval twin pins it): per-query work is still bounded by
+    entry_top + hops·beam·max_deg candidate scorings with max_deg =
+    207, corpus-size-independent. Build shared with the recall eval
+    via the ooc memo."""
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        graph_beam_topk,
+        quantized_vectors,
+    )
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    qv, edges, entries = _graph_ann_build_ooc(spark, sf)
+    queries = eager_cache(
+        quantized_vectors(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
+        ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    )
+    return graph_beam_topk(
+        qv, edges, queries, entries, entry_top=12, hops=5, beam=48, k=10
+    ).orderBy("query_id", "rank")
+
+
+@q(
+    "ann_graph_ooc_recall_eval",
+    oracle="""SELECT CAST(5 AS BIGINT) AS n_queries,
+                     CAST(1.0 AS DOUBLE) AS recall_at_10,
+                     CAST(1.0 AS DOUBLE) AS mrr""",
+)
+def ann_graph_ooc_recall_eval(spark, sf):
+    """Recall@10 and MRR of the out-of-corpus graph serve vs exact
+    brute-force cosine over the held-out corpus — same metric shape as
+    ann_graph_recall_eval; the serving build rides the ooc memo, so the
+    eval costs the beam + brute legs only."""
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        graph_beam_topk,
+        quantized_vectors,
+    )
+    from overseer_spark.operators.similarity import cosine_topk  # noqa: PLC0415
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    queries_raw = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk(corpus, queries_raw, k=10)
+    qv, edges, entries = _graph_ann_build_ooc(spark, sf)
+    bq = eager_cache(
+        quantized_vectors(queries_raw).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+        )
+    )
+    approx = graph_beam_topk(
+        qv, edges, bq, entries, entry_top=12, hops=5, beam=48, k=10
+    )
+    return _recall_mrr_metrics(truth, approx)
 
 
 @q(

@@ -510,6 +510,9 @@ _BNLJ_OK = {
     # round-10: same entry-layer seed scoring served from the persisted
     # graph index (shares ann_graph_topk's beam)
     "ann_graph_index_topk",
+    # round-10: out-of-corpus serving pair (entry-layer seed scoring +
+    # brute cosine truth leg in the eval)
+    "ann_graph_ooc_topk", "ann_graph_ooc_recall_eval",
     # round-9: 5 winning-pair 1-row broadcasts into the vocab-sized
     # merge projections (one per unrolled BPE round; train_apply shares
     # the chain)

@@ -611,3 +611,20 @@ def test_graph_ann_recall_floor(spark):
     row = CATALOG["ann_graph_recall_eval"].fn(spark, SF_CORRECTNESS).collect()[0]
     assert row["recall_at_10"] >= 0.9, row
     assert row["mrr"] >= 0.8, row
+
+
+def test_graph_ann_ooc_recall_floor(spark):
+    """Out-of-corpus graph serving (queries NOT in the index corpus — no
+    self node whose kNN edges lead to the answers; the beam navigates
+    from the entry layer alone) must hold recall@10 >= 0.9 at the wider
+    catalog budget (entry_top 12, hops 5, beam 48; measured 1.0 at
+    sf0.01 vs 0.96 at the in-corpus budget)."""
+    from overseer_spark.queries.catalog import CATALOG
+    from tests.conftest import SF_CORRECTNESS
+
+    row = (
+        CATALOG["ann_graph_ooc_recall_eval"].fn(spark, SF_CORRECTNESS)
+        .collect()[0]
+    )
+    assert row["recall_at_10"] >= 0.9, row
+    assert row["mrr"] >= 0.8, row
