@@ -149,6 +149,19 @@ HEADLINE = [
     "layout_zorder_buckets",
     "ann_ivf_index_append",
     "incr_exact_substr_vs_corpus",
+    # round-10: persisted graph index + out-of-corpus serving (the
+    # graph family rides the per-session build memo, so the family's
+    # bench cost is one build + cheap serves), index
+    # maintenance (compact folds appends+deletes), BPE artifact loop,
+    # RRF fusion, LSH parameter planner
+    "ann_graph_index_topk",
+    "ann_graph_ooc_topk",
+    "ann_graph_ooc_recall_eval",
+    "ann_ivf_index_compact",
+    "ann_ivf_index_delete",
+    "text_bpe_encode_from_artifact",
+    "hybrid_rrf_fusion_topk",
+    "dedup_lsh_param_plan",
 ]
 
 

@@ -16186,7 +16186,23 @@ def _graph_ann_build(spark, sf):
             cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
         )
         _GRAPH_ANN_MEMO[key] = (eager_cache(qv), eager_cache(edges), entries)
-    return _GRAPH_ANN_MEMO[key]
+    return _memo_repersisted(key)
+
+
+def _memo_repersisted(key):
+    """Return the memoized (qv, edges, entries), re-persisting them if a
+    caller ran ``spark.catalog.clearCache()`` since the build (bench.py
+    does, before every timed run): a memoized-but-unpersisted edge frame
+    is a TRAP — graph_beam_topk scans it once per hop, so without the
+    guard one beam re-executes the whole kNN build hops times."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    frames = _GRAPH_ANN_MEMO[key]
+    if all(f.is_cached for f in frames):
+        return frames
+    frames = tuple(eager_cache(f) for f in frames)
+    _GRAPH_ANN_MEMO[key] = frames
+    return frames
 
 
 @q(
@@ -16350,7 +16366,7 @@ def _graph_ann_build_ooc(spark, sf):
             cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
         )
         _GRAPH_ANN_MEMO[key] = (eager_cache(qv), eager_cache(edges), entries)
-    return _GRAPH_ANN_MEMO[key]
+    return _memo_repersisted(key)
 
 
 @q(
