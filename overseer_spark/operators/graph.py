@@ -373,8 +373,6 @@ def graph_beam_topk(
     ``queries``: (query_id, qv). ``entries``: (node). ``qv``:
     (vec_id, q) quantized corpus vectors.
     """
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
-
     nodes_q = qv.select(F.col("vec_id").alias("node"), F.col("q").alias("nq"))
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("s"), "node")
 
@@ -403,7 +401,21 @@ def graph_beam_topk(
         .filter(F.col("rk") <= entry_top)
         .drop("rk")
     )
-    visited = eager_cache(e0)
+    # Lineage + heap hygiene: the visited set is iterative state, so a
+    # cached-only loop nests the plan one union-distinct-score deeper per
+    # hop; Spark's SQL listener retains a plan STRING per execution, and
+    # a session running several graph entries back to back (the driver's
+    # 50-entry correctness prefix; the oracle-parity suite) OOMed a
+    # default-sized 1g driver heap building those strings (observed
+    # round 10). localCheckpoint per hop is the same discipline the
+    # iterative operators already follow (SCALING.md "iterative ML /
+    # graph" row): it materializes the hop (the eager step the old
+    # eager_cache paid anyway), TRUNCATES the lineage so every plan stays
+    # shallow, and the superseded hop blocks are dropped by the context
+    # cleaner when their references die at function exit. The visited
+    # state is query-batch-sized (≤ queries × visited nodes), never
+    # corpus-sized.
+    visited = e0.localCheckpoint()
     frontier = visited.select("query_id", "node")
     for _ in range(hops):
         cand = (
@@ -412,7 +424,7 @@ def graph_beam_topk(
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
         )
-        visited = eager_cache(visited.unionByName(score(cand)).distinct())
+        visited = visited.unionByName(score(cand)).distinct().localCheckpoint()
         frontier = (
             visited.withColumn("rk", F.row_number().over(w_rank))
             .filter(F.col("rk") <= beam)
@@ -428,4 +440,5 @@ def graph_beam_topk(
             F.col("s").alias("sim_q"),
             "rank",
         )
+        .localCheckpoint()
     )

@@ -16308,7 +16308,13 @@ def _recall_mrr_metrics(truth, approx):
     """(n_queries, recall_at_10, mrr) — the shared metric block of the
     graph-ANN recall evals: hit counts per query right-joined to the
     truth counts (a missing query scores 0), reciprocal rank of the
-    exact top-1 in the approximate list. Two rank-list-sized joins."""
+    exact top-1 in the approximate list. Two rank-list-sized joins.
+
+    ``truth`` is materialized once up front (queries × k rows — tiny):
+    the metric block references it from THREE plan branches, and an
+    unmaterialized truth leg re-runs the whole brute-force cosine scan
+    per branch (caught by the round-10 scan audit on the ooc eval)."""
+    truth = truth.localCheckpoint()
     hits = truth.select("query_id", "vec_id").join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
