@@ -125,7 +125,16 @@ def encode_corpus(
     ``merges`` comes from either trainer: train_from_sample (pass
     ``end_marker=True``, the default) or the distributed
     train_chain/load_merge_table artifact (pass ``end_marker=False`` —
-    its alphabet has no word-end symbol)."""
+    its alphabet has no word-end symbol).
+
+    Word boundary is a SINGLE space — the same convention as the
+    catalog's ``F.split(text, ' ')`` word counts and the DuckDB
+    oracles' ``string_split(text, ' ')`` (ADVICE r10: ``str.split()``
+    with no argument collapses runs and splits on tabs/newlines, which
+    silently diverges from both on non-normalized text). Empty words
+    (consecutive / leading / trailing spaces) encode to zero tokens,
+    matching the oracle, where an empty word's symbol string is NULL
+    and drops out of the token sum."""
     import pandas as pd
 
     from overseer_spark.operators.util import spread
@@ -143,7 +152,9 @@ def encode_corpus(
             toks_col, n_col = [], []
             for t in pdf[text_col]:
                 toks: list[str] = []
-                for w in t.split():
+                for w in t.split(" "):
+                    if not w:  # empty word → zero tokens (see docstring)
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = encode_word(w, ranks, end_marker)

@@ -22,8 +22,6 @@ physical access path changes.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -80,15 +78,45 @@ def probed_cells(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Spark's Hadoop conf — works for
+    any URI scheme the session can write (file://, hdfs://, s3a://), unlike
+    a driver-local ``os.path`` probe, which would silently report "no
+    tombstones" for a remote index and resurrect deleted vectors
+    (ADVICE r10)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _tombstone_files(spark: SparkSession, path: str):
+    """(fs, [Path]) of the index's current tombstone DATA files (hidden /
+    marker files excluded). The file list — not just the directory — is
+    the unit compact_ivf_index snapshots, so deletes appended while a
+    compaction is rewriting are never swept away with the folded ones."""
+    fs, tomb_dir = _hadoop_fs(spark, f"{path}/tombstones")
+    if not fs.exists(tomb_dir):
+        return fs, []
+    return fs, [
+        st.getPath()
+        for st in fs.listStatus(tomb_dir)
+        if not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
 def _tombstones(spark: SparkSession, path: str, id_col: str):
     """The index's tombstone set (vec ids deleted since the last compact),
-    or None when nothing was ever deleted."""
-    import os as _os  # noqa: PLC0415
-
-    tomb_dir = f"{path}/tombstones"
-    if not _os.path.isdir(tomb_dir):
+    or None when nothing was ever deleted. Probed through the Hadoop
+    FileSystem of ``path`` itself, matching how delete_from_ivf_index
+    writes."""
+    _, files = _tombstone_files(spark, path)
+    if not files:
         return None
-    return spark.read.parquet(tomb_dir).select(id_col).distinct()
+    return (
+        spark.read.parquet(*[p.toString() for p in files])
+        .select(id_col)
+        .distinct()
+    )
 
 
 def ivf_index_topk(
@@ -215,9 +243,12 @@ def delete_from_ivf_index(
     tombstone set out before scoring; compact_ivf_index folds the
     deletions into the rewrite and clears the tombstones, after which
     the probe-time anti-join disappears entirely. ``ids`` is a list of
-    ids or a 1-column DataFrame."""
+    ids or a 1-column DataFrame (any column name — renamed to
+    ``id_col`` on the way in)."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    elif len(ids.columns) == 1:
+        ids = ids.toDF(id_col)
     ids.select(id_col).write.mode("append").parquet(f"{path}/tombstones")
 
 
@@ -232,16 +263,19 @@ def compact_ivf_index(
     sources/maintenance.compact_partitioned over the ``partitionBy(cell)``
     layout (one repartition(cell) exchange → exactly one file per cell
     directory), writes to a sibling temp dir, and swaps it in only after
-    the write succeeds (the same swap-on-success contract as
-    maintenance.compact — a crash mid-compaction leaves the original
-    intact). Probe results are bit-identical before/after (asserted in
-    tests/test_ann_index.py); centroids are untouched. Tombstoned ids
-    (delete_from_ivf_index) are FOLDED INTO the rewrite — merge-on-
-    compact, the LSM discipline — and the tombstone set is cleared, so
-    post-compact probes skip the anti-join entirely. Returns the
+    the write succeeds. The swap is a rename PAIR, not an atomic commit:
+    a crash before the first rename leaves the original intact, a crash
+    between the two leaves the index at ``vectors__old`` +
+    ``vectors__compacting`` for manual restore (and an in-process failure
+    of the second rename is rolled back here by renaming
+    ``vectors__old`` back). Probe results are bit-identical before/after
+    (asserted in tests/test_ann_index.py); centroids are untouched.
+    Tombstoned ids (delete_from_ivf_index) are FOLDED INTO the rewrite —
+    merge-on-compact, the LSM discipline — and exactly the tombstone
+    FILES snapshotted before the rewrite are removed afterwards, so a
+    delete appended while the compaction runs keeps masking at probe
+    time instead of being silently resurrected (ADVICE r10). Returns the
     pre-compaction file-profile dict for monitoring."""
-    import shutil  # noqa: PLC0415
-
     from overseer_spark.sources.maintenance import (  # noqa: PLC0415
         compact_partitioned,
     )
@@ -249,16 +283,44 @@ def compact_ivf_index(
     vectors = f"{path}/vectors"
     tmp_out = f"{path}/vectors__compacting"
     old = f"{path}/vectors__old"
+    fs, vec_path = _hadoop_fs(spark, vectors)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    # snapshot the tombstone file list BEFORE reading: only these files
+    # are folded into the rewrite, so only these files are cleared after
+    fs_t, tomb_files = _tombstone_files(spark, path)
     df = spark.read.parquet(vectors)
-    tomb = _tombstones(spark, path, id_col)
-    if tomb is not None:
+    if tomb_files:
+        tomb = (
+            spark.read.parquet(*[p.toString() for p in tomb_files])
+            .select(id_col)
+            .distinct()
+        )
         df = df.join(eager_cache(tomb), id_col, "left_anti")
     plan = compact_partitioned(spark, vectors, tmp_out, ["cell"], df=df)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(vectors, old)
-    os.rename(tmp_out, vectors)
-    shutil.rmtree(old)
-    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    fs.delete(jpath(old), True)
+    if not fs.rename(vec_path, jpath(old)):
+        raise IOError(f"compact_ivf_index: could not move {vectors} aside")
+    try:
+        if not fs.rename(jpath(tmp_out), vec_path):
+            raise IOError(
+                f"compact_ivf_index: could not swap {tmp_out} into place"
+            )
+    except BaseException:
+        fs.rename(jpath(old), vec_path)  # restore the original layout
+        raise
+    fs.delete(jpath(old), True)
+    for p in tomb_files:  # newer tombstones (post-snapshot) stay in place
+        fs_t.delete(p, False)
+    # drop the directory only when nothing but write markers remains, so a
+    # fully-folded index carries no tombstone dir; the final delete is
+    # NON-recursive — it refuses a dir a concurrent delete repopulated
+    tomb_dir = jpath(f"{path}/tombstones")
+    if fs_t.exists(tomb_dir):
+        rest = fs_t.listStatus(tomb_dir)
+        if all(st.getPath().getName().startswith(("_", ".")) for st in rest):
+            for st in rest:
+                fs_t.delete(st.getPath(), False)
+            fs_t.delete(tomb_dir, False)
     return plan
 
 

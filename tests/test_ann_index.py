@@ -430,3 +430,67 @@ def test_delete_then_compact_lifecycle(spark, emb):
         assert not (remaining & set(victims))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_during_compact_survives(spark, emb, monkeypatch):
+    """ADVICE r10 (medium): a delete appended WHILE a compaction is
+    rewriting must keep masking afterwards — compact clears exactly the
+    tombstone files it snapshotted before the rewrite, never the whole
+    directory."""
+    from overseer_spark.sources import maintenance as M
+
+    d = tempfile.mkdtemp(prefix="ivf_race_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 10), d, n_cells=N_CELLS)
+        queries = emb.filter(F.col("vec_id") < 10)
+        base = AI.ivf_index_topk(spark, d, queries, k=3, n_probe=N_PROBE)
+        pre, late = sorted({
+            r["vec_id"] for r in base.filter(F.col("rank") <= 2).collect()
+        })[:2]
+        AI.delete_from_ivf_index(spark, d, [pre])  # folded by the compact
+
+        real = M.compact_partitioned
+
+        def racing(spark_, src, dst, cols, df=None):
+            # a concurrent delete lands mid-rewrite, AFTER the snapshot
+            AI.delete_from_ivf_index(spark_, d, [late])
+            return real(spark_, src, dst, cols, df=df)
+
+        monkeypatch.setattr(M, "compact_partitioned", racing)
+        AI.compact_ivf_index(spark, d)
+        monkeypatch.undo()
+        got = {
+            r["vec_id"]
+            for r in AI.ivf_index_topk(
+                spark, d, queries, k=3, n_probe=N_PROBE
+            ).collect()
+        }
+        assert pre not in got  # folded physically
+        assert late not in got  # still tombstone-masked, NOT resurrected
+        # the late tombstone file survived the cleanup
+        assert AI._tombstones(spark, d, "vec_id").count() == 1
+        # a second compact (no race) folds it and clears the directory
+        AI.compact_ivf_index(spark, d)
+        assert AI._tombstones(spark, d, "vec_id") is None
+        remaining = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{d}/vectors").select("vec_id").collect()
+        }
+        assert late not in remaining
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_accepts_any_single_column_name(spark, emb):
+    """ADVICE r10: a 1-column ids DataFrame is renamed to id_col on the
+    way in, whatever its column is called."""
+    d = tempfile.mkdtemp(prefix="ivf_dfids_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 10), d, n_cells=N_CELLS)
+        ids = spark.createDataFrame([(17,), (23,)], "some_other_name long")
+        AI.delete_from_ivf_index(spark, d, ids)
+        tomb = AI._tombstones(spark, d, "vec_id")
+        assert tomb.columns == ["vec_id"]
+        assert {r["vec_id"] for r in tomb.collect()} == {17, 23}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -47,9 +47,28 @@ def test_distributed_encode_matches_python(spark):
     ranks = {p: i for i, p in enumerate(merges)}
     for r in docs.select("doc_id", "text").collect():
         expected: list[str] = []
-        for w in r["text"].split():
-            expected.extend(bpe.encode_word(w, ranks))
+        for w in r["text"].split(" "):
+            if w:
+                expected.extend(bpe.encode_word(w, ranks))
         assert out[r["doc_id"]] == (len(expected), expected), f"doc {r['doc_id']}"
+
+
+def test_encode_single_space_boundary(spark):
+    """ADVICE r10: the encoder's word boundary is a single space — runs
+    of spaces contribute zero tokens and tab/newline stay INSIDE a word,
+    matching string_split(text, ' ') oracle semantics, not str.split()."""
+    docs = spark.createDataFrame(
+        [(1, "ab  ab"), (2, " ab "), (3, "a\tb ab")], "doc_id long, text string"
+    )
+    merges = [("a", "b")]
+    out = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in bpe.encode_corpus(docs, merges, end_marker=False).collect()
+    }
+    assert out[1] == (2, ["ab", "ab"])  # double space → no extra token
+    assert out[2] == (1, ["ab"])  # leading/trailing spaces → nothing
+    # tab is word-internal: 'a\tb' never matches the ('a','b') pair
+    assert out[3] == (4, ["a", "\t", "b", "ab"])
 
 
 def test_compression_beats_characters(spark):
