@@ -119,6 +119,43 @@ def _tombstones(spark: SparkSession, path: str, id_col: str):
     )
 
 
+def _swap_in(spark: SparkSession, current: str, tmp_out: str, old: str) -> None:
+    """Two-rename swap of a rewritten directory into place, with
+    in-process rollback: NOT atomic (a crash between the renames leaves
+    ``old`` + ``tmp_out`` for manual restore), but a failed second
+    rename restores the original layout before re-raising. Shared by the
+    IVF and graph compactors."""
+    fs, cur_path = _hadoop_fs(spark, current)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs.delete(jpath(old), True)
+    if not fs.rename(cur_path, jpath(old)):
+        raise IOError(f"compact: could not move {current} aside")
+    try:
+        if not fs.rename(jpath(tmp_out), cur_path):
+            raise IOError(f"compact: could not swap {tmp_out} into place")
+    except BaseException:
+        fs.rename(jpath(old), cur_path)  # restore the original layout
+        raise
+    fs.delete(jpath(old), True)
+
+
+def _clear_tombstone_files(spark: SparkSession, path: str, tomb_files) -> None:
+    """Remove exactly the snapshotted tombstone files (newer, post-
+    snapshot tombstones stay in place and keep masking at probe time —
+    ADVICE r10), then drop the directory only when nothing but write
+    markers remains; the final delete is NON-recursive, so it refuses a
+    dir a concurrent delete repopulated."""
+    fs, tomb_dir = _hadoop_fs(spark, f"{path}/tombstones")
+    for p in tomb_files:
+        fs.delete(p, False)
+    if fs.exists(tomb_dir):
+        rest = fs.listStatus(tomb_dir)
+        if all(st.getPath().getName().startswith(("_", ".")) for st in rest):
+            for st in rest:
+                fs.delete(st.getPath(), False)
+            fs.delete(tomb_dir, False)
+
+
 def ivf_index_topk(
     spark: SparkSession,
     path: str,
@@ -282,12 +319,9 @@ def compact_ivf_index(
 
     vectors = f"{path}/vectors"
     tmp_out = f"{path}/vectors__compacting"
-    old = f"{path}/vectors__old"
-    fs, vec_path = _hadoop_fs(spark, vectors)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
     # snapshot the tombstone file list BEFORE reading: only these files
     # are folded into the rewrite, so only these files are cleared after
-    fs_t, tomb_files = _tombstone_files(spark, path)
+    _, tomb_files = _tombstone_files(spark, path)
     df = spark.read.parquet(vectors)
     if tomb_files:
         tomb = (
@@ -297,30 +331,8 @@ def compact_ivf_index(
         )
         df = df.join(eager_cache(tomb), id_col, "left_anti")
     plan = compact_partitioned(spark, vectors, tmp_out, ["cell"], df=df)
-    fs.delete(jpath(old), True)
-    if not fs.rename(vec_path, jpath(old)):
-        raise IOError(f"compact_ivf_index: could not move {vectors} aside")
-    try:
-        if not fs.rename(jpath(tmp_out), vec_path):
-            raise IOError(
-                f"compact_ivf_index: could not swap {tmp_out} into place"
-            )
-    except BaseException:
-        fs.rename(jpath(old), vec_path)  # restore the original layout
-        raise
-    fs.delete(jpath(old), True)
-    for p in tomb_files:  # newer tombstones (post-snapshot) stay in place
-        fs_t.delete(p, False)
-    # drop the directory only when nothing but write markers remains, so a
-    # fully-folded index carries no tombstone dir; the final delete is
-    # NON-recursive — it refuses a dir a concurrent delete repopulated
-    tomb_dir = jpath(f"{path}/tombstones")
-    if fs_t.exists(tomb_dir):
-        rest = fs_t.listStatus(tomb_dir)
-        if all(st.getPath().getName().startswith(("_", ".")) for st in rest):
-            for st in rest:
-                fs_t.delete(st.getPath(), False)
-            fs_t.delete(tomb_dir, False)
+    _swap_in(spark, vectors, tmp_out, f"{path}/vectors__old")
+    _clear_tombstone_files(spark, path, tomb_files)
     return plan
 
 
@@ -333,6 +345,7 @@ def build_graph_index(
     salt_buckets: int = 4,
     hub_cap: int = 64,
     prebuilt=None,
+    tree_depth: int | None = None,
 ) -> None:
     """Persist the graph-ANN SERVING structure (operators/graph.py:
     serving_knn_graph) — the graph twin of build_ivf_index, and the
@@ -350,18 +363,33 @@ def build_graph_index(
                                          so each hop's frontier probe is
                                          a co-located index join)
         {path}/entries   (node)        — per-cell entry nodes (tree roots)
+        {path}/meta      (hub_cap, tree_depth) — 1 row: the largest
+                                         cell's hub-tree depth at build
+                                         time, so serve-time hop budgets
+                                         derive from the STRUCTURE
+                                         (graph.hub_reach_depth) instead
+                                         of a constant that starves the
+                                         beam when cells outgrow one
+                                         tree layer (VERDICT r10 ask #1)
 
     ``prebuilt`` short-circuits the build with an existing
     ``(qv, edges, entries)`` triple (qv/edges from serving_knn_graph,
     entries = per-cell MIN(vec_id) nodes) — the amortization path when
-    the structure is already cached in-session. Beam output from the
-    persisted index is bit-identical to serving the in-memory build
-    (integer-quantized sims survive the parquet round trip exactly;
-    asserted in tests/test_ann_index.py)."""
-    from overseer_spark.operators.graph import serving_knn_graph  # noqa: PLC0415
+    the structure is already cached in-session; pass ``tree_depth``
+    alongside it (it derives from the cells frame, which the triple
+    doesn't carry). Beam output from the persisted index is
+    bit-identical to serving the in-memory build (integer-quantized
+    sims survive the parquet round trip exactly; asserted in
+    tests/test_ann_index.py)."""
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        hub_reach_depth,
+        serving_knn_graph,
+    )
 
     if prebuilt is not None:
         qv, edges, entries = prebuilt
+        if tree_depth is None:
+            raise ValueError("pass tree_depth with prebuilt")
     else:
         qv, edges, cells = serving_knn_graph(
             corpus,
@@ -372,11 +400,16 @@ def build_graph_index(
             hub_cap=hub_cap,
         )
         entries = cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
+        if tree_depth is None:
+            tree_depth = hub_reach_depth(cells, hub_cap)
     qv.write.mode("overwrite").parquet(f"{path}/qv")
     edges.repartition(F.col("src")).write.mode("overwrite").parquet(
         f"{path}/edges"
     )
     entries.select("node").write.mode("overwrite").parquet(f"{path}/entries")
+    qv.sparkSession.createDataFrame(
+        [(hub_cap, int(tree_depth))], "hub_cap int, tree_depth int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def graph_index_topk(
@@ -385,21 +418,36 @@ def graph_index_topk(
     query_ids=None,
     queries: DataFrame | None = None,
     entry_top: int = 6,
-    hops: int = 4,
+    hops: int | None = None,
     beam: int = 24,
     k: int = 10,
+    fine_hops: int = 2,
 ) -> DataFrame:
     """Serve a query batch from the persisted graph index (graph_beam_topk
     over the on-disk structure). ``query_ids`` selects in-corpus queries
     by id from the persisted qv table; alternatively pass ``queries`` as
     (query_id, qv) quantized vectors for out-of-corpus queries. Per-batch
     cost is the beam search only — entry scoring + hops × (frontier ⋈
-    edges + rescore); the build is never re-run."""
+    edges + rescore); the build is never re-run.
+
+    ``hops=None`` (the default) derives the budget from the index's own
+    meta row: tree_depth + ``fine_hops`` — the structural depth the hub
+    tree needs to reach any cell member, plus the fine-kNN navigation
+    allowance (VERDICT r10 ask #1: a constant budget starves the beam
+    once cells outgrow one tree layer). Pass an explicit ``hops`` to
+    override.
+
+    Tombstoned ids (delete_from_graph_index) are excluded from RESULTS
+    but remain legal traversal waypoints — DiskANN's pre-consolidation
+    delete semantics; compact_graph_index physically removes them."""
     from overseer_spark.operators.graph import graph_beam_topk  # noqa: PLC0415
 
     qv = spark.read.parquet(f"{path}/qv")
     edges = spark.read.parquet(f"{path}/edges")
     entries = spark.read.parquet(f"{path}/entries")
+    if hops is None:
+        meta = spark.read.parquet(f"{path}/meta").first()
+        hops = int(meta["tree_depth"]) + fine_hops
     if queries is None:
         if query_ids is None:
             raise ValueError("pass query_ids or queries")
@@ -407,10 +455,184 @@ def graph_index_topk(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
         )
     queries = eager_cache(queries)
+    tomb = _tombstones(spark, path, "vec_id")
     return graph_beam_topk(
         qv, edges, queries, entries,
         entry_top=entry_top, hops=hops, beam=beam, k=k,
+        exclude=None if tomb is None else tomb.toDF("node"),
     )
+
+
+def insert_into_graph_index(
+    spark: SparkSession,
+    path: str,
+    new_batch: DataFrame,
+    edge_k: int = 12,
+    entry_top: int = 12,
+    beam: int = 48,
+    fine_hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """DiskANN-style incremental insert (VERDICT r10 ask #3 — lifecycle
+    parity with the IVF index): beam-search each new vector as an
+    out-of-corpus query over the EXISTING index (the same search a
+    serve pays, budget derived from the meta row), then connect it to
+    its ``edge_k`` nearest visited nodes in BOTH directions and append
+    (qv rows + edge rows) — O(batch · beam-search), no rewrite of
+    existing files, previously-pinned probe results for old queries
+    unaffected except where a new vector legitimately outranks an old
+    neighbor.
+
+    Degree discipline: an insert gives the NEW node out-degree edge_k
+    and adds ONE backlink per selected neighbor, so an existing node's
+    degree grows only by the number of inserts that chose it — the same
+    slow-overflow DiskANN accepts between RobustPrune passes. Sustained
+    heavy ingest is a REBUILD trigger (monitor max out-degree; the
+    documented contract, matching centroid drift for the IVF index).
+
+    New ids must not collide with existing ones (caller's contract, as
+    with FAISS ``add_with_ids``)."""
+    from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
+
+    nq = quantized_vectors(new_batch, id_col=id_col, vec_col=vec_col).select(
+        id_col, "q"
+    )
+    nq = eager_cache(nq)
+    nearest = graph_index_topk(
+        spark, path,
+        queries=nq.select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")),
+        entry_top=entry_top, beam=beam, k=edge_k, fine_hops=fine_hops,
+    )
+    new_edges = nearest.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("query_id").alias("src"), F.col("vec_id").alias("dst")
+                ),
+                F.struct(
+                    F.col("vec_id").alias("src"), F.col("query_id").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    new_edges.write.mode("append").parquet(f"{path}/edges")
+    nq.write.mode("append").parquet(f"{path}/qv")
+
+
+def delete_from_graph_index(
+    spark: SparkSession, path: str, ids, id_col: str = "vec_id"
+) -> None:
+    """Logically delete vectors from a persisted graph index: tombstone
+    append, identical discipline to delete_from_ivf_index (O(batch), no
+    data-file rewrite). Probes keep ROUTING through tombstoned nodes but
+    never return them (graph_index_topk's exclude — DiskANN's
+    pre-consolidation semantics); compact_graph_index physically removes
+    them and bridges their neighborhoods."""
+    delete_from_ivf_index(spark, path, ids, id_col=id_col)
+
+
+def compact_graph_index(spark: SparkSession, path: str) -> dict:
+    """Fold tombstones into the graph index (the consolidate_deletes
+    pass of DiskANN, as dataflow) and compact the append-fragmented
+    qv/edges files:
+
+    - qv: tombstoned rows dropped.
+    - edges: edges touching a deleted node dropped; each deleted node's
+      surviving in-neighbors are BRIDGED to its surviving out-neighbors
+      (one self-join of the deleted node's edge rows), so routes that
+      passed through it stay connected. Chains of deleted nodes bridge
+      only one hop per compaction — the same single-pass rule DiskANN's
+      consolidation applies; a mass-delete wants a rebuild.
+    - entries: a deleted entry node is replaced by its minimum surviving
+      bridge partner (the next node a descent would have reached).
+    - meta: tree_depth kept (a conservative upper bound — deletes only
+      shrink cells).
+
+    Rewrites ride the same snapshot-then-swap discipline as
+    compact_ivf_index: the tombstone FILE list is snapshotted first and
+    only those files are cleared, so deletes landing mid-compaction
+    keep masking; each directory swap rolls back in-process on failure.
+    Returns {"n_deleted": ..., "n_bridge_edges": ...} for monitoring."""
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    _, tomb_files = _tombstone_files(spark, path)
+    if not tomb_files:
+        return {"n_deleted": 0, "n_bridge_edges": 0}
+    tomb = eager_cache(
+        spark.read.parquet(*[p.toString() for p in tomb_files])
+        .select("vec_id")
+        .distinct()
+    )
+    dead = tomb.withColumnRenamed("vec_id", "_dead")
+    qv = spark.read.parquet(f"{path}/qv")
+    edges = spark.read.parquet(f"{path}/edges")
+    entries = spark.read.parquet(f"{path}/entries")
+
+    kept_qv = qv.join(tomb, "vec_id", "left_anti")
+    # surviving in/out neighborhoods of each deleted node
+    into_dead = (
+        edges.join(F.broadcast(dead), edges["dst"] == dead["_dead"])
+        .join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+        .select("src", "_dead")
+    )
+    out_of_dead = (
+        edges.join(F.broadcast(dead), edges["src"] == dead["_dead"])
+        .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
+        .select("_dead", "dst")
+    )
+    bridges = (
+        into_dead.join(out_of_dead, "_dead")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    kept_edges = (
+        edges.join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+        .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
+        .unionByName(bridges)
+        .distinct()
+    )
+    # a deleted entry node hands its role to its min surviving partner
+    dead_entries = entries.join(
+        tomb.withColumnRenamed("vec_id", "node"), "node", "left_semi"
+    )
+    replacements = (
+        dead_entries.join(
+            out_of_dead.withColumnRenamed("_dead", "node"), "node"
+        )
+        .groupBy("node")
+        .agg(F.min("dst").alias("new_node"))
+        .select(F.col("new_node").alias("node"))
+    )
+    kept_entries = (
+        entries.join(tomb.withColumnRenamed("vec_id", "node"), "node", "left_anti")
+        .unionByName(replacements)
+        .distinct()
+    )
+    stats = {
+        "n_deleted": tomb.count(),
+        "n_bridge_edges": bridges.count(),
+    }
+    rewrites = (
+        ("qv", kept_qv, None),
+        ("edges", kept_edges, "src"),
+        ("entries", kept_entries, None),
+    )
+    # ALL tmp dirs are written before ANY swap: every kept_* plan reads
+    # the original directories lazily (kept_entries' replacement leg
+    # re-scans {path}/edges), so swapping one directory early would feed
+    # the later writes post-compact data
+    for name, df, part in rewrites:
+        w = df.repartition(F.col(part)) if part else df.coalesce(4)
+        w.write.mode("overwrite").parquet(f"{path}/{name}__compacting")
+    for name, _, _ in rewrites:
+        _swap_in(
+            spark, f"{path}/{name}", f"{path}/{name}__compacting",
+            f"{path}/{name}__old",
+        )
+    _clear_tombstone_files(spark, path, tomb_files)
+    return stats
 
 
 def build_lsh_index(

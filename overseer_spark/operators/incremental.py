@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from overseer_spark.operators.dedup import (
+    PLANNED_BANDS,
     minhash_lsh_candidates,
     minhash_signatures,
     shingle_sets,
@@ -99,7 +100,7 @@ def minhash_band_index(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = PLANNED_BANDS,
     seed: int = 42,
 ) -> DataFrame:
     """Build the near-dup index: ``(band int, band_hash long, doc_id)``.
@@ -135,7 +136,7 @@ def near_dup_candidates_vs_index(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = PLANNED_BANDS,
     seed: int = 42,
 ) -> DataFrame:
     """Distinct ``(new_id, corpus_id)`` candidate pairs from a band join.
@@ -162,7 +163,7 @@ def near_dup_vs_corpus(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = PLANNED_BANDS,
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
@@ -296,7 +297,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = PLANNED_BANDS,
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:

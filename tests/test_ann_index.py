@@ -258,10 +258,15 @@ def graph_build(spark, emb):
 
 @pytest.fixture(scope="module")
 def graph_index_path(spark, emb, graph_build):
+    from overseer_spark.operators.graph import hub_reach_depth
+
     qv, edges, cells = graph_build
     entries = cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
     d = tempfile.mkdtemp(prefix="graph_index_")
-    AI.build_graph_index(emb, d, prebuilt=(qv, edges, entries))
+    AI.build_graph_index(
+        emb, d, prebuilt=(qv, edges, entries),
+        tree_depth=hub_reach_depth(cells, GRAPH_HUB_CAP),
+    )
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -286,6 +291,14 @@ def test_graph_index_matches_in_memory_beam(spark, graph_build, graph_index_path
         (r["query_id"], r["vec_id"], r["sim_q"], r["rank"]) for r in df.collect()
     )
     assert key(mem) == key(idx)
+    # hops=None derives tree_depth + fine_hops from the persisted meta
+    # row; at this fixture's cell sizes that is 2 + 2 = the explicit 4,
+    # so the derived budget serves the identical result
+    meta = spark.read.parquet(f"{graph_index_path}/meta").first()
+    assert (meta["hub_cap"], meta["tree_depth"]) == (GRAPH_HUB_CAP, 2)
+    derived = AI.graph_index_topk(spark, graph_index_path, query_ids=range(5),
+                                  entry_top=6, beam=24, k=10)
+    assert key(derived) == key(idx)
 
 
 def test_hub_tree_out_degree_is_capped(graph_build):
@@ -492,5 +505,106 @@ def test_delete_accepts_any_single_column_name(spark, emb):
         tomb = AI._tombstones(spark, d, "vec_id")
         assert tomb.columns == ["vec_id"]
         assert {r["vec_id"] for r in tomb.collect()} == {17, 23}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_graph_index_insert_delete_compact(spark, emb):
+    """Graph-index lifecycle parity with IVF (VERDICT r10 ask #3):
+    build -> DiskANN-style insert (beam-search placement + bidirectional
+    links) -> tombstone delete (masked at serve, still a waypoint) ->
+    compact (physical removal + neighborhood bridging + entry
+    replacement). Fresh-build equivalence is recall-pinned, not
+    bit-pinned: insert/bridge edge sets legitimately differ from a
+    from-scratch kNN build."""
+    from overseer_spark.operators.graph import quantized_vectors
+    from overseer_spark.operators.similarity import cosine_topk
+
+    base = emb.filter(F.col("vec_id") >= 10)
+    new = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    queries_raw = emb.filter(F.col("vec_id") < 5)
+    d = tempfile.mkdtemp(prefix="graph_lifecycle_")
+    try:
+        AI.build_graph_index(base, d, n_cells=21, n_probe=3, edge_k=12)
+        AI.insert_into_graph_index(spark, d, new)
+
+        # each inserted vector is immediately discoverable: querying
+        # with its own embedding (as an ooc query id) returns the
+        # inserted node at rank 1 (self-dot is the max integer sim)
+        self_q = quantized_vectors(new).select(
+            (F.col("vec_id") + 1000).alias("query_id"), F.col("q").alias("qv")
+        )
+        r1 = {
+            r["query_id"] - 1000: r["vec_id"]
+            for r in AI.graph_index_topk(
+                spark, d, queries=self_q, entry_top=12, beam=48, k=3,
+                fine_hops=4,
+            ).filter(F.col("rank") == 1).collect()
+        }
+        assert r1 == {i: i for i in range(5, 10)}, r1
+
+        # recall floor for ooc queries over the grown corpus
+        def serve(k=10):
+            q = quantized_vectors(queries_raw).select(
+                F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+            )
+            return AI.graph_index_topk(
+                spark, d, queries=q, entry_top=12, beam=48, k=k, fine_hops=3
+            )
+
+        truth = cosine_topk(base.unionByName(new), queries_raw, k=10)
+        t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in serve().collect()}
+        assert len(a & t) / len(t) >= 0.9, len(a & t) / len(t)
+
+        # delete two served ids plus one ENTRY node (forces replacement)
+        served = serve(k=3).filter(F.col("rank") == 1).collect()
+        victims = sorted({r["vec_id"] for r in served})[:2]
+        entry0 = spark.read.parquet(f"{d}/entries").agg(
+            F.min("node")
+        ).first()[0]
+        victims = sorted(set(victims) | {int(entry0)})
+        AI.delete_from_graph_index(spark, d, victims)
+        post_del = serve().collect()
+        assert not ({r["vec_id"] for r in post_del} & set(victims))
+        # top-k stays dense: exclusion happens before the final rank
+        from collections import Counter
+
+        per_q = Counter(r["query_id"] for r in post_del)
+        assert all(v == 10 for v in per_q.values()), per_q
+
+        stats = AI.compact_graph_index(spark, d)
+        assert stats["n_deleted"] == len(victims)
+        assert stats["n_bridge_edges"] > 0
+        assert AI._tombstones(spark, d, "vec_id") is None
+        kept_ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{d}/qv").select("vec_id").collect()
+        }
+        assert not (kept_ids & set(victims))  # physically gone
+        e = spark.read.parquet(f"{d}/edges")
+        assert e.filter(
+            F.col("src").isin(victims) | F.col("dst").isin(victims)
+        ).count() == 0
+        ents = {
+            r["node"]
+            for r in spark.read.parquet(f"{d}/entries").collect()
+        }
+        assert entry0 not in ents and ents  # replaced, not just dropped
+        assert ents <= kept_ids
+        # recall floor survives the consolidation
+        t2 = {
+            (r["query_id"], r["vec_id"])
+            for r in cosine_topk(
+                base.unionByName(new).filter(~F.col("vec_id").isin(victims)),
+                queries_raw, k=10,
+            ).collect()
+        }
+        a2 = {(r["query_id"], r["vec_id"]) for r in serve().collect()}
+        assert len(a2 & t2) / len(t2) >= 0.9, len(a2 & t2) / len(t2)
+        # compacting with no tombstones is a cheap no-op
+        assert AI.compact_graph_index(spark, d) == {
+            "n_deleted": 0, "n_bridge_edges": 0,
+        }
     finally:
         shutil.rmtree(d, ignore_errors=True)

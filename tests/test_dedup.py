@@ -238,3 +238,40 @@ def test_near_dup_keep_best_no_forced_broadcast(spark, tmp_path):
     assert rows["sd"]["tokens_dropped"] == 20
     # singleton: never clustered, never dropped
     assert (rows["se"]["n_clustered"], rows["se"]["n_dropped"]) == (0, 0)
+
+
+def test_lsh_planner_is_the_single_band_source(spark):
+    """VERDICT r10 ask #5: one parameter source — every minhash
+    operator's band default IS the planner's output, the planner's
+    selection rule reproduces the shipped (16, 4), and that rule is
+    recall-first, NOT plain total-error (whose argmin the catalog
+    receipt shows is (4, 16) — the round-10 docstring claim this test
+    falsifies)."""
+    import inspect
+
+    from overseer_spark.operators import dedup as D
+    from overseer_spark.operators import incremental as I
+    from overseer_spark.queries.catalog import CATALOG
+
+    assert D.lsh_planned_config(64, 0.8) == (16, 4)
+    assert (D.PLANNED_BANDS, D.PLANNED_ROWS) == (16, 4)
+
+    rows = CATALOG["dedup_lsh_param_plan"].fn(spark, SF_SMOKE).collect()
+    safe = [r for r in rows if r["fn_area"] <= 5e-5]
+    pick = min(safe, key=lambda r: (r["fp_area"], r["bands"]))
+    assert (pick["bands"], pick["rows_per_band"]) == (16, 4)
+    tot = min(rows, key=lambda r: (r["total_error"], r["bands"]))
+    assert (tot["bands"], tot["rows_per_band"]) == (4, 16)
+
+    for fn in (
+        D.minhash_lsh_candidates,
+        D.minhash_near_duplicates,
+        I.minhash_band_index,
+        I.near_dup_candidates_vs_index,
+        I.near_dup_vs_corpus,
+        I.incremental_dedup,
+    ):
+        assert (
+            inspect.signature(fn).parameters["bands"].default
+            == D.PLANNED_BANDS
+        ), fn.__name__

@@ -510,6 +510,12 @@ _BNLJ_OK = {
     # round-10: same entry-layer seed scoring served from the persisted
     # graph index (shares ann_graph_topk's beam)
     "ann_graph_index_topk",
+    # round-11: out-of-corpus batch served from the persisted graph
+    # index (same entry-layer seed scoring)
+    "ann_graph_ooc_index_topk",
+    # round-11: lifecycle flow (insert beam placement + post-compact
+    # serve, both entry-layer seeded)
+    "ann_graph_index_lifecycle",
     # round-10: out-of-corpus serving pair (entry-layer seed scoring +
     # brute cosine truth leg in the eval)
     "ann_graph_ooc_topk", "ann_graph_ooc_recall_eval",

@@ -628,3 +628,33 @@ def test_graph_ann_ooc_recall_floor(spark):
     )
     assert row["recall_at_10"] >= 0.9, row
     assert row["mrr"] >= 0.8, row
+
+
+def test_hub_tree_depth_boundaries():
+    """hub_tree_depth = smallest d with 1 + 64 + … + 64^d >= max_cell —
+    the exact reach of hub_tree_edges' (r-1)//hub_cap parent rule
+    (root + d full child layers). These boundaries are what make the
+    derived hop budget reproduce the pinned hops=4 at every rung up to
+    10x (max_cell 78–678, depth 2) and grow to 3 only past 4,161
+    members (the 100x regime)."""
+    from overseer_spark.operators.graph import hub_tree_depth
+
+    assert hub_tree_depth(1) == 1  # floor: one structural hop minimum
+    assert hub_tree_depth(65) == 1  # root + 64 children
+    assert hub_tree_depth(66) == 2
+    assert hub_tree_depth(4161) == 2  # + 64^2 grandchildren
+    assert hub_tree_depth(4162) == 3
+    assert hub_tree_depth(266305) == 3
+    assert hub_tree_depth(85, hub_cap=4) == 3  # 1+4+16+64 = 85 reached
+    assert hub_tree_depth(86, hub_cap=4) == 4
+
+
+def test_hub_reach_depth_one_agg(spark):
+    """hub_reach_depth derives the depth from the membership frame with
+    one aggregate; matches hub_tree_depth of the hand-computed max."""
+    from overseer_spark.operators.graph import hub_reach_depth, hub_tree_depth
+
+    cells = spark.createDataFrame(
+        [(i, i % 3) for i in range(200)], "vec_id long, cell long"
+    )  # max cell = 67 members -> depth 2
+    assert hub_reach_depth(cells) == hub_tree_depth(67) == 2

@@ -233,9 +233,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default=".bench_sf1")
+    ap.add_argument(
+        "--embeddings-only",
+        action="store_true",
+        help="generate only embeddings.parquet (the deep ANN ladder "
+        "rungs — e.g. 100x for the graph-ANN recall eval, VERDICT r10 "
+        "ask #1 — need a big vector corpus but none of the text/fact "
+        "tables; at 100x those would be ~10 GB of parquet for nothing)",
+    )
     ns = ap.parse_args()
     os.makedirs(ns.out, exist_ok=True)
     rng = np.random.default_rng(42)
+    if ns.embeddings_only:
+        # NOTE: draws differ from a full run at the same mult (the
+        # documents generator consumes rng first there); an
+        # embeddings-only fixture is its own corpus, not a subset
+        gen_embeddings(ns.out, ns.mult, rng)
+        print(f"wrote {ns.out}/embeddings.parquet at {ns.mult}x sf0.1")
+        return
     gen_documents(ns.out, ns.mult, rng)
     gen_embeddings(ns.out, ns.mult, rng)
     gen_events(ns.out, ns.mult, rng)
