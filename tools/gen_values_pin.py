@@ -12,10 +12,10 @@ mechanically:
 prints one `SELECT * FROM (VALUES ...) AS t(cols) ORDER BY ...` per
 entry, built from the entry's own sf0.01 output. ALWAYS verify layout
 stability before committing a new pin: run the entry under ≥3 partition
-layouts (e.g. local[5]/shuffle 7, local[8]/8 AQE off, local[32]/32) and
-diff the collected rows — the pin is only valid if they are
-bit-identical (the sweep recipe lives in .claude/skills/verify and the
-entry decorator comments).
+layouts (local[5]/shuffle 7 AQE on, local[8]/8 AQE off, local[32]/32
+AQE on) and diff the collected rows — the pin is only valid if they are
+bit-identical. The full sweep contract, oracle tiers, and scale-ladder
+requirements live in docs/VERIFY.md.
 """
 
 from __future__ import annotations
