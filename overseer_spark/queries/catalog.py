@@ -16719,6 +16719,130 @@ def ann_graph_index_lifecycle(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@q(
+    "hard_negative_mining",
+    oracle="""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                         FROM embeddings WHERE vec_id < 25),
+              s AS (
+                SELECT q.query_id, e.vec_id,
+                  ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+              r AS (SELECT query_id, vec_id, sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) AS BIGINT) AS hn_rank
+                    FROM s)
+              SELECT query_id, vec_id, sim, hn_rank FROM r WHERE hn_rank <= 5
+              ORDER BY query_id, hn_rank""",
+)
+def hard_negative_mining(spark, sf):
+    """HARD-NEGATIVE mining for contrastive/retrieval training (the
+    DPR/ANCE data step): for each anchor, the top-5 most-similar
+    vectors that are NOT positives — here positives = same ``label``
+    (the relevance grouping), so the negatives are maximally confusable
+    items from OTHER groups, exactly what InfoNCE losses need (random
+    negatives, contrastive_pairs_mining's label-0 leg, are too easy
+    and train weak encoders — Xiong et al. 2021). Exact filter-then-
+    rank here (the correctness baseline); at 100 TB the shortlist
+    comes from any of this repo's ANN indexes with over-fetch (probe
+    k' > k, drop positives, re-rank — one rank-list-sized anti-join),
+    the documented FAISS-negatives pattern. Dimension-sized query
+    broadcast, rounded sims, min-id ties — same determinism contract
+    as ann_cosine_topk."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        s.withColumn("hn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hn_rank") <= 5)
+        .orderBy("query_id", "hn_rank")
+    )
+
+
+_QCLS_SCORE_CTE = """
+    qtoks AS (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+              FROM documents),
+    qfeat AS (SELECT doc_id,
+                SUM((ascii(substr(md5(t), 1, 1)) +
+                     ascii(substr(md5(t), 2, 1)) - 150) / 100.0) AS z,
+                COUNT(*) AS n_terms
+              FROM qtoks WHERE t <> '' GROUP BY doc_id),
+    qscored AS (SELECT doc_id,
+                ROUND(1.0 / (1.0 + exp(-(z / n_terms))), 4) AS score
+              FROM qfeat)
+"""
+
+
+@q(
+    "quality_score_calibration",
+    oracle="WITH "
+    + _QCLS_SCORE_CTE
+    + ","
+    + _GOPHER_ORACLE_CTE.replace("\n    WITH w AS", "w AS", 1)
+    + """,
+    j AS (SELECT s.doc_id, s.score,
+                 CASE WHEN v.keep THEN 1.0 ELSE 0.0 END AS k
+          FROM qscored s JOIN verdicts v USING (doc_id))
+    SELECT CAST(FLOOR(score * 50) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 4) AS mean_score,
+           ROUND(AVG(k), 4) AS keep_rate,
+           ROUND(ABS(ROUND(AVG(score), 4) - ROUND(AVG(k), 4)), 4) AS abs_gap
+    FROM j GROUP BY bin ORDER BY bin""",
+)
+def quality_score_calibration(spark, sf):
+    """Quality-classifier CALIBRATION audit (reliability diagram as
+    data): per 2%-wide score bin, the classifier's mean predicted
+    quality vs the observed Gopher keep rate and the |gap| — the check
+    a pipeline runs BEFORE trusting a learned filter to gate 100 TB
+    (a mis-calibrated classifier silently shifts the corpus mixture;
+    the per-bin gaps are the ECE terms, n_docs the weights). Both
+    signals already stream through this engine corpus-wide
+    (quality_classifier_score, text_gopher_rules); the audit adds one
+    doc-keyed join + one bin groupBy — fixed-width bins, NOT NTILE
+    deciles, so there is no global sort and the aggregation
+    partial-combines map-side at any corpus size."""
+    scored = CATALOG["quality_classifier_score"].fn(spark, sf)
+    keep = TX.gopher_rules(_t(spark, sf, "documents")).select(
+        "doc_id", F.when(F.col("keep"), 1.0).otherwise(0.0).alias("k")
+    )
+    j = scored.join(keep, "doc_id")
+    mean_score = F.round(F.avg("score"), 4)
+    keep_rate = F.round(F.avg("k"), 4)
+    return (
+        j.groupBy(F.floor(F.col("score") * 50).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            mean_score.alias("mean_score"),
+            keep_rate.alias("keep_rate"),
+            F.round(F.abs(mean_score - keep_rate), 4).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 9: exact-substring dedup spans, distributed BPE merge training,
 # Z-order layout keys (multi-dimensional data skipping)

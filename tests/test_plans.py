@@ -446,6 +446,9 @@ _BNLJ_OK = {
     "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "knn_label_predict", "embedding_near_dup_exact", "kmeans_assign_step",
     "semantic_dedup_clustered",
+    # round-11: dimension-sized query broadcast (same shape as
+    # ann_cosine_topk), exact filter-then-rank baseline
+    "hard_negative_mining",
     "text_doc_freq_idf", "text_bm25_search", "text_dsir_scores",
     "text_chi2_terms", "text_perplexity_unigram", "text_ccnet_buckets",
     "q_mixture_plan", "q_join_key_skew_profile", "tpch_q11_shape",
