@@ -109,7 +109,7 @@ FAMILIES: dict[str, list[str]] = {
         "incr_near_dup_vs_corpus", "incr_dedup_survivor_ids",
         "incr_exact_substr_vs_corpus",
         "minhash_recall_eval", "text_paragraph_dedup_stats",
-        "text_exact_substr_spans",
+        "text_exact_substr_spans", "dedup_lsh_param_plan",
     ],
     "Similarity & embeddings": [
         "q38_cosine_top5", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -122,6 +122,11 @@ FAMILIES: dict[str, list[str]] = {
         "ann_recall_eval", "hybrid_retrieval_overlap",
         "embedding_sign_bits", "ann_hamming_topk", "ann_hamming_recall_eval",
         "ann_graph_topk", "ann_graph_recall_eval", "ann_ivf_index_append",
+        "ann_ivf_index_delete", "ann_ivf_index_compact",
+        "ann_graph_index_topk", "ann_graph_ooc_topk",
+        "ann_graph_ooc_recall_eval", "ann_graph_ooc_index_topk",
+        "ann_graph_index_lifecycle", "stream_ann_ingest",
+        "hybrid_rrf_fusion_topk", "hard_negative_mining",
         "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
@@ -147,6 +152,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_ngram_novelty", "prefix_cache_groups",
         "text_readability_scores", "quality_filter_bias_audit",
         "text_bpe_merge_train", "text_bpe_train_apply",
+        "text_bpe_encode_from_artifact", "quality_score_calibration",
     ],
     "Multimodal": [
         "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_bytes",
