@@ -16780,6 +16780,109 @@ def hard_negative_mining(spark, sf):
     )
 
 
+@q(
+    "retrieval_ndcg_eval",
+    oracle="""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                         FROM embeddings WHERE vec_id < 25),
+              s AS (
+                SELECT q.query_id, e.vec_id,
+                  CASE WHEN e.label = q.qlabel THEN 1.0 ELSE 0.0 END AS rel,
+                  ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              r AS (SELECT query_id, rel,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) AS rnk FROM s),
+              dcg AS (SELECT query_id, SUM(rel / log2(rnk + 1)) AS dcg
+                      FROM r WHERE rnk <= 10 GROUP BY query_id),
+              nrel AS (SELECT query_id, LEAST(CAST(SUM(rel) AS BIGINT), 10) AS m
+                       FROM s GROUP BY query_id),
+              idcg AS (SELECT query_id,
+                         list_sum(list_transform(generate_series(1, m),
+                           i -> 1.0 / log2(i + 1))) AS idcg
+                       FROM nrel),
+              perq AS (SELECT query_id,
+                         ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
+                           AS ndcg
+                       FROM dcg JOIN idcg USING (query_id))
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                     ROUND(AVG(ndcg), 4) AS ndcg_at_10
+              FROM perq""",
+)
+def retrieval_ndcg_eval(spark, sf):
+    """nDCG@10 of exact cosine retrieval with same-``label`` as the
+    relevance judgment — the RANKING-quality companion to the recall
+    evals (recall says the right items were found; nDCG says they were
+    found EARLY, log2-discounted — the metric every retrieval system
+    reports beside recall). Per query: DCG over the top-10, ideal DCG
+    from the query's true relevant count capped at the cutoff, macro-
+    averaged. One scored pass (dimension-sized query broadcast) feeds
+    BOTH the top-10 ranking and the per-query relevant counts; at
+    100 TB the scored pass is replaced by any of this repo's ANN
+    shortlists and the metric legs are rank-list-sized."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1.0)
+            .otherwise(0.0)
+            .alias("rel"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    s = eager_cache(s)  # feeds both the ranking and the relevant counts
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    dcg = (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg"))
+    )
+    idcg = (
+        s.groupBy("query_id")
+        .agg(
+            F.least(F.sum("rel").cast("long"), F.lit(10).cast("long")).alias(
+                "m"
+            )
+        )
+        .select(
+            "query_id",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("m")),
+                F.lit(0.0),
+                lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+            ).alias("idcg"),
+        )
+    )
+    perq = dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("ndcg"),
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("ndcg"), 4).alias("ndcg_at_10"),
+    )
+
+
 _QCLS_SCORE_CTE = """
     qtoks AS (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS t

@@ -449,6 +449,8 @@ _BNLJ_OK = {
     # round-11: dimension-sized query broadcast (same shape as
     # ann_cosine_topk), exact filter-then-rank baseline
     "hard_negative_mining",
+    # round-11: same scored-pass broadcast feeding DCG + ideal-DCG legs
+    "retrieval_ndcg_eval",
     "text_doc_freq_idf", "text_bm25_search", "text_dsir_scores",
     "text_chi2_terms", "text_perplexity_unigram", "text_ccnet_buckets",
     "q_mixture_plan", "q_join_key_skew_profile", "tpch_q11_shape",

@@ -127,6 +127,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_graph_ooc_recall_eval", "ann_graph_ooc_index_topk",
         "ann_graph_index_lifecycle", "stream_ann_ingest",
         "hybrid_rrf_fusion_topk", "hard_negative_mining",
+        "retrieval_ndcg_eval",
         "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
