@@ -91,6 +91,13 @@ ENTRIES = [
     "near_dup_keep_best",
     "ann_ivfpq_topk",
     "ann_ivfpq_index_topk",
+    # round-11: lifecycle / streaming-ingest / eval additions
+    "ann_graph_ooc_index_topk",
+    "ann_graph_index_lifecycle",
+    "stream_ann_ingest",
+    "hard_negative_mining",
+    "retrieval_ndcg_eval",
+    "quality_score_calibration",
 ]
 
 
