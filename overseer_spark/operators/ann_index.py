@@ -300,6 +300,73 @@ def max_files_per_cell(spark: SparkSession, path: str) -> int:
     return mx
 
 
+def upsert_into_ivf_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """UPSERT vectors into a persisted IVF index — last-writer-wins by
+    id, completing the lifecycle (build → append → delete → compact →
+    upsert). Tombstone-then-append is NOT correct here: the probe-time
+    anti-join is keyed on id alone, so it would mask the NEW row along
+    with the old one. Instead this is merge-on-write at partition
+    granularity (the Hudi/Delta copy-on-write discipline):
+
+    1. find the cells currently holding the batch's ids — ONE scan of
+       (id, cell) with the id set pushed into the reader (column-pruned
+       to two 8-byte columns; row-group min/max stats skip most files);
+    2. rewrite ONLY those cell directories minus the old rows (the scan
+       is partition-pruned to the affected cells), swapping each
+       directory in with the same rename discipline as compact;
+    3. append the new batch through the normal path (assignment to the
+       EXISTING trained centroids).
+
+    Cost is O(affected cells) rewrite + O(batch) append — never a full
+    index rewrite, never a corpus shuffle. Ids absent from the index
+    degrade to a plain append. Returns {"n_rewritten_cells": ...}."""
+    ids_df = batch.select(id_col).distinct()
+    id_list = [r[0] for r in ids_df.collect()]  # batch-sized, driver-safe
+    vectors = f"{path}/vectors"
+    hit = (
+        spark.read.parquet(vectors)
+        .filter(F.col(id_col).isin(id_list))
+        .select("cell")
+        .distinct()
+    )
+    cells = [r["cell"] for r in hit.collect()]
+    if cells:
+        # rewrite the affected cell dirs minus the upserted ids; the
+        # source scan lists only those cell directories
+        keep = (
+            spark.read.parquet(vectors)
+            .filter(F.col("cell").isin(cells))
+            .filter(~F.col(id_col).isin(id_list))
+        )
+        keep.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors__upserting")
+        fs, _ = _hadoop_fs(spark, vectors)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for c in cells:
+            sub = f"cell={c}"
+            if fs.exists(jpath(f"{path}/vectors__upserting/{sub}")):
+                _swap_in(
+                    spark,
+                    f"{vectors}/{sub}",
+                    f"{path}/vectors__upserting/{sub}",
+                    f"{path}/vectors__old_{c}",
+                )
+            else:  # every row of this cell was an upserted id
+                fs.delete(jpath(f"{vectors}/{sub}"), True)
+        fs.delete(jpath(f"{path}/vectors__upserting"), True)
+    append_to_ivf_index(
+        batch.select(id_col, vec_col), path, id_col=id_col, vec_col=vec_col
+    )
+    return {"n_rewritten_cells": len(cells)}
+
+
 def delete_from_ivf_index(
     spark: SparkSession, path: str, ids, id_col: str = "vec_id"
 ) -> None:

@@ -16655,6 +16655,51 @@ def stream_ann_ingest(spark, sf):
 
 
 @q(
+    "ann_ivf_index_upsert",
+    # measured pin at sf0.01 (tools/gen_values_pin.py, docs/VERIFY.md
+    # 3-layout sweep): trained centroids are seeded, the rewrite is set
+    # algebra, and the probe ranks rounded sims with min-id ties
+    oracle="""SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(0.2567 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(498 AS BIGINT), CAST(0.250726 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(131 AS BIGINT), CAST(0.240641 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(36 AS BIGINT), CAST(0.238657 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.292322 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(0.292109 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(0.289782 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(0.255043 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(0.245311 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.239829 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(0.298788 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.291702 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.290803 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(349 AS BIGINT), CAST(0.248581 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(89 AS BIGINT), CAST(0.265964 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(0.252537 AS DOUBLE), CAST(5 AS BIGINT))) AS t(query_id, vec_id, sim, rank) ORDER BY query_id, rank""",
+)
+def ann_ivf_index_upsert(spark, sf):
+    """IVF-index UPSERT (operators/ann_index.py upsert_into_ivf_index) —
+    last-writer-wins by id, closing the lifecycle pentagon
+    build→append→delete→compact→upsert. Tombstone-then-append cannot
+    express an upsert (the id-keyed anti-join would mask the NEW row
+    too); this is merge-on-write at CELL granularity, the Hudi/Delta
+    copy-on-write discipline: one id-pushed (id, cell) scan finds the
+    affected cells, only those cell directories are rewritten minus the
+    old rows (partition-pruned scan, per-dir rename swap), and the new
+    vectors append through the normal trained-centroid path. Five
+    existing ids are re-pointed at different embeddings and one new id
+    appends; the probe then finds the moved vectors in their NEW cells.
+    O(affected cells) rewrite + O(batch) append — never a full-index
+    rewrite."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_upsert_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 10), f"{tmp}/idx")
+        donor = emb.filter(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+        ).select((F.col("vec_id") + 95).alias("vec_id"), "embedding")
+        AI.upsert_into_ivf_index(spark, f"{tmp}/idx", donor)
+        return (
+            AI.ivf_index_topk(
+                spark, f"{tmp}/idx", emb.filter(F.col("vec_id") < 5), k=5
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
     "ann_graph_index_lifecycle",
     # measured pin at sf0.01 (tools/gen_values_pin.py, docs/VERIFY.md
     # 3-layout sweep): every stage is deterministic — seeded build,

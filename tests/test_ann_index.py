@@ -608,3 +608,60 @@ def test_graph_index_insert_delete_compact(spark, emb):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_last_writer_wins(spark, emb):
+    """Upsert completes the IVF lifecycle: re-writing an existing id with
+    a NEW embedding moves it to its new cell, probes see exactly the new
+    vector (never the old), absent ids degrade to plain appends, and
+    only the affected cell directories were rewritten."""
+    d = tempfile.mkdtemp(prefix="ivf_upsert_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 10), d, n_cells=N_CELLS)
+        files_before = _files_per_cell(d)
+        # upsert ids 100-102 with the embeddings of vectors 5-7, plus a
+        # brand-new id 9001 (absent -> plain append)
+        donor = emb.filter(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") < 8)
+        ).select((F.col("vec_id") + 95).alias("vec_id"), "embedding")
+        new = emb.filter(F.col("vec_id") == 8).select(
+            F.lit(9001).cast("long").alias("vec_id"), "embedding"
+        )
+        stats = AI.upsert_into_ivf_index(spark, d, donor.unionByName(new))
+        assert stats["n_rewritten_cells"] >= 1
+        back = spark.read.parquet(f"{d}/vectors")
+        # last-writer-wins: exactly one row per upserted id, carrying the
+        # donor embedding (compare via the exact float list)
+        got = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in back.filter(F.col("vec_id").isin([100, 101, 102, 9001]))
+            .collect()
+        }
+        want = {
+            r["vec_id"] + 95: [float(x) for x in r["embedding"]]
+            for r in emb.filter(
+                (F.col("vec_id") >= 5) & (F.col("vec_id") < 8)
+            ).collect()
+        }
+        want[9001] = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 8).first()["embedding"]
+        ]
+        assert got == want
+        assert back.count() == emb.filter(F.col("vec_id") >= 10).count() + 1
+        # probing with the donor vector of id 100 now finds id 100 at
+        # rank 1 (it IS that vector)
+        q = emb.filter(F.col("vec_id") == 5).select(
+            F.lit(77777).cast("long").alias("vec_id"), "embedding"
+        )
+        top = AI.ivf_index_topk(spark, d, q, k=1).first()
+        assert top["vec_id"] == 100
+        # untouched cells kept their original single file
+        files_after = _files_per_cell(d)
+        unchanged = [
+            c for c in files_before
+            if files_before[c] == files_after.get(c)
+        ]
+        assert unchanged  # most cells were not rewritten
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

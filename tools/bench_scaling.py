@@ -92,6 +92,7 @@ ENTRIES = [
     "ann_ivfpq_topk",
     "ann_ivfpq_index_topk",
     # round-11: lifecycle / streaming-ingest / eval additions
+    "ann_ivf_index_upsert",
     "ann_graph_ooc_index_topk",
     "ann_graph_index_lifecycle",
     "stream_ann_ingest",

@@ -123,6 +123,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_sign_bits", "ann_hamming_topk", "ann_hamming_recall_eval",
         "ann_graph_topk", "ann_graph_recall_eval", "ann_ivf_index_append",
         "ann_ivf_index_delete", "ann_ivf_index_compact",
+        "ann_ivf_index_upsert",
         "ann_graph_index_topk", "ann_graph_ooc_topk",
         "ann_graph_ooc_recall_eval", "ann_graph_ooc_index_topk",
         "ann_graph_index_lifecycle", "stream_ann_ingest",
