@@ -162,6 +162,14 @@ HEADLINE = [
     "text_bpe_encode_from_artifact",
     "hybrid_rrf_fusion_topk",
     "dedup_lsh_param_plan",
+    # round-11: persisted-index lifecycle + streaming ingest + evals
+    "ann_graph_ooc_index_topk",
+    "ann_graph_index_lifecycle",
+    "ann_ivf_index_upsert",
+    "stream_ann_ingest",
+    "hard_negative_mining",
+    "retrieval_ndcg_eval",
+    "quality_score_calibration",
 ]
 
 
