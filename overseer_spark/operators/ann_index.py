@@ -323,11 +323,29 @@ def upsert_into_ivf_index(
     3. append the new batch through the normal path (assignment to the
        EXISTING trained centroids).
 
+    An upsert also RESURRECTS: the batch's ids are dropped from any
+    outstanding tombstones (delete → upsert must yield the new row, but
+    the probe's anti-join is id-keyed, so a stale tombstone would mask
+    it). The tombstone rewrite follows the snapshot discipline — the
+    replacement set is written before the snapshotted files are
+    removed, so a crash can only leave already-superseded duplicates,
+    never lose a tombstone.
+
     Cost is O(affected cells) rewrite + O(batch) append — never a full
     index rewrite, never a corpus shuffle. Ids absent from the index
     degrade to a plain append. Returns {"n_rewritten_cells": ...}."""
     ids_df = batch.select(id_col).distinct()
     id_list = [r[0] for r in ids_df.collect()]  # batch-sized, driver-safe
+    fs_t, tomb_files = _tombstone_files(spark, path)
+    if tomb_files:
+        tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
+        if tomb.filter(F.col(id_col).isin(id_list)).count() > 0:
+            remaining = tomb.filter(~F.col(id_col).isin(id_list)).distinct()
+            remaining.coalesce(1).write.mode("append").parquet(
+                f"{path}/tombstones"
+            )
+            for p in tomb_files:
+                fs_t.delete(p, False)
     vectors = f"{path}/vectors"
     hit = (
         spark.read.parquet(vectors)

@@ -665,3 +665,85 @@ def test_upsert_last_writer_wins(spark, emb):
         assert unchanged  # most cells were not rewritten
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_lifecycle_random_sequence_content_parity(spark, emb):
+    """Seeded random interleaving of append / delete / upsert / compact
+    against a pure-Python content model: after every sequence the index's
+    VISIBLE content (surviving rows minus tombstones) equals the model
+    exactly — ids and embeddings. Catches cross-op interactions the
+    single-op tests can't: delete→upsert must RESURRECT the id (a stale
+    tombstone would mask the new row), compact must fold exactly the
+    snapshot, upsert must not disturb unrelated cells."""
+    import random
+
+    rng = random.Random(7)
+    base = emb.filter(F.col("vec_id") >= 100)
+    spares = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 100).collect()
+    ]
+    model = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in base.collect()
+    }
+    d = tempfile.mkdtemp(prefix="ivf_seq_")
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            [(i, v) for i, v in rows], "vec_id long, embedding array<float>"
+        )
+
+    try:
+        AI.build_ivf_index(base, d, n_cells=N_CELLS)
+        next_id = 10_000
+        for _ in range(12):
+            op = rng.choice(["append", "delete", "upsert", "compact"])
+            if op == "append":
+                rows = []
+                for _ in range(2):
+                    _, v = rng.choice(spares)
+                    rows.append((next_id, v))
+                    model[next_id] = v
+                    next_id += 1
+                AI.append_to_ivf_index(mkdf(rows), d)
+            elif op == "delete" and model:
+                victims = rng.sample(sorted(model), k=min(2, len(model)))
+                AI.delete_from_ivf_index(spark, d, victims)
+                for i in victims:
+                    del model[i]
+            elif op == "upsert":
+                rows = []
+                # one existing id re-pointed, one previously-DELETED id
+                # resurrected when available, one brand-new id
+                if model:
+                    tgt = rng.choice(sorted(model))
+                    _, v = rng.choice(spares)
+                    rows.append((tgt, v))
+                    model[tgt] = v
+                tomb = AI._tombstones(spark, d, "vec_id")
+                if tomb is not None:
+                    dead = sorted(r["vec_id"] for r in tomb.collect())
+                    if dead:
+                        back = rng.choice(dead)
+                        _, v = rng.choice(spares)
+                        rows.append((back, v))
+                        model[back] = v
+                rows.append((next_id, rng.choice(spares)[1]))
+                model[next_id] = rows[-1][1]
+                next_id += 1
+                AI.upsert_into_ivf_index(spark, d, mkdf(rows))
+            else:
+                AI.compact_ivf_index(spark, d)
+            # visible content == model (ids AND embeddings, exact floats)
+            vis = spark.read.parquet(f"{d}/vectors")
+            tomb = AI._tombstones(spark, d, "vec_id")
+            if tomb is not None:
+                vis = vis.join(tomb, "vec_id", "left_anti")
+            got = {
+                int(r["vec_id"]): [float(x) for x in r["embedding"]]
+                for r in vis.collect()
+            }
+            assert got == model, f"content diverged after {op}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
