@@ -607,14 +607,43 @@ def insert_into_graph_index(
     heavy ingest is a REBUILD trigger (monitor max out-degree; the
     documented contract, matching centroid drift for the IVF index).
 
-    New ids must not collide with existing ones (caller's contract, as
-    with FAISS ``add_with_ids``)."""
+    Id semantics: a batch id must not have a PHYSICAL row in the index
+    (raises ValueError — the graph layout has no in-place rewrite; a
+    changed vector is delete → compact → insert, and a merely-
+    tombstoned id still owns its old row until the compaction). A
+    STALE tombstone for a physically-absent id (deleted, compacted,
+    tombstoned again as a no-op) is cleared so the new node is not
+    silently masked — the serve-time exclusion is id-keyed; the
+    rewrite follows the snapshot discipline (replacement set written
+    before the snapshotted files are removed)."""
     from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
 
-    nq = quantized_vectors(new_batch, id_col=id_col, vec_col=vec_col).select(
-        id_col, "q"
+    nq = eager_cache(
+        quantized_vectors(
+            new_batch, id_col=id_col, vec_col=vec_col, cluster_col=None
+        )
     )
-    nq = eager_cache(nq)
+    id_list = [r[0] for r in nq.select(id_col).collect()]
+    clash = (
+        spark.read.parquet(f"{path}/qv")
+        .filter(F.col("vec_id").isin(id_list))
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"insert_into_graph_index: {clash} batch id(s) already have "
+            "physical rows — delete + compact before re-inserting an id"
+        )
+    fs_t, tomb_files = _tombstone_files(spark, path)
+    if tomb_files:
+        tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
+        if tomb.filter(F.col("vec_id").isin(id_list)).count() > 0:
+            remaining = tomb.filter(~F.col("vec_id").isin(id_list)).distinct()
+            remaining.coalesce(1).write.mode("append").parquet(
+                f"{path}/tombstones"
+            )
+            for p in tomb_files:
+                fs_t.delete(p, False)
     nearest = graph_index_topk(
         spark, path,
         queries=nq.select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")),

@@ -110,7 +110,7 @@ def quantized_vectors(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cluster_col: str = "label",
+    cluster_col: str | None = "label",
     scale: int = 100_000,
 ) -> DataFrame:
     """(cluster, id, q): unit-normalized vectors quantized to BIGINT
@@ -118,13 +118,16 @@ def quantized_vectors(
     kNN-graph family ranks in. Integer dots make ranking ties and the
     DuckDB replay bit-exact (float dot sums are order-dependent in the
     last ulp); at dim 64 and scale 1e5 a dot is ≤ 6.4e11, far inside
-    signed-64."""
+    signed-64. ``cluster_col=None`` skips the cluster column — for
+    inputs that are bare (id, vector) batches (index inserts, ooc
+    query batches), which have no blocking label and don't need one."""
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
     qv = F.transform(dv, lambda x: F.round(x / nrm * scale).cast("long"))
-    return emb.select(
-        F.col(cluster_col).alias("cluster"), F.col(id_col), qv.alias("q")
-    )
+    cols = [F.col(id_col), qv.alias("q")]
+    if cluster_col is not None:
+        cols.insert(0, F.col(cluster_col).alias("cluster"))
+    return emb.select(*cols)
 
 
 def iq_dot(a, b):

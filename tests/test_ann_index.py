@@ -747,3 +747,91 @@ def test_ivf_lifecycle_random_sequence_content_parity(spark, emb):
             assert got == model, f"content diverged after {op}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_graph_lifecycle_random_sequence_content_parity(spark, emb):
+    """Seeded random interleaving of insert / delete / compact on the
+    GRAPH index vs a pure-Python id-set model: the servable node set
+    (qv minus tombstones) tracks the model after every step; a
+    physically-present id is refused by insert; delete → compact →
+    re-insert of the SAME id resurrects it (stale no-op tombstones
+    cleared); post-compact, no edge touches a deleted node."""
+    import random
+
+    from overseer_spark.operators.graph import quantized_vectors
+
+    rng = random.Random(11)
+    base = emb.filter(F.col("vec_id") >= 100)
+    spare_vecs = {
+        int(r["vec_id"]): r
+        for r in emb.filter(F.col("vec_id") < 100).collect()
+    }
+    live = {int(r["vec_id"]) for r in base.select("vec_id").collect()}
+    physically_present = set(live)
+    deleted_ever = []
+    d = tempfile.mkdtemp(prefix="graph_seq_")
+
+    def mkbatch(ids):
+        rows = [
+            (i, list(spare_vecs[rng.randrange(0, 100) % len(spare_vecs)]
+                     ["embedding"]))
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    try:
+        AI.build_graph_index(base, d, n_cells=21, n_probe=3, edge_k=12)
+        next_id = 20_000
+        for step in range(8):
+            op = rng.choice(["insert", "delete", "compact", "reinsert"])
+            if op == "insert":
+                ids = [next_id, next_id + 1]
+                next_id += 2
+                AI.insert_into_graph_index(spark, d, mkbatch(ids))
+                live.update(ids)
+                physically_present.update(ids)
+            elif op == "delete" and live:
+                victims = rng.sample(sorted(live), k=min(2, len(live)))
+                AI.delete_from_graph_index(spark, d, victims)
+                live.difference_update(victims)
+                deleted_ever.extend(victims)
+            elif op == "reinsert":
+                # physically-present id (live or tombstoned) must be refused
+                tgt = rng.choice(sorted(physically_present))
+                with pytest.raises(ValueError, match="physical rows"):
+                    AI.insert_into_graph_index(spark, d, mkbatch([tgt]))
+                # a compacted-away id CAN come back (resurrection path)
+                gone = [i for i in deleted_ever if i not in physically_present]
+                if gone:
+                    back = gone[0]
+                    AI.delete_from_graph_index(spark, d, [back])  # stale no-op
+                    AI.insert_into_graph_index(spark, d, mkbatch([back]))
+                    live.add(back)
+                    physically_present.add(back)
+                    deleted_ever.remove(back)
+            else:
+                AI.compact_graph_index(spark, d)
+                physically_present = set(live)
+            qv_ids = {
+                int(r["vec_id"])
+                for r in spark.read.parquet(f"{d}/qv").select("vec_id").collect()
+            }
+            assert qv_ids == physically_present, f"qv diverged after {op}"
+            tomb = AI._tombstones(spark, d, "vec_id")
+            masked = (
+                set()
+                if tomb is None
+                else {int(r["vec_id"]) for r in tomb.collect()}
+            )
+            assert qv_ids - masked == live, f"servable set diverged after {op}"
+            if op == "compact":
+                e = spark.read.parquet(f"{d}/edges")
+                deadset = sorted(set(deleted_ever) - physically_present)
+                if deadset:
+                    assert e.filter(
+                        F.col("src").isin(deadset) | F.col("dst").isin(deadset)
+                    ).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
