@@ -172,10 +172,18 @@ def knn_graph_edges(
         import pandas as pd  # noqa: PLC0415
 
         _, bi, bj = key
+        # The quantized coordinates are ≤ 1e5 in magnitude, so every
+        # product is ≤ 1e10 and every 64-term dot ≤ 6.4e11 — far inside
+        # float64's exact-integer range (2^53). Running the matmul as
+        # dgemm and casting back is therefore BIT-EXACT equal to the
+        # int64 matmul (property-tested at the magnitude bound in
+        # tests/test_similarity.py) while numpy's integer matmul has no
+        # BLAS kernel at all — measured ~5x on the block sizes this
+        # fan-out produces.
         if bi == bj:
             ids = pdf["vec_id"].to_numpy()
-            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
-            sims = Q @ Q.T
+            Q = np.array(pdf["q"].tolist(), dtype=np.float64)
+            sims = (Q @ Q.T).astype(np.int64)
             iu, ju = np.triu_indices(len(ids), k=1)
             va = np.concatenate([ids[iu], ids[ju]])
             vb = np.concatenate([ids[ju], ids[iu]])
@@ -192,9 +200,9 @@ def knn_graph_edges(
                         "s": np.array([], dtype=np.int64),
                     }
                 )
-            Qa = np.array(a["q"].tolist(), dtype=np.int64)
-            Qb = np.array(b["q"].tolist(), dtype=np.int64)
-            sims = Qa @ Qb.T
+            Qa = np.array(a["q"].tolist(), dtype=np.float64)
+            Qb = np.array(b["q"].tolist(), dtype=np.float64)
+            sims = (Qa @ Qb.T).astype(np.int64)  # exact — see above
             ii, jj = np.meshgrid(
                 np.arange(len(ida)), np.arange(len(idb)), indexing="ij"
             )

@@ -658,3 +658,22 @@ def test_hub_reach_depth_one_agg(spark):
         [(i, i % 3) for i in range(200)], "vec_id long, cell long"
     )  # max cell = 67 members -> depth 2
     assert hub_reach_depth(cells) == hub_tree_depth(67) == 2
+
+
+def test_float64_gemm_exact_at_quantization_bound():
+    """The block-pair kNN scorer runs its integer matmul as dgemm and
+    casts back (graph.py _block_sims): with quantized coordinates
+    bounded by 1e5 (quantized_vectors' scale), every product <= 1e10
+    and every 64-term dot <= 6.4e11 < 2^53, so the float64 result IS
+    the integer result. Property-check at the exact magnitude bound,
+    both signs, adversarial same-sign extremes."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    Q = rng.integers(-100_000, 100_001, size=(512, 64)).astype(np.int64)
+    Q[0, :] = 100_000   # all-max row: the true worst-case dot
+    Q[1, :] = -100_000
+    want = Q @ Q.T
+    got = (Q.astype(np.float64) @ Q.astype(np.float64).T).astype(np.int64)
+    assert np.array_equal(want, got)
+    assert abs(want).max() == 64 * 10**10  # the documented bound, hit
