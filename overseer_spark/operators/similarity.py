@@ -174,12 +174,23 @@ def trained_centroids(
     Deterministic by construction (no partitioning is involved at
     all), so catalog pins replay bit-identically across layouts.
 
+    ``train_sample`` is a FLOOR, not a constant: the effective sample is
+    max(train_sample, 8·n_cells) — FAISS's documented points-per-
+    centroid rule. A fixed 2048 sample quietly degenerates once
+    n_cells outgrows it (found at the 100x rung, round 11: 447
+    centroids from 2048 points ≈ 4.6 points each gave collapsed,
+    wildly unbalanced Voronoi cells, and the block-pair kNN scorer's
+    Σcell² cost concentrated into one straggler task). At every pinned
+    scale (k ≤ 256) the floor leaves the sample at 2048, so existing
+    pins are byte-identical.
+
     Returns (``id_col`` = cell index 0..n_cells-1, ``vec_col`` = centroid)
     shaped exactly like the centroid frames assign_cells/ivf_topk expect.
     """
     import numpy as np  # noqa: PLC0415
 
     spark = corpus.sparkSession
+    train_sample = max(train_sample, 8 * n_cells)
     h = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1 << 31))
     rows = (
         corpus.select(id_col, vec_col)
