@@ -28,7 +28,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
 # sweep. An entry edited to ADD a collect outside this list is caught by
 # the next full sweep; new entries are caught immediately via the pins.
 KNOWN_COLLECTORS = [
+    "ann_graph_index_lifecycle",
+    "ann_graph_ooc_index_topk",
     "ann_ivf_index_topk",
+    "ann_ivf_index_upsert",
     "ann_lsh_topk",
     "ann_pq_rerank_topk",
     "ann_pq_topk",
@@ -51,6 +54,7 @@ KNOWN_COLLECTORS = [
     "q_markov_attribution",
     "store_manifest_time_travel",
     "store_time_travel",
+    "stream_ann_ingest",
     "stream_warc_ingest",
     "text_bpe_token_stats",
     "train_prep_pipeline",
@@ -113,6 +117,47 @@ def test_walker_classifies_shapes(spark):
         ("BOUNDED", "collect"),  # take's inner limit().collect()
         ("BOUNDED", "take"),
     ], verdicts
+
+
+def test_walker_sees_through_cached_and_id_pinned_plans(spark):
+    """Round-12 walker upgrades (VERDICT r11 ask #1): an eager-cached
+    frame classifies by the plan that was CACHED (InMemoryRelation →
+    CachedRDDBuilder.logicalPlan), and a filter pinning a unique fixture
+    key to finitely many literal values is bounded by that count — the
+    proof batch-id collects (index inserts/upserts) rely on.  A cached
+    UNBOUNDED source must stay unbounded, and the key rule must not fire
+    for non-key columns or foreign relations."""
+    from pyspark.sql import functions as F
+
+    from collect_audit import CollectSite, trace_collects
+
+    from overseer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    batch = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).cache()
+    batch.count()
+    whole = emb.select("vec_id", "label").cache()
+    whole.count()
+    sites: list[CollectSite] = []
+    try:
+        with trace_collects("unit", sites):
+            batch.select("vec_id").collect()  # cached id-range batch
+            emb.filter(F.col("vec_id").isin(3, 7, 11)).collect()  # IN-list
+            whole.select("vec_id").collect()  # cached CORPUS: unbounded
+            emb.filter(F.col("label") == 2).collect()  # non-key column
+    finally:
+        batch.unpersist()
+        whole.unpersist()
+    verdicts = [(s.verdict, s.rows is not None) for s in sites]
+    assert verdicts == [
+        ("BOUNDED", True),
+        ("BOUNDED", True),
+        ("UNBOUNDED", True),
+        ("UNBOUNDED", True),
+    ], [(s.verdict, s.reason) for s in sites]
+    assert "InMemoryRelation[Filter pins unique key vec_id" in sites[0].reason
+    assert "Filter pins unique key vec_id of embeddings to <= 3" in sites[1].reason
 
 
 def test_waivers_reference_live_entries():

@@ -54,6 +54,25 @@ ROW_CAP = 25_000
 # Scale-invariant fixture tables: safe to materialize whole.
 _BOUNDED_TABLES = ("region", "nation")
 
+# Fixture columns that are unique row keys of their table (the driver's
+# testdata generator emits exactly one row per key value at every scale
+# factor).  A Filter that pins such a column to at most _ID_FILTER_CAP
+# literal values is row-bounded BY SHAPE: N key values → at most N rows,
+# independent of the table's scale — the proof an id-keyed batch collect
+# (index insert/upsert batches, ooc query sets) relies on.  The walker
+# only applies the rule when every data leaf under the Filter is the
+# matching fixture table, so an alias of a non-unique column to one of
+# these names over a different relation cannot borrow the proof.
+_UNIQUE_ID_COLS = {
+    "vec_id": "embeddings",
+    "doc_id": "documents",
+    "o_orderkey": "orders",
+    "c_custkey": "customer",
+    "p_partkey": "part",
+    "s_suppkey": "supplier",
+}
+_ID_FILTER_CAP = 1_000
+
 # Sites whose boundedness is proved at RUNTIME (a cap-probe guard, an
 # id-filtered query set) rather than by plan shape — the walker cannot see
 # through an InMemoryRelation or prove a filter selective.  A waiver does
@@ -123,12 +142,165 @@ class CollectSite:
     rows: int | None
 
 
+def _strip_casts(jexpr):
+    while jexpr.nodeName() == "Cast" and jexpr.children().size() == 1:
+        jexpr = jexpr.children().apply(0)
+    return jexpr
+
+
+def _literal_long(jexpr):
+    """Integer value of a (possibly cast-wrapped) Literal, else None."""
+    jexpr = _strip_casts(jexpr)
+    if jexpr.nodeName() != "Literal":
+        return None
+    try:
+        return int(str(jexpr.value()))
+    except (TypeError, ValueError):
+        return None
+
+
+def _attr_name(jexpr):
+    jexpr = _strip_casts(jexpr)
+    if jexpr.nodeName() == "AttributeReference":
+        return jexpr.name()
+    return None
+
+
+def _conjuncts(jexpr):
+    if jexpr.nodeName() == "And":
+        return _conjuncts(jexpr.children().apply(0)) + _conjuncts(
+            jexpr.children().apply(1)
+        )
+    return [jexpr]
+
+
+def _filter_key_bound(jcond) -> tuple[str, int] | None:
+    """(attr, max distinct values) if the condition pins ONE attribute to
+    a finite literal set: ``attr IN (lits)``, ``attr = lit``, or a closed
+    integral range ``attr >= a AND attr < b`` (any comparison orientation).
+    Returns the tightest bound across conjuncts; None when no conjunct
+    yields a finite set."""
+    in_eq: dict[str, int] = {}
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    for c in _conjuncts(jcond):
+        n = c.nodeName()
+        kids = c.children()
+        if n == "In" and kids.size() >= 2:
+            attr = _attr_name(kids.apply(0))
+            if attr is None:
+                continue
+            vals = [_literal_long(kids.apply(i)) for i in range(1, kids.size())]
+            if all(v is not None for v in vals):
+                cnt = len(set(vals))
+                in_eq[attr] = min(in_eq.get(attr, cnt), cnt)
+        elif n == "EqualTo" and kids.size() == 2:
+            for a, b in ((0, 1), (1, 0)):
+                attr = _attr_name(kids.apply(a))
+                if attr is not None and _literal_long(kids.apply(b)) is not None:
+                    in_eq[attr] = 1
+                    break
+        elif n in ("GreaterThan", "GreaterThanOrEqual", "LessThan",
+                   "LessThanOrEqual") and kids.size() == 2:
+            # normalize to attr-on-left inclusive bounds
+            attr, lit = _attr_name(kids.apply(0)), _literal_long(kids.apply(1))
+            flipped = False
+            if attr is None:
+                attr, lit = _attr_name(kids.apply(1)), _literal_long(kids.apply(0))
+                flipped = True
+            if attr is None or lit is None:
+                continue
+            op = n
+            if flipped:  # lit OP attr  ≡  attr FLIP(OP) lit
+                op = {"GreaterThan": "LessThan",
+                      "GreaterThanOrEqual": "LessThanOrEqual",
+                      "LessThan": "GreaterThan",
+                      "LessThanOrEqual": "GreaterThanOrEqual"}[op]
+            if op == "GreaterThan":
+                lo[attr] = max(lo.get(attr, lit + 1), lit + 1)
+            elif op == "GreaterThanOrEqual":
+                lo[attr] = max(lo.get(attr, lit), lit)
+            elif op == "LessThan":
+                hi[attr] = min(hi.get(attr, lit - 1), lit - 1)
+            else:
+                hi[attr] = min(hi.get(attr, lit), lit)
+    best: tuple[str, int] | None = None
+    for attr in set(in_eq) | (set(lo) & set(hi)):
+        cnts = []
+        if attr in in_eq:
+            cnts.append(in_eq[attr])
+        if attr in lo and attr in hi:
+            cnts.append(max(0, hi[attr] - lo[attr] + 1))
+        cnt = min(cnts)
+        if best is None or cnt < best[1]:
+            best = (attr, cnt)
+    return best
+
+
+def _leaf_descriptor(jplan) -> str:
+    """nodeName plus whatever source identity the leaf exposes — for file
+    relations the FileIndex root paths (Spark 4's LogicalRelation.toString
+    no longer embeds the path)."""
+    s = str(jplan.toString())
+    try:
+        s += "|" + str(jplan.relation().location().rootPaths().mkString(","))
+    except Exception:
+        pass
+    return f"{jplan.nodeName()}|{s}"
+
+
+def _leaf_relations(jplan, out: list[str]) -> None:
+    """Collect a descriptor of every leaf node under ``jplan``."""
+    n = jplan.children().size()
+    if n == 0:
+        out.append(_leaf_descriptor(jplan))
+        return
+    for i in range(n):
+        _leaf_relations(jplan.children().apply(i), out)
+
+
 def _plan_bounded(jplan) -> tuple[bool, str]:
     """Walk an optimized logical plan from the root; True iff the output
     cardinality is dimension-bounded by shape."""
     name = jplan.nodeName()
     if name in _BOUNDED_ROOTS:
         return True, name
+    if name == "InMemoryRelation":
+        # A cached frame hides its source behind this leaf; the plan that
+        # was cached is still attached (CachedRDDBuilder.logicalPlan) —
+        # recurse into it so a batch-bounded cached relation (e.g. an
+        # eager_cache'd insert batch) classifies like its source would.
+        try:
+            cached = jplan.cacheBuilder().logicalPlan()
+        except Exception as e:
+            return False, f"InMemoryRelation: cached plan unreachable ({e})"
+        ok, why = _plan_bounded(cached)
+        return ok, f"InMemoryRelation[{why}]"
+    if name == "Filter":
+        # An id-pinning filter over a unique-key fixture table is bounded
+        # by the number of literal key values it admits, whatever the
+        # table's scale (see _UNIQUE_ID_COLS).
+        try:
+            bound = _filter_key_bound(jplan.condition())
+        except Exception:
+            bound = None
+        if bound is not None:
+            attr, cnt = bound
+            table = _UNIQUE_ID_COLS.get(attr)
+            if table is not None and cnt <= _ID_FILTER_CAP:
+                leaves: list[str] = []
+                _leaf_relations(jplan, leaves)
+                data_leaves = [
+                    s for s in leaves
+                    if not s.startswith(("LocalRelation|", "OneRowRelation|",
+                                         "Range|"))
+                ]
+                if data_leaves and all(table in s for s in data_leaves):
+                    return True, (
+                        f"Filter pins unique key {attr} of {table} "
+                        f"to <= {cnt} values"
+                    )
+        # fall through: an unproven filter is row-preserving pass-through
     if name in _PASS_THROUGH or (
         name not in _MULTI_CHILD_ALL and jplan.children().size() == 1
     ):
@@ -148,7 +320,7 @@ def _plan_bounded(jplan) -> tuple[bool, str]:
     if name in ("LocalRelation", "OneRowRelation", "Range"):
         return True, name
     if name in ("LogicalRelation", "Relation", "HiveTableRelation"):
-        s = jplan.toString()
+        s = _leaf_descriptor(jplan)
         if any(f"{t}.parquet" in s or f"/{t}" in s for t in _BOUNDED_TABLES):
             return True, "bounded dimension relation"
         return False, "data-sized relation at plan root"
