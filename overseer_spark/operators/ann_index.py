@@ -208,6 +208,59 @@ def ivf_index_topk(
     )
 
 
+def hard_negatives_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    overfetch: int = 50,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining through a persisted ANN index (VERDICT r11
+    ask #3 — the production path of hard_negative_mining's exact pass):
+    the FAISS-negatives pattern from DPR/ANCE (Karpukhin et al. 2020;
+    Xiong et al. 2021). Probe the IVF index with OVER-FETCH
+    (``overfetch`` > k candidates per anchor, ``n_probe`` cells), drop
+    each anchor's positives with one rank-list-sized anti-join, keep
+    the top-``k`` survivors under the exact ordering. The index scores
+    candidates with the exact rounded cosine (IVF approximates only
+    WHICH vectors are scored, never their similarity), so the re-rank
+    is a window over the shortlist — no second corpus scan.
+
+    Cost at scale: anchors × (n_probe/n_cells) of the corpus bytes for
+    the probe (static partition pruning via ivf_index_topk) + two
+    shortlist-sized joins — per-anchor work independent of corpus size,
+    vs the exact pass's full corpus × anchors crossJoin. Over-fetch
+    covers two loss modes: positives inside the shortlist (dropped by
+    the anti-join — choose overfetch ≥ k + expected positives in the
+    top-overfetch) and IVF cell misses (raise n_probe; measure with
+    the recall evals before trusting a config at a new scale —
+    SCALING.md ladder discipline).
+
+    ``queries``: (id_col, vec_col) anchor batch. ``positives``:
+    (query_id, pos_id) pairs banned per anchor (the anchor itself is
+    excluded by the probe already). Returns
+    (query_id, vec_id, sim, hn_rank ≤ k)."""
+    short = ivf_index_topk(
+        spark, path, queries, k=overfetch, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", id_col, "sim")
+    neg = short.join(
+        positives.select(
+            "query_id", F.col("pos_id").alias(id_col)
+        ),
+        ["query_id", id_col],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return neg.withColumn(
+        "hn_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("hn_rank") <= k)
+
+
 def bucket_predicate(buckets) -> "F.Column":
     """Partition predicate selecting exactly the (table, sig) buckets.
 
@@ -300,6 +353,23 @@ def max_files_per_cell(spark: SparkSession, path: str) -> int:
     return mx
 
 
+def graph_index_file_counts(spark: SparkSession, path: str) -> dict:
+    """Data-file counts of the graph index's append-fragmented
+    directories — {"qv": n, "edges": n}: the fragmentation gauge that
+    triggers force-compaction under sustained insert ingest
+    (streaming/ingest.py graph mode; the graph twin of
+    max_files_per_cell). One directory listing each, no data read."""
+    out = {}
+    for name in ("qv", "edges"):
+        fs, d = _hadoop_fs(spark, f"{path}/{name}")
+        out[name] = sum(
+            1
+            for st in fs.listStatus(d)
+            if not st.getPath().getName().startswith(("_", "."))
+        )
+    return out
+
+
 def upsert_into_ivf_index(
     spark: SparkSession,
     path: str,
@@ -326,26 +396,28 @@ def upsert_into_ivf_index(
     An upsert also RESURRECTS: the batch's ids are dropped from any
     outstanding tombstones (delete → upsert must yield the new row, but
     the probe's anti-join is id-keyed, so a stale tombstone would mask
-    it). The tombstone rewrite follows the snapshot discipline — the
-    replacement set is written before the snapshotted files are
-    removed, so a crash can only leave already-superseded duplicates,
-    never lose a tombstone.
+    it). The tombstone drop runs LAST — after the cell rewrite and the
+    append (ADVICE r11): clearing first would open a crash window where
+    a tombstoned id's OLD physical row is unmasked before the rewrite
+    removes it (a probe would serve the stale vector), and a crash
+    between the cell swaps and the append would lose the upserted ids
+    outright. With the drop last, every interrupted prefix leaves the
+    batch's ids still masked — probes see the pre-upsert "deleted"
+    state, never a stale or half-written row — and re-running the
+    upsert completes it. The drop itself follows the snapshot
+    discipline (replacement set written before the snapshotted files
+    are removed), so a crash inside it leaves only already-superseded
+    duplicate tombstones. Remaining non-atomic window, like compact: a
+    crash BETWEEN the per-cell directory swaps leaves swapped and
+    unswapped cells side by side (each individual swap rolls back
+    in-process; a hard kill between them needs the ``__old`` dirs for
+    manual restore).
 
     Cost is O(affected cells) rewrite + O(batch) append — never a full
     index rewrite, never a corpus shuffle. Ids absent from the index
     degrade to a plain append. Returns {"n_rewritten_cells": ...}."""
     ids_df = batch.select(id_col).distinct()
     id_list = [r[0] for r in ids_df.collect()]  # batch-sized, driver-safe
-    fs_t, tomb_files = _tombstone_files(spark, path)
-    if tomb_files:
-        tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
-        if tomb.filter(F.col(id_col).isin(id_list)).count() > 0:
-            remaining = tomb.filter(~F.col(id_col).isin(id_list)).distinct()
-            remaining.coalesce(1).write.mode("append").parquet(
-                f"{path}/tombstones"
-            )
-            for p in tomb_files:
-                fs_t.delete(p, False)
     vectors = f"{path}/vectors"
     hit = (
         spark.read.parquet(vectors)
@@ -382,6 +454,26 @@ def upsert_into_ivf_index(
     append_to_ivf_index(
         batch.select(id_col, vec_col), path, id_col=id_col, vec_col=vec_col
     )
+    # LAST: unmask the batch's ids (resurrection) — see the docstring's
+    # crash-ordering argument (ADVICE r11)
+    fs_t, tomb_files = _tombstone_files(spark, path)
+    if tomb_files:
+        tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
+        if tomb.filter(F.col(id_col).isin(id_list)).count() > 0:
+            remaining = eager_cache(
+                tomb.filter(~F.col(id_col).isin(id_list)).distinct()
+            )
+            if remaining.limit(1).count() > 0:
+                # snapshot discipline: replacement written BEFORE the
+                # snapshotted files go; an all-ids-resurrected set writes
+                # nothing (a 0-row part file would make _tombstones
+                # return a pointless empty set instead of None)
+                remaining.coalesce(1).write.mode("append").parquet(
+                    f"{path}/tombstones"
+                )
+            for p in tomb_files:
+                fs_t.delete(p, False)
+            remaining.unpersist()
     return {"n_rewritten_cells": len(cells)}
 
 
@@ -452,6 +544,39 @@ def compact_ivf_index(
     return plan
 
 
+def _edges_table_name(path: str) -> str:
+    """Deterministic catalog name for a bucketed edge table at ``path``
+    (the metastore needs a name; the index abstraction is a path)."""
+    import hashlib  # noqa: PLC0415
+
+    return "graph_edges_" + hashlib.md5(path.encode()).hexdigest()[:12]
+
+
+def _register_bucketed_edges(
+    spark: SparkSession, path: str, n_buckets: int
+) -> str:
+    """Ensure the bucketed edge files at ``{path}/edges`` are reachable
+    as a catalog table in THIS session (bucket metadata lives in the
+    catalog, not the parquet files — a fresh session must re-register
+    the external table to get exchange-free joins back)."""
+    tbl = _edges_table_name(path)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (src BIGINT, dst BIGINT) USING parquet "
+            f"CLUSTERED BY (src) SORTED BY (src) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}/edges'"
+        )
+    return tbl
+
+
+def _graph_index_meta(spark: SparkSession, path: str) -> dict:
+    """The index's meta row as a dict — tolerant of pre-r12 indexes
+    whose meta lacks the bucketed-edge columns."""
+    row = spark.read.parquet(f"{path}/meta").first().asDict()
+    row.setdefault("edges_buckets", None)
+    return row
+
+
 def build_graph_index(
     corpus: DataFrame,
     path: str,
@@ -462,6 +587,7 @@ def build_graph_index(
     hub_cap: int = 64,
     prebuilt=None,
     tree_depth: int | None = None,
+    bucket_edges: int | None = None,
 ) -> None:
     """Persist the graph-ANN SERVING structure (operators/graph.py:
     serving_knn_graph) — the graph twin of build_ivf_index, and the
@@ -496,7 +622,23 @@ def build_graph_index(
     doesn't carry). Beam output from the persisted index is
     bit-identical to serving the in-memory build (integer-quantized
     sims survive the parquet round trip exactly; asserted in
-    tests/test_ann_index.py)."""
+    tests/test_ann_index.py).
+
+    ``bucket_edges`` (VERDICT r11 ask #4) writes the edge set as a
+    BUCKETED external table — ``bucketBy(src).sortBy(src)`` into
+    ``{path}/edges`` — instead of plain repartition(src) parquet: the
+    bucket spec is recorded in the catalog, so each serve hop's
+    frontier ⋈ edges probe needs NO edge-side exchange (only the
+    beam-sized frontier shuffles to the bucket layout; pinned in
+    tests/test_plans.py). At 10⁹-edge indexes the per-hop edge shuffle
+    is the dominant serve cost — this is the production serving layout.
+    The trade: a bucketed index is IMMUTABLE serving state —
+    insert/compact refuse it (plain parquet appends would violate the
+    bucket-file contract); ingest happens on the default layout (or a
+    rebuild), exactly the DiskANN builder/serving-replica split. The
+    bucket count is persisted in the meta row; a fresh session
+    re-registers the external table from it (bucket metadata lives in
+    the catalog, not the files)."""
     from overseer_spark.operators.graph import (  # noqa: PLC0415
         hub_reach_depth,
         serving_knn_graph,
@@ -518,13 +660,30 @@ def build_graph_index(
         entries = cells.groupBy("cell").agg(F.min("vec_id").alias("node"))
         if tree_depth is None:
             tree_depth = hub_reach_depth(cells, hub_cap)
+    spark = qv.sparkSession
     qv.write.mode("overwrite").parquet(f"{path}/qv")
-    edges.repartition(F.col("src")).write.mode("overwrite").parquet(
-        f"{path}/edges"
-    )
+    if bucket_edges is None:
+        edges.repartition(F.col("src")).write.mode("overwrite").parquet(
+            f"{path}/edges"
+        )
+    else:
+        tbl = _edges_table_name(path)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            edges.select(
+                F.col("src").cast("long"), F.col("dst").cast("long")
+            )
+            .repartition(bucket_edges, "src")
+            .write.mode("overwrite")
+            .bucketBy(bucket_edges, "src")
+            .sortBy("src")
+            .option("path", f"{path}/edges")
+            .saveAsTable(tbl)
+        )
     entries.select("node").write.mode("overwrite").parquet(f"{path}/entries")
-    qv.sparkSession.createDataFrame(
-        [(hub_cap, int(tree_depth))], "hub_cap int, tree_depth int"
+    spark.createDataFrame(
+        [(hub_cap, int(tree_depth), bucket_edges)],
+        "hub_cap int, tree_depth int, edges_buckets int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -559,10 +718,16 @@ def graph_index_topk(
     from overseer_spark.operators.graph import graph_beam_topk  # noqa: PLC0415
 
     qv = spark.read.parquet(f"{path}/qv")
-    edges = spark.read.parquet(f"{path}/edges")
+    meta = _graph_index_meta(spark, path)
+    if meta["edges_buckets"]:
+        # bucketed serving layout: read through the catalog table so the
+        # hop joins inherit the bucket spec (no edge-side exchange)
+        tbl = _register_bucketed_edges(spark, path, int(meta["edges_buckets"]))
+        edges = spark.table(tbl)
+    else:
+        edges = spark.read.parquet(f"{path}/edges")
     entries = spark.read.parquet(f"{path}/entries")
     if hops is None:
-        meta = spark.read.parquet(f"{path}/meta").first()
         hops = int(meta["tree_depth"]) + fine_hops
     if queries is None:
         if query_ids is None:
@@ -618,12 +783,24 @@ def insert_into_graph_index(
     before the snapshotted files are removed)."""
     from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
 
+    if _graph_index_meta(spark, path)["edges_buckets"]:
+        raise ValueError(
+            "insert_into_graph_index: bucketed serving layout is immutable "
+            "(a plain append would violate the bucket-file contract) — "
+            "ingest on a default-layout index, or rebuild"
+        )
+
+    # normalize to the persisted index's FIXED schema immediately: qv
+    # rows are (vec_id, q) whatever the caller's id column is named —
+    # appending under a divergent name would silently accumulate a
+    # second schema in {path}/qv (later reads null the id out) and the
+    # clash/tombstone filters below would miss (ADVICE r11)
     nq = eager_cache(
         quantized_vectors(
             new_batch, id_col=id_col, vec_col=vec_col, cluster_col=None
-        )
+        ).select(F.col(id_col).alias("vec_id"), "q")
     )
-    id_list = [r[0] for r in nq.select(id_col).collect()]
+    id_list = [r[0] for r in nq.select("vec_id").collect()]
     clash = (
         spark.read.parquet(f"{path}/qv")
         .filter(F.col("vec_id").isin(id_list))
@@ -638,15 +815,19 @@ def insert_into_graph_index(
     if tomb_files:
         tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
         if tomb.filter(F.col("vec_id").isin(id_list)).count() > 0:
-            remaining = tomb.filter(~F.col("vec_id").isin(id_list)).distinct()
-            remaining.coalesce(1).write.mode("append").parquet(
-                f"{path}/tombstones"
+            remaining = eager_cache(
+                tomb.filter(~F.col("vec_id").isin(id_list)).distinct()
             )
+            if remaining.limit(1).count() > 0:
+                remaining.coalesce(1).write.mode("append").parquet(
+                    f"{path}/tombstones"
+                )
             for p in tomb_files:
                 fs_t.delete(p, False)
+            remaining.unpersist()
     nearest = graph_index_topk(
         spark, path,
-        queries=nq.select(F.col(id_col).alias("query_id"), F.col("q").alias("qv")),
+        queries=nq.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv")),
         entry_top=entry_top, beam=beam, k=edge_k, fine_hops=fine_hops,
     )
     new_edges = nearest.select(
@@ -677,10 +858,16 @@ def delete_from_graph_index(
     delete_from_ivf_index(spark, path, ids, id_col=id_col)
 
 
-def compact_graph_index(spark: SparkSession, path: str) -> dict:
+def compact_graph_index(
+    spark: SparkSession, path: str, force: bool = False
+) -> dict:
     """Fold tombstones into the graph index (the consolidate_deletes
     pass of DiskANN, as dataflow) and compact the append-fragmented
-    qv/edges files:
+    qv/edges files. ``force=True`` runs the file fold even with an
+    EMPTY delete set — the streaming-ingest trigger
+    (streaming/ingest.py graph mode): sustained insert batches
+    fragment qv/edges one file per batch, and without tombstones the
+    default fast-path would never fold them:
 
     - qv: tombstoned rows dropped.
     - edges: edges touching a deleted node dropped; each deleted node's
@@ -701,14 +888,22 @@ def compact_graph_index(spark: SparkSession, path: str) -> dict:
     Returns {"n_deleted": ..., "n_bridge_edges": ...} for monitoring."""
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
+    if _graph_index_meta(spark, path)["edges_buckets"]:
+        raise ValueError(
+            "compact_graph_index: bucketed serving layout is immutable — "
+            "rebuild instead of compacting"
+        )
     _, tomb_files = _tombstone_files(spark, path)
-    if not tomb_files:
+    if not tomb_files and not force:
         return {"n_deleted": 0, "n_bridge_edges": 0}
-    tomb = eager_cache(
-        spark.read.parquet(*[p.toString() for p in tomb_files])
-        .select("vec_id")
-        .distinct()
-    )
+    if tomb_files:
+        tomb = eager_cache(
+            spark.read.parquet(*[p.toString() for p in tomb_files])
+            .select("vec_id")
+            .distinct()
+        )
+    else:  # force-fold with an empty delete set
+        tomb = spark.createDataFrame([], "vec_id long")
     dead = tomb.withColumnRenamed("vec_id", "_dead")
     qv = spark.read.parquet(f"{path}/qv")
     edges = spark.read.parquet(f"{path}/edges")
@@ -755,6 +950,21 @@ def compact_graph_index(spark: SparkSession, path: str) -> dict:
         .unionByName(replacements)
         .distinct()
     )
+    # Guard (ADVICE r11): a delete set covering every entry node with no
+    # surviving out-neighbor leaves kept_entries EMPTY — Spark writes no
+    # part files for an empty frame, so after the swap the entries read
+    # fails schema inference and the whole index is unservable. Fall back
+    # to the minimum surviving qv id (the same deterministic choice the
+    # builder makes per cell); if nothing survives at all, refuse — a
+    # total delete wants the index directory removed, not compacted.
+    if kept_entries.limit(1).count() == 0:
+        fallback = kept_qv.agg(F.min("vec_id").alias("node")).first()["node"]
+        if fallback is None:
+            raise ValueError(
+                "compact_graph_index: compaction would delete every vector "
+                "— remove the index directory instead of compacting it"
+            )
+        kept_entries = spark.createDataFrame([(int(fallback),)], "node long")
     stats = {
         "n_deleted": tomb.count(),
         "n_bridge_edges": bridges.count(),

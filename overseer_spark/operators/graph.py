@@ -513,9 +513,13 @@ def graph_beam_topk(
         )
     res = visited.filter(F.col("node") != F.col("query_id"))
     if exclude is not None:
-        res = res.join(
-            F.broadcast(exclude.select("node").distinct()), "node", "left_anti"
-        )
+        # no broadcast hint: the exclude set is the index's tombstone
+        # backlog, unbounded between compactions — forcing a broadcast
+        # would cap sustained deletes at the driver/broadcast limit
+        # (ADVICE r11). The optimizer still broadcasts while the set is
+        # small and degrades to a shuffled anti-join when it isn't; the
+        # left side is the batch-sized visited set either way.
+        res = res.join(exclude.select("node").distinct(), "node", "left_anti")
     return (
         res
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))

@@ -58,6 +58,66 @@ def cosine_topk(
     )
 
 
+def _assign_cells_blas(
+    spread_corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Blocked-BLAS E-step (VERDICT r11 ask #5 — the large-k regime):
+    one dgemm per Arrow batch against the broadcast centroid matrix,
+    per-row (sim DESC, cell ASC) top-``n_probe`` via lexsort — the
+    knn_graph_edges block-scorer pattern applied to assignment. At
+    k ≈ √n ≈ 3·10⁴ centroids the expression-tree E-step evaluates n·k
+    per-pair fold expressions in the JVM; dgemm turns that into
+    n/batch BLAS calls with the k×d matrix resident once per worker.
+
+    Float posture: sims here are dgemm-accumulated doubles while the
+    aggregate path folds element-by-element, so individual sims can
+    differ in the last ulp — the ASSIGNMENT is argmax over
+    well-separated trained centroids, which both paths resolve
+    identically unless two centroids sit within ~1e-15 relative of a
+    vector (interleaved A/B at the sf0.01 fixture and the 100x rung:
+    zero assignment diffs — see SCALING.md; re-verify before trusting
+    a new corpus whose centroids can collide, e.g. a constant-column
+    training set below the FAISS points-per-centroid floor)."""
+    rows = cents.collect()  # k×d doubles — the path's precondition
+    spark = spread_corpus.sparkSession
+    import numpy as np  # noqa: PLC0415
+
+    cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["_cvec"]) for r in rows], dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]
+    bc = spark.sparkContext.broadcast((cell_ids, Cn))
+    take = min(n_probe, len(rows))
+
+    def score(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        cells_, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nx = np.sqrt((X * X).sum(axis=1))
+            sims = (X @ cn.T) / nx[:, None]
+            order = np.lexsort(
+                (np.broadcast_to(cells_, sims.shape), -sims), axis=-1
+            )[:, :take]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), take),
+                    "cell": cells_[order].ravel(),
+                }
+            )
+
+    return spread_corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, cell long"
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -65,6 +125,8 @@ def assign_cells(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     n_probe: int = 1,
+    estep: str = "auto",
+    blas_threshold: int = 1024,
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid(s) by cosine (deterministic
     centroids = lowest-id vectors unless given). Adds a ``cell`` column;
@@ -89,13 +151,29 @@ def assign_cells(
     n-row equi-join): routing the embedding arrays through the
     aggregation buffers measured 268 s at the 100x rung (n·k array
     copies) vs ~10 s for score-only aggregate + payload join. Full
-    build at 100x: 451 s (window) → 98 s."""
+    build at 100x: 451 s (window) → 98 s.
+
+    ``estep`` picks the candidate-scoring engine: "aggregate" (the
+    expression-tree path above), "blas" (_assign_cells_blas — dgemm
+    per Arrow batch, the k ≳ 10³ regime where n·k JVM fold expressions
+    dominate the build; VERDICT r11 ask #5), or "auto" (default):
+    blas once the centroid count reaches ``blas_threshold``, so every
+    existing √n-sized caller keeps the aggregate plan (pins
+    unchanged) and a 10⁹-vector build with k ≈ 3·10⁴ gets dgemm
+    without a code change."""
+    k_known = n_cells if centroids is None else None
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_cells)
     cents = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
     )
     spread_corpus = spread(corpus, id_col)
+    if estep == "auto":
+        k = k_known if k_known is not None else cents.count()
+        estep = "blas" if k >= blas_threshold else "aggregate"
+    if estep == "blas":
+        win = _assign_cells_blas(spread_corpus, cents, id_col, vec_col, n_probe)
+        return spread_corpus.join(win, id_col).select(*corpus.columns, "cell")
     scored = (
         spread_corpus.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))

@@ -150,3 +150,64 @@ def vector_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def graph_vector_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    compact_files: int = 8,
+    edge_k: int = 12,
+    entry_top: int = 12,
+    beam: int = 48,
+    fine_hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_path: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous vector ingest into a persisted GRAPH index (VERDICT
+    r11 ask #7 — the graph twin of ``vector_ingest_stream``): every
+    micro-batch runs the batch ``insert_into_graph_index`` (DiskANN-
+    style beam placement over the index as it stands + bidirectional
+    links — the heavily-tested batch semantics reused verbatim, so a
+    stream of N batches is bit-equivalent to the same N batches
+    inserted manually IN ORDER; unlike IVF appends, graph inserts do
+    NOT commute — each batch links against everything inserted before
+    it, which foreachBatch's sequential per-batch execution preserves),
+    then a THRESHOLD-TRIGGERED force-compaction: inserts fragment
+    qv/edges one file per batch, so when the qv directory's data-file
+    count reaches ``compact_files``, ``compact_graph_index(force=True)``
+    folds BOTH directories (and any out-of-band tombstones) — file
+    counts stay bounded across unbounded ingest (asserted in
+    tests/test_stream_ingest.py). The gauge is the qv count: it grows
+    exactly one file per insert batch and folds back to a small
+    constant, while the edge fold's own file count is the shuffle
+    layout's (repartition(src)), so gauging on it would re-trigger
+    immediately. Serving continues mid-stream: the fold is
+    content-preserving, and probe results change only where a
+    newly-inserted vector legitimately outranks an old neighbor.
+
+    Returns the StreamingQuery. The trigger check is two directory
+    listings per batch — metadata-only, against the same filesystem
+    the index lives on."""
+    from overseer_spark.operators import ann_index as AI
+
+    spark = stream_df.sparkSession
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        AI.insert_into_graph_index(
+            spark, index_path, batch_df.select(id_col, vec_col),
+            edge_k=edge_k, entry_top=entry_top, beam=beam,
+            fine_hops=fine_hops, id_col=id_col, vec_col=vec_col,
+        )
+        if AI.graph_index_file_counts(spark, index_path)["qv"] >= compact_files:
+            AI.compact_graph_index(spark, index_path, force=True)
+
+    writer = stream_df.writeStream.foreachBatch(ingest)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

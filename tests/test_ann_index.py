@@ -667,6 +667,187 @@ def test_upsert_last_writer_wins(spark, emb):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_upsert_crash_before_tombstone_drop_keeps_ids_masked(
+    spark, emb, monkeypatch
+):
+    """ADVICE r11 (medium): upsert's tombstone drop (resurrection) runs
+    LAST. A flow that dies after the cell rewrite but before the append
+    must leave the batch's ids still tombstone-masked — the old ordering
+    cleared tombstones FIRST, opening a crash window where a probe
+    served the stale, supposedly-deleted vector. Re-running the upsert
+    then completes it."""
+    d = tempfile.mkdtemp(prefix="ivf_upsert_crash_")
+    try:
+        AI.build_ivf_index(emb.filter(F.col("vec_id") >= 10), d, n_cells=N_CELLS)
+        AI.delete_from_ivf_index(spark, d, [17])
+        new_vec = emb.filter(F.col("vec_id") == 5).select(
+            F.lit(17).cast("long").alias("vec_id"), "embedding"
+        )
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before append")
+
+        monkeypatch.setattr(AI, "append_to_ivf_index", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            AI.upsert_into_ivf_index(spark, d, new_vec)
+        monkeypatch.undo()
+        # the id is STILL masked: tombstone intact, probes never serve it
+        tomb = AI._tombstones(spark, d, "vec_id")
+        assert tomb is not None and {r[0] for r in tomb.collect()} == {17}
+        q = emb.filter(F.col("vec_id") < 5)
+        served = {
+            r["vec_id"]
+            for r in AI.ivf_index_topk(spark, d, q, k=10, n_probe=N_PROBE)
+            .collect()
+        }
+        assert 17 not in served
+        # re-running the upsert completes: new row visible, tombstone gone
+        AI.upsert_into_ivf_index(spark, d, new_vec)
+        assert AI._tombstones(spark, d, "vec_id") is None
+        back = spark.read.parquet(f"{d}/vectors").filter(F.col("vec_id") == 17)
+        assert back.count() == 1
+        want = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]
+        ]
+        assert [float(x) for x in back.first()["embedding"]] == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_graph_insert_normalizes_caller_id_column(spark, emb):
+    """ADVICE r11: insert_into_graph_index with a non-default id_col must
+    append under the index's FIXED (vec_id, q) schema — not the caller's
+    column name, which would accumulate a divergent schema in {path}/qv
+    and blind the physical-clash check."""
+    d = tempfile.mkdtemp(prefix="graph_idcol_")
+    try:
+        AI.build_graph_index(
+            emb.filter(F.col("vec_id") >= 400), d, n_cells=4, n_probe=2,
+            edge_k=6,
+        )
+        batch = emb.filter(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") < 8)
+        ).select(F.col("vec_id").alias("item_id"), "embedding")
+        AI.insert_into_graph_index(spark, d, batch, id_col="item_id")
+        qv = spark.read.parquet(f"{d}/qv")
+        assert sorted(qv.columns) == ["q", "vec_id"]  # one schema, no nulls
+        assert qv.filter(F.col("vec_id").isNull()).count() == 0
+        assert qv.filter(F.col("vec_id").isin([5, 6, 7])).count() == 3
+        # the clash check sees the normalized ids on a re-insert
+        with pytest.raises(ValueError, match="already have"):
+            AI.insert_into_graph_index(spark, d, batch, id_col="item_id")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hard_negatives_topk_recall_floor(spark, emb, index_path):
+    """hard_negatives_topk (VERDICT r11 ask #3): the ANN-shortlist
+    hard-negative pass must (a) never emit a positive or the anchor
+    itself, (b) keep per-anchor output dense at k, and (c) overlap the
+    exact top-5 negative set at >= 0.9 on this fixture (measured 0.928;
+    the ladder rows live in SCALING.md — 0.960 at sf0.1, 0.896 at 10x,
+    flat across 2.5 decades)."""
+    from pyspark.sql import Window
+
+    from overseer_spark.functions.vectors import cosine_similarity
+
+    qa = emb.filter(F.col("vec_id") < 25)
+    positives = (
+        qa.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("pos_id"), "label"),
+            F.col("qlabel") == F.col("label"),
+        )
+        .select("query_id", "pos_id")
+    )
+    got = AI.hard_negatives_topk(
+        spark, index_path, qa.select("vec_id", "embedding"), positives,
+        k=5, overfetch=50, n_probe=8,
+    ).collect()
+    # dense at k, no anchor, no positive
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in got)
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 25, per_q
+    pos_set = {(r["query_id"], r["pos_id"]) for r in positives.collect()}
+    for r in got:
+        assert r["vec_id"] != r["query_id"]
+        assert (r["query_id"], r["vec_id"]) not in pos_set
+    # exact truth overlap
+    q = qa.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in s.withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .collect()
+    }
+    hits = {(r["query_id"], r["vec_id"]) for r in got} & truth
+    assert len(hits) / len(truth) >= 0.9, len(hits) / len(truth)
+
+
+def test_compact_graph_entry_fallback_and_total_delete_refusal(spark):
+    """ADVICE r11: a compaction that would leave ZERO entry nodes (every
+    entry tombstoned with no surviving out-neighbor) falls back to the
+    minimum surviving qv id — an empty entries frame writes no parquet
+    part files and leaves the index unservable. Deleting EVERY vector is
+    refused with a clear error instead of producing that state."""
+    d = tempfile.mkdtemp(prefix="graph_empty_entries_")
+    try:
+        qv = spark.createDataFrame(
+            [(1, [10, 0]), (2, [0, 10]), (3, [7, 7])],
+            "vec_id long, q array<long>",
+        )
+        qv.write.parquet(f"{d}/qv")
+        spark.createDataFrame(
+            [(1, 2), (2, 1)], "src long, dst long"
+        ).write.parquet(f"{d}/edges")
+        spark.createDataFrame([(1,)], "node long").write.parquet(f"{d}/entries")
+        spark.createDataFrame(
+            [(64, 1)], "hub_cap int, tree_depth int"
+        ).write.parquet(f"{d}/meta")
+        # entry node 1 and its only neighbor 2 both die -> no bridge
+        # partner survives; node 3 (isolated) must become the entry
+        AI.delete_from_graph_index(spark, d, [1, 2])
+        AI.compact_graph_index(spark, d)
+        ents = [r["node"] for r in spark.read.parquet(f"{d}/entries").collect()]
+        assert ents == [3]
+        got = AI.graph_index_topk(
+            spark, d,
+            queries=spark.createDataFrame(
+                [(999, [5, 5])], "query_id long, qv array<long>"
+            ),
+            entry_top=2, beam=4, k=2,
+        ).collect()
+        assert [r["vec_id"] for r in got] == [3]  # index still servable
+        # deleting the last survivor: refuse, don't write an empty index
+        AI.delete_from_graph_index(spark, d, [3])
+        with pytest.raises(ValueError, match="every vector"):
+            AI.compact_graph_index(spark, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_ivf_lifecycle_random_sequence_content_parity(spark, emb):
     """Seeded random interleaving of append / delete / upsert / compact
     against a pure-Python content model: after every sequence the index's

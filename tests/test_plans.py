@@ -860,3 +860,101 @@ def test_curriculum_cumsum_window_is_partitioned(spark):
     assert re.search(r"hashpartitioning\(q_int#\d+", plan), (
         "per-doc cumsum window lost its q_int partitioning:\n" + plan
     )
+
+
+def test_graph_bucketed_edges_hop_join_no_edge_exchange(spark):
+    """VERDICT r11 ask #4: with the bucketed serving layout
+    (build_graph_index(bucket_edges=N)), a hop's frontier ⋈ edges probe
+    must read the edge table bucket-aligned — the ONLY exchange in the
+    join is the beam-sized frontier shuffling to the bucket layout; the
+    edge side is a bucketed FileScan with no Exchange above it. Forced
+    to SMJ (broadcast off) so the pin exercises the bucketing, not the
+    broadcast fallback; results are bit-identical either way (the
+    catalog entry shares ann_graph_topk's pin)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators import ann_index as AI
+    from overseer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = tempfile.mkdtemp(prefix="gidx_bucket_plan_")
+    tbl = AI._edges_table_name(d)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        AI.build_graph_index(emb, d, n_cells=4, n_probe=2, edge_k=6,
+                             bucket_edges=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges = spark.table(AI._register_bucketed_edges(spark, d, 8))
+        frontier = (
+            spark.read.parquet(f"{d}/qv")
+            .limit(5)
+            .select(F.col("vec_id").alias("src"))
+            .localCheckpoint()
+        )
+        plan = (
+            frontier.join(edges, "src")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, (
+            "expected exactly the frontier-side exchange:\n" + plan
+        )
+        # the single exchange must sit above the frontier RDD scan, not
+        # the bucketed file scan (which follows its Sort directly)
+        assert re.search(
+            r"Exchange hashpartitioning\(src#\d+L, 8\)(?:[^\n]*\n){1,3}"
+            r"[^\n]*ExistingRDD",
+            plan,
+        ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_graph_bucketed_layout_is_immutable(spark):
+    """The bucketed serving replica refuses lifecycle mutation (a plain
+    parquet append would violate the bucket-file contract): insert and
+    compact raise; delete (tombstone append, a sibling dir) still works
+    and masks at serve time."""
+    import shutil
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators import ann_index as AI
+    from overseer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = tempfile.mkdtemp(prefix="gidx_bucket_immutable_")
+    tbl = AI._edges_table_name(d)
+    try:
+        AI.build_graph_index(
+            emb.filter(F.col("vec_id") >= 5), d, n_cells=4, n_probe=2,
+            edge_k=6, bucket_edges=8,
+        )
+        batch = emb.filter(F.col("vec_id") < 5)
+        with pytest.raises(ValueError, match="immutable"):
+            AI.insert_into_graph_index(spark, d, batch)
+        with pytest.raises(ValueError, match="immutable"):
+            AI.compact_graph_index(spark, d)
+        served = AI.graph_index_topk(
+            spark, d, query_ids=[5], entry_top=4, beam=8, k=5
+        )
+        victim = served.filter(F.col("rank") == 1).first()["vec_id"]
+        AI.delete_from_graph_index(spark, d, [int(victim)])
+        post = {
+            r["vec_id"]
+            for r in AI.graph_index_topk(
+                spark, d, query_ids=[5], entry_top=4, beam=8, k=5
+            ).collect()
+        }
+        assert victim not in post
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(d, ignore_errors=True)

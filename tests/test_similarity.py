@@ -677,3 +677,38 @@ def test_float64_gemm_exact_at_quantization_bound():
     got = (Q.astype(np.float64) @ Q.astype(np.float64).T).astype(np.int64)
     assert np.array_equal(want, got)
     assert abs(want).max() == 64 * 10**10  # the documented bound, hit
+
+
+def test_assign_cells_blas_estep_matches_aggregate(spark):
+    """VERDICT r11 ask #5: the blocked-BLAS E-step (dgemm per Arrow
+    batch) assigns every vector to the SAME cell(s) as the aggregate
+    expression path, single- and multi-probe, with trained centroids —
+    and the auto switch keeps small-k callers on the aggregate plan
+    (no MapInPandas; pins unchanged) while large-k flips to dgemm."""
+    from pyspark.sql import functions as F
+
+    from overseer_spark.operators.util import eager_cache
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cents = eager_cache(V.trained_centroids(emb, 16))
+    for n_probe in (1, 3):
+        a = {
+            (r["vec_id"], r["cell"])
+            for r in V.assign_cells(
+                emb, 16, centroids=cents, n_probe=n_probe, estep="aggregate"
+            ).collect()
+        }
+        b = {
+            (r["vec_id"], r["cell"])
+            for r in V.assign_cells(
+                emb, 16, centroids=cents, n_probe=n_probe, estep="blas"
+            ).collect()
+        }
+        assert a == b and len(a) == 500 * n_probe
+    small = V.assign_cells(emb, 16, centroids=cents)  # auto, k=16
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small
+    big = V.assign_cells(emb, 16, centroids=cents, blas_threshold=16)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big

@@ -157,3 +157,84 @@ def test_vector_ingest_stream_matches_batch_append(spark, tmp):
     # threshold (compact folds to 1 the moment a cell reaches 3)
     assert AI.max_files_per_cell(spark, d_stream) < 3
     assert AI.max_files_per_cell(spark, d_batch) <= 2  # base + one append
+
+
+def test_graph_vector_ingest_stream_matches_sequential_inserts(spark, tmp):
+    """VERDICT r11 ask #7: N micro-batches through foreachBatch
+    insert_into_graph_index are bit-equivalent to the SAME N batches
+    inserted manually in order (graph inserts don't commute — each
+    batch links against everything inserted before it, so batch ORDER
+    is part of the semantics; input-file mtimes are stamped ascending
+    to pin it), the threshold force-compaction keeps the qv file count
+    BOUNDED across the stream, and the fold is content-preserving (the
+    batch twin never compacts yet serves identically)."""
+    import os
+
+    from overseer_spark.operators import ann_index as AI
+    from overseer_spark.streaming.ingest import graph_vector_ingest_stream
+
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") >= 400)
+    chunks = [(5, 10), (10, 15), (15, 20), (20, 25)]
+
+    d_stream = f"{tmp}/idx_stream"
+    d_batch = f"{tmp}/idx_batch"
+    kw = dict(edge_k=6, entry_top=6, beam=24, fine_hops=2)
+    AI.build_graph_index(base, d_stream, n_cells=4, n_probe=2, edge_k=6)
+    AI.build_graph_index(base, d_batch, n_cells=4, n_probe=2, edge_k=6)
+    init_qv = AI.graph_index_file_counts(spark, d_stream)["qv"]
+
+    stamped = set()
+    for i, (lo, hi) in enumerate(chunks):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        for name in os.listdir(f"{tmp}/in"):
+            if name not in stamped:
+                stamped.add(name)
+                os.utime(
+                    os.path.join(f"{tmp}/in", name),
+                    (1_000_000_000 + i, 1_000_000_000 + i),
+                )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    _await(
+        graph_vector_ingest_stream(
+            stream, d_stream, compact_files=init_qv + 2,
+            checkpoint_path=f"{tmp}/ckpt", **kw,
+        )
+    )
+    for lo, hi in chunks:  # the batch twin: same batches, same order
+        AI.insert_into_graph_index(
+            spark, d_batch,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            **kw,
+        )
+
+    from overseer_spark.operators.graph import quantized_vectors
+
+    queries = quantized_vectors(emb.filter(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+
+    def probe(d):
+        return sorted(
+            tuple(r)
+            for r in AI.graph_index_topk(
+                spark, d, queries=queries, entry_top=6, beam=24, k=5,
+                fine_hops=2,
+            ).collect()
+        )
+
+    got, want = probe(d_stream), probe(d_batch)
+    assert got == want and len(got) == 25
+    # boundedness: 4 batches uncompacted sit at init+4 (the batch twin
+    # does); the stream's trigger folded qv back to the fold layout
+    # (coalesce(4)) plus at most one post-fold batch
+    assert AI.graph_index_file_counts(spark, d_stream)["qv"] <= max(
+        init_qv, 4
+    ) + 1
+    assert AI.graph_index_file_counts(spark, d_batch)["qv"] == init_qv + 4
