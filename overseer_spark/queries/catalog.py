@@ -16418,6 +16418,56 @@ def _graph_ann_build_ooc(spark, sf):
     return _memo_repersisted(key)
 
 
+_GRAPH_OOC_INDEX_MEMO: dict = {}
+
+
+def _graph_ann_ooc_index(spark, sf) -> str:
+    """Session-scoped PERSISTED ooc graph index (VERDICT r11 ask #6):
+    the held-out-split serving structure is written to disk ONCE per
+    (SparkContext, sf) and ann_graph_ooc_topk / ann_graph_ooc_recall_eval
+    / ann_graph_ooc_index_topk all serve from the artifact via
+    graph_index_topk — previously the first two re-beamed the in-memory
+    memo while the third wrote (and immediately deleted) its own copy of
+    the index, so the serving-graph build cost was paid against the
+    memo AND the artifact each round. Serving from the index is
+    bit-identical to serving the memoized frames (integer-quantized
+    vectors and long ids survive the parquet round trip exactly — the
+    equality ann_graph_ooc_index_topk's shared pin already witnesses),
+    so all three pins are unchanged. The directory lives for the
+    session (bench.py's clearCache() between runs cannot evict an
+    on-disk artifact) and is removed at interpreter exit."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf, "ooc-index")
+    if key not in _GRAPH_OOC_INDEX_MEMO:
+        qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
+        d = tempfile.mkdtemp(prefix="graph_index_ooc_session_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        AI.build_graph_index(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") >= 50), d,
+            prebuilt=(qv, edges, entries), tree_depth=depth,
+        )
+        _GRAPH_OOC_INDEX_MEMO[key] = d
+    return _GRAPH_OOC_INDEX_MEMO[key]
+
+
+def _ooc_query_batch(spark, sf):
+    """The shared out-of-corpus query batch (vec_id < 5, quantized
+    independently of the corpus) as (query_id, qv)."""
+    from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
+    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+
+    return eager_cache(
+        quantized_vectors(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
+        ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    )
+
+
 @q(
     "ann_graph_ooc_topk",
     # measured pin at sf0.01 (tools/gen_values_pin.py), layout-swept —
@@ -16433,28 +16483,20 @@ def ann_graph_ooc_topk(spark, sf):
     batch = vec_id < 5 quantized independently (per-vector unit
     normalization — no corpus statistics involved). Wider search
     budget than the in-corpus entry (entry_top 12, hops = tree_depth
-    + 3 — one more fine hop than in-corpus, derived like
-    ann_graph_topk's from the hub tree's reach depth — beam 48;
-    measured recall@10 1.0 at sf0.01 vs 0.96 at the in-corpus budget;
-    the eval twin pins it): per-query work is still bounded by
-    entry_top + hops·beam·max_deg candidate scorings with max_deg =
-    207, corpus-size-independent. Build shared with the recall eval
-    via the ooc memo."""
-    from overseer_spark.operators.graph import (  # noqa: PLC0415
-        graph_beam_topk,
-        quantized_vectors,
-    )
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+    + 3 — one more fine hop than in-corpus, derived from the index's
+    own meta row — beam 48; measured recall@10 1.0 at sf0.01 vs 0.96
+    at the in-corpus budget; the eval twin pins it): per-query work is
+    still bounded by entry_top + hops·beam·max_deg candidate scorings
+    with max_deg = 207, corpus-size-independent. Serves the PERSISTED
+    session index (VERDICT r11 ask #6) — one artifact build shared
+    with the recall eval, the index entry and the lifecycle entry;
+    bit-identical to beaming the in-memory build (the shared pin)."""
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
 
-    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
-    queries = eager_cache(
-        quantized_vectors(
-            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
-        ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
-    )
-    return graph_beam_topk(
-        qv, edges, queries, entries,
-        entry_top=12, hops=depth + 3, beam=48, k=10,
+    return AI.graph_index_topk(
+        spark, _graph_ann_ooc_index(spark, sf),
+        queries=_ooc_query_batch(spark, sf),
+        entry_top=12, beam=48, k=10, fine_hops=3,
     ).orderBy("query_id", "rank")
 
 
@@ -16467,27 +16509,20 @@ def ann_graph_ooc_topk(spark, sf):
 def ann_graph_ooc_recall_eval(spark, sf):
     """Recall@10 and MRR of the out-of-corpus graph serve vs exact
     brute-force cosine over the held-out corpus — same metric shape as
-    ann_graph_recall_eval; the serving build rides the ooc memo, so the
-    eval costs the beam + brute legs only."""
-    from overseer_spark.operators.graph import (  # noqa: PLC0415
-        graph_beam_topk,
-        quantized_vectors,
-    )
+    ann_graph_recall_eval; the approximate leg serves the persisted
+    session index (VERDICT r11 ask #6), so the eval costs the beam +
+    brute legs only."""
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
     from overseer_spark.operators.similarity import cosine_topk  # noqa: PLC0415
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     emb = _t(spark, sf, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 50)
     queries_raw = emb.filter(F.col("vec_id") < 5)
     truth = cosine_topk(corpus, queries_raw, k=10)
-    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
-    bq = eager_cache(
-        quantized_vectors(queries_raw).select(
-            F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
-        )
-    )
-    approx = graph_beam_topk(
-        qv, edges, bq, entries, entry_top=12, hops=depth + 3, beam=48, k=10
+    approx = AI.graph_index_topk(
+        spark, _graph_ann_ooc_index(spark, sf),
+        queries=_ooc_query_batch(spark, sf),
+        entry_top=12, beam=48, k=10, fine_hops=3,
     )
     return _recall_mrr_metrics(truth, approx)
 
@@ -16539,6 +16574,52 @@ CATALOG["ann_graph_index_topk"].oracle = CATALOG["ann_graph_topk"].oracle
 
 
 @q(
+    "ann_graph_bucketed_index_topk",
+    oracle=None,  # assigned below — shares ann_graph_topk's VALUES pin
+)
+def ann_graph_bucketed_index_topk(spark, sf):
+    """Persisted graph index with the BUCKETED serving layout (VERDICT
+    r11 ask #4): edges written ``bucketBy(src).sortBy(src)`` as an
+    external table, so every hop's frontier ⋈ edges probe runs with NO
+    edge-side exchange — only the beam-sized frontier shuffles to the
+    bucket layout (pinned in tests/test_plans.py). At 10⁹-edge indexes
+    the per-hop edge shuffle is the dominant serve cost; this is the
+    production serving replica, immutable by design (ingest happens on
+    the default layout — insert/compact refuse the bucketed one).
+    Output is bit-identical to ann_graph_topk (same pin): the bucket
+    layout changes only WHERE edge rows sit, never which rows exist."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    tmp = tempfile.mkdtemp(prefix="graph_index_bucketed_")
+    try:
+        qv, edges, entries, depth = _graph_ann_build(spark, sf)
+        AI.build_graph_index(
+            _t(spark, sf, "embeddings"), tmp,
+            prebuilt=(qv, edges, entries), tree_depth=depth,
+            bucket_edges=32,
+        )
+        return (
+            AI.graph_index_topk(
+                spark, tmp, query_ids=range(5),
+                entry_top=6, beam=24, k=10,  # hops derived from meta
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        spark.sql(
+            f"DROP TABLE IF EXISTS {AI._edges_table_name(tmp)}"
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CATALOG["ann_graph_bucketed_index_topk"].oracle = CATALOG["ann_graph_topk"].oracle
+
+
+@q(
     "ann_graph_ooc_index_topk",
     # shares ann_graph_ooc_topk's measured VALUES pin (assigned below):
     # the persisted index serves the identical beam — integer-quantized
@@ -16555,37 +16636,16 @@ def ann_graph_ooc_index_topk(spark, sf):
     hop budget derives from the index's own meta row (tree_depth +
     fine_hops 3 — the ooc allowance), so a deeper-celled index
     automatically buys its beam the extra structural hops. Output is
-    bit-identical to ann_graph_ooc_topk (same pin); the build rides the
-    ooc memo, so the entry costs one index write + the beam."""
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
-
+    bit-identical to ann_graph_ooc_topk (same pin — which now ALSO
+    serves this artifact: one session index shared by the whole ooc
+    family, VERDICT r11 ask #6), so the entry costs the beam only."""
     from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
-    from overseer_spark.operators.graph import quantized_vectors  # noqa: PLC0415
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
-    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
-    tmp = tempfile.mkdtemp(prefix="graph_index_ooc_")
-    try:
-        AI.build_graph_index(
-            _t(spark, sf, "embeddings").filter(F.col("vec_id") >= 50), tmp,
-            prebuilt=(qv, edges, entries), tree_depth=depth,
-        )
-        queries = eager_cache(
-            quantized_vectors(
-                _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
-            ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
-        )
-        return (
-            AI.graph_index_topk(
-                spark, tmp, queries=queries,
-                entry_top=12, beam=48, k=10, fine_hops=3,
-            )
-            .orderBy("query_id", "rank")
-            .localCheckpoint()  # sever lineage from the temp index dir
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    return AI.graph_index_topk(
+        spark, _graph_ann_ooc_index(spark, sf),
+        queries=_ooc_query_batch(spark, sf),
+        entry_top=12, beam=48, k=10, fine_hops=3,
+    ).orderBy("query_id", "rank")
 
 
 CATALOG["ann_graph_ooc_index_topk"].oracle = CATALOG["ann_graph_ooc_topk"].oracle
@@ -16655,6 +16715,97 @@ def stream_ann_ingest(spark, sf):
 
 
 @q(
+    "stream_graph_ann_ingest",
+    oracle=None,  # measured VALUES pin — assigned below
+)
+def stream_graph_ann_ingest(spark, sf):
+    """Streaming GRAPH-index ingest (streaming/ingest.py
+    graph_vector_ingest_stream — VERDICT r11 ask #7, the graph twin of
+    stream_ann_ingest): a vector stream drains through foreachBatch
+    ``insert_into_graph_index`` (DiskANN-style beam placement against
+    the index as it stands — graph inserts do NOT commute, so the
+    stream's sequential batch order IS the semantics; input-file
+    mtimes are stamped ascending so the micro-batch order is
+    deterministic) with qv-file-count-triggered FORCE-compaction
+    folding the append fragments (content-preserving, so the pin is
+    invariant under where the folds land). Two micro-batches here
+    (maxFilesPerTrigger=1, riding the shared session index clone to
+    keep the bench entry lean); the four-batch equivalence — stream ==
+    the same batches inserted manually in order — and the file-count
+    bound are asserted in tests/test_stream_ingest.py. Measured VALUES
+    pin (3-layout sweep)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+    from overseer_spark.streaming.ingest import (  # noqa: PLC0415
+        graph_vector_ingest_stream,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_graph_ann_")
+    try:
+        # clone the shared session index (vec_id >= 50) — the stream
+        # MUTATES its index, so it works on a copy; no per-entry build
+        shutil.rmtree(tmp)
+        shutil.copytree(_graph_ann_ooc_index(spark, sf), tmp)
+        idx = tmp
+        # gauge baseline: the clone's qv file count is the build's task
+        # layout; threshold init+2 folds after the 2nd and 4th batches
+        # regardless of that layout (fold timing is content-preserving,
+        # so the pin doesn't depend on it)
+        init_qv = AI.graph_index_file_counts(spark, idx)["qv"]
+        stamped: set = set()
+        for i, (lo, hi) in enumerate(((5, 8), (8, 10))):
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(f"{tmp}_in")
+            # ascending mtimes pin the micro-batch pickup order (graph
+            # inserts are order-sensitive; FileStreamSource orders by
+            # timestamp) — stamp only THIS chunk's new files
+            for name in os.listdir(f"{tmp}_in"):
+                if name in stamped:
+                    continue
+                stamped.add(name)
+                p = os.path.join(f"{tmp}_in", name)
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}_in")
+        )
+        query = graph_vector_ingest_stream(
+            stream, idx, compact_files=init_qv + 1,
+            edge_k=12, entry_top=6, beam=24, fine_hops=2,
+            checkpoint_path=f"{tmp}_ckpt",
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("graph ingest stream exceeded 300s")
+        finally:
+            query.stop()
+        return (
+            AI.graph_index_topk(
+                spark, idx, queries=_ooc_query_batch(spark, sf),
+                entry_top=12, beam=48, k=10, fine_hops=3,
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint()  # sever lineage from the temp index dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}_in", ignore_errors=True)
+        shutil.rmtree(f"{tmp}_ckpt", ignore_errors=True)
+
+
+# measured VALUES pin at sf0.01 (tools/gen_values_pin.py; 3-layout sweep
+# bit-identical) — rank 6 of query 0 is inserted id 7: the pin WITNESSES
+# the streamed ingest, not just the base index
+CATALOG["stream_graph_ann_ingest"].oracle = """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(3699863050 AS BIGINT), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(3627238760 AS BIGINT), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(3311432019 AS BIGINT), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(2969346069 AS BIGINT), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(2954284560 AS BIGINT), CAST(5 AS BIGINT)), (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(2928448694 AS BIGINT), CAST(6 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2878604322 AS BIGINT), CAST(7 AS BIGINT)), (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(2818008678 AS BIGINT), CAST(8 AS BIGINT)), (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(2766271393 AS BIGINT), CAST(9 AS BIGINT)), (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(2762982014 AS BIGINT), CAST(10 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(3714872393 AS BIGINT), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(3270087489 AS BIGINT), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(3227450678 AS BIGINT), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(3163837457 AS BIGINT), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3027572843 AS BIGINT), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(2923197921 AS BIGINT), CAST(6 AS BIGINT)), (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(2921115559 AS BIGINT), CAST(7 AS BIGINT)), (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(2897843566 AS BIGINT), CAST(8 AS BIGINT)), (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(2681558218 AS BIGINT), CAST(9 AS BIGINT)), (CAST(1 AS BIGINT), CAST(363 AS BIGINT), CAST(2632984882 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(3181406011 AS BIGINT), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(2663448898 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(2634921518 AS BIGINT), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(2632737235 AS BIGINT), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(2550390267 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(2540303637 AS BIGINT), CAST(6 AS BIGINT)), (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(2471911504 AS BIGINT), CAST(7 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(2453111211 AS BIGINT), CAST(8 AS BIGINT)), (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(2400610897 AS BIGINT), CAST(9 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(2398252195 AS BIGINT), CAST(10 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(3998695426 AS BIGINT), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(3299332007 AS BIGINT), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(3084721946 AS BIGINT), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(3035499256 AS BIGINT), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(2987899509 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(2917046781 AS BIGINT), CAST(6 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(2908094233 AS BIGINT), CAST(7 AS BIGINT)), (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(2851922756 AS BIGINT), CAST(8 AS BIGINT)), (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(2805409932 AS BIGINT), CAST(9 AS BIGINT)), (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(2767357524 AS BIGINT), CAST(10 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(3985022620 AS BIGINT), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(3412086800 AS BIGINT), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(3227444275 AS BIGINT), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(3138947942 AS BIGINT), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(2798257601 AS BIGINT), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(2796277731 AS BIGINT), CAST(6 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(2723994481 AS BIGINT), CAST(7 AS BIGINT)), (CAST(4 AS BIGINT), CAST(89 AS BIGINT), CAST(2659712465 AS BIGINT), CAST(8 AS BIGINT)), (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(2525393570 AS BIGINT), CAST(9 AS BIGINT)), (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(2404134638 AS BIGINT), CAST(10 AS BIGINT))) AS t(query_id, vec_id, sim_q, rank) ORDER BY query_id, rank"""
+
+
+@q(
     "ann_ivf_index_upsert",
     # measured pin at sf0.01 (tools/gen_values_pin.py, docs/VERIFY.md
     # 3-layout sweep): trained centroids are seeded, the rewrite is set
@@ -16710,8 +16861,9 @@ def ann_ivf_index_upsert(spark, sf):
 def ann_graph_index_lifecycle(spark, sf):
     """Full graph-index LIFECYCLE as one pinned flow (VERDICT r10 ask
     #3 — parity with the IVF index's build→append→delete→compact):
-    build the persisted index over the held-out corpus (vec_id >= 50,
-    shared ooc memo), INSERT five new vectors (DiskANN-style: each is
+    clone the shared session index over the held-out corpus (vec_id >=
+    50 — one build serves the whole ooc family, VERDICT r11 ask #6),
+    INSERT five new vectors (DiskANN-style: each is
     beam-placed as an ooc query and linked bidirectionally to its
     edge_k nearest — O(batch), no rewrite), DELETE three ids including
     the minimum entry node (tombstone append; masked at serve but
@@ -16732,13 +16884,14 @@ def ann_graph_index_lifecycle(spark, sf):
     from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
 
     emb = _t(spark, sf, "embeddings")
-    qv, edges, entries, depth = _graph_ann_build_ooc(spark, sf)
+    # clone the shared session artifact (VERDICT r11 ask #6): the
+    # lifecycle MUTATES its index, so it works on a copy — a local file
+    # copy of the finished build, not a second parquet write
+    src = _graph_ann_ooc_index(spark, sf)
     tmp = tempfile.mkdtemp(prefix="graph_lifecycle_")
     try:
-        AI.build_graph_index(
-            emb.filter(F.col("vec_id") >= 50), tmp,
-            prebuilt=(qv, edges, entries), tree_depth=depth,
-        )
+        shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
         AI.insert_into_graph_index(
             spark, tmp,
             emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)),
@@ -16823,6 +16976,86 @@ def hard_negative_mining(spark, sf):
         .filter(F.col("hn_rank") <= 5)
         .orderBy("query_id", "hn_rank")
     )
+
+
+_IVF_INDEX_MEMO: dict = {}
+
+
+def _ivf_session_index(spark, sf) -> str:
+    """Session-scoped persisted IVF index over the FULL embeddings
+    corpus (n_cells=16, the ann_ivf_index_topk config) — the shared
+    serving artifact for index-probing entries that don't mutate it.
+    Same memo discipline as _graph_ann_ooc_index: built once per
+    (SparkContext, sf), removed at interpreter exit."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf, "ivf-index")
+    if key not in _IVF_INDEX_MEMO:
+        d = tempfile.mkdtemp(prefix="ivf_index_session_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        AI.build_ivf_index(_t(spark, sf, "embeddings"), d, n_cells=16)
+        _IVF_INDEX_MEMO[key] = d
+    return _IVF_INDEX_MEMO[key]
+
+
+@q(
+    "hard_negative_mining_ann",
+    oracle=None,  # measured VALUES pin — assigned below
+)
+def hard_negative_mining_ann(spark, sf):
+    """Hard-negative mining through the PERSISTED IVF index (VERDICT
+    r11 ask #3 — the production path hard_negative_mining's docstring
+    promises): probe with over-fetch (50 candidates per anchor over 8
+    of 16 cells), anti-join each anchor's positives (one rank-list-
+    sized join), keep the top-5 survivors — per-anchor cost independent
+    of corpus size, vs the exact pass's corpus × anchors crossJoin. The
+    index scores with the exact rounded cosine, so the shortlist
+    re-rank needs no second corpus scan. RECALL-PINNED, not
+    exact-matched: at this production probe width (half the cells) the
+    shortlist legitimately misses a few true negatives — measured
+    overlap with the exact entry's top-5 is 0.928 / 0.960 / 0.896 at
+    sf0.01 / sf0.1 / 10x (flat across the ladder — no scale cliff;
+    floor asserted in tests/test_ann_index.py, ladder rows in
+    SCALING.md), the ANCE trade: slightly-suboptimal hard negatives
+    at a per-anchor cost that stops scaling with the corpus. The
+    oracle is the layout-swept measured pin of this plan's own sf0.01
+    output. Positives here expand same-label membership (the fixture's
+    relevance rule); real qrels are bounded per anchor, which only
+    shrinks the anti-join."""
+    from overseer_spark.operators import ann_index as AI  # noqa: PLC0415
+
+    emb = _t(spark, sf, "embeddings")
+    q_anchor = emb.filter(F.col("vec_id") < 25)
+    positives = (
+        q_anchor.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("pos_id"), "label"),
+            F.col("qlabel") == F.col("label"),
+        )
+        .select("query_id", "pos_id")
+    )
+    return (
+        AI.hard_negatives_topk(
+            spark, _ivf_session_index(spark, sf),
+            q_anchor.select("vec_id", "embedding"), positives,
+            k=5, overfetch=50, n_probe=8,
+        )
+        .orderBy("query_id", "hn_rank")
+        .localCheckpoint()  # sever lineage from the session index dir
+    )
+
+
+# measured VALUES pin at sf0.01 (tools/gen_values_pin.py; 3-layout
+# sweep bit-identical: local[5]/7 AQE on, local[8]/8 AQE off,
+# local[32]/32 AQE on) — recall vs the exact entry is pinned in
+# tests/test_ann_index.py and the SCALING.md ladder rows
+CATALOG["hard_negative_mining_ann"].oracle = """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.295434 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.292322 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(0.298788 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(0.290803 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(0.272399 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.310987 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(5 AS BIGINT), CAST(359 AS BIGINT), CAST(0.305821 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(437 AS BIGINT), CAST(0.283031 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(6 AS BIGINT), CAST(386 AS BIGINT), CAST(0.275196 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(381 AS BIGINT), CAST(0.345179 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(7 AS BIGINT), CAST(221 AS BIGINT), CAST(0.324678 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(497 AS BIGINT), CAST(0.317798 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.304526 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(386 AS BIGINT), CAST(0.322118 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(9 AS BIGINT), CAST(107 AS BIGINT), CAST(0.284494 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(10 AS BIGINT), CAST(233 AS BIGINT), CAST(0.362182 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(10 AS BIGINT), CAST(272 AS BIGINT), CAST(0.360649 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(10 AS BIGINT), CAST(44 AS BIGINT), CAST(0.355178 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(10 AS BIGINT), CAST(313 AS BIGINT), CAST(0.313132 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(10 AS BIGINT), CAST(390 AS BIGINT), CAST(0.273976 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(11 AS BIGINT), CAST(30 AS BIGINT), CAST(0.367827 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(11 AS BIGINT), CAST(399 AS BIGINT), CAST(0.354481 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(11 AS BIGINT), CAST(277 AS BIGINT), CAST(0.337301 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(11 AS BIGINT), CAST(20 AS BIGINT), CAST(0.336347 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(11 AS BIGINT), CAST(252 AS BIGINT), CAST(0.309934 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(12 AS BIGINT), CAST(127 AS BIGINT), CAST(0.350543 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(12 AS BIGINT), CAST(402 AS BIGINT), CAST(0.316485 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(12 AS BIGINT), CAST(297 AS BIGINT), CAST(0.312432 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(12 AS BIGINT), CAST(281 AS BIGINT), CAST(0.300113 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(12 AS BIGINT), CAST(173 AS BIGINT), CAST(0.272121 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(13 AS BIGINT), CAST(440 AS BIGINT), CAST(0.358399 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(13 AS BIGINT), CAST(479 AS BIGINT), CAST(0.334648 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(13 AS BIGINT), CAST(337 AS BIGINT), CAST(0.331601 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(13 AS BIGINT), CAST(430 AS BIGINT), CAST(0.309928 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(13 AS BIGINT), CAST(55 AS BIGINT), CAST(0.290693 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(14 AS BIGINT), CAST(147 AS BIGINT), CAST(0.318137 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(14 AS BIGINT), CAST(298 AS BIGINT), CAST(0.312712 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(14 AS BIGINT), CAST(271 AS BIGINT), CAST(0.307482 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(14 AS BIGINT), CAST(479 AS BIGINT), CAST(0.287361 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(14 AS BIGINT), CAST(156 AS BIGINT), CAST(0.278419 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(15 AS BIGINT), CAST(424 AS BIGINT), CAST(0.36331 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(15 AS BIGINT), CAST(436 AS BIGINT), CAST(0.324028 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(15 AS BIGINT), CAST(59 AS BIGINT), CAST(0.31961 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(15 AS BIGINT), CAST(452 AS BIGINT), CAST(0.268888 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(15 AS BIGINT), CAST(110 AS BIGINT), CAST(0.252563 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(16 AS BIGINT), CAST(402 AS BIGINT), CAST(0.446301 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(16 AS BIGINT), CAST(216 AS BIGINT), CAST(0.364333 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(16 AS BIGINT), CAST(124 AS BIGINT), CAST(0.32639 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(16 AS BIGINT), CAST(282 AS BIGINT), CAST(0.317181 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(16 AS BIGINT), CAST(154 AS BIGINT), CAST(0.283473 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(17 AS BIGINT), CAST(135 AS BIGINT), CAST(0.337837 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(17 AS BIGINT), CAST(115 AS BIGINT), CAST(0.335693 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(17 AS BIGINT), CAST(197 AS BIGINT), CAST(0.332516 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(17 AS BIGINT), CAST(385 AS BIGINT), CAST(0.309494 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(17 AS BIGINT), CAST(399 AS BIGINT), CAST(0.284641 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(18 AS BIGINT), CAST(120 AS BIGINT), CAST(0.327046 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(18 AS BIGINT), CAST(263 AS BIGINT), CAST(0.287097 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(18 AS BIGINT), CAST(228 AS BIGINT), CAST(0.280462 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(18 AS BIGINT), CAST(97 AS BIGINT), CAST(0.246581 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(18 AS BIGINT), CAST(468 AS BIGINT), CAST(0.243178 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(19 AS BIGINT), CAST(87 AS BIGINT), CAST(0.403241 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(19 AS BIGINT), CAST(317 AS BIGINT), CAST(0.315668 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(19 AS BIGINT), CAST(54 AS BIGINT), CAST(0.302562 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(19 AS BIGINT), CAST(52 AS BIGINT), CAST(0.29289 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(19 AS BIGINT), CAST(361 AS BIGINT), CAST(0.282396 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(20 AS BIGINT), CAST(117 AS BIGINT), CAST(0.345726 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(20 AS BIGINT), CAST(11 AS BIGINT), CAST(0.336347 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(20 AS BIGINT), CAST(302 AS BIGINT), CAST(0.322843 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(20 AS BIGINT), CAST(252 AS BIGINT), CAST(0.320972 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(20 AS BIGINT), CAST(17 AS BIGINT), CAST(0.276528 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(21 AS BIGINT), CAST(331 AS BIGINT), CAST(0.324876 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(21 AS BIGINT), CAST(94 AS BIGINT), CAST(0.308894 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(21 AS BIGINT), CAST(54 AS BIGINT), CAST(0.297602 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(21 AS BIGINT), CAST(362 AS BIGINT), CAST(0.262471 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(21 AS BIGINT), CAST(234 AS BIGINT), CAST(0.250682 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(22 AS BIGINT), CAST(431 AS BIGINT), CAST(0.286223 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(22 AS BIGINT), CAST(110 AS BIGINT), CAST(0.264212 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(22 AS BIGINT), CAST(311 AS BIGINT), CAST(0.25268 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(22 AS BIGINT), CAST(36 AS BIGINT), CAST(0.252355 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(22 AS BIGINT), CAST(352 AS BIGINT), CAST(0.248151 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(23 AS BIGINT), CAST(452 AS BIGINT), CAST(0.324994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(23 AS BIGINT), CAST(58 AS BIGINT), CAST(0.322727 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(23 AS BIGINT), CAST(95 AS BIGINT), CAST(0.321317 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(23 AS BIGINT), CAST(410 AS BIGINT), CAST(0.308999 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(23 AS BIGINT), CAST(490 AS BIGINT), CAST(0.295902 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(24 AS BIGINT), CAST(234 AS BIGINT), CAST(0.431532 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(24 AS BIGINT), CAST(298 AS BIGINT), CAST(0.422703 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(24 AS BIGINT), CAST(384 AS BIGINT), CAST(0.414516 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(24 AS BIGINT), CAST(489 AS BIGINT), CAST(0.339652 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(24 AS BIGINT), CAST(309 AS BIGINT), CAST(0.307602 AS DOUBLE), CAST(5 AS BIGINT))) AS t(query_id, vec_id, sim, hn_rank) ORDER BY query_id, hn_rank"""
 
 
 @q(
