@@ -170,6 +170,12 @@ HEADLINE = [
     "hard_negative_mining",
     "retrieval_ndcg_eval",
     "quality_score_calibration",
+    # round-12 (mid-build additions, landed with the optimization round):
+    # bucketed edge serving, ANN-shortlist hard negatives, streaming
+    # graph-index ingest
+    "ann_graph_bucketed_index_topk",
+    "hard_negative_mining_ann",
+    "stream_graph_ann_ingest",
 ]
 
 

@@ -28,6 +28,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
 # sweep. An entry edited to ADD a collect outside this list is caught by
 # the next full sweep; new entries are caught immediately via the pins.
 KNOWN_COLLECTORS = [
+    "ann_graph_bucketed_index_topk",
     "ann_graph_index_lifecycle",
     "ann_graph_ooc_index_topk",
     "ann_ivf_index_topk",
@@ -46,6 +47,7 @@ KNOWN_COLLECTORS = [
     "embedding_mmr_topk",
     "embedding_pca_power",
     "er_match_clusters",
+    "hard_negative_mining_ann",
     "kmeans_lloyd_iters",
     "multimodal_image_dedup_count",
     "near_dup_components",
@@ -55,6 +57,7 @@ KNOWN_COLLECTORS = [
     "store_manifest_time_travel",
     "store_time_travel",
     "stream_ann_ingest",
+    "stream_graph_ann_ingest",
     "stream_warc_ingest",
     "text_bpe_token_stats",
     "train_prep_pipeline",

@@ -107,6 +107,13 @@ WAIVERS: dict[str, str] = {
     # (one per training step — 5 here, ~vocab-sized in production, never
     # corpus-sized); broadcast-ranks application needs it driver-side
     "text_bpe_encode_from_artifact": "load_merge_table collects the n_merges-row artifact",
+    # streaming graph-index ingest: foreachBatch hands insert_into_graph_
+    # index a MICRO-BATCH frame (plan leaf = LogicalRDD — the stream's
+    # batch RDD, which no static walk can size); the collected id set is
+    # that micro-batch's ids, bounded by maxFilesPerTrigger=1 over ≤3-row
+    # single-file chunks (runtime proof: audited rows = 3 and 2; the
+    # four-batch bound is asserted in tests/test_stream_ingest.py)
+    "stream_graph_ann_ingest": "foreachBatch insert collects the micro-batch id set (rows ≤ 3 observed; file-per-trigger bound)",
 }
 
 # Row-preserving (or row-reducing) single-child nodes: boundedness passes

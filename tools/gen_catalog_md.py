@@ -127,8 +127,9 @@ FAMILIES: dict[str, list[str]] = {
         "ann_graph_index_topk", "ann_graph_ooc_topk",
         "ann_graph_ooc_recall_eval", "ann_graph_ooc_index_topk",
         "ann_graph_index_lifecycle", "stream_ann_ingest",
+        "ann_graph_bucketed_index_topk", "stream_graph_ann_ingest",
         "hybrid_rrf_fusion_topk", "hard_negative_mining",
-        "retrieval_ndcg_eval",
+        "hard_negative_mining_ann", "retrieval_ndcg_eval",
         "embedding_dimension_stats", "embedding_outlier_flags",
         "embedding_matryoshka_eval", "embedding_knn_graph",
         "embedding_centroid_drift", "embedding_cluster_medoids",
