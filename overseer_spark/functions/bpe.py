@@ -188,8 +188,19 @@ def train_chain(d: DataFrame, steps: int, text_col: str = "text"):
     oracle (pass one takes every other occurrence; survivors are never
     adjacent). Training words are lowercase [a-z]+ of length <= 20 — the
     standard alphabet restriction; the encoder applies the learned
-    merges to EVERY word (unknown symbols simply never match a pair)."""
-    from overseer_spark.operators.util import eager_cache  # noqa: PLC0415
+    merges to EVERY word (unknown symbols simply never match a pair).
+
+    r12: the merge rounds run under dimension_loop_conf — the corpus
+    scan (the words aggregate, materialized into vocab0 with AQE's
+    coalescing active) is the only corpus-sized work; every round
+    after it shuffles a vocab-sized relation, where AQE's per-stage
+    replan cycle is pure fixed cost (measured 11.2 s → 4.5 s for the
+    5-round chain at sf0.1). Identical results — the rounds are exact
+    aggregations and projections regardless of partitioning."""
+    from overseer_spark.operators.util import (  # noqa: PLC0415
+        dimension_loop_conf,
+        eager_cache,
+    )
 
     words = (
         d.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
@@ -210,42 +221,43 @@ def train_chain(d: DataFrame, steps: int, text_col: str = "text"):
         )
     )
     vocabs, bests = [vocab], []
-    for _ in range(steps):
-        a = F.split(F.col("sym"), " ")
-        pairs = vocab.filter(F.size(a) >= 2).select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(a) - 1),
-                    lambda i: F.concat(
-                        F.element_at(a, i),
-                        F.lit(" "),
-                        F.element_at(a, i + 1),
-                    ),
-                )
-            ).alias("pair"),
-            "freq",
-        )
-        best = eager_cache(
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.col("pair"))
-            .limit(1)
-        )
-        bests.append(best)
-        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-        rep = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-            F.lit(" "),
-        )
-        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
-        merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
-        vocab = eager_cache(
-            vocab.crossJoin(F.broadcast(best.select("pair"))).select(
-                "freq", merged.alias("sym")
+    with dimension_loop_conf(d.sparkSession, shuffle_partitions=1):
+        for _ in range(steps):
+            a = F.split(F.col("sym"), " ")
+            pairs = vocab.filter(F.size(a) >= 2).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(a) - 1),
+                        lambda i: F.concat(
+                            F.element_at(a, i),
+                            F.lit(" "),
+                            F.element_at(a, i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
             )
-        )
-        vocabs.append(vocab)
+            best = eager_cache(
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.col("pair"))
+                .limit(1)
+            )
+            bests.append(best)
+            pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+            rep = F.concat(
+                F.lit(" "),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                F.lit(" "),
+            )
+            padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+            merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+            vocab = eager_cache(
+                vocab.crossJoin(F.broadcast(best.select("pair"))).select(
+                    "freq", merged.alias("sym")
+                )
+            )
+            vocabs.append(vocab)
     return vocabs, bests
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -95,3 +96,50 @@ def eager_cache(df: DataFrame) -> DataFrame:
     df = df.cache()
     df.count()
     return df
+
+
+@contextmanager
+def dimension_loop_conf(spark, shuffle_partitions: int | None = None):
+    """Scoped runtime conf for ITERATIVE loops over dimension-sized
+    relations (BPE merge rounds, LPA label rounds, Lloyd iterations —
+    vocab-/node-/centroid-sized frames that a loop re-aggregates many
+    times).
+
+    AQE's per-query-stage materialize-and-replan cycle costs a fixed
+    ~0.5 s of driver work per action (measured r12: 10 trivial
+    aggregate actions = 6.8 s with AQE on, and the 11-action BPE chain
+    dropped 11.2 s → 4.5 s with AQE off + 1 shuffle partition at
+    sf0.1) — pure overhead when every shuffle in the loop is KNOWN to
+    be dimension-sized, because there is nothing for AQE to re-plan:
+    no skew to split, nothing worth coalescing, no join small enough
+    to convert that the static planner didn't already broadcast. The
+    corpus-sized scan that PRODUCES the dimension relation must run
+    OUTSIDE this scope (materialize it with eager_cache first) so it
+    keeps AQE's coalescing/skew handling.
+
+    ``shuffle_partitions=None`` leaves the session's shuffle
+    parallelism untouched (right for loops whose per-round shuffles
+    scale with a query batch); an explicit small value (e.g. 1) suits
+    relations that are one-or-few partitions by construction — a
+    production vocab is ~1e6 rows / ~100 MB. Join strategy inside the
+    scope must not depend on AQE's runtime conversion: hint the
+    batch-bounded side with F.broadcast explicitly. Previous conf
+    values are restored on exit (including unset → unset)."""
+    confs = {"spark.sql.adaptive.enabled": "false"}
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
