@@ -524,6 +524,14 @@ _BNLJ_OK = {
     # round-10: out-of-corpus serving pair (entry-layer seed scoring +
     # brute cosine truth leg in the eval)
     "ann_graph_ooc_topk", "ann_graph_ooc_recall_eval",
+    # round-12: query-batch × dimension-sized broadcast probes (16
+    # centroids / 8×4 planes) inside the cached probed_cells /
+    # rp_signatures plan — ALWAYS present in the serve path, but
+    # hidden pre-r12 by a `.localCheckpoint()` that existed only to
+    # sever lineage from the per-call temp index dir; the session
+    # artifact made the checkpoint unnecessary and the (bounded)
+    # crossJoin visible
+    "ann_ivf_index_topk", "ann_lsh_index_topk",
     # round-9: 5 winning-pair 1-row broadcasts into the vocab-sized
     # merge projections (one per unrolled BPE round; train_apply shares
     # the chain)
