@@ -505,7 +505,19 @@ def graph_beam_topk(
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
         )
-        visited = visited.unionByName(score(cand)).distinct().localCheckpoint()
+        # r12: score only UNSEEN candidates — the visited set is
+        # batch-sized (≤ queries × visited nodes), so the anti-join is a
+        # broadcast, while the previous union-DISTINCT re-shuffled and
+        # re-deduped the whole growing visited set every hop and
+        # re-scored nodes it already held. The set is identical: e0 is
+        # duplicate-free by construction, each hop unions only pairs
+        # provably absent, and sims are a pure function of
+        # (query, node) — so a disjoint union needs no dedup.
+        new = cand.join(
+            visited.select("query_id", "node"), ["query_id", "node"],
+            "left_anti",
+        )
+        visited = visited.unionByName(score(new)).localCheckpoint()
         frontier = (
             visited.withColumn("rk", F.row_number().over(w_rank))
             .filter(F.col("rk") <= beam)

@@ -16725,17 +16725,26 @@ def stream_ann_ingest(spark, sf):
             emb.filter(F.col("vec_id") >= 250), d
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="stream_ann_")
-    try:
-        shutil.copytree(base, f"{tmp}/idx")
+
+    def _write_chunks(d):
+        # one file per chunk: maxFilesPerTrigger=1 makes each a
+        # micro-batch
         for lo, hi in ((10, 70), (70, 130), (130, 190), (190, 250)):
             emb.filter(
                 (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            ).coalesce(1).write.mode("append").parquet(d)
+
+    # the input chunk files are an immutable fixture the stream only
+    # READS (the checkpoint below is per-run, so every run re-drains
+    # all four micro-batches) — session artifact, not per-run writes
+    inp = _ivf_session_artifact(spark, sf, "stream_in", _write_chunks)
+    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        shutil.copytree(base, f"{tmp}/idx")
         stream = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/in")
+            .parquet(inp)
         )
         query = vector_ingest_stream(
             stream, f"{tmp}/idx", compact_files_per_cell=3,
@@ -16787,6 +16796,30 @@ def stream_graph_ann_ingest(spark, sf):
     )
 
     emb = _t(spark, sf, "embeddings")
+
+    def _write_chunks(d):
+        stamped: set = set()
+        for i, (lo, hi) in enumerate(((5, 8), (8, 10))):
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(d)
+            # ascending mtimes pin the micro-batch pickup order (graph
+            # inserts are order-sensitive; FileStreamSource orders by
+            # timestamp) — stamp only THIS chunk's new files
+            for name in os.listdir(d):
+                if name in stamped:
+                    continue
+                stamped.add(name)
+                os.utime(
+                    os.path.join(d, name),
+                    (1_000_000_000 + i, 1_000_000_000 + i),
+                )
+
+    # the stamped chunk files are an immutable fixture the stream only
+    # READS (the checkpoint below is per-run, so every run re-drains
+    # both micro-batches in stamped order) — session artifact, not
+    # per-run writes (same discipline as the base-index artifacts)
+    inp = _ivf_session_artifact(spark, sf, "stream_graph_in", _write_chunks)
     tmp = tempfile.mkdtemp(prefix="stream_graph_ann_")
     try:
         # clone the shared session index (vec_id >= 50) — the stream
@@ -16799,24 +16832,10 @@ def stream_graph_ann_ingest(spark, sf):
         # regardless of that layout (fold timing is content-preserving,
         # so the pin doesn't depend on it)
         init_qv = AI.graph_index_file_counts(spark, idx)["qv"]
-        stamped: set = set()
-        for i, (lo, hi) in enumerate(((5, 8), (8, 10))):
-            emb.filter(
-                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(f"{tmp}_in")
-            # ascending mtimes pin the micro-batch pickup order (graph
-            # inserts are order-sensitive; FileStreamSource orders by
-            # timestamp) — stamp only THIS chunk's new files
-            for name in os.listdir(f"{tmp}_in"):
-                if name in stamped:
-                    continue
-                stamped.add(name)
-                p = os.path.join(f"{tmp}_in", name)
-                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
         stream = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}_in")
+            .parquet(inp)
         )
         query = graph_vector_ingest_stream(
             stream, idx, compact_files=init_qv + 1,
@@ -16838,7 +16857,6 @@ def stream_graph_ann_ingest(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(f"{tmp}_in", ignore_errors=True)
         shutil.rmtree(f"{tmp}_ckpt", ignore_errors=True)
 
 
@@ -17479,9 +17497,13 @@ def text_bpe_merge_train(spark, sf):
     the persisted tokenizer artifact the encoder consumes (VERDICT r9
     ask #6)."""
     from overseer_spark.functions import bpe as B  # noqa: PLC0415
+    from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
 
     _, bests = B.train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
-    return B.merge_table(bests).orderBy("step")
+    # r12: the merge table unions 5 CACHED 1-row winners — materialize
+    # under the trainer's scoped conf (see text_bpe_train_apply)
+    with dimension_loop_conf(spark, shuffle_partitions=1):
+        return B.merge_table(bests).orderBy("step").localCheckpoint()
 
 
 @q(
@@ -17523,6 +17545,7 @@ def text_bpe_train_apply(spark, sf):
     division; the curve is non-increasing by construction (each merge
     strictly shrinks the words containing its pair)."""
     from overseer_spark.functions.bpe import train_chain  # noqa: PLC0415
+    from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
 
     vocabs, _ = train_chain(_t(spark, sf, "documents"), _BPE_STEPS)
     total = F.sum(F.col("freq") * F.size(F.split(F.col("sym"), " ")))
@@ -17542,7 +17565,13 @@ def text_bpe_train_apply(spark, sf):
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
-    return out.orderBy("step")
+    # r12: the compression-curve rollup reads 6 CACHED vocab-sized
+    # frames — 12 trivial stages where AQE's per-stage replan is pure
+    # fixed cost (guide §1.2 step 3 / the train_chain measurement).
+    # Materialize it inside the same scoped conf the trainer uses; the
+    # 6-row result is exact aggregation, identical under any plan.
+    with dimension_loop_conf(spark, shuffle_partitions=1):
+        return out.orderBy("step").localCheckpoint()
 
 
 def _bpe_apply_cte(r: int) -> str:
@@ -17620,12 +17649,18 @@ def text_bpe_encode_from_artifact(spark, sf):
 
     from overseer_spark.functions import bpe as B  # noqa: PLC0415
 
+    from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
+
     docs = _t(spark, sf, "documents")
     _, bests = B.train_chain(docs, _BPE_STEPS)
     tmp = tempfile.mkdtemp(prefix="bpe_merges_")
     try:
-        B.save_merge_table(B.merge_table(bests), f"{tmp}/merges")
-        merges = B.load_merge_table(spark, f"{tmp}/merges")
+        # r12: the artifact is a 5-row union of CACHED 1-row winners —
+        # save/load under the trainer's scoped conf (see train_chain);
+        # the corpus encode below keeps AQE
+        with dimension_loop_conf(spark, shuffle_partitions=1):
+            B.save_merge_table(B.merge_table(bests), f"{tmp}/merges")
+            merges = B.load_merge_table(spark, f"{tmp}/merges")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     enc = B.encode_corpus(docs, merges, end_marker=False)
