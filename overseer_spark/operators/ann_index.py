@@ -314,6 +314,8 @@ def append_to_ivf_index(
     append decision — monitor with embedding_centroid_drift and rebuild
     when assignments degrade (the documented contract; same posture as
     FAISS, which never moves centroids on add)."""
+    from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
+
     spark = new_batch.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids").select(
         F.col("cell").alias(id_col), F.col(vec_col)
@@ -328,10 +330,17 @@ def append_to_ivf_index(
     # touched cell per append (an O(batch) exchange) instead of one per
     # (task, cell) pair — fragmentation then grows with the number of
     # batches, not batches x parallelism, and the compaction trigger
-    # (max_files_per_cell) measures ingest cycles, not task layout
-    assigned.repartition("cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
+    # (max_files_per_cell) measures ingest cycles, not task layout.
+    # r12: the whole append is BATCH-bounded (broadcast E-step + batch
+    # exchange), so it runs under dimension_loop_conf — AQE's per-stage
+    # replan was fixed cost on a job whose every shuffle is batch-sized;
+    # the hash-on-cell partitioning (one file per touched cell) is
+    # unchanged, and assign_cells broadcasts the centroid side
+    # explicitly, so no plan choice depended on AQE
+    with dimension_loop_conf(spark):
+        assigned.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors")
 
 
 def max_files_per_cell(spark: SparkSession, path: str) -> int:
@@ -808,36 +817,44 @@ def insert_into_graph_index(
     # appending under a divergent name would silently accumulate a
     # second schema in {path}/qv (later reads null the id out) and the
     # clash/tombstone filters below would miss (ADVICE r11)
-    nq = eager_cache(
-        quantized_vectors(
-            new_batch, id_col=id_col, vec_col=vec_col, cluster_col=None
-        ).select(F.col(id_col).alias("vec_id"), "q")
-    )
-    id_list = [r[0] for r in nq.select("vec_id").collect()]
-    clash = (
-        spark.read.parquet(f"{path}/qv")
-        .filter(F.col("vec_id").isin(id_list))
-        .count()
-    )
-    if clash:
-        raise ValueError(
-            f"insert_into_graph_index: {clash} batch id(s) already have "
-            "physical rows — delete + compact before re-inserting an id"
+    from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
+
+    # r12: the pre-beam guards are 3-5 actions over BATCH-BOUNDED data
+    # (the new batch's ids, a filter-pushed count, the tombstone scrub)
+    # — AQE's per-action replan is pure fixed cost here; the beam
+    # search below keeps AQE (measured better for the hop loop, wave-1
+    # A/B) and the appends are batch-sized writes
+    with dimension_loop_conf(spark):
+        nq = eager_cache(
+            quantized_vectors(
+                new_batch, id_col=id_col, vec_col=vec_col, cluster_col=None
+            ).select(F.col(id_col).alias("vec_id"), "q")
         )
-    fs_t, tomb_files = _tombstone_files(spark, path)
-    if tomb_files:
-        tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
-        if tomb.filter(F.col("vec_id").isin(id_list)).count() > 0:
-            remaining = eager_cache(
-                tomb.filter(~F.col("vec_id").isin(id_list)).distinct()
+        id_list = [r[0] for r in nq.select("vec_id").collect()]
+        clash = (
+            spark.read.parquet(f"{path}/qv")
+            .filter(F.col("vec_id").isin(id_list))
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"insert_into_graph_index: {clash} batch id(s) already have "
+                "physical rows — delete + compact before re-inserting an id"
             )
-            if remaining.limit(1).count() > 0:
-                remaining.coalesce(1).write.mode("append").parquet(
-                    f"{path}/tombstones"
+        fs_t, tomb_files = _tombstone_files(spark, path)
+        if tomb_files:
+            tomb = spark.read.parquet(*[p.toString() for p in tomb_files])
+            if tomb.filter(F.col("vec_id").isin(id_list)).count() > 0:
+                remaining = eager_cache(
+                    tomb.filter(~F.col("vec_id").isin(id_list)).distinct()
                 )
-            for p in tomb_files:
-                fs_t.delete(p, False)
-            remaining.unpersist()
+                if remaining.limit(1).count() > 0:
+                    remaining.coalesce(1).write.mode("append").parquet(
+                        f"{path}/tombstones"
+                    )
+                for p in tomb_files:
+                    fs_t.delete(p, False)
+                remaining.unpersist()
     nearest = graph_index_topk(
         spark, path,
         queries=nq.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv")),
@@ -936,79 +953,90 @@ def compact_graph_index(
                 f"{path}/{name}__old",
             )
         return {"n_deleted": 0, "n_bridge_edges": 0}
-    tomb = eager_cache(
-        spark.read.parquet(*[p.toString() for p in tomb_files])
-        .select("vec_id")
-        .distinct()
-    )
-    dead = tomb.withColumnRenamed("vec_id", "_dead")
-    entries = spark.read.parquet(f"{path}/entries")
+    from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
 
-    kept_qv = qv.join(tomb, "vec_id", "left_anti")
+    # r12: every action between here and the directory rewrites operates
+    # on DELETE-BOUNDED relations (the tombstone batch, its surviving
+    # in/out neighborhoods, the entry list) — 6 cache/count actions whose
+    # shuffles are neighborhood-sized, where AQE's per-stage replan is
+    # pure fixed cost (~0.5 s/action measured on this box; see
+    # dimension_loop_conf). The index-sized rewrites below run OUTSIDE
+    # the scope and keep AQE's coalescing. Results are exact set algebra,
+    # identical under any partitioning.
+    with dimension_loop_conf(spark):
+        tomb = eager_cache(
+            spark.read.parquet(*[p.toString() for p in tomb_files])
+            .select("vec_id")
+            .distinct()
+        )
+        dead = tomb.withColumnRenamed("vec_id", "_dead")
+        entries = spark.read.parquet(f"{path}/entries")
+
+        kept_qv = qv.join(tomb, "vec_id", "left_anti")
     # surviving in/out neighborhoods of each deleted node — CACHED
     # (r12): they are delete-neighborhood-sized (≤ |tombstones| ×
     # max out-degree) and each fed 2-3 downstream consumers (bridges,
     # entry replacements, the stats counts), which re-scanned the full
     # edge relation per consumer when left lazy
-    into_dead = (
-        edges.join(F.broadcast(dead), edges["dst"] == dead["_dead"])
-        .join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
-        .select("src", "_dead")
-    )
-    out_of_dead = eager_cache(
-        edges.join(F.broadcast(dead), edges["src"] == dead["_dead"])
-        .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
-        .select("_dead", "dst")
-    )
-    bridges = eager_cache(
-        into_dead.join(out_of_dead, "_dead")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    kept_edges = (
-        edges.join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
-        .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
-        .unionByName(bridges)
-        .distinct()
-    )
-    # a deleted entry node hands its role to its min surviving partner
-    dead_entries = entries.join(
-        tomb.withColumnRenamed("vec_id", "node"), "node", "left_semi"
-    )
-    replacements = (
-        dead_entries.join(
-            out_of_dead.withColumnRenamed("_dead", "node"), "node"
+        into_dead = (
+            edges.join(F.broadcast(dead), edges["dst"] == dead["_dead"])
+            .join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+            .select("src", "_dead")
         )
-        .groupBy("node")
-        .agg(F.min("dst").alias("new_node"))
-        .select(F.col("new_node").alias("node"))
-    )
-    kept_entries = (
-        entries.join(tomb.withColumnRenamed("vec_id", "node"), "node", "left_anti")
-        .unionByName(replacements)
-        .distinct()
-    ).cache()
-    n_kept_entries = kept_entries.count()
-    # Guard (ADVICE r11): a delete set covering every entry node with no
-    # surviving out-neighbor leaves kept_entries EMPTY — Spark writes no
-    # part files for an empty frame, so after the swap the entries read
-    # fails schema inference and the whole index is unservable. Fall back
-    # to the minimum surviving qv id (the same deterministic choice the
-    # builder makes per cell); if nothing survives at all, refuse — a
-    # total delete wants the index directory removed, not compacted.
-    if n_kept_entries == 0:
-        fallback = kept_qv.agg(F.min("vec_id").alias("node")).first()["node"]
-        if fallback is None:
-            raise ValueError(
-                "compact_graph_index: compaction would delete every vector "
-                "— remove the index directory instead of compacting it"
+        out_of_dead = eager_cache(
+            edges.join(F.broadcast(dead), edges["src"] == dead["_dead"])
+            .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
+            .select("_dead", "dst")
+        )
+        bridges = eager_cache(
+            into_dead.join(out_of_dead, "_dead")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        kept_edges = (
+            edges.join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+            .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
+            .unionByName(bridges)
+            .distinct()
+        )
+        # a deleted entry node hands its role to its min surviving partner
+        dead_entries = entries.join(
+            tomb.withColumnRenamed("vec_id", "node"), "node", "left_semi"
+        )
+        replacements = (
+            dead_entries.join(
+                out_of_dead.withColumnRenamed("_dead", "node"), "node"
             )
-        kept_entries = spark.createDataFrame([(int(fallback),)], "node long")
-    stats = {
-        "n_deleted": tomb.count(),
-        "n_bridge_edges": bridges.count(),
-    }
+            .groupBy("node")
+            .agg(F.min("dst").alias("new_node"))
+            .select(F.col("new_node").alias("node"))
+        )
+        kept_entries = (
+            entries.join(tomb.withColumnRenamed("vec_id", "node"), "node", "left_anti")
+            .unionByName(replacements)
+            .distinct()
+        ).cache()
+        n_kept_entries = kept_entries.count()
+        # Guard (ADVICE r11): a delete set covering every entry node with no
+        # surviving out-neighbor leaves kept_entries EMPTY — Spark writes no
+        # part files for an empty frame, so after the swap the entries read
+        # fails schema inference and the whole index is unservable. Fall back
+        # to the minimum surviving qv id (the same deterministic choice the
+        # builder makes per cell); if nothing survives at all, refuse — a
+        # total delete wants the index directory removed, not compacted.
+        if n_kept_entries == 0:
+            fallback = kept_qv.agg(F.min("vec_id").alias("node")).first()["node"]
+            if fallback is None:
+                raise ValueError(
+                    "compact_graph_index: compaction would delete every vector "
+                    "— remove the index directory instead of compacting it"
+                )
+            kept_entries = spark.createDataFrame([(int(fallback),)], "node long")
+        stats = {
+            "n_deleted": tomb.count(),
+            "n_bridge_edges": bridges.count(),
+        }
     rewrites = (
         ("qv", kept_qv, None),
         ("edges", kept_edges, "src"),
