@@ -515,7 +515,17 @@ def graph_beam_topk(
     # cleaner when their references die at function exit. The visited
     # state is query-batch-sized (≤ queries × visited nodes), never
     # corpus-sized.
-    visited = e0.localCheckpoint()
+    #
+    # r12: the checkpoints are LAZY (eager=False). The per-hop
+    # truncation itself is non-negotiable — visited is referenced twice
+    # per hop (anti-join + union), so an untruncated loop embeds the
+    # previous plan twice and grows 2^hops copies of the entry subtree —
+    # but eager=False truncates the logical plan at creation just the
+    # same while letting ONE action at the end drive every hop
+    # (checkpoint blocks materialize mid-job) instead of hops+1 driver
+    # round trips per serve. Interleaved A/B: identical results,
+    # min 2.24 s vs 2.59 s per serve on the persisted session index.
+    visited = e0.localCheckpoint(eager=False)
     frontier = visited.select("query_id", "node")
     for _ in range(hops):
         cand = (
@@ -536,7 +546,7 @@ def graph_beam_topk(
             visited.select("query_id", "node"), ["query_id", "node"],
             "left_anti",
         )
-        visited = visited.unionByName(score(new)).localCheckpoint()
+        visited = visited.unionByName(score(new)).localCheckpoint(eager=False)
         frontier = (
             visited.withColumn("rk", F.row_number().over(w_rank))
             .filter(F.col("rk") <= beam)
@@ -561,5 +571,5 @@ def graph_beam_topk(
             F.col("s").alias("sim_q"),
             "rank",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
