@@ -99,6 +99,22 @@ def _driver_checked() -> tuple[
     return seen, failed, weak, last_green, last_weak
 
 
+def _touched_pending() -> tuple[int, set[str]]:
+    """(round, entry names) from ``tests/touched_entries.json`` — entries
+    whose implementation an optimization round changed but whose change the
+    driver's 50-slot prefix has not yet hash-confirmed (VERDICT r12 ask #4:
+    the r12 waves touched 26 bench paths but only the 3 new entries fell in
+    that round's rotation slots).  Green entries in this set outrank the
+    staleness rotation until a CORRECTNESS round >= the recorded round
+    re-greens them, at which point the fronting self-expires."""
+    try:
+        with open(os.path.join(_REPO, "tests", "touched_entries.json")) as f:
+            spec = json.load(f)
+        return int(spec.get("round", 0)), set(spec.get("entries", []))
+    except (OSError, ValueError):
+        return 0, set()
+
+
 def _round_start_roster() -> set[str]:
     """Catalog names as of this round's start (the audit-pins snapshot).
     Entries absent from it were added THIS round: they are local-green
@@ -143,21 +159,31 @@ def _ordered_names() -> list[str]:
     # sorting first forever (VERDICT r9 ask #4). Catalog order breaks
     # ties for determinism.
     cat_idx = {n: i for i, n in enumerate(CATALOG)}
+    green = [
+        n
+        for n in CATALOG
+        if n in checked
+        and n not in failed
+        and not (CATALOG[n].oracle and n in weak)
+    ]
+    # Touched-entry refresh (VERDICT r12 ask #4): green entries whose code an
+    # optimization round changed get driver hash slots BEFORE the staleness
+    # rotation, until a round >= the recorded one re-greens them.
+    touched_round, touched_set = _touched_pending()
+    touched = [
+        n
+        for n in green
+        if n in touched_set and last_green.get(n, 0) < touched_round
+    ]
     done = sorted(
-        (
-            n
-            for n in CATALOG
-            if n in checked
-            and n not in failed
-            and not (CATALOG[n].oracle and n in weak)
-        ),
+        (n for n in green if n not in touched),
         key=lambda n: (
             last_green.get(n, last_weak.get(n, 0)) if CATALOG[n].oracle
             else last_weak.get(n, 0),
             cat_idx[n],
         ),
     )
-    return redo + old_first + added_this_round + done
+    return redo + old_first + added_this_round + touched + done
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -184,6 +184,22 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Optional subset for the 10x scaling rung (VERDICT r12 ask #8): at
+    # sf0.1 almost nothing is throughput-bound (55/57 queries ran as fast
+    # on 8 cores as 32), so optimization targets should be picked on a
+    # larger corpus. `--families a,b` keeps only HEADLINE entries whose
+    # name contains one of the substrings; combined with the generated
+    # 10x corpus this is one driver-runnable command:
+    #   python tools/gen_scale_data.py --mult 10 --out .bench_sf1
+    #   SPARK_GRAFT_SF_DIR=$PWD/.bench_sf1 python bench.py \
+    #       --families ann_graph,ann_ivf,stream,bpe,graph_,near_dup
+    # The no-argument invocation (what the driver runs) is unchanged.
+    headline = list(HEADLINE)
+    if "--families" in sys.argv:
+        pats = sys.argv[sys.argv.index("--families") + 1].split(",")
+        headline = [n for n in HEADLINE if any(p in n for p in pats)]
+        print(f"  families subset: {len(headline)} queries", file=sys.stderr)
+
     from overseer_spark.queries.catalog import CATALOG
     from overseer_spark.session import get_spark
 
@@ -203,7 +219,7 @@ def main() -> None:
     spark.range(0, 32 * 100, 1, 32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-    for name in HEADLINE:
+    for name in headline:
         try:
             CATALOG[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
@@ -217,7 +233,7 @@ def main() -> None:
     # identical plans); the min is the standard low-noise point estimate of
     # plan cost. clearCache() before every run — each run pays full compute.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = CATALOG[name].fn
         best = float("inf")
         for _ in range(2):
@@ -247,6 +263,13 @@ def main() -> None:
             }
         )
     )
+    # Driver-parseable per-query lines (VERDICT r12 ask #2): the single big
+    # "queries" dict above exceeds the driver's output-tail capture, which
+    # left PERF_r12 with n_common=0 and an empty scaling block. One small
+    # JSON line per query is additive (the dict line above is unchanged)
+    # and survives line-oriented parsing regardless of tail truncation.
+    for name in headline:
+        print(json.dumps({"query": name, "sec": timings[name]}))
     # The driver archives only a ~2000-char TAIL of this process's output,
     # which truncated away the leading scalar totals of the big JSON in
     # BENCH_r06/r07. Repeat a compact totals-only line LAST so the archived

@@ -181,9 +181,12 @@ def ivf_index_topk(
     candidate set before scoring — logical deletion at probe time, the
     same read path FAISS's IDSelector and every LSM store use between
     compactions."""
-    qcells = eager_cache(
-        probed_cells(spark, path, queries, n_probe, id_col, vec_col)
-    )
+    # lazy cache + collect (r13, guide §1.2): the collect below is the
+    # first consumer and materializes the cache in its own job; the only
+    # other consumer (the broadcast into the scored join) runs later in
+    # the final action and hits the populated cache — eager_cache's
+    # separate count() was one extra fixed-cost job per probe
+    qcells = probed_cells(spark, path, queries, n_probe, id_col, vec_col).cache()
     cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(cells)  # static partition pruning at the scan
@@ -579,6 +582,19 @@ def _register_bucketed_edges(
 
 
 _GRAPH_META_MEMO: dict = {}
+# ADVICE r12: per-call index clones add one memo entry per tmp path; the
+# entries were never evicted, so the dict grew across a long session and
+# a (mkdtemp-improbable) path reuse without build would serve stale meta.
+# Cleanup paths call forget_graph_index_meta on rmtree; the size bound is
+# the belt-and-braces backstop for callers that don't.
+_GRAPH_META_MEMO_MAX = 512
+
+
+def forget_graph_index_meta(path: str) -> None:
+    """Drop memoized meta rows for ``path`` (any session) — call when an
+    index directory is deleted (per-call clone cleanup)."""
+    for key in [k for k in _GRAPH_META_MEMO if k[1] == path]:
+        _GRAPH_META_MEMO.pop(key, None)
 
 
 def _graph_index_meta(spark: SparkSession, path: str) -> dict:
@@ -591,6 +607,8 @@ def _graph_index_meta(spark: SparkSession, path: str) -> dict:
     5-7× per run (r12)."""
     key = (spark.sparkContext.applicationId, path)
     if key not in _GRAPH_META_MEMO:
+        if len(_GRAPH_META_MEMO) >= _GRAPH_META_MEMO_MAX:
+            _GRAPH_META_MEMO.clear()  # cheap 1-row re-reads, bounded dict
         row = spark.read.parquet(f"{path}/meta").first().asDict()
         row.setdefault("edges_buckets", None)
         _GRAPH_META_MEMO[key] = row
@@ -825,11 +843,16 @@ def insert_into_graph_index(
     # search below keeps AQE (measured better for the hop loop, wave-1
     # A/B) and the appends are batch-sized writes
     with dimension_loop_conf(spark):
-        nq = eager_cache(
-            quantized_vectors(
-                new_batch, id_col=id_col, vec_col=vec_col, cluster_col=None
-            ).select(F.col(id_col).alias("vec_id"), "q")
-        )
+        # lazy cache + collect (r13, guide §1.2 count-the-actions): the
+        # collect is the FIRST consumer, so it materializes the cache in
+        # the same job — eager_cache's separate count() action was pure
+        # fixed cost here (later consumers — the beam's broadcasts, the
+        # qv append — run sequentially and hit the populated cache;
+        # the eager_cache concurrent-miss trap needs concurrent FIRST
+        # consumers, which this path never has)
+        nq = quantized_vectors(
+            new_batch, id_col=id_col, vec_col=vec_col, cluster_col=None
+        ).select(F.col(id_col).alias("vec_id"), "q").cache()
         id_list = [r[0] for r in nq.select("vec_id").collect()]
         clash = (
             spark.read.parquet(f"{path}/qv")
@@ -973,11 +996,11 @@ def compact_graph_index(
         entries = spark.read.parquet(f"{path}/entries")
 
         kept_qv = qv.join(tomb, "vec_id", "left_anti")
-    # surviving in/out neighborhoods of each deleted node — CACHED
-    # (r12): they are delete-neighborhood-sized (≤ |tombstones| ×
-    # max out-degree) and each fed 2-3 downstream consumers (bridges,
-    # entry replacements, the stats counts), which re-scanned the full
-    # edge relation per consumer when left lazy
+    # surviving neighborhoods of each deleted node — out_of_dead CACHED
+    # (r12): delete-neighborhood-sized (≤ |tombstones| × max out-degree)
+    # and fed by 2 downstream consumers (bridges, entry replacements),
+    # which re-scanned the full edge relation per consumer when left
+    # lazy. into_dead stays lazy: its only consumer is bridges.
         into_dead = (
             edges.join(F.broadcast(dead), edges["dst"] == dead["_dead"])
             .join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
@@ -1032,6 +1055,9 @@ def compact_graph_index(
                     "compact_graph_index: compaction would delete every vector "
                     "— remove the index directory instead of compacting it"
                 )
+            # ADVICE r12: release the cached (empty) frame before rebinding,
+            # or the unpersist loop below releases the fallback instead
+            kept_entries.unpersist()
             kept_entries = spark.createDataFrame([(int(fallback),)], "node long")
         stats = {
             "n_deleted": tomb.count(),

@@ -124,16 +124,28 @@ def dimension_loop_conf(spark, shuffle_partitions: int | None = None):
     production vocab is ~1e6 rows / ~100 MB. Join strategy inside the
     scope must not depend on AQE's runtime conversion: hint the
     batch-bounded side with F.broadcast explicitly. Previous conf
-    values are restored on exit (including unset → unset)."""
+    values are restored on exit (including unset → unset).
+
+    Concurrency (ADVICE r12): runtime conf is SESSION-global, so the
+    scope assumes no concurrent query on the same session — true for
+    every current caller (catalog entries run their loops serially on
+    one driver thread; the streaming entries invoke it from inside
+    foreachBatch, whose micro-batches are serialized by the engine).
+    Nesting is tolerated: a key already holding its target value is
+    left alone (not set, not restored), so an inner scope cannot
+    clobber the outer scope's restore order."""
     confs = {"spark.sql.adaptive.enabled": "false"}
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     old: dict[str, str | None] = {}
     for k, v in confs.items():
         try:
-            old[k] = spark.conf.get(k)
+            cur: str | None = spark.conf.get(k)
         except Exception:
-            old[k] = None
+            cur = None
+        if cur == v:  # nested scope (or ambient equal conf): leave untouched
+            continue
+        old[k] = cur
         spark.conf.set(k, v)
     try:
         yield

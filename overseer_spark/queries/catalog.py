@@ -16862,6 +16862,7 @@ def stream_graph_ann_ingest(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_graph_index_meta(tmp)  # ADVICE r12: evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(f"{tmp}_ckpt", ignore_errors=True)
 
@@ -16985,6 +16986,7 @@ def ann_graph_index_lifecycle(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_graph_index_meta(tmp)  # ADVICE r12: evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
