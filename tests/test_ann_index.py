@@ -369,6 +369,7 @@ def _files_per_cell(path):
     return counts
 
 
+@pytest.mark.slow
 def test_compact_after_appends_restores_one_file_per_cell(spark, emb):
     """K appends -> files-per-cell > 1; compact -> exactly 1 file per
     cell directory and a bit-identical probe result (the done-criteria
@@ -400,6 +401,7 @@ def test_compact_after_appends_restores_one_file_per_cell(spark, emb):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_delete_then_compact_lifecycle(spark, emb):
     """Full index lifecycle: build -> append -> DELETE -> probe excludes
     tombstoned ids -> compact folds the deletions in (merge-on-compact)
@@ -445,6 +447,7 @@ def test_delete_then_compact_lifecycle(spark, emb):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_delete_during_compact_survives(spark, emb, monkeypatch):
     """ADVICE r10 (medium): a delete appended WHILE a compaction is
     rewriting must keep masking afterwards — compact clears exactly the
@@ -848,6 +851,7 @@ def test_compact_graph_entry_fallback_and_total_delete_refusal(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_ivf_lifecycle_random_sequence_content_parity(spark, emb):
     """Seeded random interleaving of append / delete / upsert / compact
     against a pure-Python content model: after every sequence the index's
@@ -930,6 +934,7 @@ def test_ivf_lifecycle_random_sequence_content_parity(spark, emb):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_graph_lifecycle_random_sequence_content_parity(spark, emb):
     """Seeded random interleaving of insert / delete / compact on the
     GRAPH index vs a pure-Python id-set model: the servable node set

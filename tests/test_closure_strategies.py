@@ -191,6 +191,7 @@ def test_detect_cycles_kahn(spark):
         assert detect_cycles(jobs2, deps2, strategy=strategy).count() == 0
 
 
+@pytest.mark.slow
 def test_critical_path_strategies_agree(spark, dag):
     """critical_path: the driver-side Kahn fast path and the distributed
     wave relaxation produce identical max-plus longest paths on the
@@ -258,6 +259,7 @@ def test_probe_bounds_nodes_not_just_edges(spark, sparse_graph):
     assert _local_graph_ok(jobs, deps, cap=100)  # both bounded -> local ok
 
 
+@pytest.mark.slow
 def test_edge_sparse_auto_routes_distributed_and_matches(spark, sparse_graph):
     """With cap=10 the sparse graph (3 edges / 60 nodes) must take the
     distributed leg (probe unit-tested above gates exactly this) and every

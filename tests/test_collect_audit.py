@@ -16,6 +16,8 @@ property from regressing between sweeps:
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import pathlib
 import sys
@@ -78,6 +80,7 @@ def _assert_all_bounded(sites):
     )
 
 
+@pytest.mark.slow
 def test_known_collector_entries_stay_bounded(spark):
     from collect_audit import audit
 

@@ -53,6 +53,7 @@ def test_components_match_union_find(spark, graph, strategy):
     assert got == set(uf_oracle(edges).items())
 
 
+@pytest.mark.slow
 def test_auto_routes_distributed_above_cap(spark, graph):
     df, edges = graph
     got = {

@@ -88,10 +88,22 @@ def test_ordering_rotates_to_unchecked_sql_entries():
     # latest rows-only round (VERDICT r9 ask #4) instead of fronting the
     # tail forever.
     done_tail = names[len(failed) + len(unchecked):]
+    # Touched-entry refresh (VERDICT r12 ask #4): green entries whose code
+    # the latest optimization round changed lead the done tail until a
+    # CORRECTNESS round >= the recorded one re-greens them.
+    touched_round, touched_set = mod._touched_pending()
+    touched = [
+        n for n in done_tail
+        if n in touched_set and last_green.get(n, 0) < touched_round
+    ]
+    assert done_tail[: len(touched)] == touched, (
+        "touched-pending entries must lead the done tail"
+    )
+    rest = done_tail[len(touched):]
     rounds = [
         last_green.get(n, last_weak.get(n, 0)) if CATALOG[n].oracle
         else last_weak.get(n, 0)
-        for n in done_tail
+        for n in rest
     ]
     assert rounds == sorted(rounds), (
         "done tail must be ordered oldest-confirmed-first for staleness "

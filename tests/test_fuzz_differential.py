@@ -4,6 +4,8 @@ failure message carries the seed + SQL for exact reproduction."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "tools")
@@ -12,6 +14,7 @@ from fuzz_differential import TABLES, run_case  # noqa: E402
 from tests.conftest import SF_CORRECTNESS  # noqa: E402
 
 
+@pytest.mark.slow
 def test_forty_seeded_random_queries_agree(spark, duck):
     import duckdb  # noqa: F401  (duck fixture already registered views)
 

@@ -20,6 +20,26 @@ from tests.conftest import SF_CORRECTNESS
 SQL_TIER = [name for name, spec in CATALOG.items() if spec.oracle is not None]
 PY_TIER = [name for name, spec in CATALOG.items() if spec.oracle is None]
 
+# Slow tier (VERDICT r12 ask #3): the few parity params costing >20 s each,
+# on entries NO optimization round has touched — full-tier (-m "") still
+# runs them, and the driver's own correctness rotation hash-checks the
+# entries directly. Touched entries' parity always stays in the fast gate.
+_SLOW_PARITY = {
+    "stream_hourly_counts",
+    "ann_ivfpq_topk",
+    "train_prep_pipeline",
+    "pyds_docs_scan",
+    "semantic_doc_order",
+    "multimodal_image_near_dup",
+}
+
+
+def _tiered(names):
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in names
+    ]
+
 
 def _norm(v):
     if v is None:
@@ -46,7 +66,7 @@ def _normalize_rows(cols, rows):
     )
 
 
-@pytest.mark.parametrize("name", SQL_TIER)
+@pytest.mark.parametrize("name", _tiered(SQL_TIER))
 def test_sql_tier_matches_duckdb(name, spark, duck):
     spec = CATALOG[name]
     sdf = spec.fn(spark, SF_CORRECTNESS)
@@ -91,7 +111,7 @@ def test_sql_tier_oracle_dtypes_are_hashable(name, duck):
     )
 
 
-@pytest.mark.parametrize("name", PY_TIER)
+@pytest.mark.parametrize("name", _tiered(PY_TIER))
 def test_py_tier_runs(name, spark):
     """PY-tier entries must at least run and return a stable schema.
     Their semantic oracles live in the dedicated op test modules."""

@@ -6,6 +6,8 @@ loses parquet pushdown fails HERE, not at 100 TB.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from overseer_spark.plans import (
@@ -545,6 +547,7 @@ _BNLJ_OK = {
 }
 
 
+@pytest.mark.slow
 def test_no_unexpected_nested_loop_joins(spark):
     """Catalog-wide scale guard: no entry may plan a Cartesian product or
     BroadcastNestedLoopJoin unless it is a whitelisted tiny-broadcast
@@ -924,6 +927,7 @@ def test_graph_bucketed_edges_hop_join_no_edge_exchange(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_graph_bucketed_layout_is_immutable(spark):
     """The bucketed serving replica refuses lifecycle mutation (a plain
     parquet append would violate the bucket-file contract): insert and

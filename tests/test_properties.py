@@ -34,6 +34,7 @@ _events = st.lists(
 
 @given(rows=_events)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_forward_fill_matches_scan_and_is_idempotent(spark, rows):
     """Forward fill == a per-user chronological scan carrying the last
     non-null value; filling an already-filled column is a no-op."""
@@ -68,6 +69,7 @@ def test_forward_fill_matches_scan_and_is_idempotent(spark, rows):
 
 @given(rows=_events)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_session_window_count_matches_gap_scan(spark, rows):
     """session_window(5 min) produces exactly (#gaps ≥ 5 min) + 1 sessions
     per user — the lag/cumsum identity the sessionize oracle relies on."""
@@ -123,6 +125,7 @@ def _shingles(words, k=3):
 
 @given(docs=_docs)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_jaccard_and_containment_prefix_filters_are_exact(spark, docs):
     """The PPJoin-style prefix filters (two-sided for Jaccard, one-sided
     for containment) must return EXACTLY the brute-force pair sets — on
@@ -284,6 +287,7 @@ _docs_hh = st.lists(
 
 @given(docs=_docs_hh, k=st.integers(min_value=2, max_value=6))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_heavy_hitters_exactness_law(spark, docs, k):
     """Two-pass MG == naive group-by threshold for random corpora and k,
     under a randomized partitioning."""

@@ -289,6 +289,7 @@ def test_sparklog_as_of_time_travel(spark, tmp_path):
     assert at_v1 == {"a": STATUS_STARTED, "b": STATUS_UNSTARTED}
 
 
+@pytest.mark.slow
 def test_job_runtime_stats_from_log(spark, tmp_path):
     """The engine reports its own per-type runtimes from the transition
     log (operators/scheduling.py job_runtime_stats)."""
@@ -343,6 +344,7 @@ def test_created_at_survives_transitions_and_compact(spark, tmp_path):
     assert stats["t-a"].max_secs is not None and stats["t-a"].max_secs >= 0
 
 
+@pytest.mark.slow
 def test_bounded_cache_with_10k_job_graph(spark, tmp_path):
     """Driver mirror is a bounded LRU: a 10k-job graph runs correctly with
     a 100-job cap — misses fall back to predicate-pushed log lookups, so

@@ -159,6 +159,7 @@ def test_vector_ingest_stream_matches_batch_append(spark, tmp):
     assert AI.max_files_per_cell(spark, d_batch) <= 2  # base + one append
 
 
+@pytest.mark.slow
 def test_graph_vector_ingest_stream_matches_sequential_inserts(spark, tmp):
     """VERDICT r11 ask #7: N micro-batches through foreachBatch
     insert_into_graph_index are bit-equivalent to the SAME N batches

@@ -19,6 +19,8 @@ tests/test_filecas_race.py and tests/test_manifest_race.py.
 
 from __future__ import annotations
 
+import pytest
+
 import multiprocessing as mp
 import os
 import signal
@@ -74,6 +76,7 @@ def _stream_worker(path: str, idx: int, runlog_dir: str, started_evt) -> None:
         spark.stop()
 
 
+@pytest.mark.slow
 def test_three_driver_pool_drains_1k_dag_and_recovers_from_kill9(tmp_path):
     path = str(tmp_path / "store")
     store = FileCASStore(None, path)

@@ -179,6 +179,7 @@ def test_stream_dedup_within_watermark_across_microbatches(spark, tmp_path):
     assert ids == [1, 2, 3], ids
 
 
+@pytest.mark.slow
 def test_stateful_recovery_after_mid_stream_kill(spark, tmp_path):
     """Kill a checkpointed stateful query MID-stream and restart it: state
     (per-user running count/sum from applyInPandasWithState) must recover
