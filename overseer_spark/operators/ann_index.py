@@ -44,6 +44,8 @@ def build_ivf_index(
     centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col)
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # a rebuild at the same path must not serve stale memoized centroids
+    forget_ivf_centroids(path)
     assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
     # co-locate per cell: ONE file per cell directory from day one (the
     # probe cost model is "list only the probed cell dirs"), instead of
@@ -51,6 +53,37 @@ def build_ivf_index(
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/vectors")
+
+
+_IVF_CENTROIDS_MEMO: dict = {}
+_IVF_CENTROIDS_MEMO_MAX = 512
+
+
+def forget_ivf_centroids(path: str) -> None:
+    """Drop memoized centroid frames for ``path`` (any session) — call
+    when an index directory is deleted (per-call clone cleanup) or its
+    centroids are rewritten (build_ivf_index does this itself)."""
+    for key in [k for k in _IVF_CENTROIDS_MEMO if k[1] == path]:
+        _IVF_CENTROIDS_MEMO.pop(key, None)
+
+
+def _ivf_centroids(spark: SparkSession, path: str):
+    """(centroids frame, centroid count) memoized per (SparkContext,
+    path) — the IVF twin of _graph_index_meta (r13, guide §1.2 count
+    the actions): centroids are IMMUTABLE for an index directory's life
+    (only build_ivf_index writes them; append/delete/compact/upsert
+    never touch them — centroid drift is a documented rebuild decision),
+    yet every append paid a fresh schema-inference read plus a 2-job
+    count (assign_cells' estep="auto" sizing) and every probe another
+    inference read — ~0.3-0.6 s of per-call fixed cost on the streaming
+    ingest path."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _IVF_CENTROIDS_MEMO:
+        if len(_IVF_CENTROIDS_MEMO) >= _IVF_CENTROIDS_MEMO_MAX:
+            _IVF_CENTROIDS_MEMO.clear()
+        df = spark.read.parquet(f"{path}/centroids")
+        _IVF_CENTROIDS_MEMO[key] = (df, df.count())
+    return _IVF_CENTROIDS_MEMO[key]
 
 
 def probed_cells(
@@ -62,7 +95,7 @@ def probed_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, _qvec, cell) for each query's ``n_probe`` nearest cells."""
-    cents = spark.read.parquet(f"{path}/centroids").select(
+    cents = _ivf_centroids(spark, path)[0].select(
         "cell", F.col(vec_col).alias("_cvec")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
@@ -320,14 +353,14 @@ def append_to_ivf_index(
     from overseer_spark.operators.util import dimension_loop_conf  # noqa: PLC0415
 
     spark = new_batch.sparkSession
-    centroids = spark.read.parquet(f"{path}/centroids").select(
-        F.col("cell").alias(id_col), F.col(vec_col)
-    )
+    cents_df, n_cents = _ivf_centroids(spark, path)
+    centroids = cents_df.select(F.col("cell").alias(id_col), F.col(vec_col))
     assigned = assign_cells(
         new_batch.select(id_col, vec_col),
         id_col=id_col,
         vec_col=vec_col,
         centroids=centroids,
+        n_centroids=n_cents,  # skip estep-auto's per-call count job (r13)
     )
     # co-locate the batch per cell before the write: exactly ONE file per
     # touched cell per append (an O(batch) exchange) instead of one per
@@ -1217,6 +1250,8 @@ def build_ivfpq_index(
     centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col)
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # a rebuild at the same path must not serve stale memoized centroids
+    forget_ivf_centroids(path)
     assigned = assign_cells(corpus, n_cells, id_col, vec_col, centroids)
     codes = pq_encode(corpus, books, id_col, vec_col).join(
         assigned.select(id_col, "cell"), id_col

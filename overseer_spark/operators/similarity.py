@@ -127,6 +127,7 @@ def assign_cells(
     n_probe: int = 1,
     estep: str = "auto",
     blas_threshold: int = 1024,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid(s) by cosine (deterministic
     centroids = lowest-id vectors unless given). Adds a ``cell`` column;
@@ -161,7 +162,10 @@ def assign_cells(
     existing √n-sized caller keeps the aggregate plan (pins
     unchanged) and a 10⁹-vector build with k ≈ 3·10⁴ gets dgemm
     without a code change."""
-    k_known = n_cells if centroids is None else None
+    # n_centroids: a caller that KNOWS its provided centroid frame's size
+    # (e.g. append_to_ivf_index's per-index memo) passes it so the
+    # estep="auto" sizing below costs no count job (r13, guide §1.2)
+    k_known = n_cells if centroids is None else n_centroids
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_cells)
     cents = centroids.select(

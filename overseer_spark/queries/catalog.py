@@ -15755,7 +15755,7 @@ def near_dup_keep_best(spark, sf):
         "n",
         (F.col("doc_id") != F.col("keep_id")).alias("dropped"),
     )
-    return (
+    out = (
         src.join(judged, "doc_id", "left")
         .groupBy("source")
         .agg(
@@ -15769,7 +15769,15 @@ def near_dup_keep_best(spark, sf):
             .alias("tokens_dropped"),
         )
         .orderBy("source")
+        # materialize the per-source aggregate (a handful of rows) so the
+        # member cache can be released HERE instead of leaking into a
+        # long-lived session (ADVICE r12; bench's clearCache hid it) —
+        # the r13 interleaved 32-core A/B kept the cache itself: lazy
+        # cache min 3.95 s vs nocache 4.13 / eager 4.42 / eager-ckpt 4.75
+        .localCheckpoint()
     )
+    member.unpersist()
+    return out
 
 
 @q(
@@ -16769,6 +16777,7 @@ def stream_ann_ingest(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_ivf_centroids(f"{tmp}/idx")  # evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -16919,6 +16928,7 @@ def ann_ivf_index_upsert(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_ivf_centroids(tmp)  # evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -17827,6 +17837,7 @@ def ann_ivf_index_append(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_ivf_centroids(tmp)  # evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -17867,6 +17878,7 @@ def ann_ivf_index_compact(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_ivf_centroids(tmp)  # evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -17912,6 +17924,7 @@ def ann_ivf_index_delete(spark, sf):
             .localCheckpoint()  # sever lineage from the temp index dir
         )
     finally:
+        AI.forget_ivf_centroids(tmp)  # evict the clone's memo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
