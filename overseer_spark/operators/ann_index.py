@@ -539,7 +539,12 @@ def delete_from_ivf_index(
         ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
     elif len(ids.columns) == 1:
         ids = ids.toDF(id_col)
-    ids.select(id_col).write.mode("append").parquet(f"{path}/tombstones")
+    # one file per delete batch (r13): a delete-batch-sized relation
+    # would otherwise write one file per input slice — more tombstone
+    # files for every later probe/compact to list and read
+    ids.select(id_col).coalesce(1).write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
 
 
 def compact_ivf_index(
@@ -999,7 +1004,12 @@ def compact_graph_index(
         # path so the file-count gauge behaves identically.
         rewrites = (
             ("qv", qv.coalesce(4)),
-            ("edges", edges.distinct().repartition(F.col("src"))),
+            # ONE exchange, not two (r13, guide §2.4): hash-partitioning
+            # by src co-locates every (src, dst) duplicate, so the dedup
+            # aggregate rides the repartition exchange instead of adding
+            # its own full (src, dst) shuffle — same row set (A/B'd:
+            # 0 diffs over the session index), same hash(src) layout
+            ("edges", edges.repartition(F.col("src")).dropDuplicates()),
         )
         for name, df in rewrites:
             df.write.mode("overwrite").parquet(f"{path}/{name}__compacting")
@@ -1020,11 +1030,15 @@ def compact_graph_index(
     # the scope and keep AQE's coalescing. Results are exact set algebra,
     # identical under any partitioning.
     with dimension_loop_conf(spark):
-        tomb = eager_cache(
+        # lazy cache + captured count (r13, guide §1.2): the count is the
+        # first consumer and doubles as the stats value — eager_cache plus
+        # the stats' re-count was two extra jobs per compact
+        tomb = (
             spark.read.parquet(*[p.toString() for p in tomb_files])
             .select("vec_id")
             .distinct()
-        )
+        ).cache()
+        n_deleted = tomb.count()
         dead = tomb.withColumnRenamed("vec_id", "_dead")
         entries = spark.read.parquet(f"{path}/entries")
 
@@ -1039,22 +1053,29 @@ def compact_graph_index(
             .join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
             .select("src", "_dead")
         )
-        out_of_dead = eager_cache(
+        # lazy: its single appearance inside the bridges count below
+        # materializes the cache in that job; replacements then reads it
+        # warm (eager_cache's own count was one more fixed-cost job)
+        out_of_dead = (
             edges.join(F.broadcast(dead), edges["src"] == dead["_dead"])
             .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
             .select("_dead", "dst")
-        )
-        bridges = eager_cache(
+        ).cache()
+        bridges = (
             into_dead.join(out_of_dead, "_dead")
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
             .distinct()
-        )
+        ).cache()
+        n_bridge_edges = bridges.count()
+        # dedup is deferred into the rewrite loop below, where it rides
+        # the repartition(src) exchange (r13, guide §2.4 — one exchange
+        # for the edge fold instead of a full (src, dst) shuffle plus a
+        # repartition; identical row set)
         kept_edges = (
             edges.join(tomb.withColumnRenamed("vec_id", "src"), "src", "left_anti")
             .join(tomb.withColumnRenamed("vec_id", "dst"), "dst", "left_anti")
             .unionByName(bridges)
-            .distinct()
         )
         # a deleted entry node hands its role to its min surviving partner
         dead_entries = entries.join(
@@ -1093,8 +1114,8 @@ def compact_graph_index(
             kept_entries.unpersist()
             kept_entries = spark.createDataFrame([(int(fallback),)], "node long")
         stats = {
-            "n_deleted": tomb.count(),
-            "n_bridge_edges": bridges.count(),
+            "n_deleted": n_deleted,
+            "n_bridge_edges": n_bridge_edges,
         }
     rewrites = (
         ("qv", kept_qv, None),
@@ -1106,7 +1127,13 @@ def compact_graph_index(
     # re-scans {path}/edges), so swapping one directory early would feed
     # the later writes post-compact data
     for name, df, part in rewrites:
-        w = df.repartition(F.col(part)) if part else df.coalesce(4)
+        # keyed legs (edges): hash-partitioning by the key co-locates
+        # duplicates, so dropDuplicates rides the same exchange
+        w = (
+            df.repartition(F.col(part)).dropDuplicates()
+            if part
+            else df.coalesce(4)
+        )
         w.write.mode("overwrite").parquet(f"{path}/{name}__compacting")
     for name, _, _ in rewrites:
         _swap_in(

@@ -146,13 +146,25 @@ def main() -> None:
         patcher, default_variants = _patch_dim_conf, "cur,aqe_on,sp4"
     variants = (args.variants or default_variants).split(",")
 
+    def run_variant(v: str, label: str) -> float:
+        # "wrapN" runs the WHOLE entry (build + actions) under
+        # dimension_loop_conf(spark, N) — AQE off and an explicit small
+        # shuffle width for every action the entry drives, including the
+        # beam-serve loop that currently keeps AQE
+        if v.startswith("wrap"):
+            from overseer_spark.operators.util import dimension_loop_conf
+            width = int(v[4:]) if len(v) > 4 else None
+            with dimension_loop_conf(spark, width):
+                return _timed(spark, fn, label)
+        with patcher(v):
+            return _timed(spark, fn, label)
+
     _timed(spark, fn, f"warmup {name}")  # one warm pass (codegen, artifacts)
     results: dict[str, list[float]] = {v: [] for v in variants}
     rows = None
     for rep in range(args.reps):
         for v in variants:
-            with patcher(v):
-                dt = _timed(spark, fn, f"{name} {v} rep{rep}")
+            dt = run_variant(v, f"{name} {v} rep{rep}")
             results[v].append(round(dt, 3))
             print(json.dumps({"variant": v, "rep": rep, "sec": round(dt, 3)}),
                   flush=True)
