@@ -541,8 +541,12 @@ def delete_from_ivf_index(
         ids = ids.toDF(id_col)
     # one file per delete batch (r13): a delete-batch-sized relation
     # would otherwise write one file per input slice — more tombstone
-    # files for every later probe/compact to list and read
-    ids.select(id_col).coalesce(1).write.mode("append").parquet(
+    # files for every later probe/compact to list and read. repartition,
+    # NOT coalesce: coalesce(1) folds every upstream slice into ONE task
+    # that pays the per-partition Python-runner roundtrip SERIALLY
+    # (measured 5.8 s for a 100-row 32-slice createDataFrame at
+    # local[32] vs 0.6 s with the 100-row shuffle)
+    ids.select(id_col).repartition(1).write.mode("append").parquet(
         f"{path}/tombstones"
     )
 
